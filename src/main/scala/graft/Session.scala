@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Tuned for the harness environment (single-JVM local mode standing in
+  * for a multi-executor cluster): AQE on so runtime re-planning (skew
+  * join, coalesce partitions, broadcast demotion) behaves like it would
+  * on a 1000-executor cluster; shuffle partitions sized to the core
+  * count instead of the 200 default; UTC session time zone for oracle
+  * parity.
+  */
+object Session {
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def local(appName: String = "graft", cores: Int = cpus): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

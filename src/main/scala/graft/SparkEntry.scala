@@ -1,13 +1,463 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dims, Quality}
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry + matching DuckDB `oracleSql`
+  * per implemented operator from SURVEY.md §2. Column names/aliases are
+  * kept identical between the DataFrame code and the oracle SQL (the
+  * driver's compare sorts columns by name before hashing).
+  *
+  * Determinism rules (SURVEY.md §2.10): total ORDER BY with explicit
+  * NULLS FIRST and unique tie-break keys; ROUND(·,2) on floating
+  * aggregates; integer-kind outputs cast to BIGINT on both sides
+  * (DuckDB widens COUNT/LENGTH/EXTRACT to BIGINT where Spark uses INT).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_join_star")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- core
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 [S13,P1,W1] scan + project + sort
+    "q01_scan_sort" -> ((s, d) =>
+      t(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(asc_nulls_first("r_regionkey"))),
+
+    // Q2 [P3,P5] sentinel→NULL (ref pattern export_svg.py:212)
+    "q02_sentinel_null" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          Quality.sentinelNull(col("c_mktsegment"), Seq("AUTOMOBILE")).as("seg"))
+        .orderBy(asc_nulls_first("c_custkey"))),
+
+    // Q3 [P4,F5] sentinel→NULL + cast (ref pattern export_svg.py:211)
+    "q03_sentinel_cast" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          Quality.sentinelNull(col("o_orderstatus"), Seq("P")).as("st"),
+          (col("o_orderkey").cast(LongType) * 2).as("k2"))
+        .orderBy(asc_nulls_first("o_orderkey"))),
+
+    // Q4 [A1,D*,P6,W1] distinct + CASE-decode dim build (export_svg.py:275-293)
+    "q04_dim_decode" -> ((s, d) =>
+      Dims.buildDim(t(s, d, "nation"), "n_regionkey", "region_name",
+        Seq(0 -> "AFRICA", 1 -> "AMERICA", 2 -> "ASIA", 3 -> "EUROPE",
+            4 -> "MIDDLE EAST"))),
+
+    // Q5 [J1,J2] equi joins through the star; dims broadcast
+    "q05_join_star" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("r_name"))
+    }),
+
+    // Q6 [J3] left outer + null probe. Scale-aware shape: pre-aggregate
+    // the big side down to |nations| rows, then broadcast that to the
+    // small side — avoids shuffling `customer` for an outer join.
+    "q06_left_join" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val perNation = t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(col("c_custkey")).as("cnt"))
+      n.join(broadcast(perNation), n("n_nationkey") === perNation("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_cust"))
+        .orderBy(asc_nulls_first("n_name"))
+    }),
+
+    // Q7a [J4] left semi (EXISTS)
+    "q07a_semi" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      val li = t(s, d, "lineitem")
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"))
+        .orderBy(asc_nulls_first("s_suppkey"))
+    }),
+
+    // Q7b [J4] left anti (NOT EXISTS)
+    "q07b_anti" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val li = t(s, d, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select(col("p_partkey"))
+        .orderBy(asc_nulls_first("p_partkey"))
+    }),
+
+    // Q8 [A2,F10] TPC-H Q1-style grouped aggregate
+    "q08_group_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Q9 [A3] exact count distinct
+    "q09_count_distinct" -> ((s, d) =>
+      t(s, d, "orders").agg(count_distinct(col("o_custkey")).as("n"))),
+
+    // Q9b [A3] approx count distinct (HLL++) — rows-only check (approx)
+    "q09b_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .agg(approx_count_distinct(col("o_custkey")).as("n_approx"))),
+
+    // Q10 [A4] rollup
+    "q10_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Q10b [A4] cube
+    "q10b_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Q10c [A5] filtered/conditional aggregate (CASE-inside-agg idiom)
+    "q10c_cond_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          count(when(col("o_totalprice") > 150000d, lit(1))).as("n_big"))
+        .orderBy(asc_nulls_first("o_orderpriority"))),
+
+    // Q11 [W2] ranking window, top-3 per nation
+    "q11_rank_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          row_number().over(w).cast(LongType).as("rnk"))
+        .where(col("rnk") <= 3)
+        .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("rnk"))
+    }),
+
+    // Q12 [W4] running-sum frame
+    "q12_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("run"))
+        .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    // Q12b [W3] lag/lead analytics
+    "q12b_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    // Q13 [W5] top-k with unique tie-break (TakeOrderedAndProject)
+    "q13_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // Q14a [W6] intersect
+    "q14a_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(asc_nulls_first("k"))),
+
+    // Q14b [W6] except
+    "q14b_except" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_nationkey").as("k"))
+        .except(t(s, d, "customer").select(col("c_nationkey").as("k")))
+        .orderBy(asc_nulls_first("k"))),
+
+    // Q14c [W6] union distinct
+    "q14c_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy(asc_nulls_first("k"))),
+
+    // Q15 [F2,F6,F13] string functions
+    "q15_string_funcs" -> ((s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("b"),
+          lower(col("p_type")).as("t"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          length(col("p_name")).cast(LongType).as("len"),
+          regexp_replace(col("p_brand"), "#", "-").as("rep"),
+          trim(col("p_name")).as("trimmed"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+        .orderBy(asc_nulls_first("p_partkey"))),
+
+    // Q16 [F3,F9] date/time functions
+    "q16_date_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          col("o_orderdate").cast(DateType).as("d"))
+        .orderBy(asc_nulls_first("o_orderkey"))),
+
+    // Q17 [F10] math functions
+    "q17_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_extendedprice") - col("l_tax")), 2).as("a"),
+          floor(col("l_quantity")).as("f"),
+          ceil(col("l_discount") * 100).as("c"),
+          (col("l_orderkey") % 7).as("m"),
+          round(sqrt(col("l_extendedprice")), 2).as("sq"))
+        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))),
+
+    // Q18 [ST2-batch] tumbling-window batch analogue over events
+    "q18_hourly_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))),
+
+    // Q19 [P1-P6 composite] quality-zone replica over events
+    // (mirrors export_svg.py:209-246 semantics on fixture data)
+    "q19_quality_zone" -> ((s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          Quality.sentinelNull(col("event_type"), Seq("error")).as("etype"),
+          when(col("value") < 0, lit(null))
+            .otherwise(col("value").cast(DecimalType(18, 2))).as("val"))
+        .orderBy(asc_nulls_first("event_id"))),
+
+    // Q20 [F11] array access — paired-dialect (Spark element_at is
+    // 1-based like DuckDB's [n]; both sides cast float→double)
+    "q20_array_access" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          round(element_at(col("embedding"), 1).cast(DoubleType), 4).as("e0"),
+          size(col("embedding")).cast(LongType).as("dim"))
+        .orderBy(asc_nulls_first("vec_id"))),
+
+    // Q21 [F8] JSON extraction — paired-dialect
+    "q21_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy(asc_nulls_first("event_id"))),
+
+    // Q22 [F3] date parse round-trip — paired-dialect
+    "q22_date_parse" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          to_date(date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy").as("d"))
+        .orderBy(asc_nulls_first("o_orderkey"))),
+
+    // Q23 [J5,J6] range join: lineitems shipped within 30 days of order
+    "q23_range_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(o("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderpriority"))
+    }),
+
+    // Q24 [J8] cross join (tiny × tiny)
+    "q24_cross_join" -> ((s, d) =>
+      t(s, d, "region").select(col("r_regionkey"))
+        .crossJoin(t(s, d, "nation").select(col("n_nationkey")))
+        .groupBy(col("r_regionkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("r_regionkey")))
+  )
+
+  // -------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_sort" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey NULLS FIRST",
+    "q02_sentinel_null" ->
+      """SELECT c_custkey,
+         CASE WHEN c_mktsegment IN ('AUTOMOBILE') THEN NULL ELSE c_mktsegment END AS seg
+         FROM customer ORDER BY c_custkey NULLS FIRST""",
+    "q03_sentinel_cast" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus IN ('P') THEN NULL ELSE o_orderstatus END AS st,
+         CAST(o_orderkey AS BIGINT) * 2 AS k2
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "q04_dim_decode" ->
+      """SELECT DISTINCT n_regionkey,
+         CASE WHEN n_regionkey = 0 THEN 'AFRICA'
+              WHEN n_regionkey = 1 THEN 'AMERICA'
+              WHEN n_regionkey = 2 THEN 'ASIA'
+              WHEN n_regionkey = 3 THEN 'EUROPE'
+              WHEN n_regionkey = 4 THEN 'MIDDLE EAST' END AS region_name
+         FROM nation WHERE n_regionkey IS NOT NULL
+         ORDER BY n_regionkey NULLS FIRST""",
+    "q05_join_star" ->
+      """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name NULLS FIRST""",
+    "q06_left_join" ->
+      """SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_cust
+         FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name NULLS FIRST""",
+    "q07a_semi" ->
+      """SELECT s_suppkey FROM supplier s
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+         ORDER BY s_suppkey NULLS FIRST""",
+    "q07b_anti" ->
+      """SELECT p_partkey FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+         ORDER BY p_partkey NULLS FIRST""",
+    "q08_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2)                         AS sum_qty,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         ROUND(AVG(l_quantity), 2)                         AS avg_qty,
+         CAST(COUNT(*) AS BIGINT)                          AS cnt
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q09_count_distinct" ->
+      "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders",
+    "q10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q10b_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q10c_cond_agg" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS n_big
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority NULLS FIRST""",
+    "q11_rank_window" ->
+      """SELECT c_custkey, c_nationkey, CAST(rnk AS BIGINT) AS rnk FROM (
+           SELECT c_custkey, c_nationkey,
+                  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer) t
+         WHERE rnk <= 3 ORDER BY c_nationkey NULLS FIRST, rnk NULLS FIRST""",
+    "q12_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+         FROM orders ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+    "q12b_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+         LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+         LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price
+         FROM orders ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+    "q13_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q14a_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY k NULLS FIRST""",
+    "q14b_except" ->
+      """SELECT n_nationkey AS k FROM nation
+         EXCEPT SELECT c_nationkey FROM customer ORDER BY k NULLS FIRST""",
+    "q14c_union" ->
+      """SELECT c_nationkey AS k FROM customer
+         UNION SELECT s_nationkey FROM supplier ORDER BY k NULLS FIRST""",
+    "q15_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_brand) AS b, LOWER(p_type) AS t,
+         SUBSTR(p_name, 1, 5) AS pfx, CAST(LENGTH(p_name) AS BIGINT) AS len,
+         REPLACE(p_brand, '#', '-') AS rep, TRIM(p_name) AS trimmed,
+         CONCAT(p_brand, '|', p_type) AS joined
+         FROM part ORDER BY p_partkey NULLS FIRST""",
+    "q16_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+         CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dom,
+         CAST(o_orderdate AS DATE) AS d
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "q17_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         ROUND(ABS(l_extendedprice - l_tax), 2) AS a,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS f,
+         CAST(CEIL(l_discount * 100) AS BIGINT) AS c,
+         l_orderkey % 7 AS m,
+         ROUND(SQRT(l_extendedprice), 2) AS sq
+         FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""",
+    "q18_hourly_window" ->
+      """SELECT DATE_TRUNC('HOUR', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v
+         FROM events GROUP BY 1, 2
+         ORDER BY h NULLS FIRST, event_type NULLS FIRST""",
+    "q19_quality_zone" ->
+      """SELECT event_id,
+         CASE WHEN event_type IN ('error') THEN NULL ELSE event_type END AS etype,
+         CASE WHEN value < 0 THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END AS val
+         FROM events ORDER BY event_id NULLS FIRST""",
+    "q20_array_access" ->
+      """SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0,
+         CAST(len(embedding) AS BIGINT) AS dim
+         FROM embeddings ORDER BY vec_id NULLS FIRST""",
+    "q21_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id NULLS FIRST""",
+    "q22_date_parse" ->
+      """SELECT o_orderkey,
+         CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS d
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "q23_range_join" ->
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate >= o.o_orderdate
+           AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority NULLS FIRST""",
+    "q24_cross_join" ->
+      """SELECT r.r_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT r_regionkey FROM region) r
+         CROSS JOIN (SELECT n_nationkey FROM nation) n
+         GROUP BY r.r_regionkey
+         ORDER BY r.r_regionkey NULLS FIRST"""
+  )
 }
