@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.{Sim, Text}
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
 import graft.ops.{Dims, Quality}
 import graft.sources.Tables
 
@@ -29,7 +31,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- core
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extQueries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ extOracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 [S13,P1,W1] scan + project + sort
@@ -309,9 +314,146 @@ object SparkEntry {
         .orderBy(asc_nulls_first("r_regionkey")))
   )
 
+  // ----------------------------------------------------- extensions
+  // LLM-training-data pipeline operators over documents/embeddings
+  // (SURVEY.md north star): dedup, similarity search, text analysis,
+  // as-of join, sessionization.
+
+  private def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1 exact dedup: survivors (min doc_id per identical text)
+    "x01_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X2 fingerprint dedup (whitespace/case-insensitive identity) —
+    // xxhash64-based, rows-only check
+    "x02_dedup_fingerprint" -> ((s, d) =>
+      Dedup.byFingerprint(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X3 MinHash+LSH near-dup pairs (verified Jaccard) — rows-only
+    "x03_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.4)
+        .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
+
+    // X4 SimHash near-dup pairs (Hamming ≤ 3) — rows-only
+    "x04_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
+        .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
+
+    // X5 brute-force cosine top-5 for query vectors vec_id < 10
+    "x05_knn_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Sim.knnBrute(emb.where(col("vec_id") < 10), emb, k = 5)
+        .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
+    }),
+
+    // X6 SRP-LSH approximate near-dup vector pairs — rows-only
+    "x06_srp_neardup" -> ((s, d) =>
+      Sim.nearDupPairs(t(s, d, "embeddings"), threshold = 0.4)
+        .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
+
+    // X7 language ID (stopword heuristic + CJK fast path) — rows-only
+    // (accuracy vs the fixture lang column is asserted in ScalaTest)
+    "x07_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X8 quality scoring (length/punct/stopword composite) — rows-only
+    "x08_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.punctRatio(col("text")).as("punct_ratio"),
+          Text.stopwordRatio(col("text")).as("stopword_ratio"),
+          Text.qualityScore(col("text")).as("quality"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X9 token counting (whitespace + subword proxy) — portable oracle
+    "x09_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tok"),
+          length(col("text")).cast(LongType).as("n_chars_calc"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X10 document fingerprint + SimHash signatures — rows-only
+    "x10_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.simhash64(col("text")).as("simhash"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X11 as-of join: latest order at-or-before each event, per user
+    "x11_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asOf(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(asc_nulls_first("event_id"))
+    }),
+
+    // X12 sessionization (10-minute inactivity gap) via session_window
+    "x12_sessionize" -> ((s, d) =>
+      Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start")))
+  )
+
+  private def extOracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
+         GROUP BY text ORDER BY doc_id NULLS FIRST""",
+    "x05_knn_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_inner_product(q.e, c.e) /
+                        (sqrt(list_inner_product(q.e, q.e)) *
+                         sqrt(list_inner_product(c.e, c.e))), 4) AS sim
+           FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rnk FROM pairs) t
+         WHERE rnk <= 5
+         ORDER BY query_id NULLS FIRST, rnk NULLS FIRST""",
+    "x09_token_count" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars_calc
+         FROM documents ORDER BY doc_id NULLS FIRST""",
+    "x11_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, o.o_orderkey, o.o_orderdate
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id NULLS FIRST""",
+    "x12_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                       WHEN ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1
+                       ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+         SELECT user_id, MIN(ts) AS session_start,
+                CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS v
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id NULLS FIRST, session_start NULLS FIRST"""
+  )
+
   // -------------------------------------------------------------- oracle
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q01_scan_sort" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey NULLS FIRST",
     "q02_sentinel_null" ->

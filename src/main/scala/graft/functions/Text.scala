@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines (SURVEY.md north-star extensions): tokenization, token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is a pure `Column` expression built from Spark
+  * built-ins and higher-order array functions — codegen-friendly, no
+  * UDFs, so whole-stage codegen keeps the scan→project pipeline in
+  * one stage at any scale.
+  */
+object Text {
+
+  /** Whitespace tokenization, lowercased, empty tokens dropped.
+    * (`split` takes a regex; leading whitespace yields an empty first
+    * token, hence the filter.) */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= lit(""))
+
+  /** Whitespace token count (BIGINT). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** A BPE-ish proxy token count: word-piece segments of ≤4 chars.
+    * ceil(len/4) summed per word — deterministic, cheap, and a decent
+    * stand-in for subword tokenizers when budgeting at corpus scale. */
+  def subwordCount(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val len = length(c).cast("double")
+    val punct = (len - length(regexp_replace(c, "[.,!?;:'\"()\\[\\]{}-]", ""))).cast("double")
+    when(len > 0, round(punct / len, 4)).otherwise(lit(0.0))
+  }
+
+  /** Ratio of tokens that are (English) stopwords — a classic
+    * fluency/quality signal. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val ts = tokens(c)
+    val n = size(ts).cast("double")
+    val hits = size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    when(n > 0, round(hits / n, 4)).otherwise(lit(0.0))
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(c: Column): Column = {
+    val ts = tokens(c)
+    val n = size(ts).cast("double")
+    when(n > 0,
+      round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low
+    * punctuation noise, some stopword mass. Heuristic; weights are
+    * not tuned, the point is the shape (pure column math → codegen). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenScore = when(nTok >= 20 && nTok <= 5000, lit(1.0))
+      .when(nTok > 0, nTok / 20.0).otherwise(lit(0.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    round(least(lenScore, lit(1.0)) * 0.4 + punctScore * 0.3 + stopScore * 0.3, 4)
+  }
+
+  /** Language ID over a fixed candidate set by stopword-hit scoring,
+    * with a CJK-character fast path. Returns the language code with
+    * the most distinct stopword hits ('und' when nothing matches).
+    *
+    * Argmax without a UDF: build an array of (score, lang) structs and
+    * take `array_max` — struct ordering compares score first, then
+    * lang code as the deterministic tie-break. */
+  def langId(c: Column): Column = {
+    val ts = tokens(c)
+    val scored = stopwordSets.map { case (lang, words) =>
+      struct(
+        size(array_intersect(ts, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** 64-bit rolling fingerprint of the token stream (order-sensitive,
+    * whitespace/case-normalized): h = xxhash64(h, token), i.e. a hash
+    * chain rather than polynomial multiply — same identity semantics,
+    * no overflow (ANSI-mode safe). Collision-unlikely content identity
+    * for shuffle-cheap exact-ish dedup (two docs differing only in
+    * whitespace/casing collide — by design). */
+  def fingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** SimHash-64 over tokens: per bit b, sum ±1 weighted by each
+    * token's xxhash64 bit, take the sign bit. Near-identical docs land
+    * within small Hamming distance. Pure higher-order-function math. */
+  def simhash64(c: Column): Column = {
+    val ts = tokens(c)
+    // per-token ±1 contribution for each of the 64 bit positions
+    // (positions are static ints — unrolled, stays in codegen)
+    def tokenBits(t: Column): Column = {
+      val h = xxhash64(t)
+      array((0 until 64).map(b =>
+        when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
+    }
+    // counters[b] = sum over tokens of (bit b set ? +1 : -1)
+    val counters = aggregate(
+      ts,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, tokenBits(t), (a, x) => a + x))
+    // pack sign bits into one long. Packing each 32-bit half keeps the
+    // accumulator < 2^32 (no ANSI overflow); the final shiftleft is a
+    // bitwise op, so bit 63 lands in the sign bit as intended.
+    def packHalf(half: Column): Column =
+      aggregate(reverse(half), lit(0L),
+        (acc, cnt) => acc * 2 + when(cnt > 0, 1L).otherwise(0L))
+    val lower = packHalf(slice(counters, 1, 32))
+    val upper = packHalf(slice(counters, 33, 32))
+    shiftleft(upper, 32).bitwiseOR(lower)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Character n-gram shingles (distinct), for Jaccard similarity. */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = lower(c)
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+          i => s.substr(i, lit(n))),
+        g => length(g) === n))
+  }
+
+  /** Word n-gram shingles (distinct). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))),
+        g => size(split(g, " ")) === n))
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, round(inter / union, 4)).otherwise(lit(0.0))
+  }
+
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "by", "at", "be",
+    "from", "not", "but", "they", "he", "she", "we", "you", "his", "her")
+
+  /** Small per-language stopword sets (public common-word lists). */
+  val stopwordSets: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "mit", "auf", "für", "von", "den", "im", "sich", "des", "dem"),
+    "en" -> enStopwords,
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que", "en",
+      "un", "una", "por", "con", "para", "del", "se", "no", "al"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "des", "un", "une",
+      "du", "que", "qui", "dans", "pour", "pas", "sur", "au", "avec"))
+}

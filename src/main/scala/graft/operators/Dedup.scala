@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * north-star extensions): exact, fingerprint, MinHash+LSH,
+  * SimHash-bucketed, and n-gram-Jaccard near-dup.
+  *
+  * Scale design: every variant reduces to hash → groupBy/equi-join —
+  * one shuffle keyed on something with bounded fan-in, never an
+  * all-pairs product. Partial aggregation (map-side combine) collapses
+  * duplicate mass before the exchange, so skew from a viral duplicate
+  * is bounded by the distinct-key count per partition.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical key column.
+    * groupBy+min (not window row_number) — partial aggregation makes
+    * this a single cheap shuffle of (key, id) pairs. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
+
+  /** Exact-ish dedup via 64-bit token-stream fingerprint
+    * ([[Text.fingerprint]]): whitespace/case-insensitive identity,
+    * and the shuffle carries an 8-byte key instead of full documents —
+    * the difference between shuffling 100 TB of text and 800 GB of
+    * hashes. */
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature as an array column: sig[i] = min over shingles
+    * of xxhash64(i, shingle). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+    *
+    * shingle → minhash(numHashes) → band (rows-per-band slices, each
+    * hashed to a bucket key) → equi-join on (band, bucket) → exact
+    * Jaccard ≥ threshold. Probability a pair with Jaccard j collides:
+    * 1-(1-j^r)^b — with 16 bands × 8 rows, j=0.8 is caught w.p. ~0.96.
+    */
+  def minhashLsh(df: DataFrame, threshold: Double,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = df.select(col(idCol).as("id"),
+      Text.charShingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: bucket by the signature split into
+    * `chunks` pieces — two docs within Hamming distance < chunks must
+    * share at least one piece (pigeonhole), so candidate generation is
+    * again an equi-join; verify with exact Hamming ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, maxHamming: Int,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   chunks: Int = 4): DataFrame = {
+    require(chunks > maxHamming, "need chunks > maxHamming for pigeonhole recall")
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sig = df.select(col(idCol).as("id"), Text.simhash64(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sig"), c * bits).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val l = banded.select(col("chunk"), col("piece"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("chunk"), col("piece"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "piece"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        Text.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over a bounded pair set (for oracle-sized
+    * verification and as the verify stage other variants reuse). The
+    * all-pairs form exists for completeness/testing only — production
+    * paths go through [[minhashLsh]]/[[simhashPairs]]. */
+  def ngramJaccardPairs(df: DataFrame, threshold: Double, shingleSize: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      Text.wordShingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}
