@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sim
+import graft.operators.Dedup
+
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val loremA = "the quick brown fox jumps over the lazy dog while " +
+    "the sun sets slowly behind the distant mountains of the west"
+  private val loremA2 = loremA.replace("slowly", "quickly") // near-dup of A
+  private val loremB = "functional programming with immutable data structures " +
+    "enables safe parallel computation across many machines in a cluster"
+
+  private lazy val docs = Seq(
+    (0L, loremA), (1L, loremA2), (2L, loremB), (3L, loremA))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L)) // doc 3 == doc 0
+  }
+
+  test("fingerprint dedup counts duplicates") {
+    val r = Dedup.byFingerprint(docs, "text", "doc_id")
+      .where($"n_dups" === 2).select("doc_id").as[Long].collect().toSeq
+    assert(r == Seq(0L))
+  }
+
+  test("minhash LSH finds the planted near-dup pair and the exact dup") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // B unrelated
+  }
+
+  test("simhash pairs finds near-dups within hamming 3") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical → hamming 0
+  }
+
+  test("ngram jaccard all-pairs agrees with minhash verify stage") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5, shingleSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)))
+  }
+
+  test("cosine: identical vectors → 1, orthogonal → 0") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)))
+      .toDF("a", "b")
+      .select(round(Sim.cosine(Sim.asDouble($"a"), Sim.asDouble($"b")), 6).as("c"))
+      .as[Double].collect().toSeq
+    assert(df == Seq(1.0, 0.0))
+  }
+
+  test("knnBrute returns k nearest by cosine, excluding self") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val r = Sim.knnBrute(vecs.where($"vec_id" === 0), vecs, k = 2)
+      .select("neighbor_id", "rnk").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((3L, 1L), (1L, 2L))) // 3 is closer to [1,0] than 1
+  }
+
+  test("SRP near-dup achieves good recall vs brute force on clustered vectors") {
+    // 20 clusters of 3 near-identical 64-dim vectors
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).flatMap { c =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { i =>
+        val v = base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+        ((c * 3 + i).toLong, v.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Sim.nearDupPairs(df, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: within-cluster pairs have cosine ~0.999
+    val truth = (0 until 20).flatMap { c =>
+      val ids = (0 until 3).map(i => (c * 3 + i).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall")
+    assert(got.forall(truth.contains), "no false positives at 0.98")
+  }
+}

@@ -1,0 +1,8 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession for the whole test run. */
+object SparkTestSession {
+  lazy val spark: SparkSession = Session.local("graft-test", cores = 4)
+}

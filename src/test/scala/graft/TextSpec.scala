@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokens: lowercased, whitespace split, empties dropped") {
+    val r = Seq("  Hello   World  ").toDF("t")
+      .select(Text.tokens($"t").as("r")).as[Seq[String]].head()
+    assert(r == Seq("hello", "world"))
+  }
+
+  test("tokenCount handles empty and multi-space strings") {
+    val r = Seq("", "a b  c", "   ").toDF("t")
+      .select(Text.tokenCount($"t").as("r")).as[Long].collect().toSeq
+    assert(r == Seq(0L, 3L, 0L))
+  }
+
+  test("punctRatio and stopwordRatio in [0,1]") {
+    val r = Seq("the cat, the hat!").toDF("t")
+      .select(Text.punctRatio($"t").as("p"), Text.stopwordRatio($"t").as("s"))
+      .head()
+    assert(r.getDouble(0) > 0 && r.getDouble(0) < 1)
+    assert(r.getDouble(1) == 0.5) // 'the' twice of 4 tokens
+  }
+
+  test("langId identifies hand-made samples; CJK fast path; und fallback") {
+    val samples = Seq(
+      ("the quick brown fox is on the hill and it was fine", "en"),
+      ("el perro y la casa es una de las cosas que no se", "es"),
+      ("le chien est dans la maison et il est pour le chat", "fr"),
+      ("der hund ist nicht in der stadt und das ist ein haus", "de"),
+      ("这是一个中文句子", "zh"),
+      ("zzz qqq xxx", "und"))
+    val got = samples.map(_._1).toDF("t")
+      .select(Text.langId($"t").as("r")).as[String].collect().toSeq
+    assert(got == samples.map(_._2))
+  }
+
+  test("fingerprint: whitespace/case-insensitive identity, order-sensitive") {
+    val fps = Seq("Hello  World", "hello world", "world hello")
+      .toDF("t").select(Text.fingerprint($"t").as("r")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("simhash: near-identical docs are close, different docs far") {
+    val base = "spark makes distributed data processing fast and expressive " +
+      "with catalyst and tungsten and whole stage codegen for queries"
+    val near = base.replace("fast", "quick")
+    val far = "completely unrelated text about cooking pasta with tomato " +
+      "sauce basil garlic olive oil and fresh parmesan cheese on top"
+    val df = Seq(base, near, far).toDF("t")
+      .select(Text.simhash64($"t").as("h")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(df(0), df(1)) < ham(df(0), df(2)))
+    assert(ham(df(0), df(1)) <= 16)
+  }
+
+  test("shingles and jaccard") {
+    val df = Seq(("abcd", "abcd"), ("abcd", "bcde")).toDF("a", "b")
+      .select(Text.jaccard(
+        Text.charShingles($"a", 2), Text.charShingles($"b", 2)).as("j"))
+      .as[Double].collect()
+    assert(df(0) == 1.0)
+    assert(df(1) > 0 && df(1) < 1)
+  }
+
+  test("wordShingles produce n-grams in order") {
+    val r = Seq("a b c d").toDF("t")
+      .select(Text.wordShingles($"t", 2).as("r")).as[Seq[String]].head()
+    assert(r == Seq("a b", "b c", "c d"))
+  }
+}
