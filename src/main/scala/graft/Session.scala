@@ -14,11 +14,14 @@ import org.apache.spark.sql.SparkSession
 object Session {
   def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-  def local(appName: String = "graft", cores: Int = cpus): SparkSession = {
-    val spark = SparkSession
+  def local(appName: String = "graft", cores: Int = cpus,
+            warehouseDir: Option[String] = None): SparkSession = {
+    val builder0 = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+    val spark = warehouseDir.foldLeft(builder0)(
+      (b, dir) => b.config("spark.sql.warehouse.dir", dir))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

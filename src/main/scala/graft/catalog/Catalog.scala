@@ -1,0 +1,69 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog/DDL surface (SURVEY.md §2.1 S5–S8; ≙ the reference's
+  * BigQuery client, `gcp-python-libs/bigquery.py`): idempotent
+  * databases, truncate-semantics table writes, time-partitioned
+  * writes with the reference's field-XOR-ingest-time validation,
+  * hive-partitioned external reads, views, and metadata tags as
+  * table properties (≙ `gcp-python-libs/datacatalog.py`).
+  */
+object Catalog {
+
+  /** Get-or-create database (≙ `bigquery.py:17-22`). */
+  def ensureDatabase(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+
+  /** Full-replace table write (≙ WRITE_TRUNCATE + CREATE_IF_NEEDED,
+    * `export_svg.py:199-200`). */
+  def overwriteTable(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").saveAsTable(table)
+
+  /** CTAS (≙ `CREATE OR REPLACE TABLE ... AS SELECT`,
+    * `export_svg.py:275` et al.). */
+  def ctas(spark: SparkSession, table: String, sql: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TABLE `${table.replace(".", "`.`")}` AS $sql")
+
+  /** Time-partitioned write (≙ `bigquery.py:32-54`): partition by a
+    * data field XOR by ingest time (DAY granularity), never both —
+    * the reference enforces this exclusivity (`bigquery.py:35-36`).
+    * Ingest-time partitioning materializes an `_ingest_day` column
+    * from the current timestamp (load-time partition analogue). */
+  def writePartitioned(df: DataFrame, table: String,
+                       partitionField: Option[String] = None,
+                       byIngestTime: Boolean = false): Unit = {
+    require(partitionField.isDefined != byIngestTime,
+      "exactly one of partitionField / byIngestTime is required")
+    import org.apache.spark.sql.functions._
+    partitionField match {
+      case Some(f) =>
+        df.write.mode("overwrite").partitionBy(f).saveAsTable(table)
+      case None =>
+        df.withColumn("_ingest_day", date_trunc("DAY", current_timestamp()).cast("date"))
+          .write.mode("overwrite").partitionBy("_ingest_day").saveAsTable(table)
+    }
+  }
+
+  /** Hive-partitioned external read (≙ `bigquery.py:66-85`,
+    * `HivePartitioningOptions(mode="AUTO")`): Spark discovers `k=v`
+    * partition directories natively. */
+  def readExternal(spark: SparkSession, format: String, path: String): DataFrame =
+    spark.read.format(format).load(path)
+
+  /** Create-if-absent view over a SQL text (≙ `bigquery.py:56-64`). */
+  def ensureView(spark: SparkSession, name: String, sql: String): Unit =
+    spark.sql(s"CREATE VIEW IF NOT EXISTS `${name.replace(".", "`.`")}` AS $sql")
+
+  /** Governance tag on a table (≙ datacatalog template tag,
+    * `datacatalog.py:28-61`) → table property. */
+  def tagTable(spark: SparkSession, table: String, key: String, value: String): Unit =
+    spark.sql(s"ALTER TABLE `${table.replace(".", "`.`")}` " +
+      s"SET TBLPROPERTIES ('$key' = '$value')")
+
+  def getTag(spark: SparkSession, table: String, key: String): Option[String] = {
+    import spark.implicits._
+    spark.sql(s"SHOW TBLPROPERTIES `${table.replace(".", "`.`")}`")
+      .where($"key" === key).select("value").as[String].collect().headOption
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (SURVEY.md §2.8
+  * ST1–ST6). The reference's only streaming-shaped flow is a Pub/Sub
+  * command topic (`transfer_sercom_files.py:102-123`); the engine
+  * generalizes to real event-time processing: windowed aggregation
+  * with watermarks, session windows, custom state machines, and
+  * batch/append sinks via foreachBatch.
+  *
+  * All operators keep state keyed and bounded (watermark evicts):
+  * the shapes survive unbounded input on a real cluster.
+  */
+object EventStreams {
+
+  /** The events fixture schema, ts as µs timestamp. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ST1: stream ingest over a parquet/json directory. */
+  def readStream(spark: SparkSession, dir: String,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(dir)
+
+  /** ST2+ST4: tumbling (or sliding) window counts/sums with a
+    * watermark for late-data eviction. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+                  slide: Option[String] = None,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val win = slide.map(s => window(col("ts"), window_, s))
+      .getOrElse(window(col("ts"), window_))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n"), col("v"))
+  }
+
+  /** ST3: session-window aggregation (same operator the batch
+    * Sessionize uses — batch/stream parity by construction). */
+  def sessionAgg(events: DataFrame, gap: String = "10 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("v"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class UserRunningState(n: Long, total: Double)
+  case class UserSnapshot(user_id: Long, n: Long, total: Double)
+
+  /** ST5: custom keyed state via flatMapGroupsWithState — running
+    * per-user count/total emitted on every update (Update mode).
+    * State is tiny and per-key; timeout hooks are where production
+    * eviction policy would go. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunningState, UserSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          val (n, tot) = batch.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          state.update(UserRunningState(n, tot))
+          Iterator(UserSnapshot(uid, n, tot))
+      }
+  }
+
+  /** ST6: drive a streaming frame into a sink via foreachBatch
+    * (overwrite ≙ the reference's WRITE_TRUNCATE; append for deltas). */
+  def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String,
+                    mode: String = "append") =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(mode).parquet(outDir)
+      }
+      .start()
+}

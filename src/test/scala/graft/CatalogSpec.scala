@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{Catalog, KeyValue}
+
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ensureDatabase is idempotent") {
+    Catalog.ensureDatabase(spark, "graft_test_db")
+    Catalog.ensureDatabase(spark, "graft_test_db")
+    assert(spark.catalog.databaseExists("graft_test_db"))
+  }
+
+  test("overwriteTable replaces content (WRITE_TRUNCATE parity)") {
+    Catalog.overwriteTable(Seq(1, 2, 3).toDF("v"), "graft_t1")
+    Catalog.overwriteTable(Seq(9).toDF("v"), "graft_t1")
+    assert(spark.table("graft_t1").as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("writePartitioned: field XOR ingest-time enforced") {
+    intercept[IllegalArgumentException] {
+      Catalog.writePartitioned(Seq((1, "a")).toDF("v", "day"),
+        "graft_t2", Some("day"), byIngestTime = true)
+    }
+    Catalog.writePartitioned(
+      Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("v", "day"),
+      "graft_t2", Some("day"))
+    // partition pruning applies on the partition column
+    assert(spark.table("graft_t2").where($"day" === "2024-01-01").count() == 1)
+    Catalog.writePartitioned(Seq(5).toDF("v"), "graft_t3", None, byIngestTime = true)
+    assert(spark.table("graft_t3").columns.contains("_ingest_day"))
+  }
+
+  test("readExternal discovers hive partitions from k=v dirs") {
+    val dir = Files.createTempDirectory("hive").toString
+    Seq((1, "x")).toDF("v", "k").write.mode("overwrite").partitionBy("k").parquet(dir)
+    val df = Catalog.readExternal(spark, "parquet", dir)
+    assert(df.columns.contains("k"))
+    assert(df.where($"k" === "x").count() == 1)
+  }
+
+  test("view + table tag round-trip") {
+    Catalog.overwriteTable(Seq(1).toDF("v"), "graft_t4")
+    Catalog.ensureView(spark, "graft_v4", "SELECT v * 2 AS v2 FROM graft_t4")
+    Catalog.ensureView(spark, "graft_v4", "SELECT v * 3 AS v3 FROM graft_t4") // no-op
+    assert(spark.table("graft_v4").columns.toSeq == Seq("v2"))
+    Catalog.tagTable(spark, "graft_t4", "data_classification", "public")
+    assert(Catalog.getTag(spark, "graft_t4", "data_classification")
+      .contains("public"))
+  }
+
+  test("KeyValue upsert/delete/query semantics") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("key", "val")
+    val updates = Seq((2L, "B"), (3L, "c")).toDF("key", "val")
+    val merged = KeyValue.upsert(existing, updates, "key")
+    assert(merged.orderBy("key").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    val afterDelete = KeyValue.delete(merged, Seq(1L).toDF("key"), "key")
+    assert(afterDelete.select("key").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(KeyValue.queryByProperty(merged, "val", "B")
+      .select("key").as[Long].collect().toSeq == Seq(2L))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.pipeline.{Messages, Runner}
+
+class MiscSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Messages: base64(JSON) round-trip preserves the EP2 contract") {
+    val reqs = Seq(
+      Messages.TransferRequest("ftps://h:990/in?username=u&password=p",
+        "gs://bucket/path", remove_file = true, "2024-01-01T00:00:00"),
+      Messages.TransferRequest("sftp://h2:22/x", "gs://b2/y",
+        remove_file = false, "2024-01-02T00:00:00")).toDS()
+    val topic = Files.createTempDirectory("topic").toString
+    Messages.publish(reqs, topic)
+    val got = Messages.subscribe(spark, topic).collect().toSet
+    assert(got == reqs.collect().toSet)
+  }
+
+  test("Runner: stages sequential, failure fires callback and aborts") {
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var failed: Option[String] = None
+    val boom = new RuntimeException("boom")
+    intercept[Runner.StepFailed] {
+      Runner.run(
+        Seq(
+          Seq(Runner.Step("a1", () => order.add("a1")),
+              Runner.Step("a2", () => order.add("a2"))),
+          Seq(Runner.Step("b1", () => throw boom)),
+          Seq(Runner.Step("c1", () => order.add("c1")))),
+        parallelism = 2,
+        onFailure = (name, _) => failed = Some(name))
+    }
+    assert(order.toArray.toSet == Set("a1", "a2")) // c1 never ran
+    assert(failed.contains("b1"))
+  }
+
+  test("Multimodal: decodeFeatures reads stub headers; frame sampling fans out") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val feats = Multimodal.decodeFeatures(assets)
+    assert(feats.count() == 30)
+    val video = feats.where($"modality" === "video")
+    assert(video.where($"n_frames" > 1).count() == video.count())
+    val frames = Multimodal.sampleFrames(feats, stride = 8)
+    // every sampled frame index is a multiple of the stride, in range
+    val bad = frames.where($"frame_idx" % 8 =!= 0).count()
+    assert(bad == 0)
+    assert(frames.count() > video.count()) // fan-out happened
+  }
+
+  test("Multimodal: resize scales header dims, preserves payload length") {
+    val assets = Multimodal.syntheticAssets(spark, 6)
+    val before = Multimodal.decodeFeatures(assets)
+      .select("asset_id", "width").as[(Long, Int)].collect().toMap
+    val resized = Multimodal.decodeFeatures(Multimodal.resize(assets, 0.5))
+      .select("asset_id", "width").as[(Long, Int)].collect().toMap
+    before.foreach { case (id, w) => assert(resized(id) == w / 2) }
+  }
+}

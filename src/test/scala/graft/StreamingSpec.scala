@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Stage the events fixture as a µs-timestamp parquet dir that a
+    * stream can tail (the raw fixture is ns, which the stream reader's
+    * fixed schema can't take directly). */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("events_stream").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("ST1+ST2+ST4: windowed agg over a parquet stream matches batch") {
+    val stream = EventStreams.readStream(spark, stagedDir)
+    val q = EventStreams.windowedAgg(stream, "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_out").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode only emits watermark-closed windows; the final
+    // window stays open, so compare against batch minus the last hour
+    val got = spark.table("win_out")
+    val batch = EventStreams.windowedAgg(Tables.load(spark, sfDir, "events"))
+    assert(got.count() > 0)
+    val gotMap = got.select("ws", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val batchMap = batch.select("ws", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    gotMap.foreach { case (k, n) => assert(batchMap(k) == n, k) }
+  }
+
+  test("ST3: streaming session windows agree with batch Sessionize") {
+    val stream = EventStreams.readStream(spark, stagedDir)
+    val q = EventStreams.sessionAgg(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("sess_out")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.nonEmpty)
+    val batch = graft.operators.Sessionize
+      .sessions(Tables.load(spark, sfDir, "events"), "user_id", "ts")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (k, n) => assert(batch(k) == n, k) }
+  }
+
+  test("ST5: flatMapGroupsWithState running totals") {
+    import EventStreams._
+    val events = Tables.load(spark, sfDir, "events").as[Event]
+    // batch execution of the stateful operator: one snapshot per key
+    val snaps = runningTotals(events).collect().map(s => s.user_id -> s).toMap
+    val expect = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    expect.foreach { case (uid, n) => assert(snaps(uid).n == n, uid) }
+  }
+
+  test("ST6: foreachBatch parquet sink") {
+    val out = Files.createTempDirectory("sink_out").toString
+    val ckpt = Files.createTempDirectory("sink_ckpt").toString
+    val stream = EventStreams.readStream(spark, stagedDir)
+    val q = EventStreams.sinkToParquet(
+      stream.select($"event_id", $"event_type"), out, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(out).count() ==
+      Tables.load(spark, sfDir, "events").count())
+  }
+}
