@@ -51,21 +51,12 @@ object Sim {
   }
 
   /** Signed-random-projection signature: `planes` pseudo-random
-    * hyperplanes with deterministic coefficients derived from
-    * xxhash64(plane, dim) mapped into [-1, 1); bit p = sign of the
-    * projection. Similar vectors agree on most bits. */
-  def srpSignature(v: Column, planes: Int, dim: Int): Column = {
-    val proj = (0 until planes).map { p =>
-      val prods = (0 until dim).map { j =>
-        val coef = (pmod(xxhash64(lit(p), lit(j)), lit(2000000)).cast("double") /
-          lit(1000000.0)) - lit(1.0)
-        element_at(v, j + 1) * coef
-      }
-      val s = prods.reduce(_ + _)
-      when(s >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    proj.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+    * hyperplanes with deterministic SplitMix64-derived coefficients in
+    * [-1, 1); bit p = sign of the projection. Similar vectors agree on
+    * most bits. Native Catalyst expression — the planes×dim expression
+    * tree it replaces measured 41 s at sf0.1. */
+  def srpSignature(v: Column, planes: Int): Column =
+    graft.expressions.NativeSignatures.srpSignature(v, planes)
 
   /** Approximate near-duplicate pairs by SRP-LSH banding: vectors
     * sharing any signature band become candidates (equi-join on the
@@ -76,28 +67,30 @@ object Sim {
     * shuffle and its key space is `bands × 2^bitsPerBand` buckets.
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
-                   bands: Int = 8, bitsPerBand: Int = 4,
+                   bands: Int = 6, bitsPerBand: Int = 10,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64 // fixture embedding dimension; parameterize when dynamic
     val planes = bands * bitsPerBand
-    val withSig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("sig", srpSignature(col("v"), planes, dim))
+    val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val withSig = vecs.withColumn("sig", srpSignature(col("v"), planes))
     val mask = (1L << bitsPerBand) - 1
+    // band on ids ONLY (vectors re-joined for verify) — and with
+    // 2^bitsPerBand = 1024 buckets per band the candidate set stays
+    // near-linear instead of quadratic-within-16-buckets
     val banded = withSig.select(
-      col("id"), col("v"),
+      col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    val cand = banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
       .where(col("sim") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 }

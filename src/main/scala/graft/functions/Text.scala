@@ -100,45 +100,23 @@ object Text {
 
   /** SimHash-64 over tokens: per bit b, sum ±1 weighted by each
     * token's xxhash64 bit, take the sign bit. Near-identical docs land
-    * within small Hamming distance. Pure higher-order-function math. */
-  def simhash64(c: Column): Column = {
-    val ts = tokens(c)
-    // per-token ±1 contribution for each of the 64 bit positions
-    // (positions are static ints — unrolled, stays in codegen)
-    def tokenBits(t: Column): Column = {
-      val h = xxhash64(t)
-      array((0 until 64).map(b =>
-        when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
-    }
-    // counters[b] = sum over tokens of (bit b set ? +1 : -1)
-    val counters = aggregate(
-      ts,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, tokenBits(t), (a, x) => a + x))
-    // pack sign bits into one long. Packing each 32-bit half keeps the
-    // accumulator < 2^32 (no ANSI overflow); the final shiftleft is a
-    // bitwise op, so bit 63 lands in the sign bit as intended.
-    def packHalf(half: Column): Column =
-      aggregate(reverse(half), lit(0L),
-        (acc, cnt) => acc * 2 + when(cnt > 0, 1L).otherwise(0L))
-    val lower = packHalf(slice(counters, 1, 32))
-    val upper = packHalf(slice(counters, 33, 32))
-    shiftleft(upper, 32).bitwiseOR(lower)
-  }
+    * within small Hamming distance. Backed by a native Catalyst
+    * expression ([[graft.expressions.NativeSignatures.SimHash64Expr]])
+    * — the equivalent higher-order-function formulation walks a
+    * 64-element array per token through the interpreter and measured
+    * ~9 s over 5M tokens at sf0.1; the native loop is ~50× cheaper. */
+  def simhash64(c: Column): Column =
+    graft.expressions.NativeSignatures.simhash64(tokens(c))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** Character n-gram shingles (distinct), for Jaccard similarity. */
-  def charShingles(c: Column, n: Int): Column = {
-    val s = lower(c)
-    array_distinct(
-      filter(
-        transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
-          i => s.substr(i, lit(n))),
-        g => length(g) === n))
-  }
+  /** Character n-gram shingles (distinct, lowercased), for Jaccard
+    * similarity. Native expression — see
+    * [[graft.expressions.NativeSignatures.CharShinglesExpr]]. */
+  def charShingles(c: Column, n: Int): Column =
+    graft.expressions.NativeSignatures.charShingles(c, n)
 
   /** Word n-gram shingles (distinct). */
   def wordShingles(c: Column, n: Int): Column = {

@@ -34,37 +34,57 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature as an array column: sig[i] = min over shingles
-    * of xxhash64(i, shingle). */
+  /** MinHash signature as an array column: one base hash per shingle
+    * + `numHashes` affine rehashes, in a native Catalyst expression
+    * (the k×|shingles| interpreted-HOF formulation measured 42 s at
+    * sf0.1; this is sub-second). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+    graft.expressions.NativeSignatures.minhashSignature(shingles, numHashes)
 
-  /** MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+  /** MinHash+LSH near-dup candidate pairs, verified by the MinHash
+    * Jaccard estimator.
     *
     * shingle → minhash(numHashes) → band (rows-per-band slices, each
-    * hashed to a bucket key) → equi-join on (band, bucket) → exact
+    * hashed to a bucket key) → equi-join on (band, bucket) → estimated
     * Jaccard ≥ threshold. Probability a pair with Jaccard j collides:
     * 1-(1-j^r)^b — with 16 bands × 8 rows, j=0.8 is caught w.p. ~0.96.
+    * The estimator (fraction of agreeing signature components, std ≈
+    * √(j(1-j)/k) ≈ 0.04 at k=128) replaces exact shingle-set Jaccard
+    * in the verify stage so candidates are checked from the already-
+    * staged 1 KB signatures instead of re-shingling the corpus; use
+    * [[ngramJaccardPairs]] when exact scores are required.
+    *
+    * The signature table (id + k longs — ~100× smaller than the
+    * corpus) is persisted: it feeds both sides of the band join and
+    * both verify lookups, and without staging Catalyst would recompute
+    * the shingle scan for each of the four references. At warehouse
+    * scale this staging is a signature table you'd write once and
+    * reuse across dedup runs.
     */
   def minhashLsh(df: DataFrame, threshold: Double,
                  idCol: String = "doc_id", textCol: String = "text",
                  shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = df.select(col(idCol).as("id"),
-      Text.charShingles(col(textCol), shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(col("id"), col("sh"),
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(Text.charShingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .where(length(col(textCol)) >= shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    val cand = banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val est = zip_with(col("sig_a"), col("sig_b"),
+      (a, b) => when(a === b, 1).otherwise(0))
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(est, lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4)
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -83,6 +103,7 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("sig"), c * bits).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    // signatures are single longs — cheap to carry through the band join
     val l = banded.select(col("chunk"), col("piece"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("chunk"), col("piece"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "piece"))
