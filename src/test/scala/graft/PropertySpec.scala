@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dims, Quality}
+
+/** Property-based checks (SURVEY.md §5.4): sentinel∘cast totality,
+  * decode-map semantics, top-k ≡ sort-limit. ScalaCheck generators
+  * driven directly (the scalatestplus bridge isn't in the offline
+  * dependency cache), fixed seed for reproducibility. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Evaluate `f` over `n` deterministic samples of `gen`. */
+  private def forSamples[T](gen: Gen[T], n: Int)(f: T => Unit): Unit = {
+    var seed = rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val junkGen: Gen[String] = Gen.oneOf(
+    Gen.numStr.map(s => s.take(9)), Gen.alphaStr.map(_.take(6)),
+    Gen.const("-8"), Gen.const("0"), Gen.const(""), Gen.const("J"))
+
+  test("sentinelCast never throws; sentinels → NULL exactly; numerics survive") {
+    forSamples(Gen.listOfN(30, junkGen), 20) { values =>
+      val sentinels = Seq("-8", "J")
+      val out = values.toDF("c")
+        .select(col("c"), Quality.sentinelCast(col("c"), sentinels, LongType).as("r"))
+        .as[(String, Option[Long])].collect()
+      out.foreach { case (in, res) =>
+        if (sentinels.contains(in)) assert(res.isEmpty)
+        else if (in.nonEmpty && in.forall(_.isDigit) && in.length <= 9)
+          assert(res.contains(in.toLong))
+        else if (!in.forall(_.isDigit) || in.isEmpty) assert(res.isEmpty)
+      }
+    }
+  }
+
+  test("decode: mapped keys decode, unmapped keys → NULL (totality)") {
+    val mapping = Seq[(Any, String)](1 -> "one", 2 -> "two", 7 -> "seven")
+    forSamples(Gen.listOfN(25, Gen.chooseNum(-5, 15)), 20) { keys =>
+      val out = keys.toDF("k")
+        .select(col("k"), Dims.decode(col("k"), mapping).as("r"))
+        .as[(Int, Option[String])].collect()
+      val m = mapping.map { case (k, v) => k.asInstanceOf[Int] -> v }.toMap
+      out.foreach { case (k, r) => assert(r == m.get(k)) }
+    }
+  }
+
+  test("window top-k per key ≡ per-key sort-take") {
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 4)
+      v <- Gen.chooseNum(-1000, 1000)
+      id <- Gen.chooseNum(0, 1000000)
+    } yield (k, v, id)
+    forSamples(Gen.listOfN(60, rowGen), 10) { rows =>
+      val distinctRows = rows.distinct
+      val df = distinctRows.toDF("k", "v", "id")
+      val w = Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+      val got = df.withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= 3).select("k", "v", "id")
+        .as[(Int, Int, Int)].collect().toSet
+      val expect = distinctRows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(t => (-t._2, t._3)).take(3)
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
+  test("fingerprint is whitespace/case-invariant (normalization property)") {
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))
+    forSamples(Gen.listOfN(6, wordGen), 15) { words =>
+      val canonical = words.mkString(" ")
+      val noisy = words.mkString("  ") + " "
+      val upper = canonical.toUpperCase
+      val fps = Seq(canonical, noisy, upper).toDF("t")
+        .select(graft.functions.Text.fingerprint(col("t"))).as[Long].collect()
+      assert(fps(0) == fps(1) && fps(0) == fps(2))
+    }
+  }
+}
