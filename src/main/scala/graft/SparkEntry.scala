@@ -311,7 +311,42 @@ object SparkEntry {
         .crossJoin(t(s, d, "nation").select(col("n_nationkey")))
         .groupBy(col("r_regionkey"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(asc_nulls_first("r_regionkey")))
+        .orderBy(asc_nulls_first("r_regionkey"))),
+
+    // Q25 [EP3] ad-hoc SQL surface with a correlated + scalar subquery
+    // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg)
+    "q25_sql_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(
+        """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+           FROM orders o
+           WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+             AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+           ORDER BY o_orderkey NULLS FIRST""")
+    }),
+
+    // Q26 [A4] grouping sets (finer than rollup/cube)
+    "q26_grouping_sets" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+           ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
+    // Q27 [J3] full outer join with null probes on both sides
+    "q27_full_outer" -> ((s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey").as("k"), col("n_name"))
+      val agg = t(s, d, "supplier")
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      n.join(agg, n("k") === agg("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("k"), col("s_nationkey")).as("k"),
+          col("n_name"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(asc_nulls_first("k"))
+    })
   )
 
   // ----------------------------------------------------- extensions
@@ -376,6 +411,7 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"),
           Text.tokenCount(col("text")).as("n_tok"),
+          Text.subwordCount(col("text")).as("n_subword"),
           length(col("text")).cast(LongType).as("n_chars_calc"))
         .orderBy(asc_nulls_first("doc_id"))),
 
@@ -426,6 +462,9 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
                               x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword,
          CAST(length(text) AS BIGINT) AS n_chars_calc
          FROM documents ORDER BY doc_id NULLS FIRST""",
     "x11_asof_join" ->
@@ -600,6 +639,25 @@ object SparkEntry {
          FROM (SELECT r_regionkey FROM region) r
          CROSS JOIN (SELECT n_nationkey FROM nation) n
          GROUP BY r.r_regionkey
-         ORDER BY r.r_regionkey NULLS FIRST"""
+         ORDER BY r.r_regionkey NULLS FIRST""",
+    "q25_sql_subquery" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+         FROM orders o
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+           AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+         ORDER BY o_orderkey NULLS FIRST""",
+    "q26_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q27_full_outer" ->
+      """SELECT COALESCE(n.n_nationkey, s.s_nationkey) AS k, n.n_name,
+         CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+         FROM nation n
+         FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp
+                          FROM supplier GROUP BY s_nationkey) s
+           ON n.n_nationkey = s.s_nationkey
+         ORDER BY k NULLS FIRST"""
   )
 }

@@ -45,6 +45,18 @@ object Catalog {
     }
   }
 
+  /** Bucketed write: pre-shuffles data into `buckets` files per the
+    * key so equi-joins/aggregations between co-bucketed tables need no
+    * exchange at read time — the co-located-join layout for repeated
+    * large-large joins (SURVEY.md §4 scale stance; no reference
+    * analogue, BigQuery clusters implicitly). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Hive-partitioned external read (≙ `bigquery.py:66-85`,
     * `HivePartitioningOptions(mode="AUTO")`): Spark discovers `k=v`
     * partition directories natively. */

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Catalog
+import graft.operators.SkewJoin
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("saltedSumAgg equals plain aggregation (salt-invariance)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val salted = SkewJoin.saltedSumAgg(li, "l_returnflag", salts = 8,
+      sumCols = Seq("l_quantity"))
+      .select($"l_returnflag", $"cnt", round($"sum_l_quantity", 2).as("s"))
+      .as[(String, Long, Double)].collect().toMap2
+    val plain = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 2).as("s"))
+      .as[(String, Long, Double)].collect().toMap2
+    assert(salted == plain)
+  }
+
+  implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("saltedJoin equals plain join") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val salted = SkewJoin.saltedJoin(li, o, "l_orderkey", salts = 4)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("co-bucketed tables join without an Exchange") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    Catalog.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Catalog.writeBucketed(
+      o.withColumnRenamed("o_orderkey", "l_orderkey"), "b_orders", "l_orderkey", 8)
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders").hint("merge"), Seq("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("sliding window streaming agg covers overlapping windows") {
+    val batch = EventStreams.windowedAgg(
+      Tables.load(spark, sfDir, "events"), "1 hour", slide = Some("30 minutes"))
+    // each event lands in exactly 2 overlapping one-hour windows
+    val totalN = batch.agg(sum($"n")).as[Long].head()
+    val nEvents = Tables.load(spark, sfDir, "events").count()
+    assert(totalN == 2 * nEvents)
+  }
+}
