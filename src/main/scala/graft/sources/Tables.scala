@@ -28,13 +28,21 @@ object Tables {
     * double division and loses precision above 2^53 ns) floors to µs —
     * the same truncation DuckDB applies when reading ns Parquet.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
-    }
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case None    => df
+      }
+    })
+
+  // Re-resolving a fixture path re-lists files and re-reads footers on
+  // every query; the fixtures are immutable, so reuse the resolved
+  // plan per (session, dir, table). Plans are tiny; entries die with
+  // the session.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /** Register every fixture table as a temp view (for `spark.sql`). */
   def registerViews(spark: SparkSession, dir: String): Unit =
