@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Sim, Text}
+import graft.functions.{Ivf, Sim, Text}
 import graft.operators.{AsOfJoin, Dedup, Sessionize}
 import graft.ops.{Dims, Quality}
 import graft.sources.Tables
@@ -438,7 +438,34 @@ object SparkEntry {
     // X12 sessionization (10-minute inactivity gap) via session_window
     "x12_sessionize" -> ((s, d) =>
       Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
-        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start")))
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))),
+
+    // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
+    // gate: events replayed as a parquet stream, complete-mode hourly
+    // aggregate, memory sink — must equal the q18 batch oracle.
+    "x13_stream_hourly" -> ((s, d) => {
+      val staged = java.nio.file.Files.createTempDirectory("x13_events").toString
+      t(s, d, "events").write.mode("overwrite").parquet(staged)
+      val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
+        .parquet(staged)
+        .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("x13_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.table("x13_out")
+        .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))
+    }),
+
+    // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=4) —
+    // rows-only (approx; recall vs brute force asserted in ScalaTest)
+    "x14_ivf_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = Ivf.trainCentroids(emb, k = 16, iters = 3)
+      Ivf.search(emb.where(col("vec_id") < 10), emb, centroids, k = 5, nprobe = 4)
+        .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
+    })
   )
 
   private def extOracleSql: Map[String, String] = Map(
@@ -474,6 +501,11 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id NULLS FIRST""",
+    "x13_stream_hourly" ->
+      """SELECT DATE_TRUNC('HOUR', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v
+         FROM events GROUP BY 1, 2
+         ORDER BY h NULLS FIRST, event_type NULLS FIRST""",
     "x12_sessionize" ->
       """WITH e AS (
            SELECT user_id, ts, value, event_id,

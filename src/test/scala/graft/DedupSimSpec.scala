@@ -72,6 +72,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(r == Seq((3L, 1L), (1L, 2L))) // 3 is closer to [1,0] than 1
   }
 
+  test("IVF search achieves good recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 25).flatMap { c =>
+      val base = Array.fill(32)(rnd.nextGaussian().toFloat * 3f)
+      (0 until 8).map { i =>
+        val v = base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+        ((c * 8 + i).toLong, v.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" % 8 === 0) // one query per cluster
+    val truth = graft.functions.Sim.knnBrute(queries, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val centroids = graft.functions.Ivf.trainCentroids(df, k = 10, iters = 4)
+    val got = graft.functions.Ivf.search(queries, df, centroids, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
   test("SRP near-dup achieves good recall vs brute force on clustered vectors") {
     // 20 clusters of 3 near-identical 64-dim vectors
     val rnd = new scala.util.Random(7)
