@@ -2,10 +2,11 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot signature computations
   * (SimHash, MinHash, signed-random-projection).
@@ -14,17 +15,100 @@ import org.apache.spark.sql.types._
   * original zip_with/aggregate shape) build per-token expression trees
   * that the interpreter walks element by element — measured 10–40 s
   * per extension query at sf0.1. These expressions do the same math in
-  * a tight JVM loop over the array data: one `XXH64` per token plus
+  * a tight JVM loop over the array data: one `XXH64` (seed 42, matching SQL xxhash64) per token plus
   * integer ops. Same operator shape around them (tokenize → signature
   * → band → equi-join), ~50× less per-row cost.
   *
-  * CodegenFallback is deliberate: the loop body IS the work; fusing it
-  * into whole-stage codegen would buy nothing measurable, and the
-  * surrounding projections still codegen.
+  * Each expression generates code as a single static call into the
+  * JVM loop (`doGenCode` → `NativeSignatures.xxxEval`), so the
+  * enclosing projection stays inside whole-stage codegen — a
+  * CodegenFallback here would kick the whole stage back to the
+  * interpreted path.
   */
 object NativeSignatures {
 
-  private val HashSeed = 42L // match Spark's xxhash64() default seed
+  // --- static eval helpers (called from generated code) ---
+
+  def simhashEval(arr: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  def minhashEval(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val numHashes = as.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var k = 0
+        while (k < numHashes) {
+          val g = as(k) * h + bs(k)
+          if (g < mins(k)) mins(k) = g
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def srpEval(arr: ArrayData, planes: Int, coefCache: Array[Array[Double]]): Long = {
+    val dim = arr.numElements()
+    val vec = arr.toDoubleArray()
+    var c = coefCache(0)
+    if (c == null || c.length != planes * dim) {
+      c = new Array[Double](planes * dim)
+      var k = 0
+      while (k < c.length) {
+        c(k) = ((splitmix64(k) >>> 11) * (1.0 / (1L << 52))) - 1.0
+        k += 1
+      }
+      coefCache(0) = c
+    }
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var j = 0
+      val off = p * dim
+      while (j < dim) { dot += vec(j) * c(off + j); j += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def charShinglesEval(str: UTF8String, n: Int): ArrayData = {
+    val s = str.toLowerCase
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      seen.add(s.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
 
   /** Standard SplitMix64 — deterministic per-index constants. */
   private[expressions] def splitmix64(seed: Long): Long = {
@@ -35,32 +119,16 @@ object NativeSignatures {
   }
 
   /** SimHash-64 over an array<string> of tokens. */
-  case class SimHash64Expr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64_native"
 
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val counters = new Array[Int](64)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = XXH64.hashUTF8String(arr.getUTF8String(i), HashSeed)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
-      java.lang.Long.valueOf(sig)
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(simhashEval(v.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeSignatures.simhashEval($c);")
 
     override protected def withNewChildInternal(c: Expression): SimHash64Expr =
       copy(child = c)
@@ -72,7 +140,7 @@ object NativeSignatures {
     * avoids k full hash passes. Empty input → empty-set sentinel
     * signature (Long.MaxValue everywhere). */
   case class MinHashSigExpr(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_native"
 
@@ -81,24 +149,14 @@ object NativeSignatures {
     @transient private lazy val bs: Array[Long] =
       Array.tabulate(numHashes)(i => splitmix64(2L * i + 1))
 
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = XXH64.hashUTF8String(arr.getUTF8String(i), HashSeed)
-          var k = 0
-          while (k < numHashes) {
-            val g = as(k) * h + bs(k)
-            if (g < mins(k)) mins(k) = g
-            k += 1
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
+    override def nullSafeEval(v: Any): Any =
+      minhashEval(v.asInstanceOf[ArrayData], as, bs)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeSignatures.minhashEval($c, $asRef, $bsRef);")
     }
 
     override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
@@ -110,43 +168,22 @@ object NativeSignatures {
     * [-1,1). Coefficient matrix is built once per task (dim discovered
     * from the first row). */
   case class SrpSigExpr(child: Expression, planes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(planes > 0 && planes <= 63, "planes must be in 1..63")
     override def dataType: DataType = LongType
     override def prettyName: String = "srp_sig_native"
 
-    @transient private var coef: Array[Double] = _
-    @transient private var coefDim: Int = -1
+    // one-slot coefficient cache (dim discovered at first eval); a
+    // benign race just recomputes the deterministic matrix
+    private val coefCache: Array[Array[Double]] = new Array(1)
 
-    private def coefficients(dim: Int): Array[Double] = {
-      if (coef == null || coefDim != dim) {
-        val c = new Array[Double](planes * dim)
-        var k = 0
-        while (k < c.length) {
-          c(k) = ((splitmix64(k) >>> 11) * (1.0 / (1L << 52))) - 1.0 // [-1, 1)
-          k += 1
-        }
-        coef = c; coefDim = dim
-      }
-      coef
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(srpEval(v.asInstanceOf[ArrayData], planes, coefCache))
 
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val dim = arr.numElements()
-      val vec = arr.toDoubleArray()
-      val c = coefficients(dim)
-      var sig = 0L
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var j = 0
-        val off = p * dim
-        while (j < dim) { dot += vec(j) * c(off + j); j += 1 }
-        if (dot >= 0) sig |= (1L << p)
-        p += 1
-      }
-      java.lang.Long.valueOf(sig)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cacheRef = ctx.addReferenceObj("srpCoefCache", coefCache, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeSignatures.srpEval($c, $planes, $cacheRef);")
     }
 
     override protected def withNewChildInternal(c: Expression): SrpSigExpr =
@@ -158,23 +195,17 @@ object NativeSignatures {
     * (transform(sequence…, substr) + array_distinct) measured ~11 s
     * over 5000 docs at sf0.1; this runs in milliseconds. */
   case class CharShinglesExpr(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(n > 0, "shingle size must be positive")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "char_shingles_native"
 
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase
-      val len = s.numChars()
-      if (len < n) return new GenericArrayData(Array.empty[Any])
-      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
-      var i = 0
-      while (i <= len - n) {
-        seen.add(s.substring(i, i + n))
-        i += 1
-      }
-      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
-    }
+    override def nullSafeEval(v: Any): Any =
+      charShinglesEval(v.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeSignatures.charShinglesEval($c, $n);")
 
     override protected def withNewChildInternal(c: Expression): CharShinglesExpr =
       copy(child = c)
