@@ -1,0 +1,156 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions: tokenizer, rolling fingerprint, and
+  * stopword language scoring. Same rationale as NativeSignatures —
+  * the split/filter/aggregate higher-order chains these replace are
+  * interpreted per element; these run one JVM pass per row and
+  * codegen as a single static call.
+  */
+object NativeText {
+
+  // --- static eval helpers (called from generated code) ---
+
+  def tokensEval(str: UTF8String): ArrayData = {
+    val parts = str.toLowerCase.toString.split("\\s+")
+    val out = new java.util.ArrayList[AnyRef](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) out.add(UTF8String.fromString(parts(i)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Hash-chain fingerprint with the same chaining rule as SQL
+    * `xxhash64(acc, token)`: seed 42, longs then strings. */
+  def fingerprintEval(tokens: ArrayData): Long = {
+    var h = 0L
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        h = XXH64.hashUTF8String(tokens.getUTF8String(i), XXH64.hashLong(h, 42L))
+      }
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct-stopword-hit scoring over a fixed candidate set; returns
+    * the best language code or "und". Tie-break: lexicographically
+    * larger code (matches the array_max(struct(score, lang)) HOF
+    * formulation this replaces). */
+  def langScoreEval(tokens: ArrayData, langs: Array[String],
+                    sets: Array[java.util.HashSet[String]]): UTF8String = {
+    val nLangs = langs.length
+    val hits = new Array[java.util.HashSet[String]](nLangs)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i).toString
+        var l = 0
+        while (l < nLangs) {
+          if (sets(l).contains(t)) {
+            if (hits(l) == null) hits(l) = new java.util.HashSet[String]()
+            hits(l).add(t)
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestScore = 0
+    var l = 0
+    while (l < nLangs) {
+      val s = if (hits(l) == null) 0 else hits(l).size
+      if (s > bestScore || (s == bestScore && s > 0 && best >= 0 &&
+          langs(l).compareTo(langs(best)) > 0)) {
+        best = l; bestScore = s
+      }
+      l += 1
+    }
+    if (bestScore > 0) UTF8String.fromString(langs(best))
+    else UTF8String.fromString("und")
+  }
+
+  // --- expressions ---
+
+  case class TokensExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "tokens_native"
+
+    override def nullSafeEval(v: Any): Any =
+      tokensEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.tokensEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): TokensExpr =
+      copy(child = c)
+  }
+
+  case class FingerprintExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fingerprint_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(fingerprintEval(v.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.fingerprintEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): FingerprintExpr =
+      copy(child = c)
+  }
+
+  case class LangScoreExpr(child: Expression,
+                           stopwordSets: Seq[(String, Seq[String])])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_score_native"
+
+    @transient private lazy val langs: Array[String] =
+      stopwordSets.map(_._1).toArray
+    @transient private lazy val sets: Array[java.util.HashSet[String]] =
+      stopwordSets.map { case (_, ws) =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add)
+        s
+      }.toArray
+
+    override def nullSafeEval(v: Any): Any =
+      langScoreEval(v.asInstanceOf[ArrayData], langs, sets)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val langsRef = ctx.addReferenceObj("langCodes", langs, "java.lang.String[]")
+      val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.langScoreEval($c, $langsRef, $setsRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): LangScoreExpr =
+      copy(child = c)
+  }
+
+  // Column-level entry points
+  def tokens(str: Column): Column =
+    ColumnBridge.column(TokensExpr(ColumnBridge.expression(str)))
+
+  def fingerprint(tokens: Column): Column =
+    ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(tokens)))
+
+  def langScore(tokens: Column, sets: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangScoreExpr(ColumnBridge.expression(tokens), sets))
+}

@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Whitespace tokenization, lowercased, empty tokens dropped.
-    * (`split` takes a regex; leading whitespace yields an empty first
-    * token, hence the filter.) */
+    * Native expression (one pass; the split+filter HOF chain it
+    * replaces is interpreted per element and blocks whole-stage
+    * codegen for every text query built on it). */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => t =!= lit(""))
+    graft.expressions.NativeText.tokens(c)
 
   /** Whitespace token count (BIGINT). */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
@@ -76,18 +77,9 @@ object Text {
     * Argmax without a UDF: build an array of (score, lang) structs and
     * take `array_max` — struct ordering compares score first, then
     * lang code as the deterministic tie-break. */
-  def langId(c: Column): Column = {
-    val ts = tokens(c)
-    val scored = stopwordSets.map { case (lang, words) =>
-      struct(
-        size(array_intersect(ts, array(words.map(lit): _*))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
+  def langId(c: Column): Column =
     when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .when(best.getField("score") > 0, best.getField("lang"))
-      .otherwise(lit("und"))
-  }
+      .otherwise(graft.expressions.NativeText.langScore(tokens(c), stopwordSets))
 
   /** 64-bit rolling fingerprint of the token stream (order-sensitive,
     * whitespace/case-normalized): h = xxhash64(h, token), i.e. a hash
@@ -96,7 +88,7 @@ object Text {
     * for shuffle-cheap exact-ish dedup (two docs differing only in
     * whitespace/casing collide — by design). */
   def fingerprint(c: Column): Column =
-    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
+    graft.expressions.NativeText.fingerprint(tokens(c))
 
   /** SimHash-64 over tokens: per bit b, sum ±1 weighted by each
     * token's xxhash64 bit, take the sign bit. Near-identical docs land
