@@ -313,6 +313,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("r_regionkey"))),
 
+    // Q28 [A2+] exact interpolated percentiles + width_bucket histogram
+    "q28_percentiles" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderpriority"))),
+
+    "q28b_width_bucket" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(width_bucket(col("o_totalprice"), lit(0d), lit(500000d), lit(10))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("bucket"))),
+
     // Q25 [EP3] ad-hoc SQL surface with a correlated + scalar subquery
     // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg)
     "q25_sql_subquery" -> ((s, d) => {
@@ -672,6 +689,19 @@ object SparkEntry {
          CROSS JOIN (SELECT n_nationkey FROM nation) n
          GROUP BY r.r_regionkey
          ORDER BY r.r_regionkey NULLS FIRST""",
+    "q28_percentiles" ->
+      """SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority NULLS FIRST""",
+    "q28b_width_bucket" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                          WHEN o_totalprice >= 500000 THEN 11
+                          ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket NULLS FIRST""",
     "q25_sql_subquery" ->
       """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
          FROM orders o
