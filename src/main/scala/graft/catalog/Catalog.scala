@@ -21,9 +21,11 @@ object Catalog {
     df.write.mode("overwrite").saveAsTable(table)
 
   /** CTAS (≙ `CREATE OR REPLACE TABLE ... AS SELECT`,
-    * `export_svg.py:275` et al.). */
+    * `export_svg.py:275` et al.). The v1 session catalog has no
+    * REPLACE TABLE AS SELECT, so replace semantics go through the
+    * writer: run the query, overwrite the table. */
   def ctas(spark: SparkSession, table: String, sql: String): Unit =
-    spark.sql(s"CREATE OR REPLACE TABLE `${table.replace(".", "`.`")}` AS $sql")
+    spark.sql(sql).write.mode("overwrite").saveAsTable(table)
 
   /** Time-partitioned write (≙ `bigquery.py:32-54`): partition by a
     * data field XOR by ingest time (DAY granularity), never both —

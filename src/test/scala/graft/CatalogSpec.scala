@@ -43,6 +43,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.where($"k" === "x").count() == 1)
   }
 
+  test("ctas replaces table content from SQL") {
+    Catalog.overwriteTable(Seq(1, 2, 3).toDF("v"), "graft_src")
+    Catalog.ctas(spark, "graft_ctas", "SELECT v * 10 AS v10 FROM graft_src WHERE v > 1")
+    assert(spark.table("graft_ctas").as[Int].collect().sorted.toSeq == Seq(20, 30))
+    Catalog.ctas(spark, "graft_ctas", "SELECT v AS v10 FROM graft_src") // replace
+    assert(spark.table("graft_ctas").count() == 3)
+  }
+
   test("view + table tag round-trip") {
     Catalog.overwriteTable(Seq(1).toDF("v"), "graft_t4")
     Catalog.ensureView(spark, "graft_v4", "SELECT v * 2 AS v2 FROM graft_t4")

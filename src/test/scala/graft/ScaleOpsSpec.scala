@@ -56,6 +56,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("approx_count_distinct within 5% of exact (HLL++ error bound)") {
+    val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val exact = o.select(countDistinct($"o_custkey")).as[Long].head().toDouble
+    val approx = o.select(approx_count_distinct($"o_custkey", rsd = 0.01))
+      .as[Long].head().toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("quality score stays in [0,1] across the corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bad = docs.select(graft.functions.Text.qualityScore($"text").as("q"))
+      .where($"q" < 0 || $"q" > 1).count()
+    assert(bad == 0)
+  }
+
   test("sliding window streaming agg covers overlapping windows") {
     val batch = EventStreams.windowedAgg(
       Tables.load(spark, sfDir, "events"), "1 hour", slide = Some("30 minutes"))
