@@ -75,6 +75,18 @@ object Demo {
     val frames = Multimodal.sampleFrames(Multimodal.decodeFeatures(assets), 8)
     println(s"[demo] multimodal assets=30 sampled_frames=${frames.count()}")
 
+    // Engine facade: client-parity surface in one object
+    val engine = new Engine(spark, kvRoot = s"$tmp/engine_kv")
+    engine.ensureDataset("engdemo")
+    engine.sql("SELECT 1 AS one").createOrReplaceTempView("one_v")
+    engine.uploadString("blob-contents", s"$tmp/blob.txt")
+    engine.kvUpsert("cfg", Seq((1L, "on")).toDF("key", "flag"), "key")
+    engine.tagFromTemplate("demo.region", Seq("classification" -> Seq("public")))
+    println(s"[demo] engine: blob='${engine.downloadString(s"$tmp/blob.txt")}' " +
+      s"kv=${engine.kvQuery("cfg").count()} " +
+      s"tag=${engine.getTag("demo.region", "classification").orNull} " +
+      s"pages=${engine.pages(engine.sql("SELECT * FROM demo.region"), 2).size}")
+
     // runner with failure callback
     var alerted = ""
     try Runner.run(Seq(Seq(Runner.Step("ok", () => ()))),

@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.{Catalog, KeyValue}
+
+/** One-stop client facade: every method of the reference's four GCP
+  * client libraries has a counterpart here, so a user of the reference
+  * can switch call-for-call (SURVEY.md §1, §3.3).
+  *
+  * | reference                                  | here |
+  * |--------------------------------------------|------|
+  * | BigQueryClient.create_dataset (bigquery.py:17-22)        | ensureDataset |
+  * | BigQueryClient.create_table (bigquery.py:32-54)          | createPartitionedTable |
+  * | BigQueryClient.create_view (bigquery.py:56-64)           | createView |
+  * | BigQueryClient.create_external_table (bigquery.py:66-85) | externalTable |
+  * | BigQueryClient.update_table_schema (bigquery.py:87-90)   | replaceSchema |
+  * | BigQueryClient.query → result().pages (bigquery.py:92-94)| sql / pages |
+  * | BigQueryClient.authorize_view (bigquery.py:96-106)       | authorizeView |
+  * | GCSClient.upload_from_string (gcs.py:6-9)                | uploadString |
+  * | GCSClient.download_as_string (gcs.py:10-13)              | downloadString |
+  * | DatastoreClient.query (datastore.py:10-15)               | kvQuery |
+  * | DatastoreClient.create_or_update… (datastore.py:17-26)   | kvUpsert |
+  * | DatastoreClient.delete (datastore.py:28-29)              | kvDelete |
+  * | DataCatalogClient.attach_bq_tag_from_template (datacatalog.py:46-61) | tagFromTemplate |
+  */
+class Engine(val spark: SparkSession, kvRoot: String = "/tmp/graft_kv") {
+
+  // ---- warehouse / catalog (≙ bigquery.py)
+
+  def ensureDataset(name: String): Unit = Catalog.ensureDatabase(spark, name)
+
+  def createPartitionedTable(df: DataFrame, table: String,
+                             partitionField: Option[String] = None,
+                             byIngestTime: Boolean = false): Unit =
+    Catalog.writePartitioned(df, table, partitionField, byIngestTime)
+
+  def createView(name: String, sql: String): Unit =
+    Catalog.ensureView(spark, name, sql)
+
+  /** Schema-on-read over a hive-partitioned directory, registered as a
+    * temp view (≙ external table). */
+  def externalTable(name: String, format: String, path: String): DataFrame = {
+    val df = Catalog.readExternal(spark, format, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Replace-schema evolution (≙ `update_table_schema`): rewrite the
+    * table with columns cast/projected to the new schema (missing
+    * columns become NULL). */
+  def replaceSchema(table: String, schema: StructType): Unit = {
+    import org.apache.spark.sql.functions._
+    val cur = spark.table(table)
+    val projected = schema.fields.map { f =>
+      if (cur.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    // stage-then-rename: can't overwrite a table that feeds the plan
+    val stage = table.replace('.', '_') + "_schema_stage"
+    cur.select(projected.toSeq: _*)
+      .write.mode("overwrite").saveAsTable(stage)
+    spark.sql(s"DROP TABLE `${table.replace(".", "`.`")}`")
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `${table.replace(".", "`.`")}`")
+  }
+
+  /** Full Catalyst lifecycle entry (≙ `query`). */
+  def sql(q: String): DataFrame = spark.sql(q)
+
+  /** Paged results (≙ `result().pages`): driver pulls one partition at
+    * a time via toLocalIterator, grouped into pages. */
+  def pages(df: DataFrame, pageSize: Int = 1000): Iterator[Seq[Row]] =
+    df.toLocalIterator().asScala.grouped(pageSize)
+
+  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  /** View authorization has no OSS-Spark analogue (SURVEY.md §1.1) —
+    * record the grant as a table property so governance tooling can
+    * read the intent. */
+  def authorizeView(dataset: String, view: String): Unit =
+    Catalog.tagTable(spark, view, "authorized_for_dataset", dataset)
+
+  // ---- object store (≙ gcs.py)
+
+  private def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def uploadString(data: String, path: String): Unit = {
+    val p = new Path(path)
+    val out = fs(path).create(p, true)
+    try out.write(data.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def downloadString(path: String): String = {
+    val in = fs(path).open(new Path(path))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  // ---- KV entity store (≙ datastore.py); kinds are parquet dirs
+
+  private def kindPath(kind: String) = s"$kvRoot/$kind"
+
+  def kvQuery(kind: String, filter: Option[(String, Any)] = None): DataFrame = {
+    val df = KeyValue.load(spark, kindPath(kind))
+    filter.map { case (f, v) => KeyValue.queryByProperty(df, f, v) }.getOrElse(df)
+  }
+
+  def kvUpsert(kind: String, updates: DataFrame, keyCol: String): Unit = {
+    val merged =
+      try KeyValue.upsert(KeyValue.load(spark, kindPath(kind)), updates, keyCol)
+      catch { case _: org.apache.spark.sql.AnalysisException => updates }
+    swapWrite(merged, kindPath(kind))
+  }
+
+  def kvDelete(kind: String, keys: DataFrame, keyCol: String): Unit =
+    swapWrite(
+      KeyValue.delete(KeyValue.load(spark, kindPath(kind)), keys, keyCol),
+      kindPath(kind))
+
+  /** Write-to-temp + rename: a parquet dir can't be overwritten while
+    * it feeds the writing plan; the swap keeps it distributed (no
+    * driver collect) and near-atomic. */
+  private def swapWrite(df: DataFrame, dest: String): Unit = {
+    val tmp = s"${dest}_stage_${System.nanoTime()}"
+    df.write.mode("overwrite").parquet(tmp)
+    val f = fs(dest)
+    val destP = new Path(dest)
+    if (f.exists(destP)) f.delete(destP, true)
+    f.rename(new Path(tmp), destP)
+  }
+
+  // ---- governance tags (≙ datacatalog.py)
+
+  /** Tag a table from an enum-typed template, taking the FIRST allowed
+    * value of every field (≙ `create_tag_from_template_enumtypes`,
+    * datacatalog.py:33-44); idempotent like the AlreadyExists pass. */
+  def tagFromTemplate(table: String,
+                      template: Seq[(String, Seq[String])]): Unit =
+    template.foreach { case (field, allowed) =>
+      require(allowed.nonEmpty, s"template field $field has no allowed values")
+      Catalog.tagTable(spark, table, field, allowed.head)
+    }
+
+  def getTag(table: String, key: String): Option[String] =
+    Catalog.getTag(spark, table, key)
+}
+
+/** Failure-alert message formatting (≙ helper.slack_alert,
+  * helper.py:7-37). Formatting only — posting is the caller's
+  * transport concern; wire it into `Runner.run(onFailure = ...)`. */
+object Alerts {
+  def format(envLevel: String, headline: String, dag: String, task: String,
+             schedulerExecDate: java.time.Instant,
+             logUrl: String,
+             now: java.time.Instant = java.time.Instant.now()): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'+00:00'")
+      .withZone(java.time.ZoneOffset.UTC)
+    s"""[$envLevel] $headline
+       |*Dag*: $dag
+       |*Task*: $task
+       |*Execution Datetime (scheduler)*: $schedulerExecDate
+       |*Execution Datetime*: ${fmt.format(now)}
+       |*Log Url*: $logUrl""".stripMargin
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference-client parity facade: each test exercises one block
+  * of the reference's client-library surface through [[Engine]]. */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val engine =
+    new Engine(spark, kvRoot = Files.createTempDirectory("eng_kv").toString)
+
+  test("dataset + view + query + pages (BigQueryClient parity)") {
+    engine.ensureDataset("eng_db")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("eng_db.t")
+    engine.createView("eng_db.v", "SELECT id * 10 AS id10 FROM eng_db.t")
+    assert(engine.sql("SELECT SUM(id10) FROM eng_db.v").as[Long].head() == 60L)
+    val pages = engine.pages(engine.sql("SELECT id FROM eng_db.t ORDER BY id"), 2).toSeq
+    assert(pages.map(_.size) == Seq(2, 1))
+  }
+
+  test("external table registers hive-partitioned data (parity: create_external_table)") {
+    val dir = Files.createTempDirectory("eng_ext").toString
+    Seq((1, "x"), (2, "y")).toDF("v", "k")
+      .write.mode("overwrite").partitionBy("k").parquet(dir)
+    val df = engine.externalTable("eng_ext", "parquet", dir)
+    assert(df.columns.contains("k"))
+    assert(engine.sql("SELECT COUNT(*) FROM eng_ext WHERE k = 'x'").as[Long].head() == 1L)
+  }
+
+  test("replaceSchema evolves a table (parity: update_table_schema)") {
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite").saveAsTable("eng_evolve")
+    engine.replaceSchema("eng_evolve", StructType(Seq(
+      StructField("id", LongType), // was int
+      StructField("v", StringType),
+      StructField("extra", DoubleType)))) // new → NULL
+    val df = spark.table("eng_evolve")
+    assert(df.schema("id").dataType == LongType)
+    assert(df.select("extra").head().isNullAt(0))
+  }
+
+  test("blob upload/download (GCSClient parity)") {
+    val p = Files.createTempDirectory("eng_blob").toString + "/x/y/blob.txt"
+    engine.uploadString("hello graft", p)
+    assert(engine.downloadString(p) == "hello graft")
+  }
+
+  test("kv upsert/query/delete (DatastoreClient parity)") {
+    engine.kvUpsert("users", Seq((1L, "ann"), (2L, "bob")).toDF("key", "name"), "key")
+    engine.kvUpsert("users", Seq((2L, "BOB")).toDF("key", "name"), "key")
+    assert(engine.kvQuery("users", Some("name" -> "BOB"))
+      .select("key").as[Long].collect().toSeq == Seq(2L))
+    engine.kvDelete("users", Seq(1L).toDF("key"), "key")
+    assert(engine.kvQuery("users").count() == 1)
+  }
+
+  test("tag from enum template takes first allowed value (DataCatalog parity)") {
+    Seq(1).toDF("v").write.mode("overwrite").saveAsTable("eng_tagged")
+    engine.tagFromTemplate("eng_tagged", Seq(
+      "data_classification" -> Seq("public", "internal"),
+      "retention" -> Seq("30d", "90d")))
+    assert(engine.getTag("eng_tagged", "data_classification").contains("public"))
+    assert(engine.getTag("eng_tagged", "retention").contains("30d"))
+    engine.authorizeView("eng_db", "eng_tagged")
+    assert(engine.getTag("eng_tagged", "authorized_for_dataset").contains("eng_db"))
+  }
+
+  test("alert message formatting (helper.slack_alert parity)") {
+    val msg = Alerts.format("prod", "Task failed", "export_dag", "quality_zone",
+      java.time.Instant.parse("2024-05-10T05:00:00Z"), "http://logs/x",
+      now = java.time.Instant.parse("2024-05-10T06:00:00Z"))
+    assert(msg.contains("[prod] Task failed"))
+    assert(msg.contains("*Task*: quality_zone"))
+    assert(msg.contains("2024-05-10T06:00:00+00:00"))
+    assert(msg.contains("*Log Url*: http://logs/x"))
+  }
+}
