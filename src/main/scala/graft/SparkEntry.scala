@@ -330,6 +330,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("bucket"))),
 
+    // Q29 pivot: order counts per priority × status (fixed pivot values)
+    "q29_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy(asc_nulls_first("o_orderpriority"))),
+
+    // Q29b unpivot (melt): wide per-priority counts back to long form
+    "q29b_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"))
+      wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o")),
+        "status_col", "n")
+        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("status_col"))
+    }),
+
     // Q25 [EP3] ad-hoc SQL surface with a correlated + scalar subquery
     // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg)
     "q25_sql_subquery" -> ((s, d) => {
@@ -456,6 +482,15 @@ object SparkEntry {
     "x12_sessionize" -> ((s, d) =>
       Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))),
+
+    // X15 [UDTF surface] explode token stream → global top-20 words
+    "x15_word_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, asc_nulls_first("word"))
+        .limit(20)),
 
     // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
     // gate: events replayed as a parquet stream, complete-mode hourly
@@ -702,6 +737,29 @@ object SparkEntry {
                           ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS n
          FROM orders GROUP BY 1 ORDER BY bucket NULLS FIRST""",
+    "q29_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+         CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+         CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority NULLS FIRST""",
+    "q29b_unpivot" ->
+      """WITH wide AS (
+           SELECT o_orderpriority,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM wide
+         UNION ALL
+         SELECT o_orderpriority, 'n_o' AS status_col, n_o AS n FROM wide
+         ORDER BY o_orderpriority NULLS FIRST, status_col NULLS FIRST""",
+    "x15_word_counts" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS word
+           FROM documents) t
+         GROUP BY word ORDER BY n DESC, word NULLS FIRST LIMIT 20""",
     "q25_sql_subquery" ->
       """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
          FROM orders o
