@@ -87,6 +87,14 @@ object Demo {
       s"tag=${engine.getTag("demo.region", "classification").orNull} " +
       s"pages=${engine.pages(engine.sql("SELECT * FROM demo.region"), 2).size}")
 
+    // SQL-registered native expressions
+    graft.expressions.Registry.register(spark)
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    val sqlNative = engine.sql(
+      """SELECT COUNT(DISTINCT graft_simhash64(graft_tokens(text))) AS n_sigs
+         FROM documents""").as[Long].head()
+    println(s"[demo] sql-native: distinct simhash sigs=$sqlNative")
+
     // runner with failure callback
     var alerted = ""
     try Runner.run(Seq(Seq(Runner.Step("ok", () => ()))),

@@ -1,0 +1,76 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.Text
+
+/** SQL registration for the graft native expressions, so the ad-hoc
+  * SQL surface (EP3) can call them directly:
+  *
+  * {{{
+  * SELECT doc_id, graft_simhash64(graft_tokens(text)) FROM documents
+  * }}}
+  *
+  * Two entry points:
+  *  - [[Registry.register]] — add to an existing session.
+  *  - [[GraftExtensions]] — `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *    for cluster-wide injection at session build time.
+  */
+object Registry {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  /** name → (builder, usage) */
+  val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_tokens",
+      (es: Seq[Expression]) => NativeText.TokensExpr(es.head),
+      "graft_tokens(str) - lowercased whitespace tokens"),
+    ("graft_fingerprint",
+      (es: Seq[Expression]) => NativeText.FingerprintExpr(es.head),
+      "graft_fingerprint(tokens) - 64-bit rolling token fingerprint"),
+    ("graft_simhash64",
+      (es: Seq[Expression]) => NativeSignatures.SimHash64Expr(es.head),
+      "graft_simhash64(tokens) - 64-bit SimHash signature"),
+    ("graft_minhash",
+      (es: Seq[Expression]) =>
+        NativeSignatures.MinHashSigExpr(es.head, intArg(es(1), "graft_minhash")),
+      "graft_minhash(shingles, k) - k-component MinHash signature"),
+    ("graft_char_shingles",
+      (es: Seq[Expression]) =>
+        NativeSignatures.CharShinglesExpr(es.head, intArg(es(1), "graft_char_shingles")),
+      "graft_char_shingles(str, n) - distinct lowercased char n-grams"),
+    ("graft_srp_sig",
+      (es: Seq[Expression]) =>
+        NativeSignatures.SrpSigExpr(es.head, intArg(es(1), "graft_srp_sig")),
+      "graft_srp_sig(vec, planes) - signed-random-projection signature"),
+    ("graft_lang_score",
+      (es: Seq[Expression]) =>
+        NativeText.LangScoreExpr(es.head, Text.stopwordSets),
+      "graft_lang_score(tokens) - best stopword-scored language code"))
+
+  /** Register all functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions`-compatible injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Registry.functions.foreach { case (name, builder, usage) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+}

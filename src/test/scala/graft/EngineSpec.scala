@@ -69,6 +69,22 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.getTag("eng_tagged", "authorized_for_dataset").contains("eng_db"))
   }
 
+  test("native expressions callable from SQL after Registry.register") {
+    graft.expressions.Registry.register(spark)
+    spark.sql("SELECT 'the quick brown fox the end' AS t")
+      .createOrReplaceTempView("reg_t")
+    val r = spark.sql(
+      """SELECT graft_fingerprint(graft_tokens(t)) AS fp,
+                graft_simhash64(graft_tokens(t)) AS sh,
+                size(graft_char_shingles(t, 3)) AS nsh,
+                graft_lang_score(graft_tokens(t)) AS lang
+         FROM reg_t""").head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) > 10)
+    assert(r.getString(3) == "en")
+  }
+
   test("alert message formatting (helper.slack_alert parity)") {
     val msg = Alerts.format("prod", "Task failed", "export_dag", "quality_zone",
       java.time.Instant.parse("2024-05-10T05:00:00Z"), "http://logs/x",
