@@ -483,6 +483,14 @@ object SparkEntry {
       Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))),
 
+    // X16 exact char-4-gram Jaccard over a bounded pair set — full
+    // DuckDB oracle (shingle construction spelled out in SQL)
+    "x16_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").where(col("doc_id") < 40 && length(col("text")) >= 4),
+        threshold = 0.2, shingleSize = 4, shingler = Text.charShingles)
+        .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
+
     // X15 [UDTF surface] explode token stream → global top-20 words
     "x15_word_counts" -> ((s, d) =>
       t(s, d, "documents")
@@ -754,6 +762,19 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderpriority, 'n_o' AS status_col, n_o AS n FROM wide
          ORDER BY o_orderpriority NULLS FIRST, status_col NULLS FIRST""",
+    "x16_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 2),
+                    i -> substr(lower(text), CAST(i AS INT), 4))) AS s
+           FROM documents WHERE doc_id < 40 AND length(text) >= 4),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a, sh b WHERE a.id < b.id)
+         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
+         ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""",
     "x15_word_counts" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),

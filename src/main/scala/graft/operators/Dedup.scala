@@ -119,9 +119,10 @@ object Dedup {
     * all-pairs form exists for completeness/testing only — production
     * paths go through [[minhashLsh]]/[[simhashPairs]]. */
   def ngramJaccardPairs(df: DataFrame, threshold: Double, shingleSize: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingler: (Column, Int) => Column = Text.wordShingles): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      Text.wordShingles(col(textCol), shingleSize).as("sh"))
+      shingler(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
