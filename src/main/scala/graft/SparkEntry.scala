@@ -500,6 +500,23 @@ object SparkEntry {
         .orderBy(col("n").desc, asc_nulls_first("word"))
         .limit(20)),
 
+    // X17 multimodal plumbing through the gate: deterministic
+    // synthetic assets → stub-decode features → frame sampling,
+    // aggregated per modality (rows-only; no fixture table exists)
+    "x17_multimodal" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticAssets(s, 200)
+      val feats = graft.operators.Multimodal.decodeFeatures(assets)
+      val frames = graft.operators.Multimodal.sampleFrames(feats, stride = 8)
+        .groupBy(lit(1).as("g")).agg(count(lit(1)).as("n_frames"))
+      feats.groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("byte_len")).as("bytes"),
+          max(col("width")).as("max_w"),
+          sum(col("n_frames")).as("frames"))
+        .crossJoin(broadcast(frames.select(col("n_frames").as("sampled_frames"))))
+        .orderBy(asc_nulls_first("modality"))
+    }),
+
     // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
     // gate: events replayed as a parquet stream, complete-mode hourly
     // aggregate, memory sink — must equal the q18 batch oracle.
