@@ -356,6 +356,48 @@ object SparkEntry {
         .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("status_col"))
     }),
 
+    // Q30 collect_list/set + listagg-style string aggregation
+    "q30_collect" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          to_json(sort_array(collect_list(col("n_name")))).as("names"),
+          array_join(sort_array(collect_set(col("n_name"))), ",").as("name_csv"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("n_regionkey"))),
+
+    // Q31 statistical aggregates
+    "q31_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd"),
+          round(var_samp(col("l_quantity")), 4).as("vr"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("cr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cv"))
+        .orderBy(asc_nulls_first("l_returnflag"))),
+
+    // Q15b regex extraction (F13 full form)
+    "q15b_regex_extract" -> ((s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
+        .orderBy(asc_nulls_first("p_partkey"))),
+
+    // Q16b date arithmetic: diffs, shifts, truncation
+    "q16b_date_arith" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast(LongType).as("lag_days"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).cast(DateType).as("week_later"),
+          date_trunc("MONTH", col("o_orderdate")).cast(DateType).as("month_start"))
+        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))),
+
     // Q25 [EP3] ad-hoc SQL surface with a correlated + scalar subquery
     // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg)
     "q25_sql_subquery" -> ((s, d) => {
@@ -762,6 +804,33 @@ object SparkEntry {
                           ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS n
          FROM orders GROUP BY 1 ORDER BY bucket NULLS FIRST""",
+    "q30_collect" ->
+      """SELECT n_regionkey,
+         CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS names,
+         array_to_string(list_sort(list(DISTINCT n_name)), ',') AS name_csv,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM nation GROUP BY n_regionkey
+         ORDER BY n_regionkey NULLS FIRST""",
+    "q31_stats" ->
+      """SELECT l_returnflag,
+         ROUND(stddev_samp(l_quantity), 4) AS sd,
+         ROUND(var_samp(l_quantity), 4) AS vr,
+         ROUND(corr(l_quantity, l_extendedprice), 4) AS cr,
+         ROUND(covar_samp(l_quantity, l_discount), 6) AS cv
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag NULLS FIRST""",
+    "q15b_regex_extract" ->
+      """SELECT p_partkey,
+         COALESCE(regexp_extract(p_brand, '#(\d+)', 1), '') AS brand_num,
+         COALESCE(regexp_extract(p_type, '^(\w+)', 1), '') AS type_head
+         FROM part ORDER BY p_partkey NULLS FIRST""",
+    "q16b_date_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days,
+         CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS week_later,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""",
     "q29_pivot" ->
       """SELECT o_orderpriority,
          CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,

@@ -27,8 +27,15 @@ for name in sorted(os.listdir(out)):
     except Exception as e:
         fails.append((name, f"oracle error: {e}"))
         continue
-    g = got.reindex(sorted(got.columns), axis=1)
-    e = exp.reindex(sorted(exp.columns), axis=1)
+    def tuplify(df):
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple))
+                    or type(v).__name__ == "ndarray" else v)
+        return df
+    g = tuplify(got.reindex(sorted(got.columns), axis=1))
+    e = tuplify(exp.reindex(sorted(exp.columns), axis=1))
     if list(g.columns) != list(e.columns):
         fails.append((name, f"cols: spark={list(g.columns)} oracle={list(e.columns)}"))
         continue
