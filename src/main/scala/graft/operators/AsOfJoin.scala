@@ -24,39 +24,53 @@ object AsOfJoin {
     * @param leftKey/rightKey equi-join key column names
     * @param leftTime/rightTime event-time column names
     * @param rightCols right columns to carry (others dropped)
+    * @param tolerance optional max staleness (e.g. "30 minutes"): a
+    *                  match older than left.time - tolerance is
+    *                  dropped back to NULL (kdb-style `wj` windows)
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String],
+           tolerance: Option[String] = None): DataFrame = {
+    // always carry the right time internally (tolerance needs it)
+    val carried = (rightCols :+ rightTime).distinct
+
     val l = left
       .withColumn("_k", col(leftKey))
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1)) // left sorts after right at equal time → inclusive match
     val r = right
       .select((Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side")) ++
-        rightCols.map(c => col(c))): _*)
+        carried.map(c => col(c))): _*)
 
     // align schemas: left carries its own columns + null right-cols; right vice versa
     val lAligned = l.select(
       (l.columns.filterNot(Seq("_k", "_t", "_side").contains).map(col) ++
         Seq(col("_k"), col("_t"), col("_side")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c"))): _*)
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c"))): _*)
     val rAligned = r.select(
       (left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("_k"), col("_t"), col("_side")) ++
-        rightCols.map(c => col(c).as(s"_r_$c"))): _*)
+        carried.map(c => col(c).as(s"_r_$c"))): _*)
 
     val unioned = lAligned.unionByName(rAligned)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+    val filled = carried.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
     }
+    val tooStale = tolerance.map(t =>
+      col(s"_r_$rightTime") < col("_t") - expr(s"INTERVAL $t"))
     filled
       .where(col("_side") === 1)
       .select((left.columns.map(col) ++
-        rightCols.map(c => col(s"_r_$c").as(c))): _*)
+        rightCols.map { c =>
+          tooStale match {
+            case Some(cond) => when(cond, lit(null)).otherwise(col(s"_r_$c")).as(c)
+            case None => col(s"_r_$c").as(c)
+          }
+        }): _*)
   }
 }

@@ -305,29 +305,33 @@ object FjcPipeline {
 
   /** Run the full pipeline: raw TSV → quality → trusted → 15 dims,
     * each zone written as parquet under `warehouseDir` with overwrite
-    * (≙ WRITE_TRUNCATE, `export_svg.py:200,248,263`). Dim builds run
-    * concurrently with bounded parallelism (the reference caps DAG
-    * concurrency at 5, `export_svg.py:74`). */
+    * (≙ WRITE_TRUNCATE, `export_svg.py:200,248,263`).
+    *
+    * Orchestrated through [[Runner]] — sequential zone stages, then
+    * the 15 dim builds as one concurrent stage with bounded
+    * parallelism (≙ the DAG chain `export_svg.py:703-716` with
+    * `concurrency=5` at `export_svg.py:74`; the reference runs its 15
+    * CTAS sequentially in one script — we parallelize). `onFailure`
+    * receives (step, error) like the Slack callback (`helper.py:7-37`,
+    * see [[graft.Alerts.format]]). */
   def runAll(spark: SparkSession, rawPath: String, warehouseDir: String,
-             parallelism: Int = 5): Unit = {
-    val raw = sanitize(readRaw(spark, rawPath))
-    raw.write.mode("overwrite").parquet(s"$warehouseDir/raw")
-
-    val q = quality(spark.read.parquet(s"$warehouseDir/raw"))
-    q.write.mode("overwrite").parquet(s"$warehouseDir/quality")
-
-    val tr = trusted(spark.read.parquet(s"$warehouseDir/quality"))
-    tr.write.mode("overwrite").parquet(s"$warehouseDir/trusted")
-
-    val trustedDf = spark.read.parquet(s"$warehouseDir/trusted")
-    import scala.collection.parallel.CollectionConverters._
-    import scala.collection.parallel.ForkJoinTaskSupport
-    val pool = dims.map(_._1).par
-    pool.tasksupport = new ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(parallelism))
-    pool.foreach { name =>
-      buildDim(trustedDf, name).write.mode("overwrite")
-        .parquet(s"$warehouseDir/dims/$name")
-    }
+             parallelism: Int = 5,
+             onFailure: (String, Throwable) => Unit = (_, _) => ()): Unit = {
+    val zoneStages: Seq[Seq[Runner.Step]] = Seq(
+      Seq(Runner.Step("ingest_raw", () =>
+        sanitize(readRaw(spark, rawPath))
+          .write.mode("overwrite").parquet(s"$warehouseDir/raw"))),
+      Seq(Runner.Step("quality_zone", () =>
+        quality(spark.read.parquet(s"$warehouseDir/raw"))
+          .write.mode("overwrite").parquet(s"$warehouseDir/quality"))),
+      Seq(Runner.Step("trusted_zone", () =>
+        trusted(spark.read.parquet(s"$warehouseDir/quality"))
+          .write.mode("overwrite").parquet(s"$warehouseDir/trusted"))),
+      dims.map { case (name, _) =>
+        Runner.Step(s"dim_$name", () =>
+          buildDim(spark.read.parquet(s"$warehouseDir/trusted"), name)
+            .write.mode("overwrite").parquet(s"$warehouseDir/dims/$name"))
+      })
+    Runner.run(zoneStages, parallelism, onFailure)
   }
 }

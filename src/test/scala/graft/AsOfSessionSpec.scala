@@ -35,6 +35,21 @@ class AsOfSessionSpec extends AnyFunSuite {
     assert(r(5L).isEmpty)
   }
 
+  test("asOf tolerance drops matches older than the window") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // 2h after the order → stale
+      (2L, 10L, ts("2024-01-01 08:10:00")))  // 10 min after → fresh
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 08:00:00"), 100L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val r = AsOfJoin.asOf(left, right, "user_id", "o_custkey", "ts",
+      "o_orderdate", Seq("o_orderkey"), tolerance = Some("30 minutes"))
+      .select($"event_id", $"o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(r(1L).isEmpty)          // match exists but too stale
+    assert(r(2L).contains(100L))
+  }
+
   test("sessionize: gap >= 10 minutes starts a new session") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
