@@ -577,6 +577,28 @@ object SparkEntry {
         .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))
     }),
 
+    // X18 [ST3,ST4,ST5] STATEFUL streaming through the gate: session
+    // windows in append mode — only watermark-closed sessions emit;
+    // the oracle replicates the emission rule (session_last + gap <
+    // max_ts - delay) on top of gaps-and-islands sessionization.
+    "x18_stream_sessions" -> ((s, d) => {
+      val staged = java.nio.file.Files.createTempDirectory("x18_events").toString
+      t(s, d, "events").write.mode("overwrite").parquet(staged)
+      val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
+        .parquet(staged)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("v"))
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName("x18_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.table("x18_out")
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))
+    }),
+
     // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=4) —
     // rows-only (approx; recall vs brute force asserted in ScalaTest)
     "x14_ivf_knn" -> ((s, d) => {
@@ -620,6 +642,24 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id NULLS FIRST""",
+    "x18_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                       WHEN ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1
+                       ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+         sess AS (
+           SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+                  CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS v
+           FROM s GROUP BY user_id, sid)
+         SELECT user_id, session_start, n_events, v FROM sess
+         WHERE session_last + INTERVAL 10 MINUTE <
+               (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+         ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""",
     "x13_stream_hourly" ->
       """SELECT DATE_TRUNC('HOUR', ts) AS h, event_type,
          CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v
