@@ -488,6 +488,7 @@ object SparkEntry {
         .select(col("doc_id"),
           Text.punctRatio(col("text")).as("punct_ratio"),
           Text.stopwordRatio(col("text")).as("stopword_ratio"),
+          Text.charEntropy(col("text")).as("entropy"),
           Text.qualityScore(col("text")).as("quality"))
         .orderBy(asc_nulls_first("doc_id"))),
 

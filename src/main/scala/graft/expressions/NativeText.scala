@@ -83,6 +83,30 @@ object NativeText {
     else UTF8String.fromString("und")
   }
 
+  /** Shannon entropy (bits/char) of the code-point distribution —
+    * low entropy flags repetitive/boilerplate text, high entropy flags
+    * binary junk; both are standard corpus-quality filters. */
+  def charEntropyEval(str: UTF8String): Double = {
+    val s = str.toString
+    if (s.isEmpty) return 0.0
+    val freq = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    var total = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      freq.merge(cp, 1, (a, b) => a + b)
+      i += Character.charCount(cp)
+      total += 1
+    }
+    var h = 0.0
+    val it = freq.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / total
+      h -= p * (math.log(p) / math.log(2))
+    }
+    math.rint(h * 10000) / 10000
+  }
+
   // --- expressions ---
 
   case class TokensExpr(child: Expression) extends UnaryExpression {
@@ -112,6 +136,21 @@ object NativeText {
         s"${ev.value} = graft.expressions.NativeText.fingerprintEval($c);")
 
     override protected def withNewChildInternal(c: Expression): FingerprintExpr =
+      copy(child = c)
+  }
+
+  case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "char_entropy_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Double.valueOf(charEntropyEval(v.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.charEntropyEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
       copy(child = c)
   }
 
@@ -153,4 +192,7 @@ object NativeText {
 
   def langScore(tokens: Column, sets: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LangScoreExpr(ColumnBridge.expression(tokens), sets))
+
+  def charEntropy(str: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(str)))
 }

@@ -51,6 +51,9 @@ object Registry {
       (es: Seq[Expression]) =>
         NativeSignatures.SrpSigExpr(es.head, intArg(es(1), "graft_srp_sig")),
       "graft_srp_sig(vec, planes) - signed-random-projection signature"),
+    ("graft_char_entropy",
+      (es: Seq[Expression]) => NativeText.CharEntropyExpr(es.head),
+      "graft_char_entropy(str) - Shannon entropy (bits/char)"),
     ("graft_lang_score",
       (es: Seq[Expression]) =>
         NativeText.LangScoreExpr(es.head, Text.stopwordSets),

@@ -58,6 +58,11 @@ object Text {
       .otherwise(lit(0.0))
   }
 
+  /** Shannon entropy (bits/char) over code points — repetition /
+    * binary-junk detector (native expression). */
+  def charEntropy(c: Column): Column =
+    graft.expressions.NativeText.charEntropy(c)
+
   /** Composite quality score in [0,1]: length sweet-spot, low
     * punctuation noise, some stopword mass. Heuristic; weights are
     * not tuned, the point is the shape (pure column math → codegen). */

@@ -42,6 +42,15 @@ class TextSpec extends AnyFunSuite {
     assert(got == samples.map(_._2))
   }
 
+  test("charEntropy: zero for uniform repetition, higher for diverse text") {
+    val r = Seq("aaaaaaaa", "abababab", "the quick brown fox", "")
+      .toDF("t").select(Text.charEntropy($"t").as("h")).as[Double].collect()
+    assert(r(0) == 0.0)
+    assert(r(1) == 1.0) // two equiprobable symbols = exactly 1 bit
+    assert(r(2) > 3.0)
+    assert(r(3) == 0.0)
+  }
+
   test("fingerprint: whitespace/case-insensitive identity, order-sensitive") {
     val fps = Seq("Hello  World", "hello world", "world hello")
       .toDF("t").select(Text.fingerprint($"t").as("r")).as[Long].collect()
