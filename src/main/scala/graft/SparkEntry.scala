@@ -526,6 +526,15 @@ object SparkEntry {
       Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))),
 
+    // X19 curation verdicts: quality signals + rule attribution
+    // (rows-only; signal math covered by unit tests + x08/x09 oracles)
+    "x19_curation" -> ((s, d) =>
+      graft.operators.Curation.annotate(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tok"), col("entropy"),
+          col("top_bigram_frac"), col("dup_line_frac"),
+          to_json(col("drop_reasons")).as("drop_reasons"), col("keep"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
     // X16 exact char-4-gram Jaccard over a bounded pair set — full
     // DuckDB oracle (shingle construction spelled out in SQL)
     "x16_ngram_jaccard" -> ((s, d) =>

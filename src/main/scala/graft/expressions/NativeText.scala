@@ -107,6 +107,31 @@ object NativeText {
     math.rint(h * 10000) / 10000
   }
 
+  /** Fraction of the token stream covered by the single most frequent
+    * n-gram (the Gopher-rules repetition signal): maxCount·n / total.
+    * ~1.0 for looping text, small for natural prose. */
+  def topNgramFracEval(tokens: ArrayData, n: Int): Double = {
+    val total = tokens.numElements()
+    if (total < n || total == 0) return 0.0
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var maxC = 0
+    while (i <= total - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    math.rint(math.min(1.0, maxC.toDouble * n / total) * 10000) / 10000
+  }
+
   // --- expressions ---
 
   case class TokensExpr(child: Expression) extends UnaryExpression {
@@ -154,6 +179,22 @@ object NativeText {
       copy(child = c)
   }
 
+  case class TopNgramFracExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, "n-gram size must be positive")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "top_ngram_frac_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Double.valueOf(topNgramFracEval(v.asInstanceOf[ArrayData], n))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.topNgramFracEval($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): TopNgramFracExpr =
+      copy(child = c)
+  }
+
   case class LangScoreExpr(child: Expression,
                            stopwordSets: Seq[(String, Seq[String])])
       extends UnaryExpression {
@@ -195,4 +236,7 @@ object NativeText {
 
   def charEntropy(str: Column): Column =
     ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(str)))
+
+  def topNgramFrac(tokens: Column, n: Int): Column =
+    ColumnBridge.column(TopNgramFracExpr(ColumnBridge.expression(tokens), n))
 }

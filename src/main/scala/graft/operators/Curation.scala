@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Document-curation verdict operator: combine the text-quality
+  * signals (token count, entropy, repetition, punctuation, stopword
+  * mass — the published Gopher/RefinedWeb-style rule family) into a
+  * keep/drop decision with per-rule attribution.
+  *
+  * Pure column expressions over one scan — map-only, no shuffle; at
+  * 100 TB this runs as a single pass with whole-stage codegen and the
+  * drop reasons aggregate cheaply for curation dashboards.
+  */
+object Curation {
+
+  case class Thresholds(
+      minTokens: Long = 10,
+      maxTokens: Long = 100000,
+      minEntropy: Double = 1.5,
+      maxTopBigramFrac: Double = 0.2,
+      maxDupLineFrac: Double = 0.3,
+      maxPunctRatio: Double = 0.25)
+
+  /** Fraction of duplicate lines (1 - distinct/total). */
+  def dupLineFrac(c: Column): Column = {
+    val lines = filter(split(c, "\n"), l => trim(l) =!= lit(""))
+    val total = size(lines).cast("double")
+    when(total > 0,
+      round(lit(1.0) - size(array_distinct(lines)).cast("double") / total, 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Annotate with signals, failed-rule list, and a keep flag. */
+  def annotate(df: DataFrame, textCol: String = "text",
+               t: Thresholds = Thresholds()): DataFrame = {
+    val ts = Text.tokens(col(textCol))
+    val annotated = df
+      .withColumn("n_tok", size(ts).cast("long"))
+      .withColumn("entropy", Text.charEntropy(col(textCol)))
+      .withColumn("top_bigram_frac",
+        graft.expressions.NativeText.topNgramFrac(ts, 2))
+      .withColumn("dup_line_frac", dupLineFrac(col(textCol)))
+      .withColumn("punct_ratio", Text.punctRatio(col(textCol)))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("n_tok") < t.minTokens),
+      "too_long" -> (col("n_tok") > t.maxTokens),
+      "low_entropy" -> (col("entropy") < t.minEntropy),
+      "repetitive_ngrams" -> (col("top_bigram_frac") > t.maxTopBigramFrac),
+      "duplicate_lines" -> (col("dup_line_frac") > t.maxDupLineFrac),
+      "punct_noise" -> (col("punct_ratio") > t.maxPunctRatio))
+    val reasons = filter(
+      array(rules.map { case (name, cond) =>
+        when(cond, lit(name)).otherwise(lit(null))
+      }: _*),
+      r => r.isNotNull)
+    annotated
+      .withColumn("drop_reasons", reasons)
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+  }
+
+  /** Keep only passing documents. */
+  def filterDocs(df: DataFrame, textCol: String = "text",
+                 t: Thresholds = Thresholds()): DataFrame =
+    annotate(df, textCol, t).where(col("keep")).drop("drop_reasons", "keep")
+}

@@ -51,6 +51,34 @@ class TextSpec extends AnyFunSuite {
     assert(r(3) == 0.0)
   }
 
+  test("topNgramFrac: looping text ~1, prose low") {
+    val r = Seq("spam ham spam ham spam ham spam ham",
+      "the quick brown fox jumps over a lazy dog near the river bank")
+      .toDF("t")
+      .select(graft.expressions.NativeText.topNgramFrac(Text.tokens($"t"), 2).as("f"))
+      .as[Double].collect()
+    assert(r(0) > 0.8)
+    assert(r(1) < 0.3)
+  }
+
+  test("Curation: clean doc kept, degenerate docs dropped with reasons") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog while the sun " +
+        "sets slowly behind the mountains and the river runs to the sea."),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "ab"),
+      (4L, "line one\nline one\nline one\nline one\nline two with more words here"))
+      .toDF("doc_id", "text")
+    val r = Curation.annotate(docs)
+      .select($"doc_id", $"keep", $"drop_reasons")
+      .as[(Long, Boolean, Seq[String])].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2, r(1L)._3.toString)               // clean → kept
+    assert(!r(2L)._2 && r(2L)._3.contains("repetitive_ngrams"))
+    assert(!r(3L)._2 && r(3L)._3.contains("too_short"))
+    assert(!r(4L)._2 && r(4L)._3.contains("duplicate_lines"))
+  }
+
   test("fingerprint: whitespace/case-insensitive identity, order-sensitive") {
     val fps = Seq("Hello  World", "hello world", "world hello")
       .toDF("t").select(Text.fingerprint($"t").as("r")).as[Long].collect()
