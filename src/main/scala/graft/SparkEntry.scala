@@ -526,6 +526,14 @@ object SparkEntry {
       Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))),
 
+    // X20 end-to-end near-dup dedup: LSH pairs → connected components
+    // → one representative per cluster (rows-only; semantics pinned
+    // by DedupSimSpec chain/cluster tests)
+    "x20_dedup_pipeline" -> ((s, d) =>
+      Dedup.dedupNearDups(t(s, d, "documents"), threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
     // X19 curation verdicts: quality signals + rule attribution
     // (rows-only; signal math covered by unit tests + x08/x09 oracles)
     "x19_curation" -> ((s, d) =>

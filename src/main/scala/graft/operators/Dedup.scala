@@ -114,6 +114,56 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair set by iterative
+    * min-label propagation: label(v) ← min(label(v), min label of
+    * neighbors) until fixpoint. Near-dup clusters have tiny diameter,
+    * so this converges in a handful of join+aggregate rounds; for
+    * adversarial graph shapes at extreme scale the large-star/
+    * small-star variant is the drop-in upgrade, same interface.
+    * Returns (id, component) where component = min id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.withColumnRenamed("component", "old").as("l"), Seq("id"))
+        .where(col("component") =!= col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup: LSH pairs → components → keep the min-id
+    * representative of each cluster (plus every unpaired document). */
+  def dedupNearDups(df: DataFrame, threshold: Double,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minhashLsh(df, threshold, idCol, textCol)
+    val comps = connectedComponents(pairs)
+    val losers = comps.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over a bounded pair set (for oracle-sized
     * verification and as the verify stage other variants reuse). The
     * all-pairs form exists for completeness/testing only — production

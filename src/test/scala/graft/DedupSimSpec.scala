@@ -52,6 +52,21 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)))
   }
 
+  test("connectedComponents: chain a-b, b-c merges into one cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("dedupNearDups keeps one representative per cluster + unpaired docs") {
+    val survivors = Dedup.dedupNearDups(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // cluster {0,1,3} (near-dups + exact dup) collapses to 0; 2 unpaired
+    assert(survivors == Seq(0L, 2L))
+  }
+
   test("cosine: identical vectors → 1, orthogonal → 0") {
     val df = Seq(
       (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
