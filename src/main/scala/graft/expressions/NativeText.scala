@@ -83,6 +83,22 @@ object NativeText {
     else UTF8String.fromString("und")
   }
 
+  /** BPE-ish subword count: Σ ceil(len(token)/4) — matches the HOF
+    * formulation it replaces (and the x09 DuckDB oracle) exactly. */
+  def subwordCountEval(tokens: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val len = tokens.getUTF8String(i).numChars()
+        total += (len + 3) / 4
+      }
+      i += 1
+    }
+    total
+  }
+
   /** Shannon entropy (bits/char) of the code-point distribution —
     * low entropy flags repetitive/boilerplate text, high entropy flags
     * binary junk; both are standard corpus-quality filters. */
@@ -164,6 +180,21 @@ object NativeText {
       copy(child = c)
   }
 
+  case class SubwordCountExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "subword_count_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(subwordCountEval(v.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.subwordCountEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): SubwordCountExpr =
+      copy(child = c)
+  }
+
   case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "char_entropy_native"
@@ -239,4 +270,7 @@ object NativeText {
 
   def topNgramFrac(tokens: Column, n: Int): Column =
     ColumnBridge.column(TopNgramFracExpr(ColumnBridge.expression(tokens), n))
+
+  def subwordCount(tokens: Column): Column =
+    ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(tokens)))
 }

@@ -26,12 +26,10 @@ object Text {
 
   /** A BPE-ish proxy token count: word-piece segments of ≤4 chars.
     * ceil(len/4) summed per word — deterministic, cheap, and a decent
-    * stand-in for subword tokenizers when budgeting at corpus scale. */
+    * stand-in for subword tokenizers when budgeting at corpus scale.
+    * Native expression (keeps the x09 projection in codegen). */
   def subwordCount(c: Column): Column =
-    aggregate(
-      tokens(c),
-      lit(0L),
-      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+    graft.expressions.NativeText.subwordCount(tokens(c))
 
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(c: Column): Column = {
