@@ -40,15 +40,24 @@ object Ivf {
       .withColumn("centroid_id", monotonically_increasing_id())
       .select(col("centroid_id"), col("v").as("centroid"))
 
+    // Materialize the (tiny: k rows) centroid table after every
+    // iteration — otherwise each Lloyd round is a lazy plan referencing
+    // the previous one, and every later reference re-executes the
+    // whole training chain. This is the index artifact a production
+    // deployment would persist to a table.
+    def materialize(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+    }
     (0 until iters).foreach { _ =>
       val assigned = assign(vecs, centroids, "v", "_rid")
-      centroids = assigned
+      centroids = materialize(assigned
         .select(col("centroid_id"), posexplode(col("v")))
         .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
-          transform(col("pm"), x => x.getField("m")).as("centroid"))
+          transform(col("pm"), x => x.getField("m")).as("centroid")))
     }
     vecs.unpersist()
     centroids
