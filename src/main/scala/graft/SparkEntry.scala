@@ -257,14 +257,20 @@ object SparkEntry {
         .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))),
 
     // Q19 [P1-P6 composite] quality-zone replica over events
-    // (mirrors export_svg.py:209-246 semantics on fixture data)
+    // (mirrors export_svg.py:209-246 semantics on fixture data).
+    // The half-up cent rounding is spelled out as floor(v*100+0.5)/100
+    // so both engines compute the identical double before the
+    // DECIMAL(18,2) cast — Spark's raw double→decimal cast rounds the
+    // shortest decimal repr while DuckDB scales the binary value, and
+    // they land on different cents for x.xx499… inputs.
     "q19_quality_zone" -> ((s, d) =>
       t(s, d, "events")
         .select(
           col("event_id"),
           Quality.sentinelNull(col("event_type"), Seq("error")).as("etype"),
           when(col("value") < 0, lit(null))
-            .otherwise(col("value").cast(DecimalType(18, 2))).as("val"))
+            .otherwise((floor(col("value") * 100 + lit(0.5)) / 100)
+              .cast(DecimalType(18, 2))).as("val"))
         .orderBy(asc_nulls_first("event_id"))),
 
     // Q20 [F11] array access — paired-dialect (Spark element_at is
@@ -277,12 +283,15 @@ object SparkEntry {
           size(col("embedding")).cast(LongType).as("dim"))
         .orderBy(asc_nulls_first("vec_id"))),
 
-    // Q21 [F8] JSON extraction — paired-dialect
+    // Q21 [F8] JSON extraction — single-parse via from_json (struct
+    // field access stays in codegen; get_json_object re-parses the
+    // document per extraction call)
     "q21_json_extract" -> ((s, d) =>
       t(s, d, "events")
         .select(
           col("event_id"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          from_json(col("props"), new StructType().add("k", LongType))
+            .getField("k").as("k"))
         .orderBy(asc_nulls_first("event_id"))),
 
     // Q22 [F3] date parse round-trip — paired-dialect
@@ -627,10 +636,173 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB list literal from a Scala word list (single source of
+    * truth: the oracle uses the same stopword constants as the Spark
+    * expressions). */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared oracle CTE: lowercased whitespace tokens per document
+    * (mirrors [[Text.tokens]]). */
+  private val tokCte =
+    """tok AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '') AS ts
+         FROM documents)"""
+
+  /** Shared oracle CTE chain: per-document code-point Shannon entropy,
+    * rounded to 4 dp (mirrors [[Text.charEntropy]]: p·ln(p)/ln(2) in
+    * double, summed over the code-point frequency table). */
+  private val entCte =
+    """ch AS (
+         SELECT doc_id, length(text) AS total,
+                unnest(list_transform(range(1, length(text) + 1),
+                       i -> substr(text, CAST(i AS INT), 1))) AS c
+         FROM documents WHERE length(text) > 0),
+       cc AS (SELECT doc_id, total, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+       ent AS (
+         SELECT doc_id,
+                ROUND(-SUM((CAST(cnt AS DOUBLE) / total) *
+                           (ln(CAST(cnt AS DOUBLE) / total) / ln(2))), 4) AS entropy
+         FROM cc GROUP BY doc_id)"""
+
+  private val punctCte =
+    """pr AS (
+         SELECT doc_id,
+                CASE WHEN length(text) > 0 THEN
+                  ROUND(CAST(length(text) -
+                             length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))
+                        AS DOUBLE) / length(text), 4)
+                ELSE 0.0 END AS punct_ratio
+         FROM documents)"""
+
   private def extOracleSql: Map[String, String] = Map(
     "x01_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
          GROUP BY text ORDER BY doc_id NULLS FIRST""",
+    // fingerprint groups ≡ equality of the normalized token stream:
+    // lowercase, collapse whitespace runs, trim (collision-free at
+    // fixture scale by construction of the 64-bit hash chain)
+    "x02_dedup_fingerprint" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_dups
+         FROM documents
+         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         ORDER BY doc_id NULLS FIRST""",
+    "x07_lang_id" -> {
+      val scores = Text.stopwordSets.map { case (lang, ws) =>
+        s"len(list_intersect(list_distinct(ts), ${sqlList(ws)})) AS s_$lang"
+      }.mkString(",\n                ")
+      val langsDesc = Text.stopwordSets.map(_._1).sorted.reverse
+      val mx = Text.stopwordSets.map(s => "s_" + s._1).mkString("GREATEST(", ", ", ")")
+      val pick = langsDesc.init.map(l => s"WHEN s_$l = $mx THEN '$l'")
+        .mkString("\n                ") + s"\n                ELSE '${langsDesc.last}'"
+      s"""WITH $tokCte,
+         sc AS (SELECT doc_id, text,
+                $scores
+                FROM tok)
+         SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN $mx = 0 THEN 'und'
+                $pick END AS lang_pred
+         FROM sc ORDER BY doc_id NULLS FIRST"""
+    },
+    "x08_quality_score" ->
+      s"""WITH $tokCte,
+         $entCte,
+         $punctCte,
+         sr AS (
+           SELECT doc_id, len(ts) AS n_tok,
+                  CASE WHEN len(ts) > 0 THEN
+                    ROUND(CAST(len(list_filter(ts,
+                          t -> list_contains(${sqlList(Text.enStopwords)}, t)))
+                      AS DOUBLE) / len(ts), 4)
+                  ELSE 0.0 END AS stopword_ratio
+           FROM tok)
+         SELECT d.doc_id, pr.punct_ratio, sr.stopword_ratio,
+                COALESCE(ent.entropy, 0.0) AS entropy,
+                ROUND(
+                  LEAST(CASE WHEN sr.n_tok BETWEEN 20 AND 5000 THEN 1.0
+                             WHEN sr.n_tok > 0 THEN sr.n_tok / 20.0
+                             ELSE 0.0 END, 1.0) * 0.4 +
+                  (1.0 - LEAST(pr.punct_ratio * 5.0, 1.0)) * 0.3 +
+                  LEAST(sr.stopword_ratio * 4.0, 1.0) * 0.3, 4) AS quality
+         FROM documents d
+         JOIN pr USING (doc_id) JOIN sr USING (doc_id)
+         LEFT JOIN ent USING (doc_id)
+         ORDER BY doc_id NULLS FIRST""",
+    "x19_curation" ->
+      s"""WITH $tokCte,
+         $entCte,
+         $punctCte,
+         bg AS (
+           SELECT doc_id, len(ts) AS total,
+                  unnest(list_transform(range(1, len(ts)),
+                         i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS b
+           FROM tok WHERE len(ts) >= 2),
+         bc AS (SELECT doc_id, total, MAX(cnt) AS maxc
+                FROM (SELECT doc_id, total, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3)
+                GROUP BY 1, 2),
+         tb AS (SELECT doc_id,
+                       ROUND(LEAST(1.0, CAST(maxc * 2 AS DOUBLE) / total), 4) AS top_bigram_frac
+                FROM bc),
+         dl AS (
+           SELECT doc_id,
+                  CASE WHEN len(lines) > 0 THEN
+                    ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
+                  ELSE 0.0 END AS dup_line_frac
+           FROM (SELECT doc_id,
+                        list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+                 FROM documents)),
+         sig AS (
+           SELECT tok.doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+                  COALESCE(ent.entropy, 0.0) AS entropy,
+                  COALESCE(tb.top_bigram_frac, 0.0) AS top_bigram_frac,
+                  dl.dup_line_frac, pr.punct_ratio
+           FROM tok
+           LEFT JOIN ent USING (doc_id) LEFT JOIN tb USING (doc_id)
+           JOIN dl USING (doc_id) JOIN pr USING (doc_id)),
+         rs AS (
+           SELECT *,
+                  list_filter([
+                    CASE WHEN n_tok < 10 THEN 'too_short' END,
+                    CASE WHEN n_tok > 100000 THEN 'too_long' END,
+                    CASE WHEN entropy < 1.5 THEN 'low_entropy' END,
+                    CASE WHEN top_bigram_frac > 0.2 THEN 'repetitive_ngrams' END,
+                    CASE WHEN dup_line_frac > 0.3 THEN 'duplicate_lines' END,
+                    CASE WHEN punct_ratio > 0.25 THEN 'punct_noise' END],
+                    x -> x IS NOT NULL) AS reasons
+           FROM sig)
+         SELECT doc_id, n_tok, entropy, top_bigram_frac, dup_line_frac,
+                CAST(to_json(reasons) AS VARCHAR) AS drop_reasons,
+                len(reasons) = 0 AS keep
+         FROM rs ORDER BY doc_id NULLS FIRST""",
+    // all-pairs exact char-5-gram Jaccard ≥ 0.5 → recursive-CTE
+    // connected components → survivors = docs that are not a non-min
+    // member of any component (LSH recall at the fixture's j≥0.9 dup
+    // pairs is ~1, so candidate banding loses nothing — verified here)
+    "x20_dedup_pipeline" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 3),
+                    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+           FROM documents WHERE length(text) >= 5),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM sh a, sh b WHERE a.id < b.id
+             AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         e AS (SELECT id_a AS s, id_b AS r FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s AS id, r FROM e
+           UNION
+           SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
+         comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)
+         ORDER BY doc_id NULLS FIRST""",
     "x05_knn_cosine" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          pairs AS (
@@ -823,7 +995,8 @@ object SparkEntry {
     "q19_quality_zone" ->
       """SELECT event_id,
          CASE WHEN event_type IN ('error') THEN NULL ELSE event_type END AS etype,
-         CASE WHEN value < 0 THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END AS val
+         CASE WHEN value < 0 THEN NULL
+              ELSE CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) END AS val
          FROM events ORDER BY event_id NULLS FIRST""",
     "q20_array_access" ->
       """SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0,

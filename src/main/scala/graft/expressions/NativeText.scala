@@ -18,6 +18,12 @@ object NativeText {
 
   // --- static eval helpers (called from generated code) ---
 
+  /** Half-up 4-dp rounding for non-negative signals — matches SQL
+    * ROUND(x, 4) semantics by construction (math.rint is half-EVEN and
+    * lands one ulp off on exactly-representable boundaries like
+    * 2/64 = 0.03125). */
+  private def round4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
   def tokensEval(str: UTF8String): ArrayData = {
     val parts = str.toLowerCase.toString.split("\\s+")
     val out = new java.util.ArrayList[AnyRef](parts.length)
@@ -120,7 +126,7 @@ object NativeText {
       val p = it.next().toDouble / total
       h -= p * (math.log(p) / math.log(2))
     }
-    math.rint(h * 10000) / 10000
+    round4(h)
   }
 
   /** Fraction of the token stream covered by the single most frequent
@@ -145,7 +151,7 @@ object NativeText {
       if (c > maxC) maxC = c
       i += 1
     }
-    math.rint(math.min(1.0, maxC.toDouble * n / total) * 10000) / 10000
+    round4(math.min(1.0, maxC.toDouble * n / total))
   }
 
   // --- expressions ---

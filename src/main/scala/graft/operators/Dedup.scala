@@ -69,14 +69,7 @@ object Dedup {
       minhashSignature(Text.charShingles(col(textCol), shingleSize), numHashes).as("sig"))
       .where(length(col(textCol)) >= shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
-      .where(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = bandCandidates(sig, bands, rowsPerBand)
     val est = zip_with(col("sig_a"), col("sig_b"),
       (a, b) => when(a === b, 1).otherwise(0))
     cand
@@ -85,6 +78,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(aggregate(est, lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4)
           .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** LSH band join over a (id, sig) signature table: ids-only candidate
+    * pairs from any shared (band, bucket) key. */
+  private def bandCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-dup pairs with EXACT shingle-set Jaccard verification:
+    * candidates come from the same MinHash-LSH band join (ids only, no
+    * cross product), but the verify stage joins the candidate pairs
+    * back to their distinct-shingle sets and computes exact Jaccard —
+    * deterministic scores, so downstream dedup is oracle-checkable
+    * against an all-pairs exact-Jaccard reference at test scale. At
+    * production scale the shingle-set re-join touches only candidate
+    * rows (≪ corpus), so the extra cost over the estimator is bounded
+    * by the candidate count. */
+  def lshExactPairs(df: DataFrame, threshold: Double,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val base = df.where(length(col(textCol)) >= shingleSize)
+      .select(col(idCol).as("id"), Text.charShingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = base.select(col("id"),
+      minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+    bandCandidates(sig, bands, rowsPerBand)
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -153,11 +183,13 @@ object Dedup {
     labels
   }
 
-  /** Full near-dup dedup: LSH pairs → components → keep the min-id
-    * representative of each cluster (plus every unpaired document). */
+  /** Full near-dup dedup: LSH candidates → exact-Jaccard pairs →
+    * components → keep the min-id representative of each cluster (plus
+    * every unpaired document). Exact verification makes the survivor
+    * set a deterministic function of the data (see [[lshExactPairs]]). */
   def dedupNearDups(df: DataFrame, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = minhashLsh(df, threshold, idCol, textCol)
+    val pairs = lshExactPairs(df, threshold, idCol, textCol)
     val comps = connectedComponents(pairs)
     val losers = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
