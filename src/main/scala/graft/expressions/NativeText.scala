@@ -154,7 +154,48 @@ object NativeText {
     round4(math.min(1.0, maxC.toDouble * n / total))
   }
 
+  /** |a ∩ b| for two string arrays via one hash set — O(n+m) versus
+    * the quadratic-ish generic `array_intersect` path over large
+    * shingle arrays, and a single static call so the verify projection
+    * stays inside whole-stage codegen. Inputs are distinct-element
+    * arrays (shingle sets), so the count needs no dedup pass. */
+  def intersectCountEval(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    val n = small.numElements()
+    while (i < n) {
+      if (!small.isNullAt(i)) set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var c = 0L
+    var j = 0
+    val m = large.numElements()
+    while (j < m) {
+      if (!large.isNullAt(j) && set.contains(large.getUTF8String(j))) c += 1
+      j += 1
+    }
+    c
+  }
+
   // --- expressions ---
+
+  case class IntersectCountExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "intersect_count_native"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(
+        intersectCountEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.NativeText.intersectCountEval($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCountExpr =
+      copy(left = l, right = r)
+  }
 
   case class TokensExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -276,6 +317,10 @@ object NativeText {
 
   def topNgramFrac(tokens: Column, n: Int): Column =
     ColumnBridge.column(TopNgramFracExpr(ColumnBridge.expression(tokens), n))
+
+  def intersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntersectCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def subwordCount(tokens: Column): Column =
     ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(tokens)))

@@ -1,109 +1,124 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.expressions.NativeVector
+
+/** Trained IVF coarse quantizer: the index artifact. k×dim doubles —
+  * small by construction (k ≈ √N even at 100 TB keeps this in
+  * driver/broadcast territory), so it ships to executors as a codegen
+  * reference object inside [[NativeVector.NearestCentroidExpr]] and
+  * every assignment/probe is map-only. */
+final case class IvfIndex(centroids: Array[Array[Double]]) {
+  def numLists: Int = centroids.length
+  def dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
+}
 
 /** IVF-style approximate nearest-neighbor search (SURVEY.md north-star
   * extension; the coarse-quantizer + inverted-lists design from the
   * FAISS/IVF literature, re-expressed as DataFrame ops).
   *
-  * Build: k-means (Lloyd's) over a sample → centroid table (small,
-  * broadcast). Assign: one corpus pass computing argmin-distance
-  * cluster id. Search: each query probes its `nprobe` nearest
-  * centroids and scans only those inverted lists — an equi-join on
+  * Build: k-means (Lloyd's) over a bounded sample → [[IvfIndex]].
+  * Assign: one map-only corpus pass (native argmin expression — no
+  * crossJoin, no window, no shuffle before the list join). Search:
+  * each query probes its `nprobe` nearest centroids (map-only
+  * expression) and scans only those inverted lists — an equi-join on
   * cluster id instead of a corpus cross product.
   *
-  * Scale shape: centroids are O(√N)-ish and always broadcast; the
-  * assign pass is map-only; search shuffles only (query × nprobe)
-  * rows against cluster-partitioned lists. Lloyd's iterations are
-  * groupBy-avg aggregations — partial-agg friendly, no driver-side
-  * math beyond collecting the (small) centroid table.
+  * Scale shape: the only shuffle in the entire search is the
+  * probes⋈lists equi-join on cluster id plus the final per-query
+  * top-k; Lloyd's iterations are map-side-combined aggregations whose
+  * shuffle is k·dim rows regardless of corpus size.
   */
 object Ivf {
 
   /** Train `k` centroids with `iters` Lloyd iterations over (a sample
-    * of) the corpus. Returns (centroid_id, centroid: array<double>). */
-  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
-                     vecCol: String = "embedding",
-                     sampleFraction: Double = 1.0): DataFrame = {
-    val spark = corpus.sparkSession
+    * of) the corpus. The k seed vectors come from a small hash-ordered
+    * sample (deterministic, no global sort of the corpus); empty
+    * clusters retain their previous centroid. */
+  def train(corpus: DataFrame, k: Int, iters: Int = 5,
+            vecCol: String = "embedding",
+            sampleFraction: Double = 1.0): IvfIndex = {
+    require(k > 0, "k must be positive")
     val vecs = (if (sampleFraction < 1.0)
       corpus.sample(withReplacement = false, sampleFraction, seed = 42)
     else corpus)
-      .select(Sim.asDouble(col(vecCol)).as("v"))
-      .withColumn("_rid", monotonically_increasing_id())
+      .select(col(vecCol).as("v"))
+      .where(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // init: k deterministic samples
-    var centroids = vecs.orderBy(xxhash64(hash(col("v")))).limit(k)
-      .withColumn("centroid_id", monotonically_increasing_id())
-      .select(col("centroid_id"), col("v").as("centroid"))
-
-    // Materialize the (tiny: k rows) centroid table after every
-    // iteration — otherwise each Lloyd round is a lazy plan referencing
-    // the previous one, and every later reference re-executes the
-    // whole training chain. This is the index artifact a production
-    // deployment would persist to a table.
-    def materialize(df: org.apache.spark.sql.DataFrame) = {
-      val rows = df.collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
-    }
-    (0 until iters).foreach { _ =>
-      val assigned = assign(vecs, centroids, "v", "_rid")
-      centroids = materialize(assigned
-        .select(col("centroid_id"), posexplode(col("v")))
-        .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("centroid_id"),
-          transform(col("pm"), x => x.getField("m")).as("centroid")))
-    }
-    vecs.unpersist()
-    centroids
+    try {
+      val n = vecs.count() // materializes the cache too
+      require(n > 0, "cannot train on an empty corpus")
+      // init: k seeds from a ~50k-vector sample, hash-ordered for
+      // determinism — sorting the SAMPLE, never the corpus
+      val seedFrac = math.min(1.0, (50.0 * k) / n)
+      val seedPool = if (seedFrac < 1.0) vecs.sample(withReplacement = false, seedFrac, 7) else vecs
+      var cents: Array[Array[Double]] = seedPool
+        .orderBy(xxhash64(hash(col("v"))))
+        .limit(k)
+        .collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      (0 until iters).foreach { _ =>
+        // map-only assignment, then element-wise means: posexplode is
+        // map-side, the groupBy partial-aggregates before the shuffle,
+        // so only numLists·dim rows move (and land on the driver —
+        // that IS the index build output)
+        val upd = vecs
+          .select(NativeVector.nearestCentroid(col("v"), cents).as("cid"),
+            posexplode(col("v")))
+          .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            val arr = new Array[Double](rows.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            cid -> arr
+          }
+        cents = Array.tabulate(cents.length)(i => upd.getOrElse(i, cents(i)))
+      }
+      IvfIndex(cents)
+    } finally { vecs.unpersist(); () }
   }
 
-  /** Cluster assignment: per row, argmin squared-distance over the
-    * broadcast centroid table (map-side cross with k centroids, then
-    * a per-row-id argmin — no shuffle of the corpus payload). */
-  def assign(df: DataFrame, centroids: DataFrame,
-             vecCol: String, idCol: String): DataFrame = {
-    val withAll = df.crossJoin(
-      broadcast(centroids.select(col("centroid_id"), col("centroid"))))
-    val dist = aggregate(
-      zip_with(col(vecCol), col("centroid"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_d").asc, col("centroid_id").asc)
-    withAll
-      .withColumn("_d", dist)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_d", "_rn", "centroid")
-  }
+  /** Session-lifetime index cache: the trained quantizer is an
+    * artifact, not something to recompute per query. Keyed by a
+    * caller-chosen identity (e.g. the dataset path). */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  def indexFor(key: String, corpus: => DataFrame, k: Int, iters: Int = 5,
+               vecCol: String = "embedding",
+               sampleFraction: Double = 1.0): IvfIndex =
+    indexCache.computeIfAbsent(key, _ => train(corpus, k, iters, vecCol, sampleFraction))
+
+  /** Map-only cluster assignment: adds `centroid_id` (int). */
+  def assignCol(vec: Column, index: IvfIndex): Column =
+    NativeVector.nearestCentroid(vec, index.centroids)
+
+  def assign(df: DataFrame, index: IvfIndex,
+             vecCol: String = "embedding"): DataFrame =
+    df.withColumn("centroid_id", assignCol(col(vecCol), index))
 
   /** IVF search: top-`k` cosine neighbors per query, scanning only the
-    * `nprobe` nearest inverted lists per query. */
-  def search(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+    * `nprobe` nearest inverted lists per query. Works directly on
+    * array<float> or array<double> embeddings (no cast pass). */
+  def search(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
              k: Int, nprobe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val lists = assign(
-      corpus.select(col(idCol).as("neighbor_id"), Sim.asDouble(col(vecCol)).as("cv")),
-      centroids, "cv", "neighbor_id")
-    val q = queries.select(col(idCol).as("query_id"), Sim.asDouble(col(vecCol)).as("qv"))
-    // per query: nprobe nearest centroids
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("_d").asc, col("centroid_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("_d", aggregate(
-        zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("_rn", row_number().over(probeW))
-      .where(col("_rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
-    // scan only the probed lists
+    val lists = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("centroid_id", assignCol(col("cv"), index))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(NativeVector.nearestCentroids(col("qv"), index.centroids, nprobe))
+          .as("centroid_id"))
     val scored = probes.join(lists, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Sim.cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(NativeVector.cosineSim(col("qv"), col("cv")), 4).as("sim"))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(rankW).cast("long"))

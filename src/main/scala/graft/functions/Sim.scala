@@ -38,11 +38,11 @@ object Sim {
     */
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(graft.expressions.NativeVector.cosineSim(col("qv"), col("cv")), 4).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
@@ -71,6 +71,7 @@ object Sim {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = bands * bitsPerBand
     val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = vecs.withColumn("sig", srpSignature(col("v"), planes))
     val mask = (1L << bitsPerBand) - 1
     // band on ids ONLY (vectors re-joined for verify) — and with
@@ -90,7 +91,7 @@ object Sim {
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
+        round(graft.expressions.NativeVector.cosineSim(col("v_a"), col("v_b")), 4).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

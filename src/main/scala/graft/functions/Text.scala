@@ -123,10 +123,12 @@ object Text {
         g => size(split(g, " ")) === n))
   }
 
-  /** Jaccard similarity of two (distinct-element) arrays. */
+  /** Jaccard similarity of two (distinct-element) arrays. Intersection
+    * counting is a native O(n+m) hash-set pass; |a ∪ b| follows by
+    * inclusion-exclusion, so no array materialization at all. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(array_union(a, b)).cast("double")
+    val inter = graft.expressions.NativeText.intersectCount(a, b).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
     when(union > 0, round(inter / union, 4)).otherwise(lit(0.0))
   }
 

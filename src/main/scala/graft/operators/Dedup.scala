@@ -165,17 +165,21 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
+      // carry a per-row "did this label shrink" flag so convergence is
+      // read off the SAME action that materializes the iteration —
+      // no second join-and-count job per round (each extra action is a
+      // full scheduling round-trip on a real cluster)
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("ncomp"), col("component")) < col("component")).as("_chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u")
-        .join(labels.withColumnRenamed("component", "old").as("l"), Seq("id"))
-        .where(col("component") =!= col("old"))
-        .limit(1).count()
+      val changed = updated
+        .agg(coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
       labels.unpersist()
-      labels = updated
+      labels = updated.drop("_chg")
       converged = changed == 0
       i += 1
     }

@@ -100,8 +100,8 @@ class DedupSimSpec extends AnyFunSuite {
     val queries = df.where($"vec_id" % 8 === 0) // one query per cluster
     val truth = graft.functions.Sim.knnBrute(queries, df, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val centroids = graft.functions.Ivf.trainCentroids(df, k = 10, iters = 4)
-    val got = graft.functions.Ivf.search(queries, df, centroids, k = 5, nprobe = 3)
+    val index = graft.functions.Ivf.train(df, k = 10, iters = 4)
+    val got = graft.functions.Ivf.search(queries, df, index, k = 5, nprobe = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = truth.count(got.contains).toDouble / truth.size
     assert(recall >= 0.85, s"recall $recall")
