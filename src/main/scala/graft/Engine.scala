@@ -51,7 +51,14 @@ class Engine(val spark: SparkSession, kvRoot: String = "/tmp/graft_kv") {
 
   /** Replace-schema evolution (≙ `update_table_schema`): rewrite the
     * table with columns cast/projected to the new schema (missing
-    * columns become NULL). */
+    * columns become NULL).
+    *
+    * Swap discipline: stage → rename old aside → rename stage in →
+    * drop aside. The old data is never dropped until the replacement
+    * is in place, so a crash at any point leaves a recoverable table
+    * (either under its own name or under the `_schema_old` aside); a
+    * failure on the second rename rolls the aside back. Stage/aside
+    * names stay in the table's own database. */
   def replaceSchema(table: String, schema: StructType): Unit = {
     import org.apache.spark.sql.functions._
     val cur = spark.table(table)
@@ -59,13 +66,32 @@ class Engine(val spark: SparkSession, kvRoot: String = "/tmp/graft_kv") {
       if (cur.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
-    // stage-then-rename: can't overwrite a table that feeds the plan
-    val stage = table.replace('.', '_') + "_schema_stage"
+    def quoted(name: String) = s"`${name.replace(".", "`.`")}`"
+    val parts = table.split('.')
+    def sibling(suffix: String) =
+      (parts.dropRight(1) :+ (parts.last + suffix)).mkString(".")
+    val stage = sibling("_schema_stage")
+    val aside = sibling("_schema_old")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(stage)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(aside)}")
     cur.select(projected.toSeq: _*)
       .write.mode("overwrite").saveAsTable(stage)
-    spark.sql(s"DROP TABLE `${table.replace(".", "`.`")}`")
-    spark.sql(s"ALTER TABLE `$stage` RENAME TO `${table.replace(".", "`.`")}`")
+    replaceSchemaFailpoint("staged")
+    spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(aside)}")
+    try {
+      replaceSchemaFailpoint("aside")
+      spark.sql(s"ALTER TABLE ${quoted(stage)} RENAME TO ${quoted(table)}")
+    } catch {
+      case e: Throwable =>
+        spark.sql(s"ALTER TABLE ${quoted(aside)} RENAME TO ${quoted(table)}")
+        throw e
+    }
+    spark.sql(s"DROP TABLE ${quoted(aside)}")
   }
+
+  /** Test seam: invoked between swap steps so specs can simulate a
+    * crash at each point and assert the table stays resolvable. */
+  private[graft] var replaceSchemaFailpoint: String => Unit = _ => ()
 
   /** Full Catalyst lifecycle entry (≙ `query`). */
   def sql(q: String): DataFrame = spark.sql(q)

@@ -645,6 +645,28 @@ object SparkEntry {
       val idx = Ivf.indexFor(s"ivf16:$d", emb, k = 16, iters = 3)
       Ivf.search(emb.where(col("vec_id") < 10), emb, idx, k = 5, nprobe = 4)
         .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
+    }),
+
+    // X21 [A6 UDAF] the same kNN ranking as x05, but through the
+    // bounded-heap Aggregator UDAF instead of a row_number window —
+    // map-side partial top-k, so only ≤k rows per (partition, query)
+    // reach the shuffle. Checked against the identical window oracle.
+    "x21_topk_udaf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(graft.expressions.NativeVector.cosineSim(col("qv"), col("cv")), 4)
+            .as("sim"))
+      val tk = graft.functions.TopKAgg.topK(5)
+      scored.groupBy("query_id")
+        .agg(tk(col("neighbor_id"), col("sim")).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          col("col.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
     })
   )
 
@@ -688,6 +710,22 @@ object SparkEntry {
                         AS DOUBLE) / length(text), 4)
                 ELSE 0.0 END AS punct_ratio
          FROM documents)"""
+
+  /** Brute-force cosine top-5 oracle — shared by x05 (window ranking)
+    * and x21 (Aggregator-UDAF ranking), which must agree exactly. */
+  private val knnOracleSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       pairs AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                ROUND(list_inner_product(q.e, c.e) /
+                      (sqrt(list_inner_product(q.e, q.e)) *
+                       sqrt(list_inner_product(c.e, c.e))), 4) AS sim
+         FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk FROM pairs) t
+       WHERE rnk <= 5
+       ORDER BY query_id NULLS FIRST, rnk NULLS FIRST"""
 
   private def extOracleSql: Map[String, String] = Map(
     "x01_dedup_exact" ->
@@ -815,19 +853,9 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)
          ORDER BY doc_id NULLS FIRST""",
-    "x05_knn_cosine" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         pairs AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  ROUND(list_inner_product(q.e, c.e) /
-                        (sqrt(list_inner_product(q.e, q.e)) *
-                         sqrt(list_inner_product(c.e, c.e))), 4) AS sim
-           FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-         SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM (
-           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY sim DESC, neighbor_id) AS rnk FROM pairs) t
-         WHERE rnk <= 5
-         ORDER BY query_id NULLS FIRST, rnk NULLS FIRST""",
+    "x05_knn_cosine" -> knnOracleSql,
+    // same oracle by design: the UDAF must reproduce the window result
+    "x21_topk_udaf" -> knnOracleSql,
     "x09_token_count" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -43,6 +43,26 @@ class EngineSpec extends AnyFunSuite {
     assert(df.select("extra").head().isNullAt(0))
   }
 
+  test("replaceSchema keeps the table resolvable through a crash at every swap step") {
+    val newSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    for (crashAt <- Seq("staged", "aside")) {
+      Seq((7, "z")).toDF("id", "v").write.mode("overwrite").saveAsTable("eng_crash")
+      engine.replaceSchemaFailpoint =
+        step => if (step == crashAt) throw new RuntimeException(s"boom@$step")
+      try {
+        intercept[RuntimeException](engine.replaceSchema("eng_crash", newSchema))
+      } finally engine.replaceSchemaFailpoint = _ => ()
+      // the invariant: after a crash at ANY step, the original table
+      // still resolves and still has its row (old or new schema)
+      assert(spark.table("eng_crash").count() == 1L, s"lost table after crash at $crashAt")
+      assert(spark.table("eng_crash").select("v").as[String].head() == "z")
+      spark.sql("DROP TABLE IF EXISTS eng_crash")
+      spark.sql("DROP TABLE IF EXISTS eng_crash_schema_stage")
+      spark.sql("DROP TABLE IF EXISTS eng_crash_schema_old")
+    }
+  }
+
   test("blob upload/download (GCSClient parity)") {
     val p = Files.createTempDirectory("eng_blob").toString + "/x/y/blob.txt"
     engine.uploadString("hello graft", p)

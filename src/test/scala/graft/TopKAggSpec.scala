@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ScoredId, TopKAgg, TopKByScore}
+
+class TopKAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Aggregator semantics: bounded buffer, order, tie-break") {
+    val agg = new TopKByScore(3)
+    val items = Seq(
+      ScoredId(1, 0.5), ScoredId(2, 0.9), ScoredId(3, 0.9),
+      ScoredId(4, 0.1), ScoredId(5, 0.7))
+    val b = items.foldLeft(agg.zero)(agg.reduce)
+    assert(b.length == 3)
+    // score desc, id asc on the 0.9 tie
+    assert(agg.finish(b) == Seq(ScoredId(2, 0.9), ScoredId(3, 0.9), ScoredId(5, 0.7)))
+    // merge of disjoint partials = same top-3
+    val (l, r) = items.splitAt(2)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == agg.finish(b))
+  }
+
+  test("UDAF top-k equals the row_number window on grouped scores") {
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- 0 until 7
+      i <- 0 until 40
+    } yield (g.toLong, (g * 100 + i).toLong, math.floor(rnd.nextDouble() * 100) / 100)
+    val df = rows.toDF("grp", "id", "score")
+
+    val viaWindow = df.withColumn("rnk",
+        row_number().over(Window.partitionBy("grp")
+          .orderBy(col("score").desc, col("id").asc)))
+      .where(col("rnk") <= 5)
+      .select(col("grp"), col("id"), col("score"), col("rnk").cast("long"))
+
+    val tk = TopKAgg.topK(5)
+    val viaUdaf = df.groupBy("grp")
+      .agg(tk(col("id"), col("score")).as("topk"))
+      .select(col("grp"), posexplode(col("topk")))
+      .select(col("grp"), col("col.id").as("id"), col("col.score").as("score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+
+    val a = viaWindow.as[(Long, Long, Double, Long)].collect().toSet
+    val b = viaUdaf.as[(Long, Long, Double, Long)].collect().toSet
+    assert(a == b)
+    assert(a.size == 35)
+  }
+}
