@@ -32,10 +32,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // one throwaway query to absorb session/codegen init cost
-    runOnce(SparkEntry.queries.keys.head)
+    // optional subset (comma-separated names) for scale-up runs on
+    // bigger-than-fixture data; default remains the full suite
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // one throwaway query to absorb session/codegen init cost
+    runOnce(names.head)
+
+    val results = names.map { name =>
       val a = runOnce(name)
       val b = runOnce(name)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))

@@ -22,6 +22,19 @@ object KeyValue {
     kept.unionByName(updates)
   }
 
+  /** Insert entities WITHOUT caller-provided keys (≙ `datastore.py:
+    * 19-22` auto-ID entity creation: the store allocates the key).
+    * Allocated keys are negative-offset from a content hash plus the
+    * partition-unique row id, so concurrent batches collide with
+    * ~2^-64 probability — the same contract as Datastore's allocated
+    * numeric ids (unique, NOT sequential). */
+  def insertAutoKey(existing: DataFrame, inserts: DataFrame,
+                    keyCol: String): DataFrame = {
+    val keyed = inserts.withColumn(keyCol,
+      xxhash64(to_json(struct(col("*"))), monotonically_increasing_id()))
+    existing.unionByName(keyed.select(existing.columns.map(col).toSeq: _*))
+  }
+
   /** Delete by key (≙ `datastore.py:26-28`). */
   def delete(existing: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
     existing.join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_anti")

@@ -33,11 +33,55 @@ object Messages {
       .as[TransferRequest]
   }
 
-  /** Publish to a topic directory as JSON lines (S10 message sink). */
+  /** Publish to a topic directory as JSON lines (S10 message sink).
+    * Every message carries a content+position id so subscriptions can
+    * track delivery state. */
   def publish(ds: Dataset[TransferRequest], topicDir: String): Unit =
-    encode(ds).write.mode("append").json(topicDir)
+    encode(ds)
+      .withColumn("msg_id",
+        concat_ws("-", xxhash64(col("payload")), monotonically_increasing_id()))
+      .write.mode("append").json(topicDir)
 
-  /** Batch-replay a topic directory. */
+  /** Batch-replay a topic directory (firehose read, no delivery
+    * state). */
   def subscribe(spark: SparkSession, topicDir: String): Dataset[TransferRequest] =
     decode(spark, spark.read.json(topicDir))
+
+  // ---- at-least-once subscription semantics (≙ Pub/Sub pull+ack,
+  // transfer_sercom_files.py:115-123): a subscription is its own ack
+  // ledger next to the topic; pull returns every message without an
+  // ack record (so an un-acked message is redelivered on the next
+  // pull), ack appends to the ledger. At-least-once by construction:
+  // a crash after processing but before ack yields redelivery, never
+  // loss. The ledger is an append-only JSON dir — idempotent acks,
+  // no compaction needed at this payload scale.
+
+  private def ackDir(topicDir: String, subscription: String): String =
+    s"$topicDir/_subscriptions/$subscription/acks"
+
+  /** Pull messages not yet acked by this subscription: (msg_id,
+    * payload) pairs, each decodable via [[decode]]. */
+  def pull(spark: SparkSession, topicDir: String, subscription: String): DataFrame = {
+    val all = spark.read.json(topicDir)
+    val acked = ackedIds(spark, topicDir, subscription)
+    all.join(acked, Seq("msg_id"), "left_anti")
+  }
+
+  /** Acknowledge delivered messages — they will not be pulled again.
+    * Re-acking is harmless (the ledger is a set). */
+  def ack(msgs: DataFrame, topicDir: String, subscription: String): Unit =
+    msgs.select(col("msg_id"))
+      .write.mode("append").json(ackDir(topicDir, subscription))
+
+  private def ackedIds(spark: SparkSession, topicDir: String,
+                       subscription: String): DataFrame = {
+    val dir = ackDir(topicDir, subscription)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.json(dir).select("msg_id").distinct()
+    else {
+      import spark.implicits._
+      Seq.empty[String].toDF("msg_id")
+    }
+  }
 }

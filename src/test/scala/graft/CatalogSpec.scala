@@ -72,4 +72,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(KeyValue.queryByProperty(merged, "val", "B")
       .select("key").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("KeyValue insertAutoKey allocates unique keys for keyless entities") {
+    val existing = Seq((1L, "a")).toDF("key", "val")
+    val inserts = Seq("x", "x", "y").toDF("val") // dup payloads still get distinct keys
+    val after = KeyValue.insertAutoKey(existing, inserts, "key")
+    assert(after.count() == 4)
+    assert(after.select("key").distinct().count() == 4)
+    assert(after.where($"key" === 1L).select("val").as[String].head() == "a")
+    assert(after.where($"val" === "x").count() == 2)
+  }
 }

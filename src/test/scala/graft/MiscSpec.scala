@@ -22,6 +22,36 @@ class MiscSpec extends AnyFunSuite {
     assert(got == reqs.collect().toSet)
   }
 
+  test("Messages: pull/ack is at-least-once — unacked messages redeliver, acked stop") {
+    val reqs = Seq(
+      Messages.TransferRequest("sftp://a/1", "gs://b/1", remove_file = false, "2024-01-01"),
+      Messages.TransferRequest("sftp://a/2", "gs://b/2", remove_file = false, "2024-01-02"),
+      Messages.TransferRequest("sftp://a/3", "gs://b/3", remove_file = true, "2024-01-03")).toDS()
+    val topic = Files.createTempDirectory("topic_ack").toString
+    Messages.publish(reqs, topic)
+
+    // cache pins each pulled set: pull() is lazy over topic-minus-acks,
+    // so an uncached frame would re-evaluate against a grown ledger
+    val first = Messages.pull(spark, topic, "workerA").cache()
+    assert(first.count() == 3)
+    // process-then-crash-before-ack: a second pull redelivers everything
+    assert(Messages.pull(spark, topic, "workerA").count() == 3)
+
+    // ack two of three → only the unacked one redelivers
+    Messages.ack(first.limit(2), topic, "workerA")
+    val second = Messages.pull(spark, topic, "workerA").cache()
+    assert(second.count() == 1)
+    // re-ack is idempotent; acking the rest drains the subscription
+    Messages.ack(first.limit(2), topic, "workerA")
+    Messages.ack(second, topic, "workerA")
+    assert(Messages.pull(spark, topic, "workerA").count() == 0)
+    // independent subscription still sees the full topic
+    assert(Messages.pull(spark, topic, "workerB").count() == 3)
+    // decode still round-trips pulled payloads
+    assert(Messages.decode(spark, Messages.pull(spark, topic, "workerB"))
+      .collect().toSet == reqs.collect().toSet)
+  }
+
   test("Runner: stages sequential, failure fires callback and aborts") {
     val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     var failed: Option[String] = None

@@ -43,6 +43,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin bounds the straggler partition on a 90%-one-key dataset") {
+    // 50k rows, 90% on key 0 — the classic hot-key join straggler
+    val n = 50000
+    val big = spark.range(n)
+      .select(when($"id" % 10 < 9, 0L).otherwise($"id").as("k"), $"id".as("payload"))
+    val dim = Seq((0L, "hot"), (1L, "cold")).toDF("k", "tag")
+    val salts = 8
+    val parts = 32
+
+    // partition row counts under the exact shuffle keys each join uses:
+    // unsalted → hash(k); salted → hash(k, _salt) with the operator's
+    // salt expression (rand seed 42, matching SkewJoin.saltedJoin)
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long =
+      df.repartition(parts, keys.map(col): _*)
+        .mapPartitions(it => Iterator.single(it.length.toLong))(
+          org.apache.spark.sql.Encoders.scalaLong)
+        .collect().max
+
+    val unsaltedMax = maxPartitionRows(big, Seq("k"))
+    val saltedMax = maxPartitionRows(
+      big.withColumn("_salt", (rand(seed = 42) * salts).cast("int")),
+      Seq("k", "_salt"))
+    // hot key = 45k rows: unsalted, one task owns them all. Salted,
+    // each of the 8 (key,salt) cells holds ≈5.6k rows; hashing 8 cells
+    // into 32 partitions can co-locate two of them, so the worst task
+    // is bounded by ~2 cells (+20% slack) — still ≥4× better than the
+    // unsalted straggler.
+    assert(unsaltedMax >= (n * 0.9).toLong, s"expected hot partition, got $unsaltedMax")
+    assert(saltedMax <= (n * 0.9 / salts * 2 * 1.2).toLong,
+      s"salting left a straggler: max partition $saltedMax rows")
+    assert(saltedMax <= unsaltedMax / 3)
+
+    // and the operator itself still returns exact join results
+    val joined = SkewJoin.saltedJoin(big, dim, "k", salts)
+    assert(joined.where($"tag" === "hot").count() == (n * 9 / 10).toLong)
+  }
+
   test("co-bucketed tables join without an Exchange") {
     val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
