@@ -57,7 +57,21 @@ object Registry {
     ("graft_lang_score",
       (es: Seq[Expression]) =>
         NativeText.LangScoreExpr(es.head, Text.stopwordSets),
-      "graft_lang_score(tokens) - best stopword-scored language code"))
+      "graft_lang_score(tokens) - best stopword-scored language code"),
+    ("graft_cosine",
+      (es: Seq[Expression]) => NativeVector.CosineSimExpr(es.head, es(1)),
+      "graft_cosine(a, b) - cosine similarity of two float/double vectors"),
+    ("graft_intersect_count",
+      (es: Seq[Expression]) => NativeText.IntersectCountExpr(es.head, es(1)),
+      "graft_intersect_count(a, b) - |a ∩ b| for distinct-element string arrays"),
+    ("graft_json_long",
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>
+          NativeJson.JsonGetLongExpr(es.head, f.toString)
+        case other => throw new IllegalArgumentException(
+          s"graft_json_long expects a string-literal field name, got $other")
+      },
+      "graft_json_long(doc, field) - top-level integer JSON field or NULL"))
 
   /** Register all functions on an existing session. */
   def register(spark: SparkSession): Unit =

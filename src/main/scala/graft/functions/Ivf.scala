@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.NativeVector
@@ -119,9 +118,8 @@ object Ivf {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(NativeVector.cosineSim(col("qv"), col("cv")), 4).as("sim"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(rankW).cast("long"))
-      .where(col("rnk") <= k)
+    // bounded-heap UDAF: partial top-k before the shuffle (the window
+    // form would shuffle every probed candidate row)
+    Sim.topKPerGroup(scored, "query_id", "neighbor_id", "sim", k)
   }
 }

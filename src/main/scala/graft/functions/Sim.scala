@@ -32,9 +32,13 @@ object Sim {
   /** Exact top-k cosine neighbors for each query vector.
     *
     * The query side is broadcast (queries are the small side by
-    * construction); the corpus streams through once. Ranking uses the
-    * 4-dp-rounded similarity with vec_id tie-break so results are
-    * deterministic and engine-portable.
+    * construction); the corpus streams through once. Ranking goes
+    * through the bounded-heap [[TopKAgg]] UDAF: map-side partial
+    * aggregation reduces each partition to ≤k candidates per query
+    * BEFORE the shuffle, so only numPartitions·k scored rows move —
+    * the `row_number` window formulation shuffles and sorts every
+    * (query × corpus) score. Ordering (sim desc, id asc) is identical,
+    * so results match the window/DuckDB oracle exactly.
     */
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -43,11 +47,20 @@ object Sim {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(graft.expressions.NativeVector.cosineSim(col("qv"), col("cv")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+    topKPerGroup(scored, "query_id", "neighbor_id", "sim", k)
+  }
+
+  /** Rank (groupCol, idCol, scoreCol) rows to the top-k per group via
+    * the partial-aggregable UDAF; output matches the row_number window
+    * shape: (group, id, score, rnk). */
+  def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
+                   scoreCol: String, k: Int): DataFrame = {
+    val tk = TopKAgg.topK(k)
+    scored.groupBy(groupCol)
+      .agg(tk(col(idCol), col(scoreCol)).as("_topk"))
+      .select(col(groupCol), posexplode(col("_topk")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        col("col.score").as(scoreCol), (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Signed-random-projection signature: `planes` pseudo-random

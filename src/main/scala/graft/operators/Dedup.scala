@@ -148,8 +148,9 @@ object Dedup {
     * min-label propagation: label(v) ← min(label(v), min label of
     * neighbors) until fixpoint. Near-dup clusters have tiny diameter,
     * so this converges in a handful of join+aggregate rounds; for
-    * adversarial graph shapes at extreme scale the large-star/
-    * small-star variant is the drop-in upgrade, same interface.
+    * adversarial graph shapes (long chains) at extreme scale,
+    * [[connectedComponentsStar]] is the drop-in O(log²n)-round
+    * upgrade with the same interface (equivalence tested).
     * Returns (id, component) where component = min id in the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -157,34 +158,115 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // each round references the previous one TWICE (labels ⋈ f(edges,
+    // labels)), so a lazy/persisted chain doubles the logical plan per
+    // iteration — localCheckpoint (eager) truncates lineage so round
+    // N's plan is O(1), not O(2^N)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
-      // carry a per-row "did this label shrink" flag so convergence is
-      // read off the SAME action that materializes the iteration —
-      // no second join-and-count job per round (each extra action is a
-      // full scheduling round-trip on a real cluster)
+      // the eager checkpoint is the one real job per round; the
+      // convergence flag is carried as a column so reading it back is
+      // a short scan of checkpointed partitions, not a recompute
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"),
           (coalesce(col("ncomp"), col("component")) < col("component")).as("_chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = updated
         .agg(coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
-      labels.unpersist()
       labels = updated.drop("_chg")
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log² n) rounds on ANY graph shape,
+    * where plain min-label propagation needs O(diameter) rounds — the
+    * upgrade path when dup chains get long at corpus scale.
+    *
+    *  - large-star: every node's neighbors larger than the node's
+    *    current minimum attach directly to that minimum;
+    *  - small-star: each node's ≤-neighbors attach to the minimum.
+    *
+    * Implemented as the standard edge-rewriting fixpoint: keep edge
+    * set E as (u,v) with u > v invariant; each round computes per-node
+    * min neighbor m(u) and rewrites (u,v) → (v, m(u)); fixpoint when
+    * no edge changes. Same interface/result contract as
+    * [[connectedComponents]]: (id, component = min id in cluster). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Edge invariant: u > v (the component representative is the
+    // smallest id). localCheckpoint (eager) per round: each star op
+    // references the previous edge set twice, so an unbroken lineage
+    // would double the logical plan every iteration.
+
+    // large-star: per node x over the SYMMETRIC adjacency, attach
+    // every strictly-larger neighbor w to m(x) = min(Γ(x) ∪ {x}).
+    // Output (w, m) already satisfies w > m since w > x ≥ m.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val adj = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val m = adj.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      adj.join(m, Seq("x"))
+        .where(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: per node u, attach its ≤-neighbors (all v of (u,v)
+    // under the invariant) AND u itself to m(u) = min of those.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val m = edges.groupBy("u").agg(min(col("v")).as("m"))
+      val attachV = edges.join(m, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      val attachU = m.select(col("u").as("a"), col("m").as("b"))
+      attachV.union(attachU)
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = pairs.select(
+      greatest(col("id_a"), col("id_b")).as("u"),
+      least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // converged when a full L+S round leaves the edge set unchanged:
+      // no new edges AND same cardinality (a shrinking set also has an
+      // empty anti-join). Both checks are short jobs over checkpointed
+      // sets — no recompute lineage.
+      val diff = next.join(edges, Seq("u", "v"), "left_anti").count()
+      val nextCount = next.count()
+      edges = next
+      converged = diff == 0 && nextCount == edgeCount
+      edgeCount = nextCount
+      i += 1
+    }
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+      .groupBy("id").agg(min("component").as("component"))
+    val roots = labels.select(col("component")).distinct()
+      .select(col("component").as("id"), col("component"))
+    labels.unionByName(roots)
   }
 
   /** Full near-dup dedup: LSH candidates → exact-Jaccard pairs →

@@ -60,6 +60,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponentsStar equals label propagation on adversarial graph shapes") {
+    val rnd = new scala.util.Random(13)
+    // a 60-node chain (worst case for O(diameter) propagation), a
+    // 40-leaf star rooted at the max id, and a random sparse graph
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val star = (100L until 140L).map(i => (i, 999L))
+    val random = Seq.fill(80)((200L + rnd.nextInt(60), 200L + rnd.nextInt(60)))
+      .filter(p => p._1 != p._2)
+    val pairs = (chain ++ star ++ random).toDF("id_a", "id_b")
+    val viaProp = Dedup.connectedComponents(pairs, maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp)
+    assert(viaStar(59L) == 0L) // chain fully collapsed to its min
+    assert(viaStar(999L) == 100L)
+  }
+
   test("dedupNearDups keeps one representative per cluster + unpaired docs") {
     val survivors = Dedup.dedupNearDups(docs, threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq

@@ -103,6 +103,15 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) > 10)
     assert(r.getString(3) == "en")
+    val r2 = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                graft_intersect_count(array('a','b'), array('b','c')) AS ic,
+                graft_json_long('{"k": 42}', 'k') AS k,
+                graft_json_long('not json', 'k') AS bad""").head()
+    assert(math.abs(r2.getDouble(0) - 1.0) < 1e-12)
+    assert(r2.getLong(1) == 1L)
+    assert(r2.getLong(2) == 42L)
+    assert(r2.isNullAt(3))
   }
 
   test("alert message formatting (helper.slack_alert parity)") {
