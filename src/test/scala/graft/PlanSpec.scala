@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Ivf, Sim}
+import graft.sources.Tables
+
+/** Physical-plan assertions: the scale properties SCALE.md claims are
+  * enforced here so a regression shows up as a red test, not a slow
+  * cluster. (AQE finalizes some plans only after execution, so
+  * assertions run on the executed plan string where needed.)
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .where($"l_quantity" > 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("q05 star join broadcasts every dimension (no sort-merge join)") {
+    val plan = executedPlan(SparkEntry.queries("q05_join_star")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
+  }
+
+  test("IVF assignment is map-only: no exchange between scan and centroid argmin") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val idx = Ivf.indexFor(s"plan-spec:$sfDir", emb, k = 4, iters = 1)
+    val assigned = Ivf.assign(emb, idx)
+    val plan = executedPlan(assigned)
+    assert(plan.contains("nearest_centroid_native"), plan)
+    assert(!plan.contains("Exchange"), s"assignment should be shuffle-free:\n$plan")
+  }
+
+  test("knnBrute: one shuffle total, corpus side never exchanged before scoring") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val knn = Sim.knnBrute(emb.where($"vec_id" < 3), emb, k = 2)
+    val plan = executedPlan(knn)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // exactly one shuffle: the ≤k-rows-per-partition partial top-k
+    // aggregation; the scored corpus stream itself must not exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+    assert(plan.contains("partial_topkbyscore") ||
+      plan.toLowerCase.contains("objecthashaggregate"),
+      s"no partial aggregation before the shuffle:\n$plan")
+  }
+
+  test("native text signatures stay inside whole-stage codegen") {
+    val df = Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.Text.simhash64($"text").as("sh"),
+        graft.expressions.NativeText.charEntropy($"text").as("e"))
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the project with the native calls must sit under a WSCG node
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"projection not codegen'd:\n$plan")
+  }
+}
