@@ -647,6 +647,18 @@ object SparkEntry {
         .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
     }),
 
+    // X22 token-window chunking (training-data prep): 80-token
+    // windows, 20-token overlap; map-only native expression, chunk
+    // rows via posexplode. Oracle replicates the window arithmetic.
+    "x22_chunking" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.Text.chunks(col("text"), 80, 20)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(split(col("col"), " ")).cast("long").as("n_tok"),
+          col("col").as("chunk"))
+        .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
+
     // X21 [A6 UDAF] the same kNN ranking as x05, but through the
     // bounded-heap Aggregator UDAF instead of a row_number window —
     // map-side partial top-k, so only ≤k rows per (partition, query)
@@ -856,6 +868,30 @@ object SparkEntry {
     "x05_knn_cosine" -> knnOracleSql,
     // same oracle by design: the UDAF must reproduce the window result
     "x21_topk_udaf" -> knnOracleSql,
+    // 80-token windows, step 60: chunk count = 1 if n<=80 else
+    // 1+ceil((n-80)/60); chunk k covers tokens [k*60+1, min(k*60+80,n)]
+    "x22_chunking" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         cc AS (
+           SELECT doc_id, ts, len(ts) AS n,
+                  CASE WHEN len(ts) = 0 THEN 0
+                       WHEN len(ts) <= 80 THEN 1
+                       ELSE 1 + CAST(ceil(CAST(len(ts) - 80 AS DOUBLE) / 60) AS INT)
+                  END AS c
+           FROM tk),
+         ch AS (SELECT doc_id, unnest(range(c)) AS k, ts, n FROM cc WHERE c > 0),
+         ck AS (
+           SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                  array_to_string(ts[CAST(k*60+1 AS INT) :
+                                     CAST(least(k*60+80, n) AS INT)], ' ') AS chunk
+           FROM ch)
+         SELECT doc_id, chunk_id,
+                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok, chunk
+         FROM ck
+         ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""",
     "x09_token_count" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -178,7 +178,46 @@ object NativeText {
     c
   }
 
+  /** Token-window chunking for training-data prep: whitespace tokens
+    * (case preserved), windows of `size` tokens advancing by `step`
+    * (= size − overlap), last window may be short, windows stop once
+    * the end of the document is covered. Chunk text is the tokens
+    * re-joined with single spaces — canonical whitespace so chunk
+    * token counts are recoverable downstream. */
+  def chunksEval(str: UTF8String, size: Int, step: Int): ArrayData = {
+    val parts = str.toString.split("\\s+").filter(_.nonEmpty)
+    val n = parts.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef]()
+    var start = 0
+    var done = false
+    while (!done) {
+      val end = math.min(start + size, n)
+      out.add(UTF8String.fromString(parts.slice(start, end).mkString(" ")))
+      if (end >= n) done = true else start += step
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // --- expressions ---
+
+  case class ChunksExpr(child: Expression, size: Int, step: Int)
+      extends UnaryExpression {
+    require(size > 0 && step > 0 && step <= size,
+      "need 0 < step <= size (step = size - overlap)")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "chunks_native"
+
+    override def nullSafeEval(v: Any): Any =
+      chunksEval(v.asInstanceOf[UTF8String], size, step)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.chunksEval($c, $size, $step);")
+
+    override protected def withNewChildInternal(c: Expression): ChunksExpr =
+      copy(child = c)
+  }
 
   case class IntersectCountExpr(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -321,6 +360,9 @@ object NativeText {
   def intersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       IntersectCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def chunks(str: Column, size: Int, step: Int): Column =
+    ColumnBridge.column(ChunksExpr(ColumnBridge.expression(str), size, step))
 
   def subwordCount(tokens: Column): Column =
     ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(tokens)))

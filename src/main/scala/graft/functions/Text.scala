@@ -31,6 +31,15 @@ object Text {
   def subwordCount(c: Column): Column =
     graft.expressions.NativeText.subwordCount(tokens(c))
 
+  /** Token-window document chunking (training-data prep): windows of
+    * `size` whitespace tokens advancing by `size - overlap`; the last
+    * window may be short. Case and token order preserved; chunk text
+    * is canonical single-space joined. Map-only native expression. */
+  def chunks(c: Column, size: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    graft.expressions.NativeText.chunks(c, size, size - overlap)
+  }
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(c: Column): Column = {
     val len = length(c).cast("double")

@@ -113,4 +113,23 @@ class TextSpec extends AnyFunSuite {
       .select(Text.wordShingles($"t", 2).as("r")).as[Seq[String]].head()
     assert(r == Seq("a b", "b c", "c d"))
   }
+
+  test("chunks: overlapping token windows, short tail, case preserved") {
+    def chunksOf(t: String, size: Int, overlap: Int): Seq[String] =
+      Seq(t).toDF("t").select(Text.chunks($"t", size, overlap).as("c"))
+        .as[Seq[String]].head()
+    // 7 tokens, size 3, overlap 1 (step 2): [0..2],[2..4],[4..6] —
+    // the last window reaches the end, so no short tail is emitted
+    assert(chunksOf("A b c d e f g", 3, 1) ==
+      Seq("A b c", "c d e", "e f g"))
+    // 8 tokens: [0..2],[2..4],[4..6],[6..7] — short tail
+    assert(chunksOf("a b c d e f g h", 3, 1) ==
+      Seq("a b c", "c d e", "e f g", "g h"))
+    // doc shorter than a window → single chunk, canonical whitespace
+    assert(chunksOf("  x \n y  ", 80, 20) == Seq("x y"))
+    // exact fit → one chunk, no empty tail
+    assert(chunksOf("a b c", 3, 1) == Seq("a b c"))
+    // empty/whitespace doc → no chunks
+    assert(chunksOf("   ", 3, 1) == Seq.empty)
+  }
 }
