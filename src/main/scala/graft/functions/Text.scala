@@ -141,6 +141,34 @@ object Text {
     when(union > 0, round(inter / union, 4)).otherwise(lit(0.0))
   }
 
+  // --- PII scrubbing (training-data curation) ---
+  // Patterns are RE2-compatible (no lookarounds/backrefs) so the same
+  // strings run identically in Spark's Java regex and DuckDB/RE2 —
+  // engine-portable by construction, like the rest of the suite.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "(\\+?\\d{1,3}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped numbers with
+    * typed placeholders. Order matters: emails first (their dotted
+    * domains could otherwise partially match), then IPs (dotted quads
+    * would otherwise phone-match), then phones. Map-only; one
+    * codegen'd `regexp_replace` chain. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of PII matches per kind, for curation reporting. */
+  def piiCounts(c: Column): Column = struct(
+    regexp_count(c, lit(emailRe)).as("emails"),
+    regexp_count(regexp_replace(c, emailRe, ""), lit(ipv4Re)).as("ips"),
+    regexp_count(
+      regexp_replace(regexp_replace(c, emailRe, ""), ipv4Re, ""),
+      lit(phoneRe)).as("phones"))
+
   val enStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "it", "that", "this", "for", "on", "with", "as", "by", "at", "be",

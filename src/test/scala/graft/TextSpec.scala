@@ -132,4 +132,16 @@ class TextSpec extends AnyFunSuite {
     // empty/whitespace doc → no chunks
     assert(chunksOf("   ", 3, 1) == Seq.empty)
   }
+
+  test("scrubPii redacts emails, IPs, and phones with typed placeholders") {
+    val doc = "Contact bob.smith+x@corp.example.co from 10.0.12.7, " +
+      "call +1 (555) 123-4567 or 555-123-4567; v1.2 unchanged, pi 3.14"
+    val r = Seq(doc).toDF("t")
+      .select(Text.scrubPii($"t").as("s"), Text.piiCounts($"t").as("c"))
+      .select($"s", $"c.emails", $"c.ips", $"c.phones")
+      .as[(String, Int, Int, Int)].head()
+    assert(r._1 == "Contact <EMAIL> from <IP>, " +
+      "call <PHONE> or <PHONE>; v1.2 unchanged, pi 3.14")
+    assert((r._2, r._3, r._4) == ((1, 1, 2)))
+  }
 }
