@@ -38,6 +38,18 @@ object SparkEntry {
       p
     })
 
+  /** Run a streaming gate query with state-store parallelism sized to
+    * the load: each shuffle partition is a state-store instance with
+    * per-batch commit overhead, so a fixture-scale stream wants a few
+    * partitions, not the batch default (a production job would size
+    * this to keys×state, same reasoning). Conf is restored afterwards
+    * — the stream captures it at start. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q05_join_star")(spark, "/root/testdata/sf0.001")
@@ -603,14 +615,16 @@ object SparkEntry {
     // aggregate, memory sink — must equal the q18 batch oracle.
     "x13_stream_hourly" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
-        .parquet(staged)
-        .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName("x13_out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      withStreamPartitions(s, 8) {
+        val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
+          .parquet(staged)
+          .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName("x13_out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
       s.table("x13_out")
         .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))
     }),
@@ -621,17 +635,19 @@ object SparkEntry {
     // max_ts - delay) on top of gaps-and-islands sessionization.
     "x18_stream_sessions" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
-        .parquet(staged)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("n_events"), col("v"))
-      val q = agg.writeStream.outputMode("append").format("memory")
-        .queryName("x18_out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      withStreamPartitions(s, 8) {
+        val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
+          .parquet(staged)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("n_events"), col("v"))
+        val q = agg.writeStream.outputMode("append").format("memory")
+          .queryName("x18_out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
       s.table("x18_out")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))
     }),

@@ -178,6 +178,22 @@ object NativeText {
     c
   }
 
+  /** Count of tokens (occurrences, not distinct) present in a word
+    * set — the stopword-hit counter. One hash lookup per token; the
+    * `filter(ts, t.isin(...))` HOF it replaces is interpreted with a
+    * linear scan of the word list per token and blocks whole-stage
+    * codegen for the entire quality projection. */
+  def wordHitsEval(tokens: ArrayData, set: java.util.HashSet[String]): Long = {
+    var c = 0L
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i) && set.contains(tokens.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Token-window chunking for training-data prep: whitespace tokens
     * (case preserved), windows of `size` tokens advancing by `step`
     * (= size − overlap), last window may be short, windows stop once
@@ -216,6 +232,30 @@ object NativeText {
         s"${ev.value} = graft.expressions.NativeText.chunksEval($c, $size, $step);")
 
     override protected def withNewChildInternal(c: Expression): ChunksExpr =
+      copy(child = c)
+  }
+
+  case class WordHitsExpr(child: Expression, words: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "word_hits_native"
+
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(wordHitsEval(v.asInstanceOf[ArrayData], set))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.wordHitsEval($c, $setRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordHitsExpr =
       copy(child = c)
   }
 
@@ -363,6 +403,9 @@ object NativeText {
 
   def chunks(str: Column, size: Int, step: Int): Column =
     ColumnBridge.column(ChunksExpr(ColumnBridge.expression(str), size, step))
+
+  def wordHits(tokens: Column, words: Seq[String]): Column =
+    ColumnBridge.column(WordHitsExpr(ColumnBridge.expression(tokens), words))
 
   def subwordCount(tokens: Column): Column =
     ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(tokens)))

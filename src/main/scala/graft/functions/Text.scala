@@ -48,11 +48,13 @@ object Text {
   }
 
   /** Ratio of tokens that are (English) stopwords — a classic
-    * fluency/quality signal. */
+    * fluency/quality signal. Native hit counter (one hash lookup per
+    * token; the filter-isin HOF it replaces scanned the word list per
+    * token, interpreted). */
   def stopwordRatio(c: Column, stopwords: Seq[String] = enStopwords): Column = {
     val ts = tokens(c)
     val n = size(ts).cast("double")
-    val hits = size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val hits = graft.expressions.NativeText.wordHits(ts, stopwords).cast("double")
     when(n > 0, round(hits / n, 4)).otherwise(lit(0.0))
   }
 
