@@ -64,6 +64,10 @@ object Registry {
     ("graft_intersect_count",
       (es: Seq[Expression]) => NativeText.IntersectCountExpr(es.head, es(1)),
       "graft_intersect_count(a, b) - |a ∩ b| for distinct-element string arrays"),
+    ("graft_chunks",
+      (es: Seq[Expression]) => NativeText.ChunksExpr(es.head,
+        intArg(es(1), "graft_chunks"), intArg(es(2), "graft_chunks")),
+      "graft_chunks(str, size, step) - overlapping token-window chunks"),
     ("graft_json_long",
       (es: Seq[Expression]) => es(1) match {
         case Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>

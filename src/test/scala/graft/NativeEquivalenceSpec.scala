@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+
+/** Randomized equivalence: each native expression must agree with the
+  * (slower) Spark-built-in formulation it replaced, across generated
+  * inputs including edge shapes (empty, single, duplicates, unicode).
+  * Seeds are fixed — failures reproduce.
+  */
+class NativeEquivalenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(97)
+  private def randToken: String = {
+    val alphabets = Seq("abc", "xyz", "日本語中文", "αβγ", "0123")
+    val a = alphabets(rnd.nextInt(alphabets.length))
+    (0 until 1 + rnd.nextInt(6)).map(_ => a(rnd.nextInt(a.length))).mkString
+  }
+
+  test("intersectCount equals size(array_intersect) on random distinct arrays") {
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(randToken).distinct
+      val b = Seq.fill(rnd.nextInt(30))(randToken).distinct
+      (a, b)
+    } :+ ((Seq.empty[String], Seq.empty[String])) :+ ((Seq("x"), Seq.empty[String]))
+    val df = rows.toDF("a", "b")
+      .select(
+        graft.expressions.NativeText.intersectCount($"a", $"b").as("native"),
+        size(array_intersect($"a", $"b")).cast("long").as("builtin"))
+    assert(df.where($"native" =!= $"builtin").count() == 0)
+  }
+
+  test("cosineSim equals the HOF dot/norm formulation on random vectors") {
+    val rows = (0 until 200).map { _ =>
+      val dim = 1 + rnd.nextInt(32)
+      (Seq.fill(dim)(rnd.nextGaussian()), Seq.fill(dim)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("a", "b")
+      .select(
+        graft.expressions.NativeVector.cosineSim($"a", $"b").as("native"),
+        (graft.functions.Sim.dot($"a", $"b") /
+          (graft.functions.Sim.norm($"a") * graft.functions.Sim.norm($"b"))).as("hof"))
+      .as[(Double, Double)].collect()
+    df.foreach { case (n, h) =>
+      assert(n == h || math.abs(n - h) < 1e-12, s"$n vs $h")
+    }
+  }
+
+  test("chunks reassemble to the original token stream (overlap removed)") {
+    val docs = (0 until 100).map { _ =>
+      (0 until rnd.nextInt(300)).map(_ => randToken).mkString(" ")
+    }
+    for (doc <- docs; (size, overlap) <- Seq((7, 2), (80, 20), (3, 0))) {
+      val step = size - overlap
+      val chunks = Seq(doc).toDF("t")
+        .select(Text.chunks($"t", size, overlap).as("c"))
+        .as[Seq[String]].head()
+      val toks = doc.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) assert(chunks.isEmpty)
+      else {
+        // stitch: first chunk whole, later chunks minus the
+        // `overlap`-token prefix they share with their predecessor
+        val stitched = chunks.zipWithIndex.flatMap { case (c, i) =>
+          val ct = c.split(" ").toSeq
+          if (i == 0) ct else ct.drop(overlap)
+        }
+        // every chunk except possibly the last has exactly `size` tokens
+        chunks.dropRight(1).foreach(c => assert(c.split(" ").length == size))
+        assert(stitched == toks, s"size=$size overlap=$overlap")
+      }
+    }
+  }
+
+  test("wordHits equals the filter+isin formulation on random token arrays") {
+    val words = Text.enStopwords
+    val rows = (0 until 200).map { _ =>
+      Seq.fill(rnd.nextInt(50))(
+        if (rnd.nextBoolean()) words(rnd.nextInt(words.length)) else randToken)
+    }
+    val df = rows.toDF("ts")
+      .select(
+        graft.expressions.NativeText.wordHits($"ts", words).as("native"),
+        size(filter($"ts", t => t.isin(words.map(lit): _*))).cast("long").as("hof"))
+    assert(df.where($"native" =!= $"hof").count() == 0)
+  }
+}
