@@ -675,6 +675,26 @@ object SparkEntry {
           col("col").as("chunk"))
         .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
 
+    // X23 [A6 UDAF] mean-pooled embedding per label (class prototype)
+    // through the VectorMean Aggregator — buffer is one vector+count,
+    // so the shuffle carries one partial row per (partition, label)
+    // instead of N·dim exploded rows. Elements pre-rounded with the
+    // explicit half-up formula and fixed-formatted on both sides so
+    // the array canonicalization is engine-exact.
+    "x23_vector_mean" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val canon = (x: Column) =>
+        format_string("%.4f", floor(x * 10000 + lit(0.5)) / 10000)
+      emb.select(col("label"), Sim.asDouble(col("embedding")).as("v"))
+        .groupBy("label")
+        .agg(graft.functions.VectorAgg.meanVec(col("v")).as("mv"),
+          count(lit(1)).cast("long").as("n"))
+        .select(col("label").cast("long").as("label"),
+          array_join(transform(col("mv"), canon), ",").as("mean_vec"),
+          col("n"))
+        .orderBy(asc_nulls_first("label"))
+    }),
+
     // X21 [A6 UDAF] the same kNN ranking as x05, but through the
     // bounded-heap Aggregator UDAF instead of a row_number window —
     // map-side partial top-k, so only ≤k rows per (partition, query)
@@ -884,6 +904,22 @@ object SparkEntry {
     "x05_knn_cosine" -> knnOracleSql,
     // same oracle by design: the UDAF must reproduce the window result
     "x21_topk_udaf" -> knnOracleSql,
+    "x23_vector_mean" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         u AS (SELECT label,
+                 unnest(list_transform(range(1, len(v) + 1),
+                   i -> {'p': i, 'x': v[CAST(i AS INT)]})) AS s
+               FROM e),
+         a AS (SELECT label, s.p AS p, avg(s.x) AS m FROM u GROUP BY 1, 2),
+         l AS (SELECT label,
+                 list(printf('%.4f', floor(m * 10000 + 0.5) / 10000) ORDER BY p) AS mv
+               FROM a GROUP BY 1),
+         c AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1)
+         SELECT CAST(l.label AS BIGINT) AS label,
+                array_to_string(l.mv, ',') AS mean_vec,
+                CAST(c.n AS BIGINT) AS n
+         FROM l JOIN c USING (label)
+         ORDER BY label NULLS FIRST""",
     // 80-token windows, step 60: chunk count = 1 if n<=80 else
     // 1+ceil((n-80)/60); chunk k covers tokens [k*60+1, min(k*60+80,n)]
     "x22_chunking" ->

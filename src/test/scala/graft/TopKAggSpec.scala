@@ -52,4 +52,31 @@ class TopKAggSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.size == 35)
   }
+
+  test("VectorMean equals the explode-groupBy formulation") {
+    val rnd = new scala.util.Random(5)
+    val rows = for (g <- 0 until 4; _ <- 0 until 25)
+      yield (g, Seq.fill(8)(rnd.nextGaussian()))
+    val df = rows.toDF("g", "v")
+
+    val viaUdaf = df.groupBy("g")
+      .agg(graft.functions.VectorAgg.meanVec(col("v")).as("mv"))
+      .select(col("g"), posexplode(col("mv")))
+      .as[(Int, Int, Double)].collect().toSet
+
+    val viaExplode = df.select(col("g"), posexplode(col("v")))
+      .groupBy("g", "pos").agg(avg("col").as("m"))
+      .as[(Int, Int, Double)].collect().toSet
+
+    val byKey = viaExplode.map { case (g, p, m) => (g, p) -> m }.toMap
+    viaUdaf.foreach { case (g, p, m) =>
+      assert(math.abs(m - byKey((g, p))) < 1e-12, s"($g,$p)")
+    }
+    assert(viaUdaf.size == 32)
+    // dim-mismatch fails fast instead of truncating
+    val bad = Seq((0, Seq(1.0, 2.0)), (0, Seq(1.0))).toDF("g", "v")
+    intercept[Exception] {
+      bad.groupBy("g").agg(graft.functions.VectorAgg.meanVec(col("v"))).collect()
+    }
+  }
 }
