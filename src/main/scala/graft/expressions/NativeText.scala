@@ -194,6 +194,32 @@ object NativeText {
     c
   }
 
+  /** Distinct word n-grams (space-joined) in first-occurrence order —
+    * one pass with a LinkedHashSet, mirroring the
+    * transform+slice+filter+array_distinct HOF chain it replaces. */
+  def wordNgramsEval(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= cnt - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Token-window chunking for training-data prep: whitespace tokens
     * (case preserved), windows of `size` tokens advancing by `step`
     * (= size − overlap), last window may be short, windows stop once
@@ -232,6 +258,22 @@ object NativeText {
         s"${ev.value} = graft.expressions.NativeText.chunksEval($c, $size, $step);")
 
     override protected def withNewChildInternal(c: Expression): ChunksExpr =
+      copy(child = c)
+  }
+
+  case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, "n-gram size must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_ngrams_native"
+
+    override def nullSafeEval(v: Any): Any =
+      wordNgramsEval(v.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.wordNgramsEval($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
       copy(child = c)
   }
 
@@ -406,6 +448,9 @@ object NativeText {
 
   def wordHits(tokens: Column, words: Seq[String]): Column =
     ColumnBridge.column(WordHitsExpr(ColumnBridge.expression(tokens), words))
+
+  def wordNgrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(tokens), n))
 
   def subwordCount(tokens: Column): Column =
     ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(tokens)))

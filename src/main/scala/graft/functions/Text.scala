@@ -125,14 +125,8 @@ object Text {
     graft.expressions.NativeSignatures.charShingles(c, n)
 
   /** Word n-gram shingles (distinct). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n)))),
-        g => size(split(g, " ")) === n))
-  }
+  def wordShingles(c: Column, n: Int): Column =
+    graft.expressions.NativeText.wordNgrams(tokens(c), n)
 
   /** Jaccard similarity of two (distinct-element) arrays. Intersection
     * counting is a native O(n+m) hash-set pass; |a ∪ b| follows by
