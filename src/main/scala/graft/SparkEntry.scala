@@ -675,6 +675,20 @@ object SparkEntry {
           col("col").as("chunk"))
         .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
 
+    // X24 deterministic train/val/test split (md5 hex buckets —
+    // map-only, engine-portable, stable under corpus growth; the
+    // oracle derives the identical assignment from the same
+    // generated CASE expression)
+    "x24_hash_split" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      graft.operators.Splits.hashSplit(t(s, d, "documents"), "doc_id", splits, "v1")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).cast("long").as("min_id"),
+          max(col("doc_id")).cast("long").as("max_id"))
+        .orderBy(asc_nulls_first("split"))
+    }),
+
     // X23 [A6 UDAF] mean-pooled embedding per label (class prototype)
     // through the VectorMean Aggregator — buffer is one vector+count,
     // so the shuffle carries one partial row per (partition, label)
@@ -904,6 +918,14 @@ object SparkEntry {
     "x05_knn_cosine" -> knnOracleSql,
     // same oracle by design: the UDAF must reproduce the window result
     "x21_topk_udaf" -> knnOracleSql,
+    "x24_hash_split" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      s"""SELECT $splitExpr AS split, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                 CAST(MAX(doc_id) AS BIGINT) AS max_id
+          FROM documents GROUP BY 1 ORDER BY split NULLS FIRST"""
+    },
     "x23_vector_mean" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          u AS (SELECT label,

@@ -80,6 +80,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.where($"tag" === "hot").count() == (n * 9 / 10).toLong)
   }
 
+  test("hashSplit: stable, deterministic, approximately weighted, salt-sensitive") {
+    import graft.operators.Splits
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val ids = spark.range(20000).toDF("id")
+    val assigned = Splits.hashSplit(ids, "id", splits, "v1")
+    val counts = assigned.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    // fractions within ±2% absolute of the weights at n=20k
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02, counts)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.02, counts)
+    assert(math.abs(counts("test") / 20000.0 - 0.1) < 0.02, counts)
+    // stability: a row's split is unchanged when the corpus shrinks
+    val subset = Splits.hashSplit(ids.where($"id" % 7 === 0), "id", splits, "v1")
+      .as[(Long, String)].collect().toMap
+    val full = assigned.as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+    // different salt → different (but still deterministic) assignment
+    val resalted = Splits.hashSplit(ids, "id", splits, "v2")
+      .as[(Long, String)].collect().toMap
+    assert(full.count { case (id, s) => resalted(id) != s } > 1000)
+    assert(Splits.hashSplit(ids, "id", splits, "v2")
+      .as[(Long, String)].collect().toMap == resalted)
+  }
+
   test("co-bucketed tables join without an Exchange") {
     val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
