@@ -27,12 +27,20 @@ object AsOfJoin {
     * @param tolerance optional max staleness (e.g. "30 minutes"): a
     *                  match older than left.time - tolerance is
     *                  dropped back to NULL (kdb-style `wj` windows)
+    * @param direction "backward" (default: latest right at-or-before
+    *                  left.time) or "forward" (earliest right
+    *                  at-or-after); tolerance bounds the gap on the
+    *                  matching side either way
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightCols: Seq[String],
-           tolerance: Option[String] = None): DataFrame = {
+           tolerance: Option[String] = None,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     // always carry the right time internally (tolerance needs it)
     val carried = (rightCols :+ rightTime).distinct
 
@@ -55,14 +63,20 @@ object AsOfJoin {
         carried.map(c => col(c).as(s"_r_$c"))): _*)
 
     val unioned = lAligned.unionByName(rAligned)
+    // backward: scan time ascending, right sorts before left at equal
+    // time (side 0 < 1) → inclusive at-or-before match. forward: scan
+    // time DESCENDING so "last seen" is the nearest following right;
+    // right still first at equal time → inclusive at-or-after.
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(if (backward) col("_t").asc else col("_t").desc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = carried.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
     }
-    val tooStale = tolerance.map(t =>
-      col(s"_r_$rightTime") < col("_t") - expr(s"INTERVAL $t"))
+    val tooStale = tolerance.map { t =>
+      if (backward) col(s"_r_$rightTime") < col("_t") - expr(s"INTERVAL $t")
+      else col(s"_r_$rightTime") > col("_t") + expr(s"INTERVAL $t")
+    }
     filled
       .where(col("_side") === 1)
       .select((left.columns.map(col) ++

@@ -50,6 +50,38 @@ class AsOfSessionSpec extends AnyFunSuite {
     assert(r(2L).contains(100L))
   }
 
+  test("asOf forward picks earliest right row at-or-after; tolerance bounds lookahead") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 07:00:00")),  // before both → earliest (08:00)
+      (2L, 10L, ts("2024-01-01 08:30:00")),  // between → 09:00
+      (3L, 10L, ts("2024-01-01 09:00:00")),  // exactly at second → inclusive
+      (4L, 10L, ts("2024-01-01 10:00:00")),  // after all → NULL
+      (5L, 99L, ts("2024-01-01 06:00:00")))  // key with no orders → NULL
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 100L),
+      (10L, ts("2024-01-01 09:00:00"), 101L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val r = AsOfJoin.asOf(left, right, "user_id", "o_custkey", "ts",
+      "o_orderdate", Seq("o_orderkey"), direction = "forward")
+      .select($"event_id", $"o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(r(1L).contains(100L))
+    assert(r(2L).contains(101L))
+    assert(r(3L).contains(101L))
+    assert(r(4L).isEmpty)
+    assert(r(5L).isEmpty)
+
+    // lookahead tolerance: 08:00 order is 60 min ahead of event 1
+    val bounded = AsOfJoin.asOf(left, right, "user_id", "o_custkey", "ts",
+      "o_orderdate", Seq("o_orderkey"),
+      tolerance = Some("30 minutes"), direction = "forward")
+      .select($"event_id", $"o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(bounded(1L).isEmpty)       // 60 min ahead > 30 min window
+    assert(bounded(2L).contains(101L)) // 30 min ahead, inclusive bound
+  }
+
   test("sessionize: gap >= 10 minutes starts a new session") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
