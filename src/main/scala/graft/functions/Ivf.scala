@@ -100,6 +100,39 @@ object Ivf {
              vecCol: String = "embedding"): DataFrame =
     df.withColumn("centroid_id", assignCol(col(vecCol), index))
 
+  /** Materialize the inverted lists as the second half of the index
+    * artifact: the assigned corpus written hive-partitioned by
+    * `centroid_id`. At scale this is written once per corpus build;
+    * searches then touch only the probed lists' files (dynamic
+    * partition pruning — the probe side is broadcast and its
+    * centroid ids prune the parquet partitions before any scan). */
+  def writeLists(corpus: DataFrame, index: IvfIndex, path: String,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("centroid_id", assignCol(col("cv"), index))
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Search against materialized lists (see [[writeLists]]): same
+    * semantics as [[search]], but the corpus side is the persisted
+    * partitioned artifact, so only probed partitions are read. */
+  def searchIndexed(queries: DataFrame, listsPath: String, index: IvfIndex,
+                    k: Int, nprobe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val lists = spark.read.parquet(listsPath)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(NativeVector.nearestCentroids(col("qv"), index.centroids, nprobe))
+          .as("centroid_id"))
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(NativeVector.cosineSim(col("qv"), col("cv")), 4).as("sim"))
+    Sim.topKPerGroup(scored, "query_id", "neighbor_id", "sim", k)
+  }
+
   /** IVF search: top-`k` cosine neighbors per query, scanning only the
     * `nprobe` nearest inverted lists per query. Works directly on
     * array<float> or array<double> embeddings (no cast pass). */

@@ -123,6 +123,14 @@ class DedupSimSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = truth.count(got.contains).toDouble / truth.size
     assert(recall >= 0.85, s"recall $recall")
+
+    // the persisted-lists artifact returns the identical result set
+    val listsPath = java.nio.file.Files.createTempDirectory("ivf_lists").toString
+    graft.functions.Ivf.writeLists(df, index, listsPath)
+    val viaArtifact = graft.functions.Ivf
+      .searchIndexed(queries, listsPath, index, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaArtifact == got)
   }
 
   test("SRP near-dup achieves good recall vs brute force on clustered vectors") {

@@ -63,6 +63,17 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation before the shuffle:\n$plan")
   }
 
+  test("indexed IVF search prunes unprobed list partitions (DPP)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val idx = Ivf.indexFor(s"plan-spec-dpp:$sfDir", emb, k = 8, iters = 1)
+    val lists = java.nio.file.Files.createTempDirectory("ivf_dpp").toString
+    Ivf.writeLists(emb, idx, lists)
+    val q = Ivf.searchIndexed(emb.where($"vec_id" < 2), lists, idx, k = 3, nprobe = 2)
+    val plan = executedPlan(q)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the lists scan:\n$plan")
+  }
+
   test("native text signatures stay inside whole-stage codegen") {
     val df = Tables.load(spark, sfDir, "documents")
       .select(graft.functions.Text.simhash64($"text").as("sh"),
