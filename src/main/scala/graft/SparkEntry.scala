@@ -675,6 +675,27 @@ object SparkEntry {
           col("col").as("chunk"))
         .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
 
+    // X25 the full training-data pipeline as ONE dataflow: curation
+    // verdicts → keep → near-dup dedup (LSH + exact verify + CC) →
+    // deterministic split → chunk/token budget per split. Every stage
+    // is an operator already oracle-verified on its own (x19, x20,
+    // x24, x22, x09); this query pins their composition.
+    "x25_training_pipeline" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val curated = graft.operators.Curation.annotate(t(s, d, "documents"))
+        .where(col("keep")).select("doc_id", "text")
+      val deduped = Dedup.dedupNearDups(curated, threshold = 0.5)
+      graft.operators.Splits.hashSplit(deduped, "doc_id", splits, "v1")
+        .select(col("split"),
+          size(graft.functions.Text.chunks(col("text"), 80, 20)).cast("long").as("nc"),
+          graft.functions.Text.tokenCount(col("text")).as("nt"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nc").cast("long").as("n_chunks"),
+          sum("nt").cast("long").as("n_tokens"))
+        .orderBy(asc_nulls_first("split"))
+    }),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -789,6 +810,49 @@ object SparkEntry {
        WHERE rnk <= 5
        ORDER BY query_id NULLS FIRST, rnk NULLS FIRST"""
 
+  /** Shared oracle CTE chain: the Gopher-style curation signal and
+    * rule evaluation (bigrams → repetition, duplicate lines, composite
+    * `rs` with reason list). Used by x19 and the x25 pipeline. */
+  private val curationRulesCte =
+    """bg AS (
+         SELECT doc_id, len(ts) AS total,
+                unnest(list_transform(range(1, len(ts)),
+                       i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS b
+         FROM tok WHERE len(ts) >= 2),
+       bc AS (SELECT doc_id, total, MAX(cnt) AS maxc
+              FROM (SELECT doc_id, total, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3)
+              GROUP BY 1, 2),
+       tb AS (SELECT doc_id,
+                     ROUND(LEAST(1.0, CAST(maxc * 2 AS DOUBLE) / total), 4) AS top_bigram_frac
+              FROM bc),
+       dl AS (
+         SELECT doc_id,
+                CASE WHEN len(lines) > 0 THEN
+                  ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
+                ELSE 0.0 END AS dup_line_frac
+         FROM (SELECT doc_id,
+                      list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+               FROM documents)),
+       sig AS (
+         SELECT tok.doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+                COALESCE(ent.entropy, 0.0) AS entropy,
+                COALESCE(tb.top_bigram_frac, 0.0) AS top_bigram_frac,
+                dl.dup_line_frac, pr.punct_ratio
+         FROM tok
+         LEFT JOIN ent USING (doc_id) LEFT JOIN tb USING (doc_id)
+         JOIN dl USING (doc_id) JOIN pr USING (doc_id)),
+       rs AS (
+         SELECT *,
+                list_filter([
+                  CASE WHEN n_tok < 10 THEN 'too_short' END,
+                  CASE WHEN n_tok > 100000 THEN 'too_long' END,
+                  CASE WHEN entropy < 1.5 THEN 'low_entropy' END,
+                  CASE WHEN top_bigram_frac > 0.2 THEN 'repetitive_ngrams' END,
+                  CASE WHEN dup_line_frac > 0.3 THEN 'duplicate_lines' END,
+                  CASE WHEN punct_ratio > 0.25 THEN 'punct_noise' END],
+                  x -> x IS NOT NULL) AS reasons
+         FROM sig)"""
+
   private def extOracleSql: Map[String, String] = Map(
     "x01_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
@@ -848,48 +912,55 @@ object SparkEntry {
       s"""WITH $tokCte,
          $entCte,
          $punctCte,
-         bg AS (
-           SELECT doc_id, len(ts) AS total,
-                  unnest(list_transform(range(1, len(ts)),
-                         i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS b
-           FROM tok WHERE len(ts) >= 2),
-         bc AS (SELECT doc_id, total, MAX(cnt) AS maxc
-                FROM (SELECT doc_id, total, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3)
-                GROUP BY 1, 2),
-         tb AS (SELECT doc_id,
-                       ROUND(LEAST(1.0, CAST(maxc * 2 AS DOUBLE) / total), 4) AS top_bigram_frac
-                FROM bc),
-         dl AS (
-           SELECT doc_id,
-                  CASE WHEN len(lines) > 0 THEN
-                    ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
-                  ELSE 0.0 END AS dup_line_frac
-           FROM (SELECT doc_id,
-                        list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
-                 FROM documents)),
-         sig AS (
-           SELECT tok.doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
-                  COALESCE(ent.entropy, 0.0) AS entropy,
-                  COALESCE(tb.top_bigram_frac, 0.0) AS top_bigram_frac,
-                  dl.dup_line_frac, pr.punct_ratio
-           FROM tok
-           LEFT JOIN ent USING (doc_id) LEFT JOIN tb USING (doc_id)
-           JOIN dl USING (doc_id) JOIN pr USING (doc_id)),
-         rs AS (
-           SELECT *,
-                  list_filter([
-                    CASE WHEN n_tok < 10 THEN 'too_short' END,
-                    CASE WHEN n_tok > 100000 THEN 'too_long' END,
-                    CASE WHEN entropy < 1.5 THEN 'low_entropy' END,
-                    CASE WHEN top_bigram_frac > 0.2 THEN 'repetitive_ngrams' END,
-                    CASE WHEN dup_line_frac > 0.3 THEN 'duplicate_lines' END,
-                    CASE WHEN punct_ratio > 0.25 THEN 'punct_noise' END],
-                    x -> x IS NOT NULL) AS reasons
-           FROM sig)
+         $curationRulesCte
          SELECT doc_id, n_tok, entropy, top_bigram_frac, dup_line_frac,
                 CAST(to_json(reasons) AS VARCHAR) AS drop_reasons,
                 len(reasons) = 0 AS keep
          FROM rs ORDER BY doc_id NULLS FIRST""",
+    // the full training-data pipeline, one oracle: curation keepers →
+    // all-pairs exact-Jaccard near-dup components (restricted to the
+    // keepers) → survivors → hash split → chunk/token budget per split
+    "x25_training_pipeline" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      s"""WITH RECURSIVE $tokCte,
+         $entCte,
+         $punctCte,
+         $curationRulesCte,
+         keepers AS (SELECT doc_id FROM rs WHERE len(reasons) = 0),
+         kd AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+         sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 3),
+                    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+           FROM kd WHERE length(text) >= 5),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM sh a, sh b WHERE a.id < b.id
+             AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         e AS (SELECT id_a AS s, id_b AS r FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s AS id, r FROM e
+           UNION
+           SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
+         comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id),
+         survivors AS (
+           SELECT doc_id FROM kd
+           WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)),
+         fin AS (
+           SELECT $splitExpr AS split, len(ts) AS n,
+                  CASE WHEN len(ts) = 0 THEN 0
+                       WHEN len(ts) <= 80 THEN 1
+                       ELSE 1 + CAST(ceil(CAST(len(ts) - 80 AS DOUBLE) / 60) AS INT)
+                  END AS c
+           FROM survivors JOIN tok USING (doc_id))
+         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(c) AS BIGINT) AS n_chunks,
+                CAST(SUM(n) AS BIGINT) AS n_tokens
+         FROM fin GROUP BY 1 ORDER BY split NULLS FIRST"""
+    },
     // all-pairs exact char-5-gram Jaccard ≥ 0.5 → recursive-CTE
     // connected components → survivors = docs that are not a non-min
     // member of any component (LSH recall at the fixture's j≥0.9 dup
