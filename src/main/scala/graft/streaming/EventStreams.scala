@@ -29,8 +29,9 @@ object EventStreams {
 
   /** ST1: stream ingest over a parquet/json directory. */
   def readStream(spark: SparkSession, dir: String,
-                 format: String = "parquet"): DataFrame =
-    spark.readStream.schema(schema).format(format).load(dir)
+                 format: String = "parquet",
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(schema).format(format).options(options).load(dir)
 
   /** ST2+ST4: tumbling (or sliding) window counts/sums with a
     * watermark for late-data eviction. */

@@ -62,6 +62,41 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach { case (k, n) => assert(batch(k) == n, k) }
   }
 
+  test("ST4: session emission is invariant to micro-batch boundaries") {
+    // stage four time-slice files with strictly increasing
+    // modification times (FileStreamSource orders by mtime, not path)
+    // so the watermark advances monotonically file-to-file and no
+    // event is late by construction — then the emitted session set
+    // must be IDENTICAL whether the source is consumed as one batch
+    // or file-by-file with state carried across micro-batches
+    val dir = Files.createTempDirectory("events_sorted").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    val tsl = ev.select($"ts".cast("long").as("t"))
+      .stat.approxQuantile("t", Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+    val bounds = (Long.MinValue +: tsl.toSeq) :+ Long.MaxValue
+    bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      ev.where($"ts".cast("long") > lo && $"ts".cast("long") <= hi)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes → deterministic file order
+    }
+
+    def run(name: String, opts: Map[String, String]): Map[(Long, java.sql.Timestamp), Long] = {
+      val q = EventStreams.sessionAgg(EventStreams.readStream(spark, dir, options = opts))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.table(name).select("user_id", "session_start", "n_events")
+        .as[(Long, java.sql.Timestamp, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    }
+
+    val oneShot = run("sess_one", Map.empty)
+    val perFile = run("sess_multi", Map("maxFilesPerTrigger" -> "1"))
+    assert(oneShot.nonEmpty)
+    assert(perFile == oneShot)
+  }
+
   test("ST5: flatMapGroupsWithState running totals") {
     import EventStreams._
     val events = Tables.load(spark, sfDir, "events").as[Event]
