@@ -24,14 +24,17 @@ object KeyValue {
 
   /** Insert entities WITHOUT caller-provided keys (≙ `datastore.py:
     * 19-22` auto-ID entity creation: the store allocates the key).
-    * Allocated keys are negative-offset from a content hash plus the
-    * partition-unique row id, so concurrent batches collide with
-    * ~2^-64 probability — the same contract as Datastore's allocated
-    * numeric ids (unique, NOT sequential). */
+    * Allocated keys hash (per-call nonce, content, partition-unique
+    * row id): without the nonce, identical content inserted in two
+    * separate calls at the same row position would collide with
+    * probability 1; with it, cross-call collisions are the hash's
+    * ~2^-64 — numeric, unique-in-expectation, NOT sequential, the
+    * same contract as Datastore's allocated ids. */
   def insertAutoKey(existing: DataFrame, inserts: DataFrame,
                     keyCol: String): DataFrame = {
+    val nonce = java.util.UUID.randomUUID().toString
     val keyed = inserts.withColumn(keyCol,
-      xxhash64(to_json(struct(col("*"))), monotonically_increasing_id()))
+      xxhash64(lit(nonce), to_json(struct(col("*"))), monotonically_increasing_id()))
     existing.unionByName(keyed.select(existing.columns.map(col).toSeq: _*))
   }
 

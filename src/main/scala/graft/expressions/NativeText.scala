@@ -241,6 +241,27 @@ object NativeText {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[chunksEval]] variant that also emits each window's token count
+    * as `struct<chunk string, n_tok bigint>` — the count is known for
+    * free while the window is built, so consumers never re-tokenize
+    * the chunk text to recover it (the x22 hot path). */
+  def chunksWithCountsEval(str: UTF8String, size: Int, step: Int): ArrayData = {
+    val parts = str.toString.split("\\s+").filter(_.nonEmpty)
+    val n = parts.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef]()
+    var start = 0
+    var done = false
+    while (!done) {
+      val end = math.min(start + size, n)
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(parts.slice(start, end).mkString(" ")),
+          (end - start).toLong)))
+      if (end >= n) done = true else start += step
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // --- expressions ---
 
   case class ChunksExpr(child: Expression, size: Int, step: Int)
@@ -258,6 +279,28 @@ object NativeText {
         s"${ev.value} = graft.expressions.NativeText.chunksEval($c, $size, $step);")
 
     override protected def withNewChildInternal(c: Expression): ChunksExpr =
+      copy(child = c)
+  }
+
+  case class ChunksWithCountsExpr(child: Expression, size: Int, step: Int)
+      extends UnaryExpression {
+    require(size > 0 && step > 0 && step <= size,
+      "need 0 < step <= size (step = size - overlap)")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("chunk", StringType, nullable = false),
+        StructField("n_tok", LongType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "chunks_with_counts_native"
+
+    override def nullSafeEval(v: Any): Any =
+      chunksWithCountsEval(v.asInstanceOf[UTF8String], size, step)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.chunksWithCountsEval($c, $size, $step);")
+
+    override protected def withNewChildInternal(c: Expression): ChunksWithCountsExpr =
       copy(child = c)
   }
 
@@ -445,6 +488,9 @@ object NativeText {
 
   def chunks(str: Column, size: Int, step: Int): Column =
     ColumnBridge.column(ChunksExpr(ColumnBridge.expression(str), size, step))
+
+  def chunksWithCounts(str: Column, size: Int, step: Int): Column =
+    ColumnBridge.column(ChunksWithCountsExpr(ColumnBridge.expression(str), size, step))
 
   def wordHits(tokens: Column, words: Seq[String]): Column =
     ColumnBridge.column(WordHitsExpr(ColumnBridge.expression(tokens), words))

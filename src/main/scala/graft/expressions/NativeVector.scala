@@ -46,7 +46,12 @@ object NativeVector {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: a degenerate (all-zero) vector has no direction;
+    // define its similarity as 0.0 rather than NaN. NaN would also rank
+    // inconsistently across ranking paths (Spark's DESC window sorts
+    // NaN first, the TopKAgg tuple Ordering sorts it last).
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Index of the squared-L2-nearest centroid (ties → lowest index). */

@@ -50,15 +50,28 @@ object Ivf {
     try {
       val n = vecs.count() // materializes the cache too
       require(n > 0, "cannot train on an empty corpus")
-      // init: k seeds from a ~50k-vector sample, hash-ordered for
-      // determinism — sorting the SAMPLE, never the corpus
-      val seedFrac = math.min(1.0, (50.0 * k) / n)
-      val seedPool = if (seedFrac < 1.0) vecs.sample(withReplacement = false, seedFrac, 7) else vecs
-      var cents: Array[Array[Double]] = seedPool
+      // init: k DISTINCT seeds from a ~50k-vector sample, hash-ordered
+      // for determinism — sorting the SAMPLE, never the corpus.
+      // distinct() first: duplicate seed vectors would leave their
+      // lists permanently empty (ties in the argmin always resolve to
+      // the lower centroid id).
+      def takeSeeds(pool: DataFrame): Array[Array[Double]] = pool
+        .distinct()
         .orderBy(xxhash64(hash(col("v"))))
         .limit(k)
         .collect()
         .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      val seedFrac = math.min(1.0, (50.0 * k) / n)
+      var cents: Array[Array[Double]] =
+        takeSeeds(if (seedFrac < 1.0) vecs.sample(withReplacement = false, seedFrac, 7) else vecs)
+      // sampling variance (or corpus < k distinct vectors) can
+      // undershoot; retry against the full corpus before accepting a
+      // smaller quantizer, and say so when even that falls short
+      if (cents.length < k && seedFrac < 1.0) cents = takeSeeds(vecs)
+      if (cents.length < k)
+        System.err.println(
+          s"[graft.Ivf] corpus has only ${cents.length} distinct vectors; " +
+            s"training a ${cents.length}-list index instead of the requested $k")
       (0 until iters).foreach { _ =>
         // map-only assignment, then element-wise means: posexplode is
         // map-side, the groupBy partial-aggregates before the shuffle,

@@ -39,6 +39,11 @@ object Sim {
     * the `row_number` window formulation shuffles and sorts every
     * (query × corpus) score. Ordering (sim desc, id asc) is identical,
     * so results match the window/DuckDB oracle exactly.
+    *
+    * Input contract: `vecCol` must be `array<float>` or
+    * `array<double>` (the native cosine reads elements without a
+    * widening cast; integer arrays should be cast via [[asDouble]]
+    * first). Zero-norm vectors score 0.0 (see NativeVector guard).
     */
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -81,10 +86,47 @@ object Sim {
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
                    bands: Int = 6, bitsPerBand: Int = 10,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = bands * bitsPerBand
-    val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   cacheKey: Option[String] = None): DataFrame = {
+    val cached = cacheKey.isDefined
+    val vecs = stagedVecs(df, idCol, vecCol, cacheKey)
+    try {
+      val cand = srpBandCandidates(vecs, bands, bitsPerBand)
+      cand
+        .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.expressions.NativeVector.cosineSim(col("v_a"), col("v_b")), 4).as("sim"))
+        .where(col("sim") >= threshold)
+        // eager: materialize before the staged vectors are released
+        .localCheckpoint()
+    } finally { if (!cached) vecs.unpersist(); () }
+  }
+
+  /** Session-lifetime staged (id, double-vector) tables keyed by a
+    * caller-chosen corpus identity — the same build-artifact pattern
+    * as Dedup.signatureTable and Ivf.indexFor: repeat dedup runs over
+    * an immutable corpus snapshot must not re-stage it. Uncached
+    * callers get a locally persisted frame they must release. */
+  private val vecsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def stagedVecs(df: DataFrame, idCol: String, vecCol: String,
+                         cacheKey: Option[String]): DataFrame = {
+    def build() = fanOut(df)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheKey match {
+      case Some(k) => vecsCache.computeIfAbsent(s"$k|$idCol|$vecCol", _ => {
+        val t = build(); t.count(); t
+      })
+      case None => build()
+    }
+  }
+
+  /** Ids-only SRP-LSH candidate pairs over a staged (id, v) frame:
+    * vectors sharing any signature band. */
+  private def srpBandCandidates(vecs: DataFrame, bands: Int, bitsPerBand: Int): DataFrame = {
+    val planes = bands * bitsPerBand
     val withSig = vecs.withColumn("sig", srpSignature(col("v"), planes))
     val mask = (1L << bitsPerBand) - 1
     // band on ids ONLY (vectors re-joined for verify) — and with
@@ -96,15 +138,28 @@ object Sim {
         shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val cand = banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
+    banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(graft.expressions.NativeVector.cosineSim(col("v_a"), col("v_b")), 4).as("sim"))
-      .where(col("sim") >= threshold)
+  }
+
+  /** Public SRP candidate generation (the band join before cosine
+    * verification) for recall audits: containment of the exact
+    * high-cosine pair set in this candidate set is what the banding
+    * design promises. */
+  def srpCandidates(df: DataFrame, bands: Int = 6, bitsPerBand: Int = 10,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    srpBandCandidates(
+      fanOut(df).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      bands, bitsPerBand)
+
+  /** Same rationale as Dedup.fanOut: a byte-small but compute-heavy
+    * vector table (one parquet row group) otherwise runs the
+    * projection/signature work on one core. No-op once the scan
+    * yields enough splits (the at-scale case). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

@@ -40,6 +40,15 @@ object Text {
     graft.expressions.NativeText.chunks(c, size, size - overlap)
   }
 
+  /** [[chunks]] plus each window's token count, as
+    * `array<struct<chunk string, n_tok bigint>>` — counts come from
+    * the window construction itself, so downstream never re-tokenizes
+    * the chunk text. */
+  def chunksWithCounts(c: Column, size: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    graft.expressions.NativeText.chunksWithCounts(c, size, size - overlap)
+  }
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(c: Column): Column = {
     val len = length(c).cast("double")

@@ -33,11 +33,14 @@ object Curation {
       .otherwise(lit(0.0))
   }
 
-  /** Annotate with signals, failed-rule list, and a keep flag. */
+  /** Annotate with signals, failed-rule list, and a keep flag.
+    * (Dedup.fanOut first: signal math is CPU-bound per document, and a
+    * one-row-group fixture scan would otherwise run it on one core —
+    * no-op at scale where the scan supplies the parallelism.) */
   def annotate(df: DataFrame, textCol: String = "text",
                t: Thresholds = Thresholds()): DataFrame = {
     val ts = Text.tokens(col(textCol))
-    val annotated = df
+    val annotated = Dedup.fanOut(df)
       .withColumn("n_tok", size(ts).cast("long"))
       .withColumn("entropy", Text.charEntropy(col(textCol)))
       .withColumn("top_bigram_frac",

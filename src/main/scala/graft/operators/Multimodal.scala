@@ -88,17 +88,25 @@ object Multimodal {
       .withColumnRenamed("col", "frame_idx")
 
   /** "Resize": recompute header dims scaled by `factor` (stub for a
-    * real pixel transform; demonstrates binary-in/binary-out). */
+    * real pixel transform; demonstrates binary-in/binary-out). Same
+    * iterator-to-iterator codec-boundary shape as [[decodeFeatures]] —
+    * per-record, partition-local, constant memory, no closure UDF. */
   def resize(assets: DataFrame, factor: Double): DataFrame = {
-    val resizeUdf = udf { bytes: Array[Byte] =>
-      if (bytes == null || bytes.length < 6) bytes
-      else {
-        val (w, h, f) = StubCodec.decodeHeader(bytes)
-        StubCodec.encodeHeader((w * factor).toInt, (h * factor).toInt, f,
-          bytes.drop(6))
-      }
-    }
-    assets.withColumn("bytes", resizeUdf(col("bytes")))
+    val spark = assets.sparkSession
+    val schema = assets.schema
+    val idx = schema.fieldIndex("bytes")
+    val rdd = assets.rdd.mapPartitions(_.map { r =>
+      val bytes = r.getAs[Array[Byte]](idx)
+      val out =
+        if (bytes == null || bytes.length < 6) bytes
+        else {
+          val (w, h, f) = StubCodec.decodeHeader(bytes)
+          StubCodec.encodeHeader((w * factor).toInt, (h * factor).toInt, f,
+            bytes.drop(6))
+        }
+      Row.fromSeq(r.toSeq.updated(idx, out))
+    })
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Synthesize a deterministic asset table for tests/demos. */

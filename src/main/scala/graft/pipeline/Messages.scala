@@ -34,13 +34,20 @@ object Messages {
   }
 
   /** Publish to a topic directory as JSON lines (S10 message sink).
-    * Every message carries a content+position id so subscriptions can
-    * track delivery state. */
-  def publish(ds: Dataset[TransferRequest], topicDir: String): Unit =
+    * Every message carries a unique id so subscriptions can track
+    * delivery state. The id is a per-publish nonce plus the
+    * partition-unique row id: a content hash alone would collide when
+    * the same payload is re-published in a later batch at the same row
+    * position, and the collision would make pull() drop the second
+    * copy once the first is acked — silent loss under the documented
+    * at-least-once contract. */
+  def publish(ds: Dataset[TransferRequest], topicDir: String): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString
     encode(ds)
       .withColumn("msg_id",
-        concat_ws("-", xxhash64(col("payload")), monotonically_increasing_id()))
+        concat_ws("-", lit(nonce), monotonically_increasing_id()))
       .write.mode("append").json(topicDir)
+  }
 
   /** Batch-replay a topic directory (firehose read, no delivery
     * state). */

@@ -80,6 +80,28 @@ class FjcPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("DECIMAL(18,2) half-up cent cast: floor(v*100+0.5)/100 lands on the exact cent") {
+    // The q19 gate column now ships as DOUBLE (driver-canonicalization
+    // parity); the DECIMAL(18,2) money-cast semantics are pinned HERE:
+    // the explicit half-up formula must survive the decimal cast on
+    // adversarial inputs, including x.xx499… and halfway cents where a
+    // raw double→decimal cast rounds differently per engine.
+    import org.apache.spark.sql.functions.{col, expr, floor, lit}
+    import org.apache.spark.sql.types.DecimalType
+    val vals = Seq(1.005, 2.675, 0.014999999, 12.345, -0.0, 99.994999, 7.0)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("v")
+      .select(col("v"),
+        (floor(col("v") * 100 + lit(0.5)) / 100).cast(DecimalType(18, 2)).as("cents"))
+    val got = df.collect().map(r => r.getDecimal(1).toPlainString).toSeq
+    // reference: BigDecimal of floor(v*100+0.5)/100 at scale 2
+    val want = vals.map { v =>
+      java.math.BigDecimal.valueOf(math.floor(v * 100 + 0.5) / 100)
+        .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+    }
+    assert(got == want)
+    assert(df.schema("cents").dataType == DecimalType(18, 2))
+  }
+
   test("runAll writes raw/quality/trusted/15 dims as parquet") {
     val out = Files.createTempDirectory("fjc_wh").toString
     FjcPipeline.runAll(spark, fixturePath, out, parallelism = 5)
