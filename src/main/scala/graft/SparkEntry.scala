@@ -343,7 +343,9 @@ object SparkEntry {
           to_date(date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy").as("d"))
         .orderBy(asc_nulls_first("o_orderkey"))),
 
-    // Q23 [J5,J6] range join: lineitems shipped within 30 days of order
+    // Q23 [J5,J6] range join: lineitems shipped within 30 days of
+    // order. Equi-anchored on the order key with the range conditions
+    // as join residuals (never a BNLJ); fact-fact, so no broadcast.
     "q23_range_join" -> ((s, d) => {
       val o = t(s, d, "orders")
       val li = t(s, d, "lineitem")
@@ -436,7 +438,9 @@ object SparkEntry {
           regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
         .orderBy(asc_nulls_first("p_partkey"))),
 
-    // Q16b date arithmetic: diffs, shifts, truncation
+    // Q16b date arithmetic: diffs, shifts, truncation. Fact-fact join
+    // (orders is NOT broadcastable at scale): shuffle-hash/SMJ on the
+    // order key, AQE picks the strategy.
     "q16b_date_arith" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(t(s, d, "orders"),
