@@ -82,4 +82,12 @@ class CatalogSpec extends AnyFunSuite {
     assert(after.where($"key" === 1L).select("val").as[String].head() == "a")
     assert(after.where($"val" === "x").count() == 2)
   }
+
+  test("KeyValue insertAutoKey: identical content across separate calls gets distinct keys") {
+    val existing = Seq.empty[(Long, String)].toDF("key", "val")
+    val once = KeyValue.insertAutoKey(existing, Seq("same").toDF("val"), "key")
+    val twice = KeyValue.insertAutoKey(once, Seq("same").toDF("val"), "key")
+    assert(twice.count() == 2)
+    assert(twice.select("key").distinct().count() == 2) // per-call nonce, no positional collision
+  }
 }

@@ -155,4 +155,47 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
     assert(got.forall(truth.contains), "no false positives at 0.98")
   }
+
+  test("lshHybridPairs matches lshExactPairs including near-threshold pairs") {
+    val common = "shared middle segment with plenty of overlapping text content " +
+      "that keeps the five gram sets partially aligned between the documents"
+    val corpus = Seq(
+      (0L, loremA), (1L, loremA2), (2L, loremB), (3L, loremA), // clear dups + unrelated
+      (4L, "unique prefix alpha beta gamma " + common),        // borderline pair vs 5
+      (5L, common + " unique suffix delta epsilon zeta"),
+      (6L, "completely different content about distributed query engines and columnar storage")
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = ids(Dedup.lshExactPairs(corpus, threshold = 0.5))
+    // default margin: estimator for clear pairs, exact re-join near 0.5
+    assert(ids(Dedup.lshHybridPairs(corpus, threshold = 0.5)) == exact)
+    // degenerate margins: all-exact (margin 1) and all-estimator (margin 0)
+    // must also agree on this corpus (clear pairs are clear by construction)
+    assert(ids(Dedup.lshHybridPairs(corpus, threshold = 0.5, margin = 1.0)) == exact)
+  }
+
+  test("signatureTable: same cache key returns the same staged artifact") {
+    val a = Dedup.signatureTable(docs, numHashes = 128, shingleSize = 5,
+      cacheKey = Some("spec-sig-key"))
+    val b = Dedup.signatureTable(docs, numHashes = 128, shingleSize = 5,
+      cacheKey = Some("spec-sig-key"))
+    assert(a eq b) // staged once, reused — the build-artifact contract
+  }
+
+  test("cosine similarity of a zero-norm vector is 0.0, never NaN") {
+    val r = Seq((Seq(0f, 0f, 0f), Seq(1f, 2f, 3f))).toDF("a", "b")
+      .select(graft.expressions.NativeVector.cosineSim($"a", $"b").as("c"))
+      .as[Double].head()
+    assert(r == 0.0)
+  }
+
+  test("Ivf.train survives a corpus with fewer distinct vectors than k") {
+    val vecs = Seq.fill(5)(Seq(1f, 0f)) ++ Seq.fill(4)(Seq(0f, 1f)) ++
+      Seq.fill(3)(Seq(1f, 1f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val idx = graft.functions.Ivf.train(df, k = 8, iters = 1)
+    assert(idx.numLists == 3) // 3 distinct vectors -> 3 lists, no dup seeds
+  }
 }

@@ -91,4 +91,18 @@ class MiscSpec extends AnyFunSuite {
       .select("asset_id", "width").as[(Long, Int)].collect().toMap
     before.foreach { case (id, w) => assert(resized(id) == w / 2) }
   }
+
+  test("Messages: re-publishing identical payloads yields fresh ids (no silent loss)") {
+    val req = Seq(Messages.TransferRequest("sftp://a/1", "gs://b/1",
+      remove_file = false, "2024-01-01")).toDS()
+    val topic = Files.createTempDirectory("topic_repub").toString
+    Messages.publish(req, topic)
+    val first = Messages.pull(spark, topic, "w").cache()
+    assert(first.count() == 1)
+    Messages.ack(first, topic, "w")
+    // same content published again: a content-hash id would collide with
+    // the acked copy and vanish from pull() — the nonce id must not
+    Messages.publish(req, topic)
+    assert(Messages.pull(spark, topic, "w").count() == 1)
+  }
 }

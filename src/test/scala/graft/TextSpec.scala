@@ -144,4 +144,22 @@ class TextSpec extends AnyFunSuite {
       "call <PHONE> or <PHONE>; v1.2 unchanged, pi 3.14")
     assert((r._2, r._3, r._4) == ((1, 1, 2)))
   }
+
+  test("chunksWithCounts: chunk text parity with chunks(); counts need no re-tokenize") {
+    val doc = (1 to 203).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(doc).toDF("t")
+      .select(org.apache.spark.sql.functions.explode(
+        Text.chunksWithCounts($"t", 80, 20)).as("c"))
+      .select($"c.chunk", $"c.n_tok").as[(String, Long)].collect().toSeq
+    val plain = Seq(doc).toDF("t")
+      .select(Text.chunks($"t", 80, 20)).as[Seq[String]].head()
+    assert(rows.map(_._1) == plain)
+    rows.foreach { case (c, n) => assert(n == c.split(" ").length.toLong) }
+    // 203 tokens, size 80 step 60 -> windows 80/80/80 tail 23
+    assert(rows.map(_._2) == Seq(80L, 80L, 80L, 23L))
+    // empty doc -> empty array
+    assert(Seq("  ").toDF("t")
+      .select(org.apache.spark.sql.functions.size(
+        Text.chunksWithCounts($"t", 80, 20)).as("n")).as[Int].head() == 0)
+  }
 }
