@@ -129,6 +129,25 @@ object NativeText {
     round4(h)
   }
 
+  /** Duplicate-line fraction: 1 − distinct/total over non-blank lines
+    * (blank = whitespace-only; distinctness is on the UNtrimmed line,
+    * matching the HOF chain and the DuckDB oracle it replaces). One
+    * pass, one hash set — the split/filter/array_distinct HOF chain
+    * is CodegenFallback and was the last interpreted stage in the
+    * curation projection. */
+  def dupLineFracEval(str: UTF8String): Double = {
+    val lines = str.toString.split("\n", -1)
+    val seen = new java.util.HashSet[String]()
+    var total = 0
+    var i = 0
+    while (i < lines.length) {
+      if (!lines(i).trim.isEmpty) { total += 1; seen.add(lines(i)) }
+      i += 1
+    }
+    if (total == 0) 0.0
+    else round4(1.0 - seen.size.toDouble / total)
+  }
+
   /** Fraction of the token stream covered by the single most frequent
     * n-gram (the Gopher-rules repetition signal): maxCount·n / total.
     * ~1.0 for looping text, small for natural prose. */
@@ -279,6 +298,21 @@ object NativeText {
         s"${ev.value} = graft.expressions.NativeText.chunksEval($c, $size, $step);")
 
     override protected def withNewChildInternal(c: Expression): ChunksExpr =
+      copy(child = c)
+  }
+
+  case class DupLineFracExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dup_line_frac_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Double.valueOf(dupLineFracEval(v.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.dupLineFracEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): DupLineFracExpr =
       copy(child = c)
   }
 
@@ -488,6 +522,9 @@ object NativeText {
 
   def chunks(str: Column, size: Int, step: Int): Column =
     ColumnBridge.column(ChunksExpr(ColumnBridge.expression(str), size, step))
+
+  def dupLineFrac(str: Column): Column =
+    ColumnBridge.column(DupLineFracExpr(ColumnBridge.expression(str)))
 
   def chunksWithCounts(str: Column, size: Int, step: Int): Column =
     ColumnBridge.column(ChunksWithCountsExpr(ColumnBridge.expression(str), size, step))

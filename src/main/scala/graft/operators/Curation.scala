@@ -24,14 +24,12 @@ object Curation {
       maxDupLineFrac: Double = 0.3,
       maxPunctRatio: Double = 0.25)
 
-  /** Fraction of duplicate lines (1 - distinct/total). */
-  def dupLineFrac(c: Column): Column = {
-    val lines = filter(split(c, "\n"), l => trim(l) =!= lit(""))
-    val total = size(lines).cast("double")
-    when(total > 0,
-      round(lit(1.0) - size(array_distinct(lines)).cast("double") / total, 4))
-      .otherwise(lit(0.0))
-  }
+  /** Fraction of duplicate lines (1 - distinct/total) over non-blank
+    * lines — native single-pass expression (the split/filter/
+    * array_distinct HOF chain is CodegenFallback and was the last
+    * interpreted stage in this projection). */
+  def dupLineFrac(c: Column): Column =
+    graft.expressions.NativeText.dupLineFrac(c)
 
   /** Annotate with signals, failed-rule list, and a keep flag.
     * (Dedup.fanOut first: signal math is CPU-bound per document, and a

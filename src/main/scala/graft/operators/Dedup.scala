@@ -25,7 +25,7 @@ object Dedup {
     * yields enough splits — the 100 TB case, where this repartition
     * would be a harmful corpus shuffle; here it moves only the
     * kilobyte-scale text once to unlock every core. */
-  private[operators] def fanOut(df: DataFrame): DataFrame = {
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

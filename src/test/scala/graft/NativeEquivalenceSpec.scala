@@ -87,4 +87,25 @@ class NativeEquivalenceSpec extends AnyFunSuite {
         size(filter($"ts", t => t.isin(words.map(lit): _*))).cast("long").as("hof"))
     assert(df.where($"native" =!= $"hof").count() == 0)
   }
+
+  test("dupLineFrac equals the HOF split/filter/array_distinct formulation") {
+    def hof(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val lines = filter(split(c, "\n"), l => trim(l) =!= lit(""))
+      val total = size(lines).cast("double")
+      when(total > 0,
+        round(lit(1.0) - size(array_distinct(lines)).cast("double") / total, 4))
+        .otherwise(lit(0.0))
+    }
+    val docs = (0 until 200).map { _ =>
+      val pool = Seq.fill(1 + rnd.nextInt(5))(randToken)
+      (0 until rnd.nextInt(20)).map { _ =>
+        if (rnd.nextInt(4) == 0) "   " else pool(rnd.nextInt(pool.length))
+      }.mkString("\n")
+    } :+ "" :+ "\n\n" :+ "a\na\na"
+    val df = docs.toDF("t")
+      .select(
+        graft.expressions.NativeText.dupLineFrac($"t").as("native"),
+        hof($"t").as("builtin"))
+    assert(df.where($"native" =!= $"builtin").count() == 0)
+  }
 }

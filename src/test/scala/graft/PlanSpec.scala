@@ -84,4 +84,34 @@ class PlanSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
       s"projection not codegen'd:\n$plan")
   }
+
+  test("curation signals are fully native: single WSCG stage, no CodegenFallback HOFs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val annotated = graft.operators.Curation.annotate(docs)
+      .select("doc_id", "n_tok", "entropy", "top_bigram_frac", "dup_line_frac")
+    // collect() finalizes THIS frame's AQE plan (the fan-out exchange
+    // makes it adaptive; a noop write would execute a separate QE)
+    annotated.collect()
+    val plan = annotated.queryExecution.executedPlan.toString
+    assert(plan.contains("dup_line_frac_native"), plan)
+    assert(plan.contains("char_entropy_native"), plan)
+    // the signal projection must live inside whole-stage codegen
+    assert("\\*\\(\\d+\\) Project".r.findAllIn(plan).nonEmpty,
+      s"curation projection not in WSCG:\n$plan")
+  }
+
+  test("chunking emits struct<chunk,n_tok> natively — no re-tokenize of chunk text") {
+    val plan = executedPlan(SparkEntry.queries("x22_chunking")(spark, sfDir))
+    assert(plan.contains("chunks_with_counts_native"), plan)
+    assert(!plan.contains("split("), s"chunk text must not be re-split for counts:\n$plan")
+  }
+
+  test("fanOut is identity when the input already has enough partitions") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert(graft.operators.Dedup.fanOut(wide) eq wide)
+    // and fires (adds partitions) on a one-split scan
+    assert(graft.operators.Dedup.fanOut(docs).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
 }
