@@ -679,6 +679,29 @@ object SparkEntry {
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))
     }),
 
+    // X28 [ST5+] STREAMING DEDUP through the gate: first-occurrence
+    // key dedup over the event stream — the streaming form of exact
+    // dedup for incremental corpus ingestion (state = the distinct
+    // key set, exactly what the batch operator would shuffle; grows
+    // with key cardinality, not stream length). The emitted set is
+    // deterministic regardless of arrival order, so the batch
+    // DISTINCT oracle applies.
+    "x28_stream_dedup" -> ((s, d) => {
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, 8) {
+        val dedup = s.readStream.schema(graft.streaming.EventStreams.schema)
+          .parquet(staged)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+        val q = dedup.writeStream.outputMode("append").format("memory")
+          .queryName("x28_out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      s.table("x28_out")
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
+    }),
+
     // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=4) —
     // rows-only (approx; recall vs brute force asserted in ScalaTest).
     // Both index halves are cached per dataset dir as build artifacts:
@@ -1205,6 +1228,9 @@ object SparkEntry {
          WHERE session_last + INTERVAL 10 MINUTE <
                (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
          ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""",
+    "x28_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",
     "x13_stream_hourly" ->
       """SELECT DATE_TRUNC('HOUR', ts) AS h, event_type,
          CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -211,6 +211,38 @@ object NativeSignatures {
       copy(child = c)
   }
 
+  /** Count of positionally-equal components of two long-array
+    * signatures (the MinHash Jaccard estimator's numerator). One
+    * primitive pass; the zip_with+aggregate HOF chain it replaces is
+    * CodegenFallback and allocates per candidate pair. */
+  def sigAgreeEval(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  case class SigAgreeExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sig_agree_native"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(
+        sigAgreeEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.NativeSignatures.sigAgreeEval($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeExpr =
+      copy(left = l, right = r)
+  }
+
   // Column-level entry points
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
@@ -224,4 +256,8 @@ object NativeSignatures {
 
   def srpSignature(vec: Column, planes: Int): Column =
     ColumnBridge.column(SrpSigExpr(ColumnBridge.expression(vec), planes))
+
+  def sigAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SigAgreeExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -116,13 +116,12 @@ object Dedup {
       else sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cand = bandCandidates(sig, bands, rowsPerBand)
-      val est = zip_with(col("sig_a"), col("sig_b"),
-        (a, b) => when(a === b, 1).otherwise(0))
       cand
         .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
         .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(aggregate(est, lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4)
+          round(graft.expressions.NativeSignatures.sigAgree(col("sig_a"), col("sig_b"))
+            .cast("double") / numHashes, 4)
             .as("jaccard"))
         .where(col("jaccard") >= threshold)
         // eager: materialize before the staged signatures are released
@@ -212,13 +211,12 @@ object Dedup {
     val sig = if (cached) sig0
       else sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val agree = zip_with(col("sig_a"), col("sig_b"),
-        (a, b) => when(a === b, 1).otherwise(0))
       val scored = bandCandidates(sig, bands, rowsPerBand)
         .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
         .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          (aggregate(agree, lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+          (graft.expressions.NativeSignatures.sigAgree(col("sig_a"), col("sig_b"))
+            .cast("double") / numHashes)
             .as("est"))
         // eager: both branches below read this (ids+estimate only,
         // candidates ≪ corpus)
