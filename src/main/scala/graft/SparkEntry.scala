@@ -803,6 +803,37 @@ object SparkEntry {
             .agg(count(lit(1)).cast(LongType).as("missed_pairs")))
     }),
 
+    // X29 [skew] two-phase salted aggregation through the gate: the
+    // hot-key mitigation (group on (key, salt) first, re-aggregate on
+    // the key) must be result-invariant to salting — pinned against
+    // the plain GROUP BY oracle.
+    "x29_salted_agg" -> ((s, d) =>
+      graft.operators.SkewJoin.saltedSumAgg(t(s, d, "events"), "user_id",
+        salts = 8, Seq("value"))
+        .select(col("user_id"), col("cnt").cast(LongType).as("cnt"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(asc_nulls_first("user_id"))),
+
+    // X30 [storage scale] symmetric int8 embedding quantization:
+    // codes = floor(x/scale + 0.5) with scale = max|x|/127 (4-8×
+    // storage reduction for ANN corpora). The gate checks per-vector
+    // scale and the max reconstruction error — which the design bounds
+    // by scale/2 — against an oracle replaying the same arithmetic.
+    "x30_quantize" -> ((s, d) => {
+      val e = Sim.asDouble(col("embedding"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), e.as("e"))
+        .withColumn("sc", Sim.quantScale(col("e")))
+        .withColumn("qv", Sim.quantize(col("e"), col("sc")))
+        .select(col("vec_id"),
+          round(col("sc"), 6).as("scale"),
+          round(aggregate(
+            zip_with(col("e"), Sim.dequantize(col("qv"), col("sc")),
+              (a, r) => abs(a - r)),
+            lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_err"))
+        .orderBy(asc_nulls_first("vec_id"))
+    }),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -1231,6 +1262,23 @@ object SparkEntry {
     "x28_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",
+    "x29_salted_agg" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    "x30_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         s AS (SELECT vec_id, e,
+                      list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+               FROM v),
+         q AS (SELECT vec_id, e, sc,
+                      list_transform(e, x -> CASE WHEN sc > 0
+                        THEN floor(x / sc + 0.5) ELSE 0.0 END) AS qv
+               FROM s)
+         SELECT vec_id, ROUND(sc, 6) AS scale,
+                ROUND(list_max(list_transform(range(1, len(e) + 1),
+                  i -> abs(e[CAST(i AS INT)] - qv[CAST(i AS INT)] * sc))), 6) AS max_err
+         FROM q ORDER BY vec_id NULLS FIRST""",
     "x13_stream_hourly" ->
       """SELECT DATE_TRUNC('HOUR', ts) AS h, event_type,
          CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v

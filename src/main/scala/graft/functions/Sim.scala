@@ -68,6 +68,24 @@ object Sim {
         col("col.score").as(scoreCol), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Symmetric per-vector int8 quantization scale: max|x| / 127.
+    * Quantized embeddings cost 1 byte/dim instead of 4-8 — at 100 TB
+    * of vectors that is the difference between an ANN index that fits
+    * the cluster and one that doesn't. Half-up rounding is spelled out
+    * as floor(x/s + 0.5) so the codes are engine-exact (the q19
+    * pattern); reconstruction error is bounded by scale/2 per element.
+    */
+  def quantScale(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+
+  /** Quantize to integer codes in [-127, 127] (0 for zero vectors). */
+  def quantize(v: Column, scale: Column): Column =
+    transform(v, x => when(scale > 0, floor(x / scale + 0.5)).otherwise(lit(0.0)))
+
+  /** Reconstruct approximate doubles from codes. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x * scale)
+
   /** Signed-random-projection signature: `planes` pseudo-random
     * hyperplanes with deterministic SplitMix64-derived coefficients in
     * [-1, 1); bit p = sign of the projection. Similar vectors agree on
