@@ -834,6 +834,33 @@ object SparkEntry {
         .orderBy(asc_nulls_first("vec_id"))
     }),
 
+    // X31 PII scrubbing through the gate: the fixture corpus has no
+    // PII, so the gate synthesizes deterministic PII-bearing text by
+    // pure arithmetic on the row index (the x17 pattern) and checks
+    // the scrubbed output plus per-kind counts. The regex constants
+    // are RE2-portable and shared verbatim with the oracle SQL —
+    // single source of truth, engine-identical matches.
+    "x31_pii_scrub" -> ((s, d) => {
+      val raw = concat(
+        lit("user"), col("i"), lit(" wrote from 10.0."),
+        (col("i") % 256).cast(StringType), lit("."),
+        ((col("i") * 7) % 256).cast(StringType),
+        lit(" contact user"), col("i"),
+        lit("@example.com or call 555-123-"),
+        lpad(((col("i") * 37) % 10000).cast(StringType), 4, "0"),
+        lit(" about the weather"))
+      s.range(50).select(col("id").as("i"))
+        .select(col("i"), raw.as("raw"))
+        .select(col("i"),
+          Text.scrubPii(col("raw")).as("clean"),
+          Text.piiCounts(col("raw")).as("pc"))
+        .select(col("i"), col("clean"),
+          col("pc.emails").cast(LongType).as("emails"),
+          col("pc.ips").cast(LongType).as("ips"),
+          col("pc.phones").cast(LongType).as("phones"))
+        .orderBy(asc_nulls_first("i"))
+    }),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -1262,6 +1289,29 @@ object SparkEntry {
     "x28_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",
+    "x31_pii_scrub" -> {
+      val em = graft.functions.Text.emailRe
+      val ip = graft.functions.Text.ipv4Re
+      val ph = graft.functions.Text.phoneRe
+      s"""WITH g AS (SELECT unnest(range(50)) AS i),
+         r AS (SELECT i,
+                 'user' || i || ' wrote from 10.0.' || (i % 256) || '.' ||
+                 ((i * 7) % 256) || ' contact user' || i ||
+                 '@example.com or call 555-123-' ||
+                 lpad(CAST((i * 37) % 10000 AS VARCHAR), 4, '0') ||
+                 ' about the weather' AS raw
+               FROM g)
+         SELECT i,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+             AS clean,
+           CAST(len(regexp_extract_all(raw, '$em')) AS BIGINT) AS emails,
+           CAST(len(regexp_extract_all(regexp_replace(raw, '$em', '', 'g'),
+             '$ip')) AS BIGINT) AS ips,
+           CAST(len(regexp_extract_all(regexp_replace(regexp_replace(raw,
+             '$em', '', 'g'), '$ip', '', 'g'), '$ph')) AS BIGINT) AS phones
+         FROM r ORDER BY i NULLS FIRST"""
+    },
     "x29_salted_agg" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
          ROUND(SUM(value), 2) AS sum_value
