@@ -198,4 +198,35 @@ class DedupSimSpec extends AnyFunSuite {
     val idx = graft.functions.Ivf.train(df, k = 8, iters = 1)
     assert(idx.numLists == 3) // 3 distinct vectors -> 3 lists, no dup seeds
   }
+
+  test("int8-quantized kNN preserves neighbor ranking (recall vs exact)") {
+    // clustered corpus: each query's true neighbors are its
+    // cluster-mates at cosine ~0.999, far above the ~0 background —
+    // the regime where ANN/quantization recall is meaningful (random
+    // gaussian corpora have near-tied rankings where any epsilon
+    // reorders neighbors)
+    val rnd2 = new scala.util.Random(11)
+    val vecs = (0 until 15).flatMap { c =>
+      val base = Array.fill(32)(rnd2.nextGaussian())
+      (0 until 4).map { i =>
+        ((c * 4 + i).toLong,
+          base.map(x => (x + 0.01 * rnd2.nextGaussian()).toFloat).toSeq)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val deq = df.select($"vec_id", Sim.asDouble($"embedding").as("e"))
+      .withColumn("sc", Sim.quantScale($"e"))
+      .select($"vec_id", Sim.dequantize(Sim.quantize($"e", $"sc"), $"sc").as("embedding"))
+    def topk(corpus: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      Sim.knnBrute(corpus.where($"vec_id" < 5), corpus, k = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(df)
+    val quant = topk(deq)
+    // keys is a Set — map through an iterator so equal per-query
+    // overlaps don't collapse before averaging
+    val overlap = exact.keys.iterator.map(q =>
+      (exact(q) & quant(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(overlap >= 0.85, s"quantized recall $overlap")
+  }
 }

@@ -117,4 +117,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() ==
       Tables.load(spark, sfDir, "events").count())
   }
+
+  test("ST5+: dropDuplicatesWithinWatermark dedups within the delay; state expires after") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("dedup_stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val slices = Seq(
+      Seq((1L, ts(0)), (2L, ts(0))), // first occurrences
+      Seq((1L, ts(1))),              // dup of key 1 inside the 10-min window -> dropped
+      Seq((3L, ts(60))),             // advances the watermark far past key 1's expiry
+      Seq((1L, ts(61))))             // key 1 re-arrival after expiry -> re-emitted
+    slices.foreach { rows =>
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    }
+    val schema = new StructType().add("user_id", LongType).add("ts", TimestampType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dedup_wm")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    val byKey = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byKey(2L) == 1 && byKey(3L) == 1)
+    // the API's guarantee is one-sided: duplicates WITHIN the delay
+    // are dropped; re-arrivals beyond it may or may not be (state is
+    // evicted lazily). Assert exactly the contract:
+    assert(got.contains((1L, ts(0))), s"first occurrence must emit: $got")
+    assert(!got.contains((1L, ts(1))), s"within-delay dup must drop: $got")
+    assert(byKey(1L) <= 2)
+  }
 }
