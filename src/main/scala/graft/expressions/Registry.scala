@@ -68,6 +68,24 @@ object Registry {
       (es: Seq[Expression]) => NativeText.ChunksExpr(es.head,
         intArg(es(1), "graft_chunks"), intArg(es(2), "graft_chunks")),
       "graft_chunks(str, size, step) - overlapping token-window chunks"),
+    ("graft_dup_line_frac",
+      (es: Seq[Expression]) => NativeText.DupLineFracExpr(es.head),
+      "graft_dup_line_frac(str) - duplicate-line fraction over non-blank lines"),
+    ("graft_sig_agree",
+      (es: Seq[Expression]) => NativeSignatures.SigAgreeExpr(es.head, es(1)),
+      "graft_sig_agree(a, b) - count of agreeing signature components"),
+    ("graft_chunks_with_counts",
+      (es: Seq[Expression]) => NativeText.ChunksWithCountsExpr(es.head,
+        intArg(es(1), "graft_chunks_with_counts"),
+        intArg(es(2), "graft_chunks_with_counts")),
+      "graft_chunks_with_counts(str, size, step) - chunks with per-window token counts"),
+    ("graft_subword_count",
+      (es: Seq[Expression]) => NativeText.SubwordCountExpr(es.head),
+      "graft_subword_count(tokens) - BPE-ish subword count"),
+    ("graft_top_ngram_frac",
+      (es: Seq[Expression]) => NativeText.TopNgramFracExpr(es.head,
+        intArg(es(1), "graft_top_ngram_frac")),
+      "graft_top_ngram_frac(tokens, n) - share of the most frequent n-gram"),
     ("graft_json_long",
       (es: Seq[Expression]) => es(1) match {
         case Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>
