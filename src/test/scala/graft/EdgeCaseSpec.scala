@@ -90,4 +90,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     eng.kvUpsert("fresh_kind", Seq((1L, "v")).toDF("key", "value"), "key")
     assert(eng.kvQuery("fresh_kind").count() == 1)
   }
+
+  test("round-3 native expressions are null-safe and handle degenerate inputs") {
+    import graft.expressions.{NativeSignatures, NativeText}
+    val row = Seq((Option.empty[String], Option.empty[Seq[Long]], Seq(1L, 2L)))
+      .toDF("t", "sig_null", "sig")
+      .select(
+        NativeText.dupLineFrac($"t").as("dlf"),
+        NativeText.chunksWithCounts($"t", 80, 60).as("cwc"),
+        NativeSignatures.sigAgree($"sig_null", $"sig").as("agree"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+    // degenerate non-null shapes: sigAgree over empty arrays
+    val vals2 = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("sig_a", "sig_b")
+      .select(NativeSignatures.sigAgree($"sig_a", $"sig_b").as("zero")).head()
+    assert(vals2.getLong(0) == 0L)
+    val r2 = Seq(("", "\n\n  \n")).toDF("empty", "blanks")
+      .select(
+        NativeText.dupLineFrac($"empty").as("e"),
+        NativeText.dupLineFrac($"blanks").as("b"),
+        org.apache.spark.sql.functions.size(
+          NativeText.chunksWithCounts($"empty", 80, 60)).as("n")).head()
+    assert(r2.getDouble(0) == 0.0) // no lines -> 0
+    assert(r2.getDouble(1) == 0.0) // whitespace-only lines -> 0
+    assert(r2.getInt(2) == 0)      // empty doc -> no chunks
+  }
 }
