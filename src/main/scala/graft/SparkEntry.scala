@@ -702,6 +702,29 @@ object SparkEntry {
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
     }),
 
+    // X32 [ST+] stream-static enrichment join: the event stream joins
+    // a broadcast static dimension mid-stream (the standard streaming
+    // enrichment shape — dim lookup per micro-batch, no stream-side
+    // state), then aggregates per dimension label in complete mode.
+    // Oracle = the identical batch join+aggregate.
+    "x32_stream_enrich" -> ((s, d) => {
+      val staged = stageEvents(s, d)
+      val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      withStreamPartitions(s, 8) {
+        val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
+          .parquet(staged)
+          .withColumn("nk", col("user_id") % 25)
+          .join(broadcast(nation), col("nk") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName("x32_out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      s.table("x32_out").orderBy(asc_nulls_first("n_name"))
+    }),
+
     // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=4) —
     // rows-only (approx; recall vs brute force asserted in ScalaTest).
     // Both index halves are cached per dataset dir as build artifacts:
@@ -1289,6 +1312,10 @@ object SparkEntry {
     "x28_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",
+    "x32_stream_enrich" ->
+      """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(e.value), 2) AS v
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name NULLS FIRST""",
     "x31_pii_scrub" -> {
       val em = graft.functions.Text.emailRe
       val ip = graft.functions.Text.ipv4Re
