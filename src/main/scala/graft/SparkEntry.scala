@@ -45,9 +45,11 @@ object SparkEntry {
     * not per-query work. */
   private val ivfListsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stageIvfLists(s: SparkSession, d: String,
+  private def stageIvfLists(s: SparkSession, d: String, indexKey: String,
                             idx: graft.functions.IvfIndex): String =
-    ivfListsCache.computeIfAbsent(d, _ => {
+    // keyed by the SAME identity as the quantizer cache — lists are
+    // only valid for the quantizer that assigned them
+    ivfListsCache.computeIfAbsent(indexKey, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_lists").toString
       Ivf.writeLists(t(s, d, "embeddings"), idx, p)
       p
@@ -734,7 +736,7 @@ object SparkEntry {
     "x14_ivf_knn" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = Ivf.indexFor(s"ivf16:$d", emb, k = 16, iters = 3)
-      val lists = stageIvfLists(s, d, idx)
+      val lists = stageIvfLists(s, d, s"ivf16:$d", idx)
       Ivf.searchIndexed(emb.where(col("vec_id") < 10), lists, idx, k = 5, nprobe = 4)
         .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
     }),
@@ -792,13 +794,17 @@ object SparkEntry {
     // equality oracle, but this containment CAN be gated exactly: the
     // oracle recomputes the exact pair count and pins missed = 0 —
     // recall enforced by the driver, not just ScalaTest. Bounded to
-    // doc_id < 40 like x16 so the exact side stays crossJoin-safe.
+    // doc_id < 200 — wide enough that the sf0.01 gate population
+    // actually CONTAINS j ≥ 0.9 pairs (3 of them; doc_id < 40 had
+    // none, which made the audit vacuous), small enough that the
+    // exact side stays crossJoin-safe.
     "x26_lsh_recall" -> ((s, d) => {
       val docs = t(s, d, "documents")
-        .where(col("doc_id") < 40 && length(col("text")) >= 5)
+        .where(col("doc_id") < 200 && length(col("text")) >= 5)
       val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9, shingleSize = 5,
         shingler = Text.charShingles)
-      val cand = Dedup.lshCandidates(docs, cacheKey = Some(s"docs40:$d"))
+        .localCheckpoint() // read twice below (count + anti-join)
+      val cand = Dedup.lshCandidates(docs, cacheKey = Some(s"docs200:$d"))
       exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
         .crossJoin(
           exact.join(cand, Seq("id_a", "id_b"), "left_anti")
@@ -806,20 +812,31 @@ object SparkEntry {
     }),
 
     // X27 SRP recall containment audit (same idea for the vector
-    // near-dup path): exact cosine ≥ 0.95 pairs over a bounded id
-    // range must all be SRP band-join candidates; oracle recomputes
-    // the exact pair count via list_inner_product and pins missed = 0.
+    // near-dup path). The embedding FIXTURE has no high-cosine pairs
+    // at any scale factor (max pairwise cosine ≈ 0.46 — an audit over
+    // it is vacuous), so the audit runs on deterministic clustered
+    // vectors generated by pure integer/dyadic arithmetic on the row
+    // index — identical doubles in both engines, clusters of 4 with
+    // mate cosine ≥ 0.99999. Every exact cosine ≥ 0.999 pair must be
+    // an SRP band-join candidate: at that threshold the 6-band ×
+    // 10-bit banding misses a pair w.p. < 1e-5 (p = 1 − θ/π ≈ 0.986,
+    // (1 − p^10)^6), the same margin class as x26.
     "x27_srp_recall" -> ((s, d) => {
-      val emb = t(s, d, "embeddings").where(col("vec_id") < 300)
-      val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
-      val exact = v.select(col("id").as("id_a"), col("v").as("v_a"))
-        .crossJoin(v.select(col("id").as("id_b"), col("v").as("v_b")))
+      val synth = s.range(60)
+        .select(col("id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            (((col("id") / 4).cast(LongType) * 31 + j * 7) % 13 - 6).cast(DoubleType)
+              + ((col("id") * 13 + j * 5) % 7 - 3).cast(DoubleType) / 1024.0)
+            .as("v"))
+      val exact = synth.select(col("id").as("id_a"), col("v").as("v_a"))
+        .crossJoin(synth.select(col("id").as("id_b"), col("v").as("v_b")))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(graft.expressions.NativeVector.cosineSim(col("v_a"), col("v_b")), 4)
+          round(graft.expressions.NativeVector.cosineSim(col("v_a"), col("v_b")), 6)
             .as("sim"))
-        .where(col("sim") >= 0.95)
-      val cand = Sim.srpCandidates(emb)
+        .where(col("sim") >= 0.999)
+        .localCheckpoint() // read twice below (count + anti-join)
+      val cand = Sim.srpCandidates(synth, idCol = "id", vecCol = "v")
       exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
         .crossJoin(
           exact.join(cand, Seq("id_a", "id_b"), "left_anti")
@@ -1254,7 +1271,7 @@ object SparkEntry {
            SELECT doc_id AS id,
                   list_distinct(list_transform(range(1, length(text) - 3),
                     i -> substr(lower(text), CAST(i AS INT), 5))) AS s
-           FROM documents WHERE doc_id < 40 AND length(text) >= 5),
+           FROM documents WHERE doc_id < 200 AND length(text) >= 5),
          pairs AS (
            SELECT a.id AS id_a, b.id AS id_b,
                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
@@ -1264,17 +1281,20 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS missed_pairs
          FROM pairs WHERE jaccard >= 0.9""",
     "x27_srp_recall" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                    FROM embeddings WHERE vec_id < 300),
+      """WITH g AS (SELECT unnest(range(60)) AS id),
+         v AS (SELECT id, list_transform(range(16), j ->
+                 CAST((id // 4) * 31 + j * 7 AS BIGINT) % 13 - 6 +
+                 (CAST(id * 13 + j * 5 AS BIGINT) % 7 - 3) / 1024.0) AS e
+               FROM g),
          pairs AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SELECT a.id AS id_a, b.id AS id_b,
                   ROUND(list_inner_product(a.e, b.e) /
                         (sqrt(list_inner_product(a.e, a.e)) *
-                         sqrt(list_inner_product(b.e, b.e))), 4) AS sim
-           FROM v a, v b WHERE a.vec_id < b.vec_id)
+                         sqrt(list_inner_product(b.e, b.e))), 6) AS sim
+           FROM v a, v b WHERE a.id < b.id)
          SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
                 CAST(0 AS BIGINT) AS missed_pairs
-         FROM pairs WHERE sim >= 0.95""",
+         FROM pairs WHERE sim >= 0.999""",
     "x09_token_count" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -227,7 +227,12 @@ object NativeSignatures {
   }
 
   case class SigAgreeExpr(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    // declared input types make analysis insert widening casts (or
+    // reject) — sigAgreeEval reads 8-byte strides, so an undeclared
+    // array<int> input would silently return garbage
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = LongType
     override def prettyName: String = "sig_agree_native"
 

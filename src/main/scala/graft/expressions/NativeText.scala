@@ -136,12 +136,20 @@ object NativeText {
     * is CodegenFallback and was the last interpreted stage in the
     * curation projection. */
   def dupLineFracEval(str: UTF8String): Double = {
+    // blank = SPACE-only: SQL trim (Spark and DuckDB alike) strips
+    // ' ' only, so a tab/CR-only line counts as content in both
+    // engines — Java's String.trim (all chars <= U+0020) would not
+    def spaceOnly(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) != ' ') return false; i += 1 }
+      true
+    }
     val lines = str.toString.split("\n", -1)
     val seen = new java.util.HashSet[String]()
     var total = 0
     var i = 0
     while (i < lines.length) {
-      if (!lines(i).trim.isEmpty) { total += 1; seen.add(lines(i)) }
+      if (!spaceOnly(lines(i))) { total += 1; seen.add(lines(i)) }
       i += 1
     }
     if (total == 0) 0.0

@@ -172,12 +172,8 @@ object Sim {
       fanOut(df).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
       bands, bitsPerBand)
 
-  /** Same rationale as Dedup.fanOut: a byte-small but compute-heavy
-    * vector table (one parquet row group) otherwise runs the
-    * projection/signature work on one core. No-op once the scan
-    * yields enough splits (the at-scale case). */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** Same rationale and policy as the dedup side — one shared
+    * implementation so the fan-out condition can't drift. */
+  private def fanOut(df: DataFrame): DataFrame =
+    graft.operators.Dedup.fanOut(df)
 }

@@ -107,11 +107,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("fanOut is identity when the input already has enough partitions") {
+    val target = spark.sparkContext.defaultParallelism
     val docs = Tables.load(spark, sfDir, "documents")
-    val wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    val wide = docs.repartition(target)
     assert(graft.operators.Dedup.fanOut(wide) eq wide)
-    // and fires (adds partitions) on a one-split scan
-    assert(graft.operators.Dedup.fanOut(docs).rdd.getNumPartitions ==
-      spark.sparkContext.defaultParallelism)
+    // contract (environment-independent): under-parallel inputs are
+    // widened to the default parallelism, others pass through
+    val p0 = docs.rdd.getNumPartitions
+    if (p0 < target)
+      assert(graft.operators.Dedup.fanOut(docs).rdd.getNumPartitions == target)
+    else
+      assert(graft.operators.Dedup.fanOut(docs) eq docs)
   }
 }
