@@ -99,13 +99,37 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     val docs = (0 until 200).map { _ =>
       val pool = Seq.fill(1 + rnd.nextInt(5))(randToken)
       (0 until rnd.nextInt(20)).map { _ =>
-        if (rnd.nextInt(4) == 0) "   " else pool(rnd.nextInt(pool.length))
+        rnd.nextInt(6) match {
+          case 0 => "   "
+          case 1 => "\t"    // NOT blank under SQL trim (space-only)
+          case 2 => " \r "  // ditto — CRLF remnants count as content
+          case _ => pool(rnd.nextInt(pool.length))
+        }
       }.mkString("\n")
-    } :+ "" :+ "\n\n" :+ "a\na\na"
+    } :+ "" :+ "\n\n" :+ "a\na\na" :+ "a\na\n\t\nb"
     val df = docs.toDF("t")
       .select(
         graft.expressions.NativeText.dupLineFrac($"t").as("native"),
         hof($"t").as("builtin"))
     assert(df.where($"native" =!= $"builtin").count() == 0)
+  }
+
+  test("quantize/dequantize: reconstruction error bounded by scale/2 on random vectors") {
+    import graft.functions.Sim
+    val rows = (0 until 200).map { _ =>
+      val dim = 1 + rnd.nextInt(48)
+      Seq.fill(dim)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(4) - 1))
+    } :+ Seq(0.0, 0.0, 0.0) // zero vector: scale 0, codes 0, error 0
+    val df = rows.toDF("v")
+      .withColumn("sc", Sim.quantScale($"v"))
+      .select($"sc",
+        aggregate(
+          zip_with($"v", Sim.dequantize(Sim.quantize($"v", $"sc"), $"sc"),
+            (a, r) => abs(a - r)),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"))
+      .as[(Double, Double)].collect()
+    df.foreach { case (sc, err) =>
+      assert(err <= sc / 2 + 1e-12, s"err $err exceeds scale/2 (${sc / 2})")
+    }
   }
 }
