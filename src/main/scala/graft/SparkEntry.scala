@@ -901,6 +901,19 @@ object SparkEntry {
         .orderBy(asc_nulls_first("i"))
     }),
 
+    // X33/X34 [A-family sketches] audit queries for the mergeable
+    // sketch surface: the probabilistic guarantees (CMS never
+    // undercounts, overcounts by ≤ eps·N; Bloom has no false
+    // negatives, false positives within the designed rate) are
+    // deterministic for fixed data and seed, so they gate exactly —
+    // violation counts pin to 0 in the oracle.
+    "x33_cms_audit" -> ((s, d) =>
+      graft.operators.Sketches.cmsAudit(t(s, d, "events"), "event_type")),
+
+    "x34_bloom_audit" -> ((s, d) =>
+      graft.operators.Sketches.bloomAudit(t(s, d, "events"), "event_type",
+        expectedItems = 100000, fpp = 0.03)),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -1359,6 +1372,16 @@ object SparkEntry {
              '$em', '', 'g'), '$ip', '', 'g'), '$ph')) AS BIGINT) AS phones
          FROM r ORDER BY i NULLS FIRST"""
     },
+    "x33_cms_audit" ->
+      """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_keys,
+         CAST(0 AS BIGINT) AS undercount_violations,
+         CAST(0 AS BIGINT) AS overcount_violations
+         FROM events""",
+    "x34_bloom_audit" ->
+      """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_keys,
+         CAST(0 AS BIGINT) AS false_negatives,
+         true AS fp_ok
+         FROM events""",
     "x29_salted_agg" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
          ROUND(SUM(value), 2) AS sum_value

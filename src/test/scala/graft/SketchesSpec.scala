@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+import graft.sources.Tables
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("CMS audit is partition-order independent (merge is commutative)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val a = Sketches.cmsAudit(ev, "event_type").collect().head
+    val b = Sketches.cmsAudit(ev.repartition(7), "event_type").collect().head
+    assert(a == b)
+    assert(a.getLong(1) == 0L && a.getLong(2) == 0L)
+  }
+
+  test("Bloom audit: no false negatives regardless of partitioning") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val a = Sketches.bloomAudit(ev, "event_type", 10000, 0.03).collect().head
+    val b = Sketches.bloomAudit(ev.repartition(5), "event_type", 10000, 0.03)
+      .collect().head
+    assert(a.getLong(1) == 0L && b.getLong(1) == 0L)
+    assert(a.getBoolean(2) && b.getBoolean(2))
+  }
+}
