@@ -579,6 +579,20 @@ object SparkEntry {
         .orderBy(asc_nulls_first("event_id"))
     }),
 
+    // X11b forward as-of: earliest order at-or-after each event —
+    // the direction that was previously only ScalaTest-covered
+    // (DuckDB's ASOF expresses it with the <= inequality)
+    "x11b_asof_forward" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asOf(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate"), direction = "forward")
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(asc_nulls_first("event_id"))
+    }),
+
     // X12 sessionization (10-minute inactivity gap) via session_window
     "x12_sessionize" -> ((s, d) =>
       Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
@@ -1323,6 +1337,13 @@ object SparkEntry {
          SELECT e.event_id, o.o_orderkey, o.o_orderdate
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id NULLS FIRST""",
+    "x11b_asof_forward" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, o.o_orderkey, o.o_orderdate
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
          ORDER BY e.event_id NULLS FIRST""",
     "x18_stream_sessions" ->
       """WITH e AS (
