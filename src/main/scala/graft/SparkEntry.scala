@@ -928,6 +928,21 @@ object SparkEntry {
       graft.operators.Sketches.bloomAudit(t(s, d, "events"), "event_type",
         expectedItems = 100000, fpp = 0.03)),
 
+    // X35 train/test decontamination: test-split documents whose
+    // word 8-grams appear in any train-split document (the standard
+    // pre-training overlap check). Split assignment and the n-gram
+    // stream are both engine-replayable, so the oracle recomputes the
+    // full overlap exactly.
+    "x35_decontamination" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val docs = graft.operators.Splits.hashSplit(
+        t(s, d, "documents"), "doc_id", splits, "v1")
+      graft.operators.Decontaminate.ngramOverlap(
+        docs, "split", "train", "test", n = 8)
+        .select(col("doc_id"), col("n_hits").cast(LongType).as("n_hits"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -1392,6 +1407,24 @@ object SparkEntry {
            CAST(len(regexp_extract_all(regexp_replace(regexp_replace(raw,
              '$em', '', 'g'), '$ip', '', 'g'), '$ph')) AS BIGINT) AS phones
          FROM r ORDER BY i NULLS FIRST"""
+    },
+    "x35_decontamination" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      s"""WITH tk AS (
+           SELECT doc_id, $splitExpr AS split,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, split,
+                  unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2] || ' ' || ts[CAST(i AS INT) + 3] || ' ' || ts[CAST(i AS INT) + 4] || ' ' || ts[CAST(i AS INT) + 5] || ' ' || ts[CAST(i AS INT) + 6] || ' ' || ts[CAST(i AS INT) + 7]))) AS gram
+           FROM tk WHERE len(ts) >= 8),
+         tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM g WHERE split = 'test' AND gram IN (SELECT gram FROM tr)
+         GROUP BY doc_id ORDER BY doc_id NULLS FIRST"""
     },
     "x33_cms_audit" ->
       """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_keys,

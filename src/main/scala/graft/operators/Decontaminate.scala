@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Train/test decontamination (SURVEY.md north-star extension): find
+  * evaluation documents whose word n-grams also appear in the training
+  * split — the standard overlap check run before training so test
+  * metrics aren't inflated by memorized spans.
+  *
+  * Scale design: one exploded n-gram stream per document (distinct
+  * within the document by construction of the native expression), a
+  * map-side-deduplicated distinct over the train side, then a semi
+  * join keyed on the n-gram — hash shuffle with bounded fan-in, no
+  * cross product, same class as the dedup band joins. At 100 TB the
+  * train-gram set is the big side and shuffles once; hashing grams to
+  * 64-bit keys before the join (xxhash64) would shrink the shuffle a
+  * further ~10× when gram text is long.
+  */
+object Decontaminate {
+
+  /** Per-test-document count of distinct word n-grams that appear in
+    * ANY train document. Only contaminated documents (≥1 hit) are
+    * returned: (idCol, n_hits). */
+  def ngramOverlap(docs: DataFrame, splitCol: String,
+                   trainVal: String, testVal: String, n: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = Dedup.fanOut(docs).select(col(idCol), col(splitCol),
+      explode(graft.expressions.NativeText.wordNgrams(
+        Text.tokens(col(textCol)), n)).as("gram"))
+    val train = grams.where(col(splitCol) === trainVal)
+      .select(col("gram")).distinct()
+    grams.where(col(splitCol) === testVal)
+      .join(train, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // grams are distinct per doc
+  }
+}
