@@ -943,6 +943,22 @@ object SparkEntry {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X36 sequence packing: documents → fixed-2048-token training
+    // sequences, packed contiguously per split in doc_id order (a
+    // window cumsum per group — no global order anywhere, so packing
+    // shards cleanly at scale). Oracle replays the identical window.
+    "x36_seq_packing" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val docs = graft.operators.Splits.hashSplit(
+        t(s, d, "documents"), "doc_id", splits, "v1")
+        .select(col("doc_id"), col("split"),
+          graft.functions.Text.tokenCount(col("text")).as("nt"))
+      graft.operators.Packing.contiguous(docs, "split", "doc_id", "nt", 2048L)
+        .groupBy(col("split"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast(LongType).as("n_tokens"))
+        .orderBy(asc_nulls_first("split"), asc_nulls_first("seq_id"))
+    }),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -1407,6 +1423,25 @@ object SparkEntry {
            CAST(len(regexp_extract_all(regexp_replace(regexp_replace(raw,
              '$em', '', 'g'), '$ip', '', 'g'), '$ph')) AS BIGINT) AS phones
          FROM r ORDER BY i NULLS FIRST"""
+    },
+    "x36_seq_packing" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      s"""WITH tk AS (
+           SELECT doc_id, $splitExpr AS split,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         o AS (
+           SELECT split, doc_id, nt,
+                  COALESCE(SUM(nt) OVER (PARTITION BY split ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM tk)
+         SELECT split, CAST(FLOOR(off / 2048) AS BIGINT) AS seq_id,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens
+         FROM o GROUP BY 1, 2
+         ORDER BY split NULLS FIRST, seq_id NULLS FIRST"""
     },
     "x35_decontamination" -> {
       val splitExpr = graft.operators.Splits.splitSql(
