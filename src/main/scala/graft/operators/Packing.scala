@@ -21,7 +21,13 @@ object Packing {
 
   /** Adds `seq_id`: the training sequence (of `seqTokens` budget)
     * each document STARTS in, packing contiguously per `groupCol` in
-    * `orderCol` order. `tokCol` is the per-document token count. */
+    * `orderCol` order. `tokCol` is the per-document token count.
+    *
+    * CONTRACT: `orderCol` must be UNIQUE within each group (a doc id,
+    * not a timestamp) — the cumulative sum over tied rows would
+    * otherwise depend on Spark's arbitrary tie order and the packing
+    * would not be reproducible. Append a unique tie-break column to
+    * the ordering upstream if the natural order has collisions. */
   def contiguous(df: DataFrame, groupCol: String, orderCol: String,
                  tokCol: String, seqTokens: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))

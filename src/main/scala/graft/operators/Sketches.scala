@@ -25,8 +25,11 @@ object Sketches {
                seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sketch = df.stat.countMinSketch(keyCol, eps, confidence, seed)
-    val truth = df.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
+    // null keys are skipped by Spark's sketch aggregate, so the audit
+    // population must skip them too (estimateCount(null) also throws)
+    val nn = df.where(col(keyCol).isNotNull)
+    val sketch = nn.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val truth = nn.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
     val total = truth.map(_.getLong(1)).sum
     val slack = math.ceil(eps * total).toLong
     var under = 0L
@@ -50,8 +53,10 @@ object Sketches {
                  absentProbes: Int = 200): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bf = df.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val keys = df.select(keyCol).distinct().collect().map(_.get(0))
+    // same null contract as cmsAudit: sketches see non-null keys only
+    val nn = df.where(col(keyCol).isNotNull)
+    val bf = nn.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val keys = nn.select(keyCol).distinct().collect().map(_.get(0))
     val falseNeg = keys.count(k => !bf.mightContain(k)).toLong
     val fpHits = (0 until absentProbes)
       .count(i => bf.mightContain(s"__graft_absent_$i"))

@@ -26,4 +26,14 @@ class SketchesSpec extends AnyFunSuite {
     assert(a.getLong(1) == 0L && b.getLong(1) == 0L)
     assert(a.getBoolean(2) && b.getBoolean(2))
   }
+
+  test("audits skip null keys (sketch aggregates never see them)") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("a"), Some("b"), None).toDF("k")
+    val cms = Sketches.cmsAudit(df, "k").collect().head
+    assert(cms.getLong(0) == 2L) // a, b — null excluded
+    assert(cms.getLong(1) == 0L && cms.getLong(2) == 0L)
+    val bloom = Sketches.bloomAudit(df, "k", 100, 0.03).collect().head
+    assert(bloom.getLong(0) == 2L && bloom.getLong(1) == 0L)
+  }
 }
