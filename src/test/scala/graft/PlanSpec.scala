@@ -106,6 +106,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("split("), s"chunk text must not be re-split for counts:\n$plan")
   }
 
+  test("packing: one hash exchange on the group key, no global sort") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", ($"doc_id" % 3).as("grp"),
+        graft.functions.Text.tokenCount($"text").as("nt"))
+    val packed = graft.operators.Packing.contiguous(docs, "grp", "doc_id", "nt", 512L)
+    packed.collect()
+    val plan = packed.queryExecution.executedPlan.toString
+    // the window partitions by group — a hash exchange, never a
+    // rangepartitioning (that would be a global sort that can't shard)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"packing must not globally sort:\n$plan")
+  }
+
   test("fanOut is identity when the input already has enough partitions") {
     val target = spark.sparkContext.defaultParallelism
     val docs = Tables.load(spark, sfDir, "documents")
