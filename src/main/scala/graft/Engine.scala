@@ -140,16 +140,24 @@ class Engine(val spark: SparkSession, kvRoot: String = "/tmp/graft_kv") {
   }
 
   def kvUpsert(kind: String, updates: DataFrame, keyCol: String): Unit = {
+    val path = kindPath(kind)
+    // explicit existence probe: a missing kind (or missing kvRoot)
+    // bootstraps from the updates alone. Spark's missing-path error
+    // differs by whether the PARENT exists (AnalysisException vs raw
+    // FileNotFoundException), so probing beats catching.
     val merged =
-      try KeyValue.upsert(KeyValue.load(spark, kindPath(kind)), updates, keyCol)
-      catch { case _: org.apache.spark.sql.AnalysisException => updates }
-    swapWrite(merged, kindPath(kind))
+      if (fs(path).exists(new Path(path)))
+        KeyValue.upsert(KeyValue.load(spark, path), updates, keyCol)
+      else updates
+    swapWrite(merged, path)
   }
 
-  def kvDelete(kind: String, keys: DataFrame, keyCol: String): Unit =
-    swapWrite(
-      KeyValue.delete(KeyValue.load(spark, kindPath(kind)), keys, keyCol),
-      kindPath(kind))
+  def kvDelete(kind: String, keys: DataFrame, keyCol: String): Unit = {
+    val path = kindPath(kind)
+    // deleting from a kind that was never created is a no-op
+    if (fs(path).exists(new Path(path)))
+      swapWrite(KeyValue.delete(KeyValue.load(spark, path), keys, keyCol), path)
+  }
 
   /** Write-to-temp + rename: a parquet dir can't be overwritten while
     * it feeds the writing plan; the swap keeps it distributed (no

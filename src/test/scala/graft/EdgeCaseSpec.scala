@@ -91,6 +91,17 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(eng.kvQuery("fresh_kind").count() == 1)
   }
 
+  test("KV upsert bootstraps even when the kvRoot itself does not exist yet") {
+    // missing PARENT dirs throw a different error class than missing
+    // leaf paths in Spark's path resolution — the engine must probe,
+    // not catch (this was caught by running Demo, not the specs)
+    val eng = new Engine(spark, kvRoot =
+      java.nio.file.Files.createTempDirectory("edge_kv_root").toString + "/nested/kv")
+    eng.kvUpsert("cfg", Seq((1L, "on")).toDF("key", "flag"), "key")
+    assert(eng.kvQuery("cfg").count() == 1)
+    eng.kvDelete("never_created", Seq(1L).toDF("key"), "key") // no-op, no error
+  }
+
   test("round-3 native expressions are null-safe and handle degenerate inputs") {
     import graft.expressions.{NativeSignatures, NativeText}
     val row = Seq((Option.empty[String], Option.empty[Seq[Long]], Seq(1L, 2L)))
