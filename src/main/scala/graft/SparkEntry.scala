@@ -367,14 +367,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("r_regionkey"))),
 
-    // Q28 [A2+] exact interpolated percentiles + width_bucket histogram
+    // Q28 [A2+] exact interpolated percentiles + width_bucket histogram.
+    // Sort-based (operators/Percentiles) rather than the builtin
+    // `percentile` aggregate, whose buffer holds the group's whole
+    // distinct-value map; o_totalprice is never NULL, so n_vals ≡
+    // COUNT(*) and the oracle is unchanged.
     "q28_percentiles" -> ((s, d) =>
-      t(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-          count(lit(1)).as("n"))
+      graft.operators.Percentiles.exact(
+        t(s, d, "orders"), "o_orderpriority", "o_totalprice",
+        Seq("p50r" -> 0.5, "p90r" -> 0.9))
+        .select(col("o_orderpriority"),
+          round(col("p50r"), 2).as("p50"),
+          round(col("p90r"), 2).as("p90"),
+          col("n_vals").as("n"))
         .orderBy(asc_nulls_first("o_orderpriority"))),
 
     "q28b_width_bucket" -> ((s, d) =>
