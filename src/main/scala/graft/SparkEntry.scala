@@ -33,10 +33,39 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stageEvents(s: SparkSession, d: String): String =
     stagedEventsCache.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stage").toString
+      val p = scratchDir("graft_events_stage")
       t(s, d, "events").write.mode("overwrite").parquet(p)
       p
     })
+
+  /** Scratch dir for staging/checkpoints, preferring tmpfs (/dev/shm)
+    * over java.io.tmpdir. Measured neutral vs disk-backed /tmp at
+    * fixture scale (the page cache absorbs the state-store commit
+    * writes either way); kept because tmpfs scratch can never leave
+    * stale checkpoint litter on disk. A cluster deployment points
+    * checkpoints at durable storage instead — this is local-mode
+    * scratch placement, not a semantics change. */
+  private def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
+  /** Fresh checkpoint dir per streaming-query invocation (a reused
+    * AvailableNow checkpoint would treat the staged files as already
+    * processed and emit nothing on re-run), deleted afterwards. */
+  private def withCheckpoint[T](body: String => T): T = {
+    val dir = scratchDir("graft_ckpt")
+    try body(dir)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 
   /** IVF inverted lists staged once per dataset dir (hive-partitioned
     * by centroid id — see [[Ivf.writeLists]]). Like the trained
@@ -666,15 +695,17 @@ object SparkEntry {
     // aggregate, memory sink — must equal the q18 batch oracle.
     "x13_stream_hourly" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 4) {
         val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
           .parquet(staged)
           .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
-        val q = agg.writeStream.outputMode("complete").format("memory")
-          .queryName("x13_out")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        withCheckpoint { ckpt =>
+          val q = agg.writeStream.outputMode("complete").format("memory")
+            .queryName("x13_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination(120000)
+        }
       }
       s.table("x13_out")
         .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))
@@ -686,7 +717,7 @@ object SparkEntry {
     // max_ts - delay) on top of gaps-and-islands sessionization.
     "x18_stream_sessions" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 4) {
         val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
           .parquet(staged)
           .withWatermark("ts", "10 minutes")
@@ -694,10 +725,12 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
           .select(col("user_id"), col("session_window.start").as("session_start"),
             col("n_events"), col("v"))
-        val q = agg.writeStream.outputMode("append").format("memory")
-          .queryName("x18_out")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        withCheckpoint { ckpt =>
+          val q = agg.writeStream.outputMode("append").format("memory")
+            .queryName("x18_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination(120000)
+        }
       }
       s.table("x18_out")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))
@@ -712,15 +745,17 @@ object SparkEntry {
     // DISTINCT oracle applies.
     "x28_stream_dedup" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 4) {
         val dedup = s.readStream.schema(graft.streaming.EventStreams.schema)
           .parquet(staged)
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
-        val q = dedup.writeStream.outputMode("append").format("memory")
-          .queryName("x28_out")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        withCheckpoint { ckpt =>
+          val q = dedup.writeStream.outputMode("append").format("memory")
+            .queryName("x28_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination(120000)
+        }
       }
       s.table("x28_out")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
@@ -734,17 +769,19 @@ object SparkEntry {
     "x32_stream_enrich" -> ((s, d) => {
       val staged = stageEvents(s, d)
       val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 4) {
         val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
           .parquet(staged)
           .withColumn("nk", col("user_id") % 25)
           .join(broadcast(nation), col("nk") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
-        val q = agg.writeStream.outputMode("complete").format("memory")
-          .queryName("x32_out")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        withCheckpoint { ckpt =>
+          val q = agg.writeStream.outputMode("complete").format("memory")
+            .queryName("x32_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination(120000)
+        }
       }
       s.table("x32_out").orderBy(asc_nulls_first("n_name"))
     }),
@@ -966,6 +1003,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast(LongType).as("n_tokens"))
         .orderBy(asc_nulls_first("split"), asc_nulls_first("seq_id"))
     }),
+
+    // X37 deterministic domain mixing: per-source sampling rates as a
+    // pure function of (salt, doc_id) — the mixture-weights stage of a
+    // training pipeline. Same md5-hex-bucket construction as x24, so
+    // the oracle evaluates the identical predicate.
+    "x37_domain_mix" -> ((s, d) => {
+      val rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+      graft.operators.Mixing.weightedSample(t(s, d, "documents"),
+          "source", "doc_id", rates, defaultRate = 0.02, salt = "mix1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).cast(LongType).as("min_id"),
+          max(col("doc_id")).cast(LongType).as("max_id"))
+        .orderBy(asc_nulls_first("source"))
+    }),
+
+    // X38 deterministic corpus shuffle: ORDER BY seeded md5(key) —
+    // executed as range-partition + local sort, the scale-correct
+    // global shuffle. The head-25 emission pins the ORDER itself
+    // (the driver's compare is otherwise order-insensitive).
+    "x38_corpus_shuffle" -> ((s, d) =>
+      graft.operators.Mixing.shuffled(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", salt = "shuf1")
+        .limit(25)),
 
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
@@ -1432,6 +1493,20 @@ object SparkEntry {
              '$em', '', 'g'), '$ip', '', 'g'), '$ph')) AS BIGINT) AS phones
          FROM r ORDER BY i NULLS FIRST"""
     },
+    "x37_domain_mix" -> {
+      val pred = graft.operators.Mixing.sampleSql("source", "doc_id",
+        Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+        defaultRate = 0.02, salt = "mix1")
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                 CAST(MAX(doc_id) AS BIGINT) AS max_id
+          FROM documents WHERE $pred
+          GROUP BY source ORDER BY source NULLS FIRST"""
+    },
+    "x38_corpus_shuffle" ->
+      """SELECT doc_id,
+                md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents ORDER BY shuffle_key LIMIT 25""",
     "x36_seq_packing" -> {
       val splitExpr = graft.operators.Splits.splitSql(
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")

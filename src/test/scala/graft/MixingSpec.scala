@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Mixing
+
+class MixingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, s"src${i % 4}")).toDF("id", "dom")
+
+  test("rate 1.0 keeps every row of the domain; rate 0.0 drops all") {
+    val df = corpus(400)
+    val kept = Mixing.weightedSample(df, "dom", "id",
+      Seq("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.0)
+    val bySrc = kept.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("src0", 0L) == 100L)
+    assert(!bySrc.contains("src1"))
+    assert(!bySrc.contains("src2")) // default 0.0
+  }
+
+  test("sampled fraction tracks the rate and is partitioning-invariant") {
+    val df = corpus(4000)
+    val pick = Mixing.weightedSample(df, "dom", "id",
+      Seq("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1, salt = "t")
+    val ids = pick.select("id").as[Long].collect().toSet
+    val n0 = ids.count(_ % 4 == 0)
+    val n1 = ids.count(_ % 4 == 1)
+    // 1000 keys per domain; 5-sigma binomial bands
+    assert(math.abs(n0 - 500) < 80, s"src0 kept $n0 of 1000 at rate 0.5")
+    assert(math.abs(n1 - 250) < 70, s"src1 kept $n1 of 1000 at rate 0.25")
+    val again = Mixing.weightedSample(df.repartition(13), "dom", "id",
+      Seq("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
+  test("sampleSql evaluates to the identical keep-set in Spark SQL") {
+    corpus(1000).createOrReplaceTempView("mix_corpus")
+    // sampleSql targets DuckDB (bare VARCHAR, like Splits.splitSql);
+    // Spark's parser wants STRING for the same cast
+    val pred = Mixing.sampleSql("dom", "id",
+      Seq("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1, salt = "t")
+      .replace("AS VARCHAR", "AS STRING")
+    val viaSql = spark.sql(
+      s"SELECT id FROM mix_corpus WHERE $pred").as[Long].collect().toSet
+    val viaOp = Mixing.weightedSample(corpus(1000), "dom", "id",
+      Seq("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(viaSql == viaOp)
+  }
+
+  test("shuffled is a deterministic permutation; salt changes the order") {
+    val df = corpus(500)
+    val a = Mixing.shuffled(df, "id", "s1").select("id").as[Long].collect()
+    val b = Mixing.shuffled(df, "id", "s1").select("id").as[Long].collect()
+    val c = Mixing.shuffled(df, "id", "s2").select("id").as[Long].collect()
+    assert(a.toSet == (0L until 500L).toSet)
+    assert(a.sameElements(b))
+    assert(!a.sameElements(c))
+    assert(c.toSet == a.toSet)
+  }
+}
