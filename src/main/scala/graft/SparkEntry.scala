@@ -1028,6 +1028,32 @@ object SparkEntry {
           t(s, d, "documents").select(col("doc_id")), "doc_id", salt = "shuf1")
         .limit(25)),
 
+    // X39 per-domain cap: at most 10 docs per source, selected as the
+    // 10 smallest seeded hashes via the bounded-heap TopK UDAF (map
+    // partitions forward ≤k candidates per domain — no per-domain
+    // window sort of the corpus). sum(doc_id) pins exact membership.
+    "x39_domain_cap" -> ((s, d) =>
+      graft.operators.Mixing.capPerDomain(t(s, d, "documents"),
+          "source", "doc_id", k = 10, salt = "cap1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast(LongType).as("id_sum"))
+        .orderBy(asc_nulls_first("source"))),
+
+    // X40 per-domain epoch repetition (the "domain d runs f_d epochs"
+    // mixture spec; fractional last epoch at a deterministic hash
+    // rate). Grouped by (source, epoch) so full copies AND the
+    // fractional tail are each pinned exactly.
+    "x40_domain_epochs" -> ((s, d) =>
+      graft.operators.Mixing.epochs(t(s, d, "documents"),
+          "source", "doc_id",
+          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
+          defaultFactor = 1.0, salt = "rep1")
+        .groupBy(col("source"), col("epoch").cast(LongType).as("epoch"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast(LongType).as("id_sum"))
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("epoch"))),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -1507,6 +1533,28 @@ object SparkEntry {
       """SELECT doc_id,
                 md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key LIMIT 25""",
+    "x39_domain_cap" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM (SELECT * FROM documents
+               QUALIFY row_number() OVER (PARTITION BY source
+                 ORDER BY substr(md5('cap1' || CAST(doc_id AS VARCHAR)), 1, 8),
+                          doc_id) <= 10)
+         GROUP BY source ORDER BY source NULLS FIRST""",
+    "x40_domain_epochs" -> {
+      val (maxEpochs, pred) = graft.operators.Mixing.epochsSql(
+        "source", "doc_id",
+        Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
+        defaultFactor = 1.0, salt = "rep1")
+      s"""SELECT source, CAST(epoch AS BIGINT) AS epoch,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(0, $maxEpochs)) AS epoch) e
+          WHERE $pred
+          GROUP BY source, epoch
+          ORDER BY source NULLS FIRST, epoch NULLS FIRST"""
+    },
     "x36_seq_packing" -> {
       val splitExpr = graft.operators.Splits.splitSql(
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")

@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * spells), so the identical predicate is expressible in any SQL
   * engine without hex→int conversion. Rate granularity 1/2^32.
   *
-  * Rates > 1.0 (true upsampling) are out of scope here — repeat a
-  * domain by unioning extra salted passes (`salt = "mix:rep2"`, rate
-  * = fraction beyond 1.0) so repetitions stay deterministic too.
+  * [[weightedSample]] rates live in [0,1]; upsampling beyond 1.0 is
+  * [[epochs]] (per-domain repetition factors, fractional last epoch),
+  * and hard per-domain size limits are [[capPerDomain]].
   */
 object Mixing {
 
@@ -67,4 +67,82 @@ object Mixing {
                salt: String = "shuf"): DataFrame =
     df.withColumn("shuffle_key", md5(concat(lit(salt), col(keyCol).cast("string"))))
       .orderBy(col("shuffle_key"))
+
+  /** Cap each domain at k rows, selected deterministically (the k
+    * smallest seeded hashes — an unbiased, growth-damped sample, not
+    * "first k in storage order").
+    *
+    * Scale shape: the selection is the bounded-heap [[graft.functions.TopKAgg]]
+    * aggregator, so each map partition forwards ≤k candidates per
+    * domain to the shuffle — never a per-domain window sort of the
+    * whole corpus — and the survivors come back via a semi join on
+    * ids only (domains × k rows, broadcastable). */
+  def capPerDomain(df: DataFrame, domainCol: String, keyCol: String, k: Int,
+                   salt: String = "cap"): DataFrame = {
+    // numeric form of the 8-hex prefix (exact in a double: < 2^32),
+    // negated because the aggregator keeps the HIGHEST scores
+    val score = -conv(hash8(col(keyCol), salt), 16, 10).cast("double")
+    val keep = df
+      .select(col(domainCol).as("__dom"), col(keyCol).cast("long").as("__k"),
+        score.as("__s"))
+      .groupBy(col("__dom"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("__k"), col("__s")).as("top"))
+      .select(explode(col("top").getField("id")).as("__k"))
+    df.join(keep, col(keyCol).cast("long") === keep("__k"), "left_semi")
+  }
+
+  /** Per-domain epoch repetition — the standard mixture spec "domain d
+    * runs f_d epochs" with fractional epochs (factor 2.5 = two full
+    * copies plus a deterministic half-rate third). Emits an `epoch`
+    * column so repetitions stay distinguishable downstream (packing,
+    * shuffling). Same determinism properties as [[weightedSample]];
+    * whole-number factors replicate exactly (no hash involved). */
+  def epochs(df: DataFrame, domainCol: String, keyCol: String,
+             factors: Seq[(String, Double)], defaultFactor: Double = 1.0,
+             salt: String = "rep"): DataFrame = {
+    (factors.map(_._2) :+ defaultFactor).foreach(f =>
+      require(f >= 0.0, s"epoch factor $f must be non-negative"))
+    def whole(f: Double) = math.floor(f).toInt
+    def cut(f: Double) = rateCut(f - math.floor(f))
+    val maxEpochs = (factors.map(_._2) :+ defaultFactor)
+      .map(f => whole(f) + (if (f - whole(f) > 0.0) 1 else 0)).max
+    val wholeCol = factors.foldRight(lit(whole(defaultFactor)): Column) {
+      case ((dom, f), rest) =>
+        when(col(domainCol) === lit(dom), lit(whole(f))).otherwise(rest)
+    }
+    val cutCol = factors.foldRight(lit(cut(defaultFactor)): Column) {
+      case ((dom, f), rest) =>
+        when(col(domainCol) === lit(dom), lit(cut(f))).otherwise(rest)
+    }
+    val epochHash = substring(md5(concat(lit(salt + ":"),
+      col("epoch").cast("string"), lit(":"), col(keyCol).cast("string"))), 1, 8)
+    df.withColumn("epoch",
+        explode(sequence(lit(0), lit(math.max(0, maxEpochs - 1)))))
+      .where(col("epoch") < wholeCol ||
+        (col("epoch") === wholeCol && epochHash < cutCol))
+  }
+
+  /** SQL mirror of [[epochs]]: (maxEpochs, predicate over an `epoch`
+    * column). The whole-epoch counts and fractional cut strings are
+    * computed HERE (in Scala) and inlined as literals, so the oracle
+    * does no floating-point arithmetic of its own. */
+  def epochsSql(domainExpr: String, keyExpr: String,
+                factors: Seq[(String, Double)], defaultFactor: Double = 1.0,
+                salt: String = "rep"): (Int, String) = {
+    def whole(f: Double) = math.floor(f).toInt
+    def cut(f: Double) = rateCut(f - math.floor(f))
+    val maxEpochs = (factors.map(_._2) :+ defaultFactor)
+      .map(f => whole(f) + (if (f - whole(f) > 0.0) 1 else 0)).max
+    val wholeExpr = factors.foldRight(whole(defaultFactor).toString) {
+      case ((dom, f), rest) =>
+        s"CASE WHEN $domainExpr = '$dom' THEN ${whole(f)} ELSE $rest END"
+    }
+    val cutExpr = factors.foldRight(s"'${cut(defaultFactor)}'") {
+      case ((dom, f), rest) =>
+        s"CASE WHEN $domainExpr = '$dom' THEN '${cut(f)}' ELSE $rest END"
+    }
+    val h = s"substr(md5('$salt:' || CAST(epoch AS VARCHAR) || ':' || " +
+      s"CAST($keyExpr AS VARCHAR)), 1, 8)"
+    (maxEpochs, s"(epoch < $wholeExpr OR (epoch = $wholeExpr AND $h < $cutExpr))")
+  }
 }

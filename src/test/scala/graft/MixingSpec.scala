@@ -53,6 +53,43 @@ class MixingSpec extends AnyFunSuite {
     assert(viaSql == viaOp)
   }
 
+  test("capPerDomain keeps at most k per domain, matching the window form") {
+    val df = corpus(4000)
+    val capped = Mixing.capPerDomain(df, "dom", "id", k = 17, salt = "c")
+    val ids = capped.select("id").as[Long].collect().toSet
+    val byDom = capped.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom.values.forall(_ == 17L), s"caps: $byDom")
+    // reference: row_number window over the same hash order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+      .orderBy(substring(md5(concat(lit("c"), $"id".cast("string"))), 1, 8), $"id")
+    val ref = df.withColumn("rn", row_number().over(w)).where($"rn" <= 17)
+      .select("id").as[Long].collect().toSet
+    assert(ids == ref)
+    val again = Mixing.capPerDomain(df.repartition(11), "dom", "id", 17, "c")
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
+  test("epochs: whole factors replicate exactly, fractional tail at rate") {
+    val df = corpus(4000)
+    val rep = Mixing.epochs(df, "dom", "id",
+      Seq("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.4), defaultFactor = 1.0,
+      salt = "r")
+    val byDomEpoch = rep.groupBy("dom", "epoch").count()
+      .as[(String, Int, Long)].collect()
+      .map { case (d, e, n) => (d, e) -> n }.toMap
+    assert(byDomEpoch(("src0", 0)) == 1000L && byDomEpoch(("src0", 1)) == 1000L)
+    val tail = byDomEpoch(("src0", 2))
+    assert(math.abs(tail - 500L) < 80, s"src0 fractional epoch kept $tail")
+    assert(byDomEpoch(("src1", 0)) == 1000L && byDomEpoch(("src1", 1)) == 1000L &&
+      !byDomEpoch.contains(("src1", 2)))
+    val frac2 = byDomEpoch(("src2", 0))
+    assert(math.abs(frac2 - 400L) < 80, s"src2 kept $frac2 at factor 0.4")
+    assert(byDomEpoch(("src3", 0)) == 1000L) // defaultFactor 1.0
+    // each (id, epoch) pair appears exactly once — copies distinguishable
+    assert(rep.select("id", "epoch").distinct().count() == rep.count())
+  }
+
   test("shuffled is a deterministic permutation; salt changes the order") {
     val df = corpus(500)
     val a = Mixing.shuffled(df, "id", "s1").select("id").as[Long].collect()
