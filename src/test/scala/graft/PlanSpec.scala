@@ -120,6 +120,45 @@ class PlanSpec extends AnyFunSuite {
       s"packing must not globally sort:\n$plan")
   }
 
+  test("weightedSample and epochs are map-only: filter over the scan, no exchange") {
+    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"source")
+    val sampled = graft.operators.Mixing.weightedSample(
+      docs, "source", "doc_id", Seq("src0" -> 0.5), defaultRate = 0.1)
+    assert(!executedPlan(sampled).contains("Exchange"),
+      s"sampling must not shuffle:\n${executedPlan(sampled)}")
+    val rep = graft.operators.Mixing.epochs(
+      docs, "source", "doc_id", Seq("src0" -> 2.5), defaultFactor = 1.0)
+    assert(!executedPlan(rep).contains("Exchange"),
+      s"epoch repetition must not shuffle:\n${executedPlan(rep)}")
+  }
+
+  test("capPerDomain: partial top-k before the shuffle, broadcast semi join back") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val capped = graft.operators.Mixing.capPerDomain(docs, "source", "doc_id", 5)
+    val plan = executedPlan(capped)
+    // bounded-heap UDAF partial-aggregates map-side (ObjectHashAggregate
+    // appears twice: partial + final), and the id fetch-back is a
+    // broadcast semi join — the corpus is never window-sorted per domain
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("Window"), s"cap must not window-sort the corpus:\n$plan")
+  }
+
+  test("sort-based percentiles: single hash exchange feeds the window pair") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val pct = graft.operators.Percentiles.exact(
+      orders, "o_orderpriority", "o_totalprice", Seq("p50" -> 0.5))
+    pct.collect()
+    // count only the finalized section — the AQE string repeats the
+    // exchange once more under "== Initial Plan =="
+    val plan = pct.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"no value-map aggregate buffer may appear:\n$plan")
+  }
+
   test("fanOut is identity when the input already has enough partitions") {
     val target = spark.sparkContext.defaultParallelism
     val docs = Tables.load(spark, sfDir, "documents")
