@@ -33,7 +33,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stageEvents(s: SparkSession, d: String): String =
     stagedEventsCache.computeIfAbsent(d, _ => {
-      val p = scratchDir("graft_events_stage")
+      // disk tmp, NOT scratchDir: the staged dataset lives for the
+      // whole session and scales with the fixture — pinning it in a
+      // (possibly tiny) /dev/shm would either eat RAM or ENOSPC
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stage").toString
       t(s, d, "events").write.mode("overwrite").parquet(p)
       p
     })
@@ -55,7 +58,9 @@ object SparkEntry {
 
   /** Fresh checkpoint dir per streaming-query invocation (a reused
     * AvailableNow checkpoint would treat the staged files as already
-    * processed and emit nothing on re-run), deleted afterwards. */
+    * processed and emit nothing on re-run), deleted afterwards. The
+    * body must leave no query running against the dir — [[awaitGate]]
+    * is the sanctioned way to wait. */
   private def withCheckpoint[T](body: String => T): T = {
     val dir = scratchDir("graft_ckpt")
     try body(dir)
@@ -66,6 +71,13 @@ object SparkEntry {
       rm(new java.io.File(dir))
     }
   }
+
+  /** Await a gate stream; if the timeout fires with the query still
+    * running, STOP it before the caller's checkpoint dir is deleted
+    * out from under a live micro-batch. */
+  private def awaitGate(q: org.apache.spark.sql.streaming.StreamingQuery,
+                        timeoutMs: Long = 120000): Unit =
+    if (!q.awaitTermination(timeoutMs)) q.stop()
 
   /** IVF inverted lists staged once per dataset dir (hive-partitioned
     * by centroid id — see [[Ivf.writeLists]]). Like the trained
@@ -704,7 +716,7 @@ object SparkEntry {
           val q = agg.writeStream.outputMode("complete").format("memory")
             .queryName("x13_out").option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-          q.awaitTermination(120000)
+          awaitGate(q)
         }
       }
       s.table("x13_out")
@@ -729,7 +741,7 @@ object SparkEntry {
           val q = agg.writeStream.outputMode("append").format("memory")
             .queryName("x18_out").option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-          q.awaitTermination(120000)
+          awaitGate(q)
         }
       }
       s.table("x18_out")
@@ -754,7 +766,7 @@ object SparkEntry {
           val q = dedup.writeStream.outputMode("append").format("memory")
             .queryName("x28_out").option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-          q.awaitTermination(120000)
+          awaitGate(q)
         }
       }
       s.table("x28_out")
@@ -780,7 +792,7 @@ object SparkEntry {
           val q = agg.writeStream.outputMode("complete").format("memory")
             .queryName("x32_out").option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-          q.awaitTermination(120000)
+          awaitGate(q)
         }
       }
       s.table("x32_out").orderBy(asc_nulls_first("n_name"))

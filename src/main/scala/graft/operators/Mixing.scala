@@ -32,7 +32,7 @@ object Mixing {
   }
 
   private def hash8(key: Column, salt: String): Column =
-    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+    HexBucket.prefix(key, salt, 8)
 
   /** Keep each row with its domain's rate. Unlisted domains get
     * `defaultRate`. */
@@ -55,7 +55,7 @@ object Mixing {
       case ((dom, r), rest) =>
         s"CASE WHEN $domainExpr = '$dom' THEN '${rateCut(r)}' ELSE $rest END"
     }
-    s"substr(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 8) < $cutExpr"
+    s"${HexBucket.prefixSql(keyExpr, salt, 8)} < $cutExpr"
   }
 
   /** Deterministic corpus shuffle: order by seeded md5 of the key.
@@ -72,11 +72,18 @@ object Mixing {
     * smallest seeded hashes — an unbiased, growth-damped sample, not
     * "first k in storage order").
     *
-    * Scale shape: the selection is the bounded-heap [[graft.functions.TopKAgg]]
-    * aggregator, so each map partition forwards ≤k candidates per
-    * domain to the shuffle — never a per-domain window sort of the
-    * whole corpus — and the survivors come back via a semi join on
-    * ids only (domains × k rows, broadcastable). */
+    * The key must be long-castable (it rides through the typed
+    * [[graft.functions.TopKAgg]] aggregator, whose id field is a
+    * Long) and, as everywhere in this file, identify a row; rows
+    * whose key casts to NULL are rejected up front rather than
+    * silently dropped by the typed encoder.
+    *
+    * Scale shape: the bounded-heap aggregator means each map
+    * partition forwards ≤k candidates per domain to the shuffle —
+    * never a per-domain window sort of the whole corpus — and the
+    * survivors come back via a (domain, key) semi join (domains × k
+    * rows, broadcastable). The domain rides along so a key shared by
+    * two domains caps each domain independently. */
   def capPerDomain(df: DataFrame, domainCol: String, keyCol: String, k: Int,
                    salt: String = "cap"): DataFrame = {
     // numeric form of the 8-hex prefix (exact in a double: < 2^32),
@@ -85,10 +92,15 @@ object Mixing {
     val keep = df
       .select(col(domainCol).as("__dom"), col(keyCol).cast("long").as("__k"),
         score.as("__s"))
+      .withColumn("__k", when(col("__k").isNotNull, col("__k")).otherwise(
+        raise_error(lit(s"capPerDomain: $keyCol must cast to a non-null long"))))
       .groupBy(col("__dom"))
       .agg(graft.functions.TopKAgg.topK(k)(col("__k"), col("__s")).as("top"))
-      .select(explode(col("top").getField("id")).as("__k"))
-    df.join(keep, col(keyCol).cast("long") === keep("__k"), "left_semi")
+      .select(col("__dom"), explode(col("top").getField("id")).as("__k"))
+    df.join(keep,
+      col(domainCol) === keep("__dom") &&
+        col(keyCol).cast("long") === keep("__k"),
+      "left_semi")
   }
 
   /** Per-domain epoch repetition — the standard mixture spec "domain d
@@ -104,8 +116,6 @@ object Mixing {
       require(f >= 0.0, s"epoch factor $f must be non-negative"))
     def whole(f: Double) = math.floor(f).toInt
     def cut(f: Double) = rateCut(f - math.floor(f))
-    val maxEpochs = (factors.map(_._2) :+ defaultFactor)
-      .map(f => whole(f) + (if (f - whole(f) > 0.0) 1 else 0)).max
     val wholeCol = factors.foldRight(lit(whole(defaultFactor)): Column) {
       case ((dom, f), rest) =>
         when(col(domainCol) === lit(dom), lit(whole(f))).otherwise(rest)
@@ -114,10 +124,18 @@ object Mixing {
       case ((dom, f), rest) =>
         when(col(domainCol) === lit(dom), lit(cut(f))).otherwise(rest)
     }
-    val epochHash = substring(md5(concat(lit(salt + ":"),
-      col("epoch").cast("string"), lit(":"), col(keyCol).cast("string"))), 1, 8)
+    val epochHash = HexBucket.prefix(
+      concat(col("epoch").cast("string"), lit(":"), col(keyCol).cast("string")),
+      salt + ":", 8)
+    // each row generates only the epochs ITS domain can keep (whole
+    // copies + the fractional candidate when there is one) — a
+    // crawl-heavy corpus must not explode to a curated domain's
+    // factor and discard the excess. Only the fractional tail is
+    // hash-filtered afterwards.
+    val nEpochs = wholeCol + when(cutCol =!= lit(rateCut(0.0)), 1).otherwise(0)
     df.withColumn("epoch",
-        explode(sequence(lit(0), lit(math.max(0, maxEpochs - 1)))))
+        explode(when(nEpochs > 0, sequence(lit(0), nEpochs - 1))
+          .otherwise(array().cast("array<int>"))))
       .where(col("epoch") < wholeCol ||
         (col("epoch") === wholeCol && epochHash < cutCol))
   }
@@ -141,8 +159,9 @@ object Mixing {
       case ((dom, f), rest) =>
         s"CASE WHEN $domainExpr = '$dom' THEN '${cut(f)}' ELSE $rest END"
     }
-    val h = s"substr(md5('$salt:' || CAST(epoch AS VARCHAR) || ':' || " +
-      s"CAST($keyExpr AS VARCHAR)), 1, 8)"
+    val h = HexBucket.prefixSql(
+      s"CAST(epoch AS VARCHAR) || ':' || CAST($keyExpr AS VARCHAR)",
+      salt + ":", 8)
     (maxEpochs, s"(epoch < $wholeExpr OR (epoch = $wholeExpr AND $h < $cutExpr))")
   }
 }

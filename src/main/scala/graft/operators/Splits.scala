@@ -36,7 +36,7 @@ object Splits {
   def splitCol(key: Column, splits: Seq[(String, Double)],
                salt: String = ""): Column = {
     val cuts = cutPoints(splits.map(_._2))
-    val h = substring(md5(concat(lit(salt), key.cast("string"))), 1, 4)
+    val h = HexBucket.prefix(key, salt, 4)
     val names = splits.map(_._1)
     cuts.zip(names.init).foldRight(lit(names.last): Column) {
       case ((cut, name), rest) => when(h < lit(cut), lit(name)).otherwise(rest)
@@ -54,7 +54,7 @@ object Splits {
                salt: String = ""): String = {
     val cuts = cutPoints(splits.map(_._2))
     val names = splits.map(_._1)
-    val h = s"substr(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 4)"
+    val h = HexBucket.prefixSql(keyExpr, salt, 4)
     val whens = cuts.zip(names.init)
       .map { case (cut, n) => s"WHEN $h < '$cut' THEN '$n'" }
       .mkString(" ")

@@ -70,6 +70,21 @@ class MixingSpec extends AnyFunSuite {
     assert(again == ids)
   }
 
+  test("capPerDomain caps each domain independently when domains share keys") {
+    // the same key exists in BOTH domains: selection in one domain
+    // must not smuggle the other domain's row past its cap
+    val df = (0L until 50L).flatMap(i => Seq((i, "a"), (i, "b")))
+      .toDF("id", "dom")
+    val capped = Mixing.capPerDomain(df, "dom", "id", k = 7, salt = "s")
+    val byDom = capped.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom == Map("a" -> 7L, "b" -> 7L), s"caps leaked across domains: $byDom")
+    // and the selections differ (different effective hash order per
+    // domain would be wrong — same hash, but independent top-k)
+    val aIds = capped.where($"dom" === "a").select("id").as[Long].collect().toSet
+    val bIds = capped.where($"dom" === "b").select("id").as[Long].collect().toSet
+    assert(aIds == bIds) // same hash on the same key space → same pick
+  }
+
   test("epochs: whole factors replicate exactly, fractional tail at rate") {
     val df = corpus(4000)
     val rep = Mixing.epochs(df, "dom", "id",
