@@ -1066,6 +1066,23 @@ object SparkEntry {
           sum(col("doc_id")).cast(LongType).as("id_sum"))
         .orderBy(asc_nulls_first("source"), asc_nulls_first("epoch"))),
 
+    // X41 small-file compaction: fragment a copy of documents into 40
+    // files, compact to ~1 MB targets, and prove the data survived the
+    // atomic swap byte-for-byte (count + key/char sums against the
+    // ORIGINAL table's oracle). files_shrank pins that compaction
+    // actually reduced the file count, not just rewrote.
+    "x41_compaction" -> ((s, d) => {
+      val frag = java.nio.file.Files.createTempDirectory("graft_frag")
+        .toString + "/docs"
+      t(s, d, "documents").repartition(40).write.mode("overwrite").parquet(frag)
+      val stats = graft.catalog.Catalog.compact(s, frag, targetFileBytes = 1L << 20)
+      s.read.parquet(frag)
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast(LongType).as("id_sum"),
+          sum(col("n_chars")).cast(LongType).as("char_sum"))
+        .withColumn("files_shrank", lit(stats.filesAfter < stats.filesBefore))
+    }),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -1545,6 +1562,12 @@ object SparkEntry {
       """SELECT doc_id,
                 md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key LIMIT 25""",
+    "x41_compaction" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+                TRUE AS files_shrank
+         FROM documents""",
     "x39_domain_cap" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(doc_id) AS BIGINT) AS id_sum

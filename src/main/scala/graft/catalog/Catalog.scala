@@ -80,4 +80,38 @@ object Catalog {
     spark.sql(s"SHOW TBLPROPERTIES `${table.replace(".", "`.`")}`")
       .where($"key" === key).select("value").as[String].collect().headOption
   }
+
+  /** Before/after file counts and byte size of a [[compact]] run. */
+  case class CompactStats(filesBefore: Long, filesAfter: Long, bytes: Long)
+
+  /** Small-file compaction of a parquet directory: rewrite to
+    * ceil(bytes / targetFileBytes) files and swap atomically
+    * (write-to-temp, move old aside, rename in, delete old — the same
+    * crash-safe ordering as Engine.replaceSchema, resolvable at every
+    * step). Streaming sinks and per-batch appends accumulate files far
+    * below scan-task size; at warehouse scale that degrades both
+    * listing and task packing, and compaction is routine maintenance.
+    * The rewrite is a distributed repartition — nothing flows through
+    * the driver. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L << 20): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val parts = fs.listStatus(dirP).filter { s =>
+      s.isFile && !s.getPath.getName.startsWith("_")
+    }
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val tmp = new org.apache.hadoop.fs.Path(s"${dir}_compact_${System.nanoTime()}")
+    spark.read.parquet(dir)
+      .repartition(nOut.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val aside = new org.apache.hadoop.fs.Path(s"${dir}_precompact_${System.nanoTime()}")
+    fs.rename(dirP, aside)
+    fs.rename(tmp, dirP)
+    fs.delete(aside, true)
+    CompactStats(parts.length.toLong, nOut, bytes)
+  }
 }

@@ -90,4 +90,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(twice.count() == 2)
     assert(twice.select("key").distinct().count() == 2) // per-call nonce, no positional collision
   }
+
+  test("compact shrinks a fragmented parquet dir, preserving every row") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(0, 10000).select($"id", ($"id" * 3).as("v"))
+    df.repartition(25).write.parquet(dir)
+    val stats = graft.catalog.Catalog.compact(spark, dir, targetFileBytes = 64L << 20)
+    assert(stats.filesBefore == 25 && stats.filesAfter == 1, stats.toString)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum($"v")).head.getLong(0) == (0L until 10000L).map(_ * 3).sum)
+    // and the dir holds exactly one data file — the swap left no litter
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".parquet")) == 1, files.mkString(","))
+  }
 }
