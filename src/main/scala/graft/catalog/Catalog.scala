@@ -94,7 +94,8 @@ object Catalog {
     * The rewrite is a distributed repartition — nothing flows through
     * the driver. */
   def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L << 20): CompactStats = {
+              targetFileBytes: Long = 128L << 20,
+              clusterBy: Seq[String] = Nil): CompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -105,9 +106,20 @@ object Catalog {
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     val tmp = new org.apache.hadoop.fs.Path(s"${dir}_compact_${System.nanoTime()}")
-    spark.read.parquet(dir)
-      .repartition(nOut.toInt)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val src = spark.read.parquet(dir)
+    // clusterBy: range-partition + sort within files so each output
+    // file owns a disjoint key range — parquet min/max stats then
+    // prune point/range scans to one file (the BigQuery-clustering
+    // analogue for a filesystem layout)
+    val laid =
+      if (clusterBy.isEmpty) src.repartition(nOut.toInt)
+      else {
+        import org.apache.spark.sql.functions.col
+        val keys = clusterBy.map(col)
+        src.repartitionByRange(nOut.toInt, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      }
+    laid.write.mode("overwrite").parquet(tmp.toString)
     val aside = new org.apache.hadoop.fs.Path(s"${dir}_precompact_${System.nanoTime()}")
     fs.rename(dirP, aside)
     fs.rename(tmp, dirP)

@@ -105,4 +105,31 @@ class CatalogSpec extends AnyFunSuite {
     val files = new java.io.File(dir).listFiles().map(_.getName)
     assert(files.count(_.endsWith(".parquet")) == 1, files.mkString(","))
   }
+
+  test("compact with clusterBy yields disjoint per-file key ranges") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString + "/t"
+    spark.range(0, 20000).select($"id", (rand(7) * 100).as("noise"))
+      .repartition(30) // keys scattered across every file
+      .write.parquet(dir)
+    // tiny target → several output files, each owning a key range
+    val stats = graft.catalog.Catalog.compact(spark, dir,
+      targetFileBytes = 64L << 10, clusterBy = Seq("id"))
+    assert(stats.filesAfter > 1, stats.toString)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"id"), max($"id")).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: ${ranges.mkString(",")}")
+      case _ =>
+    }
+    // min/max pruning works: a point filter reads one file's rows
+    val pruned = spark.read.parquet(dir).where($"id" === 12345L)
+    assert(pruned.count() == 1)
+  }
 }
