@@ -1072,15 +1072,26 @@ object SparkEntry {
     // ORIGINAL table's oracle). files_shrank pins that compaction
     // actually reduced the file count, not just rewrote.
     "x41_compaction" -> ((s, d) => {
-      val frag = java.nio.file.Files.createTempDirectory("graft_frag")
-        .toString + "/docs"
+      import s.implicits._
+      val fragRoot = java.nio.file.Files.createTempDirectory("graft_frag")
+      val frag = fragRoot.toString + "/docs"
       t(s, d, "documents").repartition(40).write.mode("overwrite").parquet(frag)
       val stats = graft.catalog.Catalog.compact(s, frag, targetFileBytes = 1L << 20)
-      s.read.parquet(frag)
+      // materialize the 1-row audit eagerly so the staged copy can be
+      // deleted here instead of leaking one fixture-sized dir per
+      // invocation (the returned frame must not read the dir later)
+      val r = s.read.parquet(frag)
         .agg(count(lit(1)).as("n"),
           sum(col("doc_id")).cast(LongType).as("id_sum"),
           sum(col("n_chars")).cast(LongType).as("char_sum"))
-        .withColumn("files_shrank", lit(stats.filesAfter < stats.filesBefore))
+        .head()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(fragRoot.toFile)
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+        stats.filesAfter < stats.filesBefore))
+        .toDF("n", "id_sum", "char_sum", "files_shrank")
     }),
 
     // X24 deterministic train/val/test split (md5 hex buckets —
