@@ -36,10 +36,23 @@ object SparkEntry {
       // disk tmp, NOT scratchDir: the staged dataset lives for the
       // whole session and scales with the fixture — pinning it in a
       // (possibly tiny) /dev/shm would either eat RAM or ENOSPC
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stage").toString
+      val p = sessionTempDir("graft_events_stage")
       t(s, d, "events").write.mode("overwrite").parquet(p)
       p
     })
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Temp dir that lives for the session (staged datasets, index
+    * artifacts) but is deleted on JVM exit — repeated bench/verify
+    * runs must not accumulate fixture-sized copies in /tmp. */
+  private def sessionTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p.toString
+  }
 
   /** Scratch dir for staging/checkpoints, preferring tmpfs (/dev/shm)
     * over java.io.tmpdir. Measured neutral vs disk-backed /tmp at
@@ -64,20 +77,21 @@ object SparkEntry {
   private def withCheckpoint[T](body: String => T): T = {
     val dir = scratchDir("graft_ckpt")
     try body(dir)
-    finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
+    finally rmTree(new java.io.File(dir))
   }
 
   /** Await a gate stream; if the timeout fires with the query still
-    * running, STOP it before the caller's checkpoint dir is deleted
-    * out from under a live micro-batch. */
+    * running, STOP it (before the caller's checkpoint dir is deleted
+    * out from under a live micro-batch) and fail LOUDLY — returning
+    * normally would hand the caller a partially-populated sink to
+    * compare against the oracle. */
   private def awaitGate(q: org.apache.spark.sql.streaming.StreamingQuery,
                         timeoutMs: Long = 120000): Unit =
-    if (!q.awaitTermination(timeoutMs)) q.stop()
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming gate query did not finish within ${timeoutMs} ms")
+    }
 
   /** IVF inverted lists staged once per dataset dir (hive-partitioned
     * by centroid id — see [[Ivf.writeLists]]). Like the trained
@@ -91,7 +105,7 @@ object SparkEntry {
     // keyed by the SAME identity as the quantizer cache — lists are
     // only valid for the quantizer that assigned them
     ivfListsCache.computeIfAbsent(indexKey, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_lists").toString
+      val p = sessionTempDir("graft_ivf_lists")
       Ivf.writeLists(t(s, d, "embeddings"), idx, p)
       p
     })
@@ -1074,24 +1088,22 @@ object SparkEntry {
     "x41_compaction" -> ((s, d) => {
       import s.implicits._
       val fragRoot = java.nio.file.Files.createTempDirectory("graft_frag")
-      val frag = fragRoot.toString + "/docs"
-      t(s, d, "documents").repartition(40).write.mode("overwrite").parquet(frag)
-      val stats = graft.catalog.Catalog.compact(s, frag, targetFileBytes = 1L << 20)
-      // materialize the 1-row audit eagerly so the staged copy can be
-      // deleted here instead of leaking one fixture-sized dir per
-      // invocation (the returned frame must not read the dir later)
-      val r = s.read.parquet(frag)
-        .agg(count(lit(1)).as("n"),
-          sum(col("doc_id")).cast(LongType).as("id_sum"),
-          sum(col("n_chars")).cast(LongType).as("char_sum"))
-        .head()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(fragRoot.toFile)
-      Seq((r.getLong(0), r.getLong(1), r.getLong(2),
-        stats.filesAfter < stats.filesBefore))
-        .toDF("n", "id_sum", "char_sum", "files_shrank")
+      try {
+        val frag = fragRoot.toString + "/docs"
+        t(s, d, "documents").repartition(40).write.mode("overwrite").parquet(frag)
+        val stats = graft.catalog.Catalog.compact(s, frag, targetFileBytes = 1L << 20)
+        // materialize the 1-row audit eagerly so the staged copy can be
+        // deleted here instead of leaking one fixture-sized dir per
+        // invocation (the returned frame must not read the dir later)
+        val r = s.read.parquet(frag)
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast(LongType).as("id_sum"),
+            sum(col("n_chars")).cast(LongType).as("char_sum"))
+          .head()
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+          stats.filesAfter < stats.filesBefore))
+          .toDF("n", "id_sum", "char_sum", "files_shrank")
+      } finally rmTree(fragRoot.toFile)
     }),
 
     // X24 deterministic train/val/test split (md5 hex buckets —

@@ -100,7 +100,14 @@ object Catalog {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val dirP = new org.apache.hadoop.fs.Path(dir)
-    val parts = fs.listStatus(dirP).filter { s =>
+    val listing = fs.listStatus(dirP)
+    // flat dirs only: a hive-partitioned layout would list 0 bytes
+    // here and the plain read would flatten the partition columns —
+    // fail loudly instead of silently rewriting 1 TB into one file
+    require(!listing.exists(_.isDirectory),
+      s"compact supports flat parquet dirs; $dir has partition " +
+        "subdirectories — compact each partition dir instead")
+    val parts = listing.filter { s =>
       s.isFile && !s.getPath.getName.startsWith("_")
     }
     val bytes = parts.map(_.getLen).sum
@@ -120,10 +127,24 @@ object Catalog {
           .sortWithinPartitions(keys: _*)
       }
     laid.write.mode("overwrite").parquet(tmp.toString)
+    // Hadoop rename signals failure by RETURNING FALSE; every step
+    // must be checked, and a failed swap-in must roll the original
+    // back before failing — never delete the only copy
     val aside = new org.apache.hadoop.fs.Path(s"${dir}_precompact_${System.nanoTime()}")
-    fs.rename(dirP, aside)
-    fs.rename(tmp, dirP)
+    if (!fs.rename(dirP, aside)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: could not move $dir aside")
+    }
+    if (!fs.rename(tmp, dirP)) {
+      fs.rename(aside, dirP) // roll back to the original
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: could not swap rewrite into $dir")
+    }
     fs.delete(aside, true)
-    CompactStats(parts.length.toLong, nOut, bytes)
+    // observed, not requested: empty range partitions write no file
+    val filesAfter = fs.listStatus(dirP).count { s =>
+      s.isFile && !s.getPath.getName.startsWith("_")
+    }
+    CompactStats(parts.length.toLong, filesAfter.toLong, bytes)
   }
 }
