@@ -1080,6 +1080,35 @@ object SparkEntry {
           sum(col("doc_id")).cast(LongType).as("id_sum"))
         .orderBy(asc_nulls_first("source"), asc_nulls_first("epoch"))),
 
+    // X42 [ST5] the custom keyed state machine through the gate:
+    // flatMapGroupsWithState running per-user totals in Update mode.
+    // Each snapshot's n strictly grows per user, so max(struct(n,
+    // total)) picks the FINAL state even when multiple micro-batches
+    // emit intermediate snapshots — the batch GROUP BY oracle applies
+    // regardless of batch boundaries.
+    "x42_stream_totals" -> ((s, d) => {
+      import s.implicits._
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, 4) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema).parquet(staged)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.runningTotals(events)
+            .toDF().writeStream.outputMode("update").format("memory")
+            .queryName("x42_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x42_out")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("total"))).as("last"))
+        .select(col("user_id"), col("last.n").as("n"),
+          round(col("last.total"), 2).as("total"))
+        .orderBy(asc_nulls_first("user_id"))
+    }),
+
     // X41 small-file compaction: fragment a copy of documents into 40
     // files, compact to ~1 MB targets, and prove the data survived the
     // atomic swap byte-for-byte (count + key/char sums against the
@@ -1585,6 +1614,10 @@ object SparkEntry {
       """SELECT doc_id,
                 md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key LIMIT 25""",
+    "x42_stream_totals" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(SUM(value), 2) AS total
+         FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
     "x41_compaction" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(doc_id) AS BIGINT) AS id_sum,

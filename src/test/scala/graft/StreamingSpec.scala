@@ -107,6 +107,39 @@ class StreamingSpec extends AnyFunSuite {
     expect.foreach { case (uid, n) => assert(snaps(uid).n == n, uid) }
   }
 
+  test("ST5: max(struct(n,total)) selects the FINAL snapshot across micro-batches") {
+    // Update-mode runningTotals emits one snapshot per key per batch;
+    // the x42 gate reduces them with max(struct(n, total)), which is
+    // only correct because n strictly grows per key. Drive the stream
+    // file-by-file so intermediate snapshots really exist, then check
+    // the reduction equals the batch aggregate.
+    import EventStreams._
+    import org.apache.spark.sql.functions._
+    // the shared staged dir may be a single file (single-row-group
+    // fixture): stage a 4-file copy so file-per-batch really yields
+    // multiple batches with state carried across them
+    val multiDir = Files.createTempDirectory("events_multi").toString
+    Tables.load(spark, sfDir, "events").repartition(4)
+      .write.mode("overwrite").parquet(multiDir)
+    val stream = spark.readStream.schema(EventStreams.schema)
+      .option("maxFilesPerTrigger", "1").parquet(multiDir).as[Event]
+    val q = runningTotals(stream).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("totals_multi")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val sink = spark.table("totals_multi")
+    // intermediate snapshots must exist for the test to mean anything
+    assert(sink.count() > sink.select("user_id").distinct().count())
+    val reduced = sink.groupBy($"user_id")
+      .agg(max(struct($"n", $"total")).as("last"))
+      .select($"user_id", $"last.n".as("n"))
+      .as[(Long, Long)].collect().toMap
+    val expect = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(reduced == expect)
+  }
+
   test("ST6: foreachBatch parquet sink") {
     val out = Files.createTempDirectory("sink_out").toString
     val ckpt = Files.createTempDirectory("sink_ckpt").toString
