@@ -1080,6 +1080,22 @@ object SparkEntry {
           sum(col("doc_id")).cast(LongType).as("id_sum"))
         .orderBy(asc_nulls_first("source"), asc_nulls_first("epoch"))),
 
+    // X43 deterministic token-budget selection: greedy prefix of the
+    // seeded-hash order per domain until the budget would be passed —
+    // "take N tokens of domain d". Budgets chosen so the gate
+    // exercises partial take (src0), near-empty take (src1), zero
+    // budget (src2 absent from output), and the default (others).
+    "x43_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("nt", graft.functions.Text.tokenCount(col("text")))
+      graft.operators.Mixing.tokenBudget(docs, "source", "doc_id", "nt",
+          Seq("src0" -> 700L, "src1" -> 200L, "src2" -> 0L),
+          defaultBudget = 600L, salt = "tb1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("nt")).cast(LongType).as("tok"))
+        .orderBy(asc_nulls_first("source"))
+    }),
+
     // X42 [ST5] the custom keyed state machine through the gate:
     // flatMapGroupsWithState running per-user totals in Update mode.
     // Each snapshot's n strictly grows per user, so max(struct(n,
@@ -1614,6 +1630,24 @@ object SparkEntry {
       """SELECT doc_id,
                 md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key LIMIT 25""",
+    "x43_token_budget" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         b AS (
+           SELECT * FROM tk
+           QUALIFY SUM(nt) OVER (PARTITION BY source
+             ORDER BY substr(md5('tb1' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           <= CASE WHEN source = 'src0' THEN 700
+                   WHEN source = 'src1' THEN 200
+                   WHEN source = 'src2' THEN 0
+                   ELSE 600 END)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nt) AS BIGINT) AS tok
+         FROM b GROUP BY source ORDER BY source NULLS FIRST""",
     "x42_stream_totals" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
                 ROUND(SUM(value), 2) AS total

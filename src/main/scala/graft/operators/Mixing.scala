@@ -140,6 +140,40 @@ object Mixing {
         (col("epoch") === wholeCol && epochHash < cutCol))
   }
 
+  /** Deterministic token-budget selection — the "take N tokens of
+    * domain d" corpus spec. Documents are taken greedily in
+    * seeded-hash order (an unbiased shuffle of the domain) until the
+    * next document would push the domain's cumulative token count
+    * past its budget; a document is kept iff the running total
+    * INCLUDING it stays ≤ budget, so budgets are never overshot.
+    * Same determinism properties as the rest of this file; the
+    * explicit ROWS frame plus the key tiebreak make the cumulative
+    * sum identical in any engine.
+    *
+    * Scale note: the running sum is a per-domain window sort (same
+    * hazard class as [[Percentiles]] — a very hot domain sorts on one
+    * task, a spill not an OOM). `tokenCol` is caller-supplied so the
+    * count composes with any tokenizer. */
+  def tokenBudget(df: DataFrame, domainCol: String, keyCol: String,
+                  tokenCol: String, budgets: Seq[(String, Long)],
+                  defaultBudget: Long = 0L,
+                  salt: String = "tb"): DataFrame = {
+    (budgets.map(_._2) :+ defaultBudget).foreach(b =>
+      require(b >= 0L, s"token budget $b must be non-negative"))
+    val budgetCol = budgets.foldRight(lit(defaultBudget): Column) {
+      case ((dom, b), rest) =>
+        when(col(domainCol) === lit(dom), lit(b)).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(hash8(col(keyCol), salt), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .where(col("__cum") <= budgetCol)
+      .drop("__cum")
+  }
+
   /** SQL mirror of [[epochs]]: (maxEpochs, predicate over an `epoch`
     * column). The whole-epoch counts and fractional cut strings are
     * computed HERE (in Scala) and inlined as literals, so the oracle

@@ -105,6 +105,34 @@ class MixingSpec extends AnyFunSuite {
     assert(rep.select("id", "epoch").distinct().count() == rep.count())
   }
 
+  test("tokenBudget takes a greedy hash-order prefix, never overshooting") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 300L).map(i =>
+      (i, s"src${i % 3}", 10L + rnd.nextInt(90))).toDF("id", "dom", "nt")
+    val budgets = Seq("src0" -> 2000L, "src1" -> 150L, "src2" -> 0L)
+    val kept = Mixing.tokenBudget(df, "dom", "id", "nt", budgets, salt = "t")
+    val byDom = kept.groupBy("dom").agg(sum($"nt").as("tok"))
+      .as[(String, Long)].collect().toMap
+    assert(byDom("src0") <= 2000L && byDom("src0") > 1900L) // nearly full
+    assert(byDom("src1") <= 150L && byDom.getOrElse("src2", 0L) == 0L)
+    assert(!byDom.contains("src2")) // zero budget → domain absent
+    // greedy-prefix property: the kept set IS the hash-order prefix —
+    // every kept doc hashes before every dropped doc of its domain
+    val hashed = df.withColumn("h",
+      substring(md5(concat(lit("t"), $"id".cast("string"))), 1, 8))
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    Seq("src0", "src1").foreach { dom =>
+      val ordered = hashed.where($"dom" === dom).orderBy($"h", $"id")
+        .select("id").as[Long].collect()
+      val keptCount = ordered.count(keptIds)
+      assert(ordered.take(keptCount).forall(keptIds), s"$dom not a prefix")
+    }
+    // deterministic under repartition
+    val again = Mixing.tokenBudget(df.repartition(13), "dom", "id", "nt",
+      budgets, salt = "t").select("id").as[Long].collect().toSet
+    assert(again == keptIds)
+  }
+
   test("shuffled is a deterministic permutation; salt changes the order") {
     val df = corpus(500)
     val a = Mixing.shuffled(df, "id", "s1").select("id").as[Long].collect()
