@@ -34,15 +34,22 @@ object Mixing {
   private def hash8(key: Column, salt: String): Column =
     HexBucket.prefix(key, salt, 8)
 
+  /** Nested-when chain mapping each listed domain to a literal, any
+    * other domain to the default — the shared shape of every
+    * per-domain parameter in this file. */
+  private def perDomainLit[T](domainCol: String, pairs: Seq[(String, T)],
+                              default: T): Column =
+    pairs.foldRight(lit(default): Column) { case ((dom, v), rest) =>
+      when(col(domainCol) === lit(dom), lit(v)).otherwise(rest)
+    }
+
   /** Keep each row with its domain's rate. Unlisted domains get
     * `defaultRate`. */
   def weightedSample(df: DataFrame, domainCol: String, keyCol: String,
                      rates: Seq[(String, Double)], defaultRate: Double = 0.0,
                      salt: String = "mix"): DataFrame = {
-    val cut = rates.foldRight(lit(rateCut(defaultRate)): Column) {
-      case ((dom, r), rest) =>
-        when(col(domainCol) === lit(dom), lit(rateCut(r))).otherwise(rest)
-    }
+    val cut = perDomainLit(domainCol,
+      rates.map { case (d, r) => d -> rateCut(r) }, rateCut(defaultRate))
     df.where(hash8(col(keyCol), salt) < cut)
   }
 
@@ -116,14 +123,10 @@ object Mixing {
       require(f >= 0.0, s"epoch factor $f must be non-negative"))
     def whole(f: Double) = math.floor(f).toInt
     def cut(f: Double) = rateCut(f - math.floor(f))
-    val wholeCol = factors.foldRight(lit(whole(defaultFactor)): Column) {
-      case ((dom, f), rest) =>
-        when(col(domainCol) === lit(dom), lit(whole(f))).otherwise(rest)
-    }
-    val cutCol = factors.foldRight(lit(cut(defaultFactor)): Column) {
-      case ((dom, f), rest) =>
-        when(col(domainCol) === lit(dom), lit(cut(f))).otherwise(rest)
-    }
+    val wholeCol = perDomainLit(domainCol,
+      factors.map { case (d, f) => d -> whole(f) }, whole(defaultFactor))
+    val cutCol = perDomainLit(domainCol,
+      factors.map { case (d, f) => d -> cut(f) }, cut(defaultFactor))
     val epochHash = HexBucket.prefix(
       concat(col("epoch").cast("string"), lit(":"), col(keyCol).cast("string")),
       salt + ":", 8)
@@ -160,18 +163,24 @@ object Mixing {
                   salt: String = "tb"): DataFrame = {
     (budgets.map(_._2) :+ defaultBudget).foreach(b =>
       require(b >= 0L, s"token budget $b must be non-negative"))
-    val budgetCol = budgets.foldRight(lit(defaultBudget): Column) {
-      case ((dom, b), rest) =>
-        when(col(domainCol) === lit(dom), lit(b)).otherwise(rest)
-    }
+    val cumCol = "__tokenBudget_cum"
+    require(!df.columns.contains(cumCol),
+      s"tokenBudget: input must not already carry a $cumCol column")
+    val budgetCol = perDomainLit(domainCol, budgets, defaultBudget)
+    // a NULL key hashes to NULL, which Spark sorts first and DuckDB
+    // sorts last — fail fast like capPerDomain instead of silently
+    // consuming the budget nondeterministically. Keys must also
+    // identify a row (duplicates tie on both sort keys).
+    val safeKey = when(col(keyCol).isNotNull, col(keyCol)).otherwise(
+      raise_error(lit(s"tokenBudget: $keyCol must be non-null")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
-      .orderBy(hash8(col(keyCol), salt), col(keyCol))
+      .orderBy(hash8(safeKey, salt), col(keyCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
-      .where(col("__cum") <= budgetCol)
-      .drop("__cum")
+    df.withColumn(cumCol, sum(col(tokenCol)).over(w))
+      .where(col(cumCol) <= budgetCol)
+      .drop(cumCol)
   }
 
   /** SQL mirror of [[epochs]]: (maxEpochs, predicate over an `epoch`

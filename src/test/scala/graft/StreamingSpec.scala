@@ -127,7 +127,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("update").format("memory")
       .queryName("totals_multi")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish; sink is partial")
     val sink = spark.table("totals_multi")
     // intermediate snapshots must exist for the test to mean anything
     assert(sink.count() > sink.select("user_id").distinct().count())
