@@ -1015,16 +1015,19 @@ object SparkEntry {
     }),
 
     // X36 sequence packing: documents → fixed-2048-token training
-    // sequences, packed contiguously per split in doc_id order (a
-    // window cumsum per group — no global order anywhere, so packing
-    // shards cleanly at scale). Oracle replays the identical window.
+    // sequences, packed contiguously per (split, hash-shard) in
+    // doc_id order — the shard-parallel form, so the 80% train split
+    // sorts on 16 tasks, not one, and seq_id ranges are disjoint per
+    // shard. Oracle replays the identical two-level window + shard
+    // CASE (same md5-hex buckets).
     "x36_seq_packing" -> ((s, d) => {
       val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
       val docs = graft.operators.Splits.hashSplit(
         t(s, d, "documents"), "doc_id", splits, "v1")
         .select(col("doc_id"), col("split"),
           graft.functions.Text.tokenCount(col("text")).as("nt"))
-      graft.operators.Packing.contiguous(docs, "split", "doc_id", "nt", 2048L)
+      graft.operators.Packing.contiguousSharded(
+          docs, "split", "doc_id", "nt", 2048L, nShards = 16, salt = "pack")
         .groupBy(col("split"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast(LongType).as("n_tokens"))
         .orderBy(asc_nulls_first("split"), asc_nulls_first("seq_id"))
@@ -1683,17 +1686,18 @@ object SparkEntry {
     "x36_seq_packing" -> {
       val splitExpr = graft.operators.Splits.splitSql(
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      val shardExpr = graft.operators.Packing.shardSql("doc_id", 16, "pack")
       s"""WITH tk AS (
-           SELECT doc_id, $splitExpr AS split,
+           SELECT doc_id, $splitExpr AS split, $shardExpr AS shard,
                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
                                        x -> x <> '')) AS BIGINT) AS nt
            FROM documents),
          o AS (
-           SELECT split, doc_id, nt,
-                  COALESCE(SUM(nt) OVER (PARTITION BY split ORDER BY doc_id
+           SELECT split, shard, doc_id, nt,
+                  COALESCE(SUM(nt) OVER (PARTITION BY split, shard ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
            FROM tk)
-         SELECT split, CAST(FLOOR(off / 2048) AS BIGINT) AS seq_id,
+         SELECT split, CAST(FLOOR(off / 2048) * 16 + shard AS BIGINT) AS seq_id,
                 CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(nt) AS BIGINT) AS n_tokens
          FROM o GROUP BY 1, 2

@@ -120,6 +120,28 @@ class PlanSpec extends AnyFunSuite {
       s"packing must not globally sort:\n$plan")
   }
 
+  test("sharded packing: window keyed by (group, shard), all shards populated") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", ($"doc_id" % 3).cast("string").as("grp"),
+        graft.functions.Text.tokenCount($"text").as("nt"))
+    val packed = graft.operators.Packing.contiguousSharded(
+      docs, "grp", "doc_id", "nt", 512L, nShards = 16)
+    packed.collect()
+    val plan = packed.queryExecution.executedPlan.toString
+    // the exchange must hash on BOTH group and shard — that is what
+    // splits a dominant group's sort across tasks
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert("hashpartitioning\\(grp[^)]*_shard".r.findFirstIn(plan).isDefined,
+      s"window not keyed by (group, shard):\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"sharded packing must not globally sort:\n$plan")
+    // and the shards must actually spread the data: with 500 docs and
+    // 16 equal hex ranges every shard should be non-empty
+    val shardsUsed = packed.select((col("seq_id") % 16).as("s"))
+      .distinct().count()
+    assert(shardsUsed >= 12, s"only $shardsUsed shards populated")
+  }
+
   test("weightedSample and epochs are map-only: filter over the scan, no exchange") {
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"source")
     val sampled = graft.operators.Mixing.weightedSample(
