@@ -259,10 +259,24 @@ object Dedup {
   def simhashPairs(df: DataFrame, maxHamming: Int,
                    idCol: String = "doc_id", textCol: String = "text",
                    chunks: Int = 4): DataFrame = {
+    val sig = fanOut(df).select(col(idCol).as("id"), Text.simhash64(col(textCol)).as("sig"))
+    hammingPairs(sig, maxHamming, chunks = chunks)
+  }
+
+  /** Pigeonhole near-dup pairs over an arbitrary (id, 64-bit sig)
+    * frame — the banding+verify core of [[simhashPairs]], exposed so
+    * the pairing operator works over any 64-bit signature (and so the
+    * gate can audit it on engine-replayable synthetic signatures with
+    * an exact `bit_count(xor)` oracle). Exhaustive for
+    * `maxHamming < chunks`: two sigs within that distance must share
+    * an identical chunk, so the candidate equi-join misses nothing. */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int,
+                   idCol: String = "id", sigCol: String = "sig",
+                   chunks: Int = 4): DataFrame = {
     require(chunks > maxHamming, "need chunks > maxHamming for pigeonhole recall")
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val sig = fanOut(df).select(col(idCol).as("id"), Text.simhash64(col(textCol)).as("sig"))
+    val sig = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("sig"), c * bits).bitwiseAND(mask)): _*)))
