@@ -922,7 +922,12 @@ object SparkEntry {
       // stage the curated set: dedup reads it twice (signature pass +
       // survivor anti-join), and at warehouse scale each pipeline
       // stage writes its output as a table between stages anyway —
-      // without staging, the curation signal math runs twice
+      // without staging, the curation signal math runs twice.
+      // localCheckpoint is the local-mode stand-in for that table
+      // write: it is NOT fault-tolerant to executor loss (a real
+      // cluster run would use a durable table/checkpoint between
+      // stages), which also bounds the lifetime of the signature
+      // cache entry built over it below.
       val curated = graft.operators.Curation.annotate(t(s, d, "documents"))
         .where(col("keep")).select("doc_id", "text")
         .localCheckpoint()
@@ -1123,11 +1128,15 @@ object SparkEntry {
     // X38 deterministic corpus shuffle: ORDER BY seeded md5(key) —
     // executed as range-partition + local sort, the scale-correct
     // global shuffle. The head-25 emission pins the ORDER itself
-    // (the driver's compare is otherwise order-insensitive).
+    // (the driver's compare is otherwise order-insensitive); the
+    // operator drops its helper sort key, so the gate re-derives it
+    // from (salt, key) to pin the key values too.
     "x38_corpus_shuffle" -> ((s, d) =>
       graft.operators.Mixing.shuffled(
           t(s, d, "documents").select(col("doc_id")), "doc_id", salt = "shuf1")
-        .limit(25)),
+        .limit(25)
+        .withColumn("shuffle_key",
+          md5(concat(lit("shuf1"), col("doc_id").cast("string"))))),
 
     // X39 per-domain cap: at most 10 docs per source, selected as the
     // 10 smallest seeded hashes via the bounded-heap TopK UDAF (map
@@ -1211,7 +1220,15 @@ object SparkEntry {
       try {
         val frag = fragRoot.toString + "/docs"
         t(s, d, "documents").repartition(40).write.mode("overwrite").parquet(frag)
-        val stats = graft.catalog.Catalog.compact(s, frag, targetFileBytes = 1L << 20)
+        // scale the compaction target with the measured table size so
+        // files_shrank holds at EVERY sf (a fixed 1 MB target stops
+        // shrinking once the table passes ~40 MB): target ≈ bytes/10
+        // → ~10 output files, always fewer than the 40 fragments.
+        val fragBytes = new java.io.File(frag).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+        val stats = graft.catalog.Catalog.compact(s, frag,
+          targetFileBytes = math.max(1L << 20, fragBytes / 10 + 1))
         // materialize the 1-row audit eagerly so the staged copy can be
         // deleted here instead of leaking one fixture-sized dir per
         // invocation (the returned frame must not read the dir later)

@@ -6,11 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // driver contract: (sfDir, outDir); an optional third arg filters
-    // query names by substring for fast local iteration
+    // query names by comma-separated substrings for fast local iteration
     val (sfDir, outDir, nameFilter) = args match {
       case Array(s, o)    => (s, o, "")
       case Array(s, o, f) => (s, o, f)
     }
+    val nameFilters = nameFilter.split(',').filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +24,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.isEmpty || name.contains(nameFilter) }
+      .filter { case (name, _) =>
+        nameFilters.isEmpty || nameFilters.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -35,9 +35,30 @@ object Dedup {
     * ARTIFACT of a corpus snapshot (like the IVF quantizer + inverted
     * lists): at warehouse scale you write the signature table once
     * and reuse it across dedup runs, so repeat invocations against
-    * the same corpus must not re-shingle and re-hash it. */
+    * the same corpus must not re-shingle and re-hash it.
+    *
+    * HARD PRECONDITION: a `cacheKey` asserts corpus identity — the
+    * caller promises the underlying data for that key never changes
+    * within the session. There is no data fingerprint behind it;
+    * reusing a key after mutating the corpus returns stale
+    * signatures. When a corpus snapshot is replaced, call
+    * [[clearSignatureCache]] (optionally with the key prefix) to
+    * unpersist and drop the stale artifacts. Cached frames otherwise
+    * pin memory/disk for the session lifetime by design — that is
+    * the artifact contract, not a leak. */
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Unpersist and drop staged signature tables whose cache key
+    * starts with `prefix` (empty prefix = everything). Call when a
+    * corpus snapshot a key referred to is replaced or no longer
+    * needed. */
+  def clearSignatureCache(prefix: String = ""): Unit = {
+    import scala.jdk.CollectionConverters._
+    sigCache.keySet().asScala.filter(_.startsWith(prefix)).toList.foreach { k =>
+      Option(sigCache.remove(k)).foreach { df => df.unpersist(); () }
+    }
+  }
 
   /** MinHash signature table (id, sig) for `df`. With a `cacheKey`
     * the table is staged (persisted + materialized) once per key and
@@ -188,17 +209,29 @@ object Dedup {
     * band join are first scored with the MinHash Jaccard estimator
     * (computed from the already-staged signatures — no re-shingling);
     * only candidates whose estimate falls within `margin` of the
-    * threshold get the exact shingle-set Jaccard re-join. With k = 128
-    * signature components the estimator's std is √(j(1−j)/k) ≈ 0.044,
-    * so a 0.2 margin is ±4.5σ — clear-margin classifications agree
-    * with exact Jaccard w.p. 1−2e−10 per pair, and the near-threshold
-    * band (where they could disagree) is resolved exactly. Survivors
-    * therefore match [[lshExactPairs]] while the expensive shingle-set
-    * re-join touches only the near-threshold sliver of candidates. */
+    * threshold get the exact shingle-set Jaccard re-join.
+    *
+    * Divergence bound: a clear-margin candidate disagrees with exact
+    * Jaccard only when the estimator errs by ≥ margin, which by
+    * Hoeffding (k = bands·rowsPerBand components, each in {0,1}) has
+    * P ≤ 2·exp(−2·k·margin²) per pair — at k = 128 that is ≈ 2e−10
+    * for margin 0.3 (the default) but only ≈ 7e−5 for margin 0.2;
+    * equivalently the worst-case normal tail (σ = √(j(1−j)/k) ≤ 0.044
+    * at j = 0.5) puts margin 0.3 at ≈ 6.8σ vs 4.5σ for 0.2. Expected
+    * divergences over a run are candidate_count × that bound, so the
+    * default stays negligible (≪ 1) up to ~10^9 candidate pairs where
+    * a 0.2 margin would already expect divergences at ~10^4. The
+    * near-threshold band (where the estimator could err) is always
+    * resolved exactly, so survivors match [[lshExactPairs]] up to the
+    * stated per-pair bound while the expensive shingle-set re-join
+    * touches only the near-threshold sliver of candidates. (For high
+    * thresholds, `threshold + margin > 1` means no estimator
+    * fast-accepts at all — every surviving pair is exact-verified,
+    * the safe direction.) */
   def lshHybridPairs(df: DataFrame, threshold: Double,
                      idCol: String = "doc_id", textCol: String = "text",
                      shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
-                     margin: Double = 0.2,
+                     margin: Double = 0.3,
                      cacheKey: Option[String] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Stage SIGNATURES only (id + k longs, ~100× smaller than the
@@ -427,7 +460,8 @@ object Dedup {
     * threshold — see [[lshHybridPairs]]) → components → keep the
     * min-id representative of each cluster (plus every unpaired
     * document). The survivor set matches the all-exact formulation
-    * ([[lshExactPairs]]) by the margin argument, and is a
+    * ([[lshExactPairs]]) up to the hybrid's ≈2e−10-per-pair
+    * divergence bound (see [[lshHybridPairs]]), and is a
     * deterministic function of the data either way. */
   def dedupNearDups(df: DataFrame, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text",

@@ -69,11 +69,18 @@ object Mixing {
     * Spark executes the global sort as range-partition + per-partition
     * sort — the scale-correct shuffle (no single task ever sees the
     * corpus, no RNG state to coordinate), and the order is re-derivable
-    * from the salt alone. */
+    * from the salt alone. The helper sort key is dropped from the
+    * output (callers can re-derive it: md5(salt || key)); an input
+    * that already carries a `shuffle_key` column is rejected rather
+    * than silently overwritten. */
   def shuffled(df: DataFrame, keyCol: String,
-               salt: String = "shuf"): DataFrame =
+               salt: String = "shuf"): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "shuffled: input must not already carry a shuffle_key column")
     df.withColumn("shuffle_key", md5(concat(lit(salt), col(keyCol).cast("string"))))
       .orderBy(col("shuffle_key"))
+      .drop("shuffle_key")
+  }
 
   /** Cap each domain at k rows, selected deterministically (the k
     * smallest seeded hashes — an unbiased, growth-damped sample, not
@@ -119,6 +126,8 @@ object Mixing {
   def epochs(df: DataFrame, domainCol: String, keyCol: String,
              factors: Seq[(String, Double)], defaultFactor: Double = 1.0,
              salt: String = "rep"): DataFrame = {
+    require(!df.columns.contains("epoch"),
+      "epochs: input must not already carry an epoch column")
     (factors.map(_._2) :+ defaultFactor).foreach(f =>
       require(f >= 0.0, s"epoch factor $f must be non-negative"))
     def whole(f: Double) = math.floor(f).toInt
