@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Mergeable-sketch surface (SURVEY.md A-family extension): Count-Min
   * frequency estimation and Bloom membership over a key column, with
@@ -10,58 +11,105 @@ import org.apache.spark.sql.functions._
   * Scale design: both sketches build DISTRIBUTED (per-partition
   * sketches OR/add-merged — commutative and associative, so the result
   * is partition-order independent and deterministic for fixed data and
-  * seed). The audits collect only the DISTINCT KEY SET, which is
-  * bounded by key cardinality (the contract: audit low-cardinality
-  * keys), never the rows; the sketch itself is the object that scales.
+  * seed). The audits are distributed too: the built sketch is
+  * BROADCAST back out and violations are counted as a distributed
+  * aggregate over the per-key truth — only the one-row verdict ever
+  * reaches the driver, so key cardinality is bounded by executor
+  * memory (per-partition slices), never by driver memory.
   */
 object Sketches {
 
+  private val longPair = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  private val longTriple =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+
   /** Count-Min audit: estimates must never undercount (a hard CMS
     * guarantee) and must overcount by at most eps·N (the designed
-    * slack). Returns one row: (n_keys, undercount_violations,
-    * overcount_violations) — both violation counts pin to 0. */
+    * slack). The per-key truth is a plain groupBy-count; each task
+    * checks its slice of keys against the broadcast sketch and emits
+    * partial violation counts. Returns one row: (n_keys,
+    * undercount_violations, overcount_violations) — both violation
+    * counts pin to 0. */
   def cmsAudit(df: DataFrame, keyCol: String,
                eps: Double = 0.0001, confidence: Double = 0.999,
                seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     // null keys are skipped by Spark's sketch aggregate, so the audit
     // population must skip them too (estimateCount(null) also throws)
     val nn = df.where(col(keyCol).isNotNull)
     val sketch = nn.stat.countMinSketch(keyCol, eps, confidence, seed)
-    val truth = nn.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
-    val total = truth.map(_.getLong(1)).sum
-    val slack = math.ceil(eps * total).toLong
-    var under = 0L
-    var over = 0L
-    truth.foreach { r =>
-      val est = sketch.estimateCount(r.get(0))
-      if (est < r.getLong(1)) under += 1
-      if (est > r.getLong(1) + slack) over += 1
-    }
-    Seq((truth.length.toLong, under, over))
-      .toDF("n_keys", "undercount_violations", "overcount_violations")
+    // the sketch already knows N — no extra pass for the slack bound
+    val slack = math.ceil(eps * sketch.totalCount()).toLong
+    val bc = spark.sparkContext.broadcast(sketch)
+    val partials = nn.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .mapPartitions { it =>
+        var keys = 0L; var under = 0L; var over = 0L
+        it.foreach { r =>
+          val est = bc.value.estimateCount(r.get(0))
+          val n = r.getLong(1)
+          keys += 1
+          if (est < n) under += 1
+          if (est > n + slack) over += 1
+        }
+        Iterator((keys, under, over))
+      }(longTriple)
+    partials.toDF("k", "u", "o")
+      .agg(coalesce(sum(col("k")), lit(0L)).as("n_keys"),
+        coalesce(sum(col("u")), lit(0L)).as("undercount_violations"),
+        coalesce(sum(col("o")), lit(0L)).as("overcount_violations"))
   }
 
   /** Bloom audit: every present key must be reported present (the
     * no-false-negative hard guarantee), and false positives over a
     * synthetic absent-key probe set must stay within a generous
-    * multiple of the designed fpp. Returns one row:
-    * (n_keys, false_negatives = 0, fp_ok = true). */
+    * multiple of the designed fpp. Probes are synthesized IN THE KEY
+    * COLUMN'S TYPE (a string probe against a long-built filter never
+    * collides, making the check vacuous) and anti-joined against the
+    * key set so every surviving probe is genuinely absent. Returns one
+    * row: (n_keys, false_negatives = 0, fp_ok = true). */
   def bloomAudit(df: DataFrame, keyCol: String,
                  expectedItems: Long, fpp: Double,
                  absentProbes: Int = 200): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     // same null contract as cmsAudit: sketches see non-null keys only
     val nn = df.where(col(keyCol).isNotNull)
     val bf = nn.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val keys = nn.select(keyCol).distinct().collect().map(_.get(0))
-    val falseNeg = keys.count(k => !bf.mightContain(k)).toLong
-    val fpHits = (0 until absentProbes)
-      .count(i => bf.mightContain(s"__graft_absent_$i"))
-    val fpBound = math.max(10L, math.ceil(5 * fpp * absentProbes).toLong)
-    Seq((keys.length.toLong, falseNeg, fpHits <= fpBound))
-      .toDF("n_keys", "false_negatives", "fp_ok")
+    val bc = spark.sparkContext.broadcast(bf)
+    val keys = nn.select(col(keyCol)).distinct()
+
+    val membership = keys.mapPartitions { it =>
+      var n = 0L; var fn = 0L
+      it.foreach { r => n += 1; if (!bc.value.mightContain(r.get(0))) fn += 1 }
+      Iterator((n, fn))
+    }(longPair).toDF("k", "f")
+      .agg(coalesce(sum(col("k")), lit(0L)).as("n_keys"),
+        coalesce(sum(col("f")), lit(0L)).as("false_negatives"))
+
+    // probe candidates in the key type; the widely-spaced multiplier
+    // (Knuth's 2^32/φ) keeps integral candidates distinct pre-cast
+    val keyType = nn.schema(keyCol).dataType
+    val candidate: org.apache.spark.sql.Column = keyType match {
+      case StringType =>
+        concat(lit("__graft_absent_"), col("id").cast("string"))
+      case ByteType | ShortType | IntegerType | LongType =>
+        (lit(Long.MinValue / 2) + col("id") * lit(2654435761L)).cast(keyType)
+      case other => throw new IllegalArgumentException(
+        s"bloomAudit: unsupported key type $other (Bloom filters build " +
+          "over integral and string columns)")
+    }
+    val absent = spark.range(absentProbes.toLong).select(candidate.as("p"))
+      .join(keys, col("p") === col(keyCol), "left_anti")
+    val fpAgg = absent.mapPartitions { it =>
+      var n = 0L; var hits = 0L
+      it.foreach { r => n += 1; if (bc.value.mightContain(r.get(0))) hits += 1 }
+      Iterator((n, hits))
+    }(longPair).toDF("p", "h")
+      .agg(coalesce(sum(col("p")), lit(0L)).as("n_probes"),
+        coalesce(sum(col("h")), lit(0L)).as("fp_hits"))
+
+    membership.crossJoin(fpAgg)
+      .select(col("n_keys"), col("false_negatives"),
+        (col("fp_hits") <= greatest(lit(10L),
+          ceil(lit(5 * fpp) * col("n_probes")).cast("long"))).as("fp_ok"))
   }
 }

@@ -27,6 +27,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(a.getBoolean(2) && b.getBoolean(2))
   }
 
+  test("Bloom audit probes ride the key column's type (long keys non-vacuous)") {
+    import spark.implicits._
+    // string probes against a long-built filter never collide, so the
+    // fp check used to be vacuous for numeric keys; typed probes make
+    // it real while the anti-join keeps every probe genuinely absent
+    val df = (1L to 500L).toDF("k")
+    val r = Sketches.bloomAudit(df, "k", 500, 0.03).collect().head
+    assert(r.getLong(0) == 500L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getBoolean(2))
+  }
+
   test("audits skip null keys (sketch aggregates never see them)") {
     import spark.implicits._
     val df = Seq(Some("a"), Some("a"), Some("b"), None).toDF("k")
