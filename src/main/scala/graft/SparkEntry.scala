@@ -743,6 +743,22 @@ object SparkEntry {
         .orderBy(asc_nulls_first("modality"))
     }),
 
+    // X44 REAL image decode through the gate: deterministic tiny
+    // PNGs/BMPs are encoded on the executors (javax.imageio, pure
+    // JDK), then decodeFeatures must recover width/height by actually
+    // parsing the image headers — the dims are index arithmetic the
+    // oracle replays WITHOUT seeing the bytes, so a codec that didn't
+    // really decode the image container could not match.
+    "x44_image_decode" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticImageAssets(s, 64)
+      graft.operators.Multimodal.decodeFeatures(assets)
+        .select(col("asset_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"))
+        .orderBy(asc_nulls_first("asset_id"))
+    }),
+
     // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
     // gate: events replayed as a parquet stream, complete-mode hourly
     // aggregate, memory sink — must equal the q18 batch oracle.
@@ -1606,6 +1622,17 @@ object SparkEntry {
                 s.sampled_frames
          FROM a, s GROUP BY modality, s.sampled_frames
          ORDER BY modality NULLS FIRST""",
+    // replay of Multimodal.syntheticImageAssets(64): the engine must
+    // recover these dims by really parsing the PNG/BMP headers it
+    // encoded — the oracle re-derives them from the index arithmetic
+    // (width 16+(i%8)*4, height 12+(i%5)*4, still images = 1 frame)
+    "x44_image_decode" ->
+      """SELECT i AS asset_id,
+                CAST(16 + (i % 8) * 4 AS BIGINT) AS width,
+                CAST(12 + (i % 5) * 4 AS BIGINT) AS height,
+                CAST(1 AS BIGINT) AS n_frames
+         FROM (SELECT unnest(range(64)) AS i)
+         ORDER BY asset_id NULLS FIRST""",
     // full-equality audit over synthetic signatures: DuckDB recomputes
     // the same deterministic sigs and the exact Hamming pair set
     "x04_simhash_pairs" ->

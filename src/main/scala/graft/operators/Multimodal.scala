@@ -9,12 +9,17 @@ import org.apache.spark.sql.types._
   * with decode / feature-extract / resize / frame-sample as
   * partition-local transforms.
   *
-  * The actual codecs are NOT in this container, so the byte-level
-  * decode is a clearly-marked deterministic stub ([[StubCodec]]) that
-  * reads a tiny fake header; everything Spark-owned — schema, batch
-  * iteration shape (iterator-to-iterator, never materializing a
-  * partition), partitioning, explode fan-out — is real and tested.
-  * Swapping [[StubCodec]] for a JNI/FFI codec changes no plan shape.
+  * Codec boundary: IMAGES decode for real through the pure-JDK
+  * [[ImageCodec]] (`javax.imageio` — PNG/BMP/GIF/JPEG headers and
+  * pixels, no new dependencies). Audio/video codecs are NOT in this
+  * container, so those modalities go through the clearly-marked
+  * deterministic stub ([[StubCodec]]) reading a tiny fake header —
+  * as does any image payload `javax.imageio` has no reader for
+  * (e.g. the synthetic stub-header fixtures). Everything Spark-owned —
+  * schema, batch iteration shape (iterator-to-iterator, never
+  * materializing a partition), partitioning, explode fan-out — is
+  * identical on both sides of the boundary: swapping the stub for a
+  * JNI/FFI codec changes no plan shape.
   */
 object Multimodal {
 
@@ -59,17 +64,88 @@ object Multimodal {
     }
   }
 
-  /** Decode shallow features from the binary column. mapPartitions
-    * with an iterator-to-iterator body: constant memory per partition
-    * regardless of asset size — the shape that survives 100 TB of
-    * video. */
+  /** REAL image codec: pure-JDK `javax.imageio`, so it ships with the
+    * engine (no new dependencies) and runs partition-local on any
+    * executor. Dimension reads are HEADER-ONLY (`ImageReader.getWidth`
+    * never decodes pixel data) — the cheap path for feature
+    * extraction over 100 TB of assets; full pixel decode happens only
+    * in [[resize]]. */
+  object ImageCodec {
+    // never spill ImageIO scratch to executor-local temp files
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** (width, height) from the image header, or None when no
+      * installed reader recognizes the bytes (corrupt payloads, and
+      * the stub-header synthetic fixtures, fall back to [[StubCodec]]
+      * at the [[decodeFeatures]] dispatch). */
+    def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Full pixel decode, or None when unreadable. */
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** Deterministic PNG encode of an image (PNG compression of fixed
+      * pixels is byte-stable for a fixed JDK encoder). */
+    def encode(img: java.awt.image.BufferedImage, format: String = "png"): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
+    /** Nearest-neighbor pixel resize — explicit interpolation so the
+      * result is deterministic across JDK implementations. */
+    def resizePixels(img: java.awt.image.BufferedImage,
+                     factor: Double): java.awt.image.BufferedImage = {
+      val w = math.max(1, (img.getWidth * factor).toInt)
+      val h = math.max(1, (img.getHeight * factor).toInt)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, w, h, null); ()
+      } finally g.dispose()
+      out
+    }
+  }
+
+  /** Decode shallow features from the binary column: image payloads
+    * through the real [[ImageCodec]] header read (frames = 1), other
+    * modalities — and image bytes no reader recognizes — through
+    * [[StubCodec]]. mapPartitions with an iterator-to-iterator body:
+    * constant memory per partition regardless of asset size — the
+    * shape that survives 100 TB of video. */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     val rdd = assets.select("asset_id", "modality", "bytes").rdd
       .mapPartitions(_.map { r =>
         val bytes = r.getAs[Array[Byte]]("bytes")
-        val (w, h, f) = StubCodec.decodeHeader(bytes)
-        Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
+        val modality = r.getAs[String]("modality")
+        val (w, h, f) =
+          if (modality == "image")
+            ImageCodec.decodeDims(bytes) match {
+              case Some((iw, ih)) => (iw, ih, 1)
+              case None           => StubCodec.decodeHeader(bytes)
+            }
+          else StubCodec.decodeHeader(bytes)
+        Row(r.getAs[Long]("asset_id"), modality,
           w, h, f, if (bytes == null) 0L else bytes.length.toLong)
       })
     spark.createDataFrame(rdd, featureSchema)
@@ -87,26 +163,62 @@ object Multimodal {
       .withColumnRenamed("pos", "sample_idx")
       .withColumnRenamed("col", "frame_idx")
 
-  /** "Resize": recompute header dims scaled by `factor` (stub for a
-    * real pixel transform; demonstrates binary-in/binary-out). Same
-    * iterator-to-iterator codec-boundary shape as [[decodeFeatures]] —
-    * per-record, partition-local, constant memory, no closure UDF. */
+  /** Resize: REAL pixel scaling (decode → nearest-neighbor scale →
+    * PNG re-encode) for image payloads `javax.imageio` can read;
+    * header-dim arithmetic through [[StubCodec]] for everything else.
+    * Same iterator-to-iterator codec-boundary shape as
+    * [[decodeFeatures]] — per-record, partition-local, constant
+    * memory, no closure UDF. */
   def resize(assets: DataFrame, factor: Double): DataFrame = {
     val spark = assets.sparkSession
     val schema = assets.schema
     val idx = schema.fieldIndex("bytes")
+    val modIdx = schema.fieldIndex("modality")
     val rdd = assets.rdd.mapPartitions(_.map { r =>
       val bytes = r.getAs[Array[Byte]](idx)
+      val isImage = r.getAs[String](modIdx) == "image"
       val out =
         if (bytes == null || bytes.length < 6) bytes
-        else {
-          val (w, h, f) = StubCodec.decodeHeader(bytes)
-          StubCodec.encodeHeader((w * factor).toInt, (h * factor).toInt, f,
-            bytes.drop(6))
+        else (if (isImage) ImageCodec.decode(bytes) else None) match {
+          case Some(img) =>
+            ImageCodec.encode(ImageCodec.resizePixels(img, factor))
+          case None =>
+            val (w, h, f) = StubCodec.decodeHeader(bytes)
+            StubCodec.encodeHeader((w * factor).toInt, (h * factor).toInt, f,
+              bytes.drop(6))
         }
       Row.fromSeq(r.toSeq.updated(idx, out))
     })
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Synthesize a deterministic REAL-image asset table: every row is
+    * an actual PNG (or BMP, every 4th asset — proving multi-format
+    * dispatch) encoded on the executors from index-derived dims and
+    * pixels. Decoding these through [[decodeFeatures]] exercises the
+    * real `javax.imageio` path, and the dims are pure arithmetic on
+    * the index, so an oracle can replay them without seeing the
+    * bytes: width = 16 + (i%8)·4, height = 12 + (i%5)·4. */
+  def syntheticImageAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val w = 16 + (i % 8).toInt * 4
+      val h = 12 + (i % 5).toInt * 4
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((i * 2654435761L + y * w + x) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val format = if (i % 4 == 3) "bmp" else "png"
+      Row(i, "image", ImageCodec.encode(img, format),
+        Row(s"src${i % 4}", s"image/$format"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
   }
 
   /** Synthesize a deterministic asset table for tests/demos. */

@@ -92,6 +92,39 @@ class MiscSpec extends AnyFunSuite {
     before.foreach { case (id, w) => assert(resized(id) == w / 2) }
   }
 
+  test("Multimodal: REAL image decode recovers PNG/BMP dims from the bytes") {
+    val assets = Multimodal.syntheticImageAssets(spark, 20)
+    val feats = Multimodal.decodeFeatures(assets)
+      .select("asset_id", "width", "height", "n_frames", "byte_len")
+      .as[(Long, Int, Int, Int, Long)].collect()
+    assert(feats.length == 20)
+    feats.foreach { case (i, w, h, f, len) =>
+      assert(w == 16 + (i % 8).toInt * 4, s"asset $i width")
+      assert(h == 12 + (i % 5).toInt * 4, s"asset $i height")
+      assert(f == 1)
+      // real container bytes, not the 38-byte stub shape
+      assert(len > 38, s"asset $i should carry a real image payload")
+    }
+    // unreadable image bytes fall back to the stub header, loudly zero
+    val junk = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        99L, "image", Array.fill[Byte](3)(7), org.apache.spark.sql.Row("s", "m")))),
+      Multimodal.assetSchema)
+    val r = Multimodal.decodeFeatures(junk)
+      .select("width", "height").as[(Int, Int)].collect().head
+    assert(r == ((0, 0)))
+  }
+
+  test("Multimodal: REAL image resize rescales actual pixels") {
+    val assets = Multimodal.syntheticImageAssets(spark, 8)
+    val resized = Multimodal.decodeFeatures(Multimodal.resize(assets, 0.5))
+      .select("asset_id", "width", "height").as[(Long, Int, Int)].collect()
+    resized.foreach { case (i, w, h) =>
+      assert(w == math.max(1, (16 + (i % 8).toInt * 4) / 2), s"asset $i width")
+      assert(h == math.max(1, (12 + (i % 5).toInt * 4) / 2), s"asset $i height")
+    }
+  }
+
   test("Messages: re-publishing identical payloads yields fresh ids (no silent loss)") {
     val req = Seq(Messages.TransferRequest("sftp://a/1", "gs://b/1",
       remove_file = false, "2024-01-01")).toDS()
