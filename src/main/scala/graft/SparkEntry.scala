@@ -1259,6 +1259,45 @@ object SparkEntry {
       } finally rmTree(fragRoot.toFile)
     }),
 
+    // X41b compaction over a HIVE-PARTITIONED layout (the reference's
+    // DAY-partitioned tables are the layout that fragments): fragment
+    // a source=… partitioned copy of documents (~10 files per
+    // partition), compact per-partition, and prove both the byte-for-
+    // byte survival of the data INCLUDING the partition column (its
+    // values live in dir names the per-partition swap must not touch)
+    // and the file-count shrink.
+    "x41b_compaction_partitioned" -> ((s, d) => {
+      import s.implicits._
+      val fragRoot = java.nio.file.Files.createTempDirectory("graft_fragp")
+      try {
+        val frag = fragRoot.toString + "/docs"
+        t(s, d, "documents").repartition(10)
+          .write.partitionBy("source").mode("overwrite").parquet(frag)
+        val fragBytes = {
+          def walk(f: java.io.File): Long =
+            if (f.isFile) (if (f.getName.endsWith(".parquet")) f.length else 0L)
+            else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          walk(new java.io.File(frag))
+        }
+        val stats = graft.catalog.Catalog.compactPartitioned(s, frag,
+          targetFileBytes = math.max(1L << 20, fragBytes / 10 + 1))
+        // per-SOURCE audit: reading through the root must still
+        // discover the source=… values (they live in dir names the
+        // swap must preserve), and per-source count/id_sum pin that
+        // no row changed partitions during the rewrite. Materialized
+        // eagerly so the staged copy can be deleted here.
+        val rows = s.read.parquet(frag)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast(LongType).as("id_sum"))
+          .orderBy(asc_nulls_first("source"))
+          .collect()
+        val shrank = stats.filesAfter < stats.filesBefore
+        rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2), shrank))
+          .toDF("source", "n", "id_sum", "files_shrank")
+      } finally rmTree(fragRoot.toFile)
+    }),
+
     // X24 deterministic train/val/test split (md5 hex buckets —
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
@@ -1829,6 +1868,11 @@ object SparkEntry {
                 CAST(SUM(n_chars) AS BIGINT) AS char_sum,
                 TRUE AS files_shrank
          FROM documents""",
+    "x41b_compaction_partitioned" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                TRUE AS files_shrank
+         FROM documents GROUP BY source ORDER BY source NULLS FIRST""",
     "x39_domain_cap" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(doc_id) AS BIGINT) AS id_sum

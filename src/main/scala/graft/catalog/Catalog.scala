@@ -147,4 +147,50 @@ object Catalog {
     }
     CompactStats(parts.length.toLong, filesAfter.toLong, bytes)
   }
+
+  /** Small-file compaction of a HIVE-PARTITIONED parquet layout (the
+    * reference's DAY-partitioned tables, `bigquery.py:32-54`, are
+    * exactly the layout that fragments under per-batch appends): walk
+    * the `k=v` directory tree to its leaf partitions and run the same
+    * crash-safe rewrite+swap ([[compact]]) on each, so partition
+    * values — which live in the directory names, not the files — are
+    * untouched and reads through the root keep discovering them.
+    *
+    * Scale shape: the driver submits per-partition rewrite jobs
+    * concurrently (bounded pool); each rewrite is itself distributed.
+    * A crash mid-run leaves every partition either fully compacted or
+    * fully original (the per-partition swap is atomic), so the
+    * operation is resumable by re-running — routine maintenance
+    * semantics. A flat directory (no `k=v` subdirs) degenerates to a
+    * single [[compact]]. */
+  def compactPartitioned(spark: SparkSession, root: String,
+                         targetFileBytes: Long = 128L << 20,
+                         clusterBy: Seq[String] = Nil,
+                         maxConcurrent: Int = 8): CompactStats = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val sub = fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (sub.isEmpty) Seq(p)
+      else sub.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    val parts = leaves(new org.apache.hadoop.fs.Path(root))
+    if (parts == Seq(new org.apache.hadoop.fs.Path(root)))
+      compact(spark, root, targetFileBytes, clusterBy)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(maxConcurrent, parts.size)))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val stats = Await.result(
+          Future.sequence(parts.map(p =>
+            Future(compact(spark, p.toString, targetFileBytes, clusterBy)))),
+          scala.concurrent.duration.Duration.Inf)
+        CompactStats(stats.map(_.filesBefore).sum, stats.map(_.filesAfter).sum,
+          stats.map(_.bytes).sum)
+      } finally { pool.shutdown(); () }
+    }
+  }
 }
