@@ -1196,6 +1196,23 @@ object SparkEntry {
         .orderBy(asc_nulls_first("source"))
     }),
 
+    // X43b the same token-budget selection through the SHARDED
+    // two-level cumsum (shard-local prefix sums + broadcast shard
+    // offsets — no single task sorts a hot domain): output is
+    // identical to x43 by construction, so it shares x43's oracle —
+    // the gate proves the scale-shaped path, not just the property
+    // test.
+    "x43b_token_budget_sharded" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("nt", graft.functions.Text.tokenCount(col("text")))
+      graft.operators.Mixing.tokenBudgetSharded(docs, "source", "doc_id", "nt",
+          Seq("src0" -> 700L, "src1" -> 200L, "src2" -> 0L),
+          defaultBudget = 600L, salt = "tb1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("nt")).cast(LongType).as("tok"))
+        .orderBy(asc_nulls_first("source"))
+    }),
+
     // X42 [ST5] the custom keyed state machine through the gate:
     // flatMapGroupsWithState running per-user totals in Update mode.
     // Each snapshot's n strictly grows per user, so max(struct(n,
@@ -1454,6 +1471,28 @@ object SparkEntry {
                   CASE WHEN punct_ratio > 0.25 THEN 'punct_noise' END],
                   x -> x IS NOT NULL) AS reasons
          FROM sig)"""
+
+  /** Shared by x43 and x43b: the sharded two-level cumsum is
+    * output-identical to the single-window form, so both gate against
+    * the same SQL. */
+  private val tokenBudgetOracleSql: String =
+    """WITH tk AS (
+         SELECT doc_id, source,
+                CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS BIGINT) AS nt
+         FROM documents),
+       b AS (
+         SELECT * FROM tk
+         QUALIFY SUM(nt) OVER (PARTITION BY source
+           ORDER BY substr(md5('tb1' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         <= CASE WHEN source = 'src0' THEN 700
+                 WHEN source = 'src1' THEN 200
+                 WHEN source = 'src2' THEN 0
+                 ELSE 600 END)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(nt) AS BIGINT) AS tok
+       FROM b GROUP BY source ORDER BY source NULLS FIRST"""
 
   private def extOracleSql: Map[String, String] = Map(
     "x01_dedup_exact" ->
@@ -1840,24 +1879,10 @@ object SparkEntry {
       """SELECT doc_id,
                 md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key LIMIT 25""",
-    "x43_token_budget" ->
-      """WITH tk AS (
-           SELECT doc_id, source,
-                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                       x -> x <> '')) AS BIGINT) AS nt
-           FROM documents),
-         b AS (
-           SELECT * FROM tk
-           QUALIFY SUM(nt) OVER (PARTITION BY source
-             ORDER BY substr(md5('tb1' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           <= CASE WHEN source = 'src0' THEN 700
-                   WHEN source = 'src1' THEN 200
-                   WHEN source = 'src2' THEN 0
-                   ELSE 600 END)
-         SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-                CAST(SUM(nt) AS BIGINT) AS tok
-         FROM b GROUP BY source ORDER BY source NULLS FIRST""",
+    "x43_token_budget" -> tokenBudgetOracleSql,
+    // the sharded two-level form is output-identical by construction,
+    // so it gates against the very same single-window oracle
+    "x43b_token_budget_sharded" -> tokenBudgetOracleSql,
     "x42_stream_totals" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
                 ROUND(SUM(value), 2) AS total

@@ -192,6 +192,58 @@ object Mixing {
       .drop(cumCol)
   }
 
+  /** [[tokenBudget]] with the hot-domain hazard removed: the
+    * per-domain running sum is computed in TWO LEVELS — shard-local
+    * prefix sums plus broadcast shard offsets — so no single task ever
+    * sorts a whole domain (the same trick as
+    * [[Packing.contiguousSharded]]).
+    *
+    * The shard is the first `shardChars` hex chars of the SAME seeded
+    * hash the selection orders by, so shards are contiguous RANGES of
+    * the hash order: (shard asc, hash asc, key asc) is exactly the
+    * single-window order, equal hashes share a shard, and
+    * local_cum + (sum of preceding shards' totals) equals the global
+    * running sum row-for-row. The offsets table is domains ×
+    * 16^shardChars rows — broadcastable at any corpus size. Output is
+    * identical to [[tokenBudget]] (property-tested); the price is a
+    * second scan of the input for the shard totals, which at
+    * warehouse scale reads a staged table. */
+  def tokenBudgetSharded(df: DataFrame, domainCol: String, keyCol: String,
+                         tokenCol: String, budgets: Seq[(String, Long)],
+                         defaultBudget: Long = 0L,
+                         salt: String = "tb", shardChars: Int = 1): DataFrame = {
+    require(shardChars >= 1 && shardChars <= 4,
+      s"shardChars $shardChars outside [1,4] (16..65536 shards)")
+    (budgets.map(_._2) :+ defaultBudget).foreach(b =>
+      require(b >= 0L, s"token budget $b must be non-negative"))
+    val helpers = Seq("__tokenBudget_cum", "__tb_hash", "__tb_shard", "__tb_off")
+    helpers.foreach(c => require(!df.columns.contains(c),
+      s"tokenBudgetSharded: input must not already carry a $c column"))
+    val budgetCol = perDomainLit(domainCol, budgets, defaultBudget)
+    val safeKey = when(col(keyCol).isNotNull, col(keyCol)).otherwise(
+      raise_error(lit(s"tokenBudgetSharded: $keyCol must be non-null")))
+    val withH = df
+      .withColumn("__tb_hash", hash8(safeKey, salt))
+      .withColumn("__tb_shard", substring(col("__tb_hash"), 1, shardChars))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), col("__tb_shard"))
+      .orderBy(col("__tb_hash"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wDom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__tb_shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = withH.groupBy(col(domainCol), col("__tb_shard"))
+      .agg(sum(col(tokenCol)).as("__tb_tot"))
+      .withColumn("__tb_off", coalesce(sum(col("__tb_tot")).over(wDom), lit(0L)))
+      .drop("__tb_tot")
+    withH.withColumn("__tokenBudget_cum", sum(col(tokenCol)).over(wLocal))
+      .join(broadcast(offsets), Seq(domainCol, "__tb_shard"))
+      .where(col("__tokenBudget_cum") + col("__tb_off") <= budgetCol)
+      // the join moved its keys first — restore the input's column order
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** SQL mirror of [[epochs]]: (maxEpochs, predicate over an `epoch`
     * column). The whole-epoch counts and fractional cut strings are
     * computed HERE (in Scala) and inlined as literals, so the oracle

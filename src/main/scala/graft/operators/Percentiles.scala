@@ -34,12 +34,8 @@ object Percentiles {
   /** @param ps (outputColumnName, percentile in [0,1]) pairs */
   def exact(df: DataFrame, groupCol: String, valCol: String,
             ps: Seq[(String, Double)]): DataFrame = {
-    require(ps.nonEmpty, "at least one percentile required")
-    ps.foreach { case (_, p) =>
-      require(p >= 0.0 && p <= 1.0, s"percentile $p outside [0,1]") }
-    val nonNull = df
-      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
-      .where(col("__v").isNotNull)
+    validate(ps)
+    val nonNull = prep(df, groupCol, valCol)
     // rank + group size as two window passes over the SAME partitioning
     // (running frame + unbounded frame): one scan, one exchange, no
     // second aggregate branch or join
@@ -47,10 +43,80 @@ object Percentiles {
     val ranked = nonNull
       .withColumn("__rn", row_number().over(byG.orderBy(col("__v"))))
       .withColumn("__n", count(lit(1)).over(byG))
-    // 0-based fractional position of percentile p in the sorted run;
-    // ranks floor(pos)+1 and ceil(pos)+1 (1-based) bracket it. Ties in
-    // __v make row_number's choice arbitrary but the VALUE at each
-    // rank deterministic, which is all the interpolation reads.
+    interpolate(ranked, groupCol, ps)
+  }
+
+  /** [[exact]] with the hot-group hazard removed: global rank is
+    * computed in TWO LEVELS — values are split into sampled RANGE
+    * shards (boundaries from `approxQuantile`, so shards are
+    * contiguous in the sort order and roughly even), ranked locally
+    * within (group, shard), and shifted by the broadcast count of the
+    * group's preceding shards. No single task ever sorts a whole
+    * group; results are identical to [[exact]] (property-tested) —
+    * equal values always share a shard, and the interpolation reads
+    * only the VALUE at each global rank.
+    *
+    * Costs one extra scan (shard counts) and a driver-side boundary
+    * sample of `nShards−1` doubles — the recipe SCALE.md promises for
+    * skewed windows, as code. */
+  def exactSharded(df: DataFrame, groupCol: String, valCol: String,
+                   ps: Seq[(String, Double)], nShards: Int = 32): DataFrame = {
+    validate(ps)
+    require(nShards >= 2, s"nShards $nShards must be at least 2")
+    val nonNull = prep(df, groupCol, valCol)
+    // global boundaries (not per-group): a hot group dominates the
+    // sample, so its values spread across shards — exactly the case
+    // the sharding exists for. Duplicate boundaries (heavy ties)
+    // collapse; equal values then still share a shard.
+    val probs = (1 until nShards).map(_.toDouble / nShards)
+    val bounds = nonNull.stat
+      .approxQuantile("__v", probs.toArray, 0.001)
+      .distinct.sorted
+    if (bounds.isEmpty) {
+      // degenerate value distribution (≤1 distinct) — single shard IS
+      // the single-window form
+      return exact(df, groupCol, valCol, ps)
+    }
+    val boundsCol = array(bounds.map(lit(_)): _*)
+    val sharded = nonNull.withColumn("__shard",
+      size(filter(boundsCol, b => b <= col("__v"))))
+    val localRanked = sharded.withColumn("__lrn",
+      row_number().over(
+        Window.partitionBy(col("__g"), col("__shard")).orderBy(col("__v"))))
+    // per-(group, shard) counts → preceding-shard offsets + group
+    // totals: groups × ≤nShards rows, broadcastable at any scale
+    val wG = Window.partitionBy(col("__g")).orderBy(col("__shard"))
+    val offsets = sharded.groupBy(col("__g"), col("__shard"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(wG.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__g"))))
+      .select(col("__g"), col("__shard"), col("__off"), col("__n"))
+    val ranked = localRanked.join(broadcast(offsets), Seq("__g", "__shard"))
+      .withColumn("__rn", col("__lrn") + col("__off"))
+    interpolate(ranked, groupCol, ps)
+  }
+
+  private def validate(ps: Seq[(String, Double)]): Unit = {
+    require(ps.nonEmpty, "at least one percentile required")
+    ps.foreach { case (_, p) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile $p outside [0,1]") }
+  }
+
+  private def prep(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+
+  /** Shared interpolation tail over a frame carrying (__g, __v, __rn,
+    * __n): keep the ≤2 bracketing ranks per percentile, aggregate
+    * their weighted contributions. 0-based fractional position of
+    * percentile p in the sorted run; ranks floor(pos)+1 and
+    * ceil(pos)+1 (1-based) bracket it. Ties in __v make row_number's
+    * choice arbitrary but the VALUE at each rank deterministic, which
+    * is all the interpolation reads. */
+  private def interpolate(ranked: DataFrame, groupCol: String,
+                          ps: Seq[(String, Double)]): DataFrame = {
     def pos(p: Double): Column = (col("__n") - lit(1L)) * lit(p)
     val needed = ps.map { case (_, p) =>
       col("__rn") === floor(pos(p)) + 1 || col("__rn") === ceil(pos(p)) + 1

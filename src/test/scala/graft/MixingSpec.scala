@@ -133,6 +133,32 @@ class MixingSpec extends AnyFunSuite {
     assert(again == keptIds)
   }
 
+  test("tokenBudgetSharded equals the single-window form, hot domain included") {
+    val rnd = new scala.util.Random(23)
+    // src0 is the hot domain (~90% of rows) — the case the two-level
+    // cumsum exists for
+    val df = (0L until 600L).map { i =>
+      val dom = if (i % 10 < 9) "src0" else s"src${1 + (i % 10 - 9)}"
+      (i, dom, 5L + rnd.nextInt(60))
+    }.toDF("id", "dom", "nt")
+    val budgets = Seq("src0" -> 9000L, "src1" -> 300L)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").as[Long].collect().toSet
+    val single = ids(Mixing.tokenBudget(df, "dom", "id", "nt", budgets,
+      defaultBudget = 100L, salt = "tbs"))
+    // 16 and 256 shards, plus a repartitioned input: all identical
+    val sharded1 = ids(Mixing.tokenBudgetSharded(df, "dom", "id", "nt",
+      budgets, defaultBudget = 100L, salt = "tbs"))
+    val sharded2 = ids(Mixing.tokenBudgetSharded(df.repartition(17), "dom",
+      "id", "nt", budgets, defaultBudget = 100L, salt = "tbs", shardChars = 2))
+    assert(sharded1 == single)
+    assert(sharded2 == single)
+    // helper columns don't leak
+    val out = Mixing.tokenBudgetSharded(df, "dom", "id", "nt", budgets,
+      defaultBudget = 100L, salt = "tbs")
+    assert(out.columns.toSeq == Seq("id", "dom", "nt"))
+  }
+
   test("shuffled is a deterministic permutation; salt changes the order") {
     val df = corpus(500)
     val a = Mixing.shuffled(df, "id", "s1").select("id").as[Long].collect()

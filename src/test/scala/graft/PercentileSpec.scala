@@ -53,4 +53,26 @@ class PercentileSpec extends AnyFunSuite {
     val r = out.head
     assert(r.getString(0) == "a" && r.getDouble(1) == 2.0 && r.getLong(2) == 2L)
   }
+
+  test("exactSharded equals exact: hot group, heavy ties, tiny groups") {
+    val rnd = new scala.util.Random(31)
+    // one group holds ~95% of rows (the hot-group hazard the sharding
+    // removes); heavy ties so tied runs straddle no shard boundary
+    val rows = Seq.tabulate(4000) { i =>
+      val g = if (i % 20 < 19) "hot" else s"g${i % 3}"
+      (g, math.floor(rnd.nextDouble() * 50) / 2) // ~100 distinct values
+    } ++ Seq(("one", 42.0), ("two", 1.0), ("two", 9.0))
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+      "p90" -> 0.9, "p100" -> 1.0)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g").collect().map(_.toSeq).toSeq
+    val a = rowsOf(Percentiles.exact(df, "g", "v", ps))
+    val b = rowsOf(Percentiles.exactSharded(df, "g", "v", ps, nShards = 16))
+    assert(a == b)
+    // degenerate distribution (1 distinct value) falls back cleanly
+    val const = Seq.tabulate(50)(i => (s"g${i % 2}", 7.0)).toDF("g", "v")
+    val c = rowsOf(Percentiles.exactSharded(const, "g", "v", Seq("p50" -> 0.5)))
+    assert(c == rowsOf(Percentiles.exact(const, "g", "v", Seq("p50" -> 0.5))))
+  }
 }
