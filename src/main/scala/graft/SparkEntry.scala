@@ -529,14 +529,20 @@ object SparkEntry {
         .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))),
 
     // Q25 [EP3] ad-hoc SQL surface with a correlated + scalar subquery
-    // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg)
+    // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg).
+    // SHUFFLE_HASH on the decorrelated semi join: unhinted, AQE
+    // broadcasts LINEITEM — the fact side, a plan that dies at scale —
+    // and measures 1.0 s; the hash-shuffled semi is 0.56 s at sf0.1
+    // (ProfileQ25, best-of-3) and shuffles only 8-byte keys at any
+    // scale.
     "q25_sql_subquery" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(
         """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
            FROM orders o
            WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
-             AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+             AND EXISTS (SELECT /*+ SHUFFLE_HASH(l) */ 1
+                         FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
            ORDER BY o_orderkey NULLS FIRST""")
     }),
 

@@ -1,0 +1,55 @@
+package graft.tools
+
+/** Scratch profiler for the q25 correlated-subquery tail (not part of
+  * the driver surface; run manually while tuning). Compares the
+  * baseline EXISTS plan against join-strategy hints on the
+  * decorrelated semi join, per the q16b methodology: measure, apply
+  * only what wins. */
+object ProfileQ25 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.Session.local("profile-q25")
+    graft.sources.Tables.registerViews(spark, dir)
+    // warm both scans
+    spark.table("orders").write.format("noop").mode("overwrite").save()
+    spark.table("lineitem").write.format("noop").mode("overwrite").save()
+
+    def time(label: String)(sql: String): Unit =
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        spark.sql(sql).write.format("noop").mode("overwrite").save()
+        println(f"[profile] $label%-28s run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+
+    val baseline =
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+         FROM orders o
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+           AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+         ORDER BY o_orderkey NULLS FIRST"""
+    val hintedShuffleHash =
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+         FROM orders o
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+           AND EXISTS (SELECT /*+ SHUFFLE_HASH(l) */ 1
+                       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+         ORDER BY o_orderkey NULLS FIRST"""
+    val hintedBroadcast =
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+         FROM orders o
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+           AND EXISTS (SELECT /*+ BROADCAST(l) */ 1
+                       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+         ORDER BY o_orderkey NULLS FIRST"""
+
+    println("=== baseline plan ===")
+    spark.sql(baseline).explain("formatted")
+    println("=== shuffle_hash plan ===")
+    spark.sql(hintedShuffleHash).explain("formatted")
+
+    time("baseline EXISTS")(baseline)
+    time("SHUFFLE_HASH(l) semi")(hintedShuffleHash)
+    time("BROADCAST(l) semi")(hintedBroadcast)
+    spark.stop()
+  }
+}
