@@ -12,12 +12,20 @@ import java.nio.file.{Files, Path, Paths}
   *
   * Unlike the reference (`verify=False` at `export_svg.py:93`), TLS
   * verification stays ON — there is no legitimate reason to disable
-  * it for a public archive download.
+  * it for a public archive download. The reference also has no retry
+  * of its own (Airflow task retries around it); here the fetch
+  * retries RETRYABLE failures explicitly — connect/read errors and
+  * 5xx/429 — with exponential backoff, and fails fast on other 4xx
+  * (a 404 never heals).
   */
 object HttpFetch {
 
+  /** @param retries   additional attempts after the first (0 = one shot)
+    * @param backoffMs base delay before attempt n+1; doubles each retry */
   def fetch(url: String, landingDir: String,
-            fileName: Option[String] = None): Path = {
+            fileName: Option[String] = None,
+            retries: Int = 2, backoffMs: Long = 250L): Path = {
+    require(retries >= 0 && backoffMs >= 0, "retries/backoffMs must be >= 0")
     val dir = Paths.get(landingDir)
     Files.createDirectories(dir)
     val name = fileName.getOrElse {
@@ -30,11 +38,33 @@ object HttpFetch {
       .followRedirects(HttpClient.Redirect.NORMAL)
       .build()
     val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(target))
-    if (resp.statusCode() / 100 != 2) {
-      Files.deleteIfExists(target)
-      throw new RuntimeException(s"GET $url -> HTTP ${resp.statusCode()}")
+
+    def attempt(left: Int, delayMs: Long): Path = {
+      val outcome: Either[Throwable, Path] =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(target))
+          val code = resp.statusCode()
+          if (code / 100 == 2) Right(target)
+          else {
+            // a partial/error body must not masquerade as the archive
+            Files.deleteIfExists(target)
+            val e = new RuntimeException(s"GET $url -> HTTP $code")
+            if (code == 429 || code / 100 == 5) Left(e) // retryable
+            else throw e // other 4xx: never heals, fail fast
+          }
+        } catch {
+          case e: java.io.IOException =>
+            Files.deleteIfExists(target) // connect/read failure mid-body
+            Left(e)
+        }
+      outcome match {
+        case Right(p) => p
+        case Left(e) if left > 0 =>
+          Thread.sleep(delayMs)
+          attempt(left - 1, delayMs * 2)
+        case Left(e) => throw e
+      }
     }
-    target
+    attempt(retries, backoffMs)
   }
 }

@@ -80,4 +80,57 @@ class HttpFetchSpec extends AnyFunSuite {
       assert(!Files.exists(dir.resolve("missing.gz")))
     }
   }
+
+  test("5xx retries with backoff and succeeds once the server heals") {
+    withServer { (server, port) =>
+      val body = "healed".getBytes("UTF-8")
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/flaky", exchange => {
+        if (calls.incrementAndGet() <= 2) {
+          exchange.sendResponseHeaders(503, -1)
+          exchange.close()
+        } else {
+          exchange.sendResponseHeaders(200, body.length)
+          exchange.getResponseBody.write(body)
+          exchange.close()
+        }
+      })
+      val dir = Files.createTempDirectory("http_land").toString
+      val p = HttpFetch.fetch(s"http://127.0.0.1:$port/flaky", dir,
+        retries = 2, backoffMs = 10L)
+      assert(calls.get() == 3)
+      assert(new String(Files.readAllBytes(p), "UTF-8") == "healed")
+    }
+  }
+
+  test("4xx fails fast — no retry against an error that never heals") {
+    withServer { (server, port) =>
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/gone", exchange => {
+        calls.incrementAndGet()
+        exchange.sendResponseHeaders(404, -1)
+        exchange.close()
+      })
+      val dir = Files.createTempDirectory("http_land").toString
+      intercept[RuntimeException](
+        HttpFetch.fetch(s"http://127.0.0.1:$port/gone", dir,
+          retries = 3, backoffMs = 10L))
+      assert(calls.get() == 1)
+    }
+  }
+
+  test("retries exhausted surfaces the last failure, leaves no partial file") {
+    withServer { (server, port) =>
+      server.createContext("/down.gz", exchange => {
+        exchange.sendResponseHeaders(500, -1)
+        exchange.close()
+      })
+      val dir = Files.createTempDirectory("http_land")
+      val e = intercept[RuntimeException](
+        HttpFetch.fetch(s"http://127.0.0.1:$port/down.gz", dir.toString,
+          retries = 1, backoffMs = 10L))
+      assert(e.getMessage.contains("500"))
+      assert(!Files.exists(dir.resolve("down.gz")))
+    }
+  }
 }
