@@ -114,6 +114,20 @@ object SparkEntry {
       p
     })
 
+  /** Shared recall-containment gate tail (x14/x14b): how many exact
+    * top-k pairs the approximate result missed, bounded — emitted as
+    * (n_exact, recall_ok) so the oracle recomputes the exact count
+    * and pins the boolean. The exact side is checkpointed once (read
+    * twice: count + anti-join). */
+  private def recallGate(exactPairs: DataFrame, approxPairs: DataFrame,
+                         maxMissed: Long): DataFrame = {
+    val exact = exactPairs.localCheckpoint()
+    exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
+      .crossJoin(
+        exact.join(approxPairs, Seq("query_id", "neighbor_id"), "left_anti")
+          .agg((count(lit(1)) <= lit(maxMissed)).as("recall_ok")))
+  }
+
   /** Run a streaming gate query with state-store parallelism sized to
     * the load: each shuffle partition is a state-store instance with
     * per-batch commit overhead, so a fixture-scale stream wants a few
@@ -861,7 +875,7 @@ object SparkEntry {
       s.table("x32_out").orderBy(asc_nulls_first("n_name"))
     }),
 
-    // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=4),
+    // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=8),
     // recall-gated vs the exact top-k: the IVF result rows are
     // approximate, but recall@5 against knnBrute (itself hash-verified
     // by x05's oracle) is the design guarantee — emitted as a bounded
@@ -886,11 +900,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val exact = Sim.knnBrute(queries, emb, k = 5)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint() // read twice below (count + anti-join)
-      exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
-        .crossJoin(
-          exact.join(ivf, Seq("query_id", "neighbor_id"), "left_anti")
-            .agg((count(lit(1)) <= lit(20L)).as("recall_ok")))
+      recallGate(exact, ivf, maxMissed = 20L)
     }),
 
     // X14b IVF recall on CLUSTERED vectors — the operator's design
@@ -913,11 +923,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val exact = Sim.knnBrute(queries, synth, k = 5)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint() // read twice below (count + anti-join)
-      exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
-        .crossJoin(
-          exact.join(ivf, Seq("query_id", "neighbor_id"), "left_anti")
-            .agg((count(lit(1)) <= lit(5L)).as("recall_ok")))
+      recallGate(exact, ivf, maxMissed = 5L)
     }),
 
     // X22 token-window chunking (training-data prep): 80-token

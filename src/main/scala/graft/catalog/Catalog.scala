@@ -184,10 +184,18 @@ object Catalog {
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val stats = Await.result(
+        // lift each job to Try and await ALL of them: a fail-fast
+        // Future.sequence would rethrow while sibling rewrites are
+        // still mutating partitions behind the caller's back (and
+        // racing any cleanup the caller does on the root)
+        val outcomes = Await.result(
           Future.sequence(parts.map(p =>
-            Future(compact(spark, p.toString, targetFileBytes, clusterBy)))),
+            Future(compact(spark, p.toString, targetFileBytes, clusterBy))
+              .transform(t => scala.util.Success(t)))),
           scala.concurrent.duration.Duration.Inf)
+        outcomes.collectFirst { case scala.util.Failure(e) => e }
+          .foreach(e => throw e)
+        val stats = outcomes.collect { case scala.util.Success(s) => s }
         CompactStats(stats.map(_.filesBefore).sum, stats.map(_.filesAfter).sum,
           stats.map(_.bytes).sum)
       } finally { pool.shutdown(); () }

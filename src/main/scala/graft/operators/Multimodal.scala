@@ -100,11 +100,33 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
 
-    /** Deterministic PNG encode of an image (PNG compression of fixed
-      * pixels is byte-stable for a fixed JDK encoder). */
+    /** Container format name ("png", "bmp", …) sniffed from the
+      * bytes, or None when no reader recognizes them. */
+    def formatName(bytes: Array[Byte]): Option[String] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try Some(r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Deterministic image encode (compression of fixed pixels is
+      * byte-stable for a fixed JDK encoder). Throws when no writer
+      * exists for `format` — a silent false return would yield a
+      * 0-byte payload masquerading as an image. */
     def encode(img: java.awt.image.BufferedImage, format: String = "png"): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, format, bos)
+      if (!javax.imageio.ImageIO.write(img, format, bos))
+        throw new IllegalArgumentException(s"no image writer for format $format")
       bos.toByteArray
     }
 
@@ -181,7 +203,11 @@ object Multimodal {
         if (bytes == null || bytes.length < 6) bytes
         else (if (isImage) ImageCodec.decode(bytes) else None) match {
           case Some(img) =>
-            ImageCodec.encode(ImageCodec.resizePixels(img, factor))
+            // re-encode in the SOURCE container format so the bytes
+            // stay consistent with meta.mime (a BMP in must be a BMP
+            // out); png only when the format can't be sniffed
+            ImageCodec.encode(ImageCodec.resizePixels(img, factor),
+              ImageCodec.formatName(bytes).getOrElse("png"))
           case None =>
             val (w, h, f) = StubCodec.decodeHeader(bytes)
             StubCodec.encodeHeader((w * factor).toInt, (h * factor).toInt, f,

@@ -85,14 +85,23 @@ object Sketches {
       .agg(coalesce(sum(col("k")), lit(0L)).as("n_keys"),
         coalesce(sum(col("f")), lit(0L)).as("false_negatives"))
 
-    // probe candidates in the key type; the widely-spaced multiplier
-    // (Knuth's 2^32/φ) keeps integral candidates distinct pre-cast
+    // probe candidates in the key type, generated WITHIN the type's
+    // value range (an out-of-range cast throws under ANSI mode); the
+    // widely-spaced multiplier (Knuth's 2^32/φ) spreads candidates,
+    // and the anti-join below guarantees actual absence either way
     val keyType = nn.schema(keyCol).dataType
     val candidate: org.apache.spark.sql.Column = keyType match {
       case StringType =>
         concat(lit("__graft_absent_"), col("id").cast("string"))
-      case ByteType | ShortType | IntegerType | LongType =>
-        (lit(Long.MinValue / 2) + col("id") * lit(2654435761L)).cast(keyType)
+      case ByteType =>
+        (pmod(col("id") * lit(37L), lit(256L)) - lit(128L)).cast(keyType)
+      case ShortType =>
+        (pmod(col("id") * lit(30011L), lit(65536L)) - lit(32768L)).cast(keyType)
+      case IntegerType =>
+        (pmod(col("id") * lit(2654435761L), lit(4294967296L)) -
+          lit(2147483648L)).cast(keyType)
+      case LongType =>
+        lit(Long.MinValue / 2) + col("id") * lit(2654435761L)
       case other => throw new IllegalArgumentException(
         s"bloomAudit: unsupported key type $other (Bloom filters build " +
           "over integral and string columns)")

@@ -42,7 +42,13 @@ object HttpFetch {
     def attempt(left: Int, delayMs: Long): Path = {
       val outcome: Either[Throwable, Path] =
         try {
-          val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(target))
+          // TRUNCATE_EXISTING: a re-download over a longer stale file
+          // must not keep the old tail (ofFile's default is CREATE+
+          // WRITE only, which writes from offset 0 without truncating)
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(target,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
           val code = resp.statusCode()
           if (code / 100 == 2) Right(target)
           else {

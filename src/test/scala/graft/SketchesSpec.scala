@@ -37,6 +37,13 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getLong(0) == 500L)
     assert(r.getLong(1) == 0L)
     assert(r.getBoolean(2))
+    // int keys: probes must stay within the type's range (an
+    // out-of-range cast throws under ANSI mode)
+    val di = (1 to 300).toDF("k")
+    val ri = Sketches.bloomAudit(di, "k", 300, 0.03).collect().head
+    assert(ri.getLong(0) == 300L)
+    assert(ri.getLong(1) == 0L)
+    assert(ri.getBoolean(2))
   }
 
   test("audits skip null keys (sketch aggregates never see them)") {
