@@ -779,6 +779,22 @@ object SparkEntry {
         .orderBy(asc_nulls_first("asset_id"))
     }),
 
+    // X45 REAL audio decode through the gate (the x44 pattern for the
+    // audio modality): deterministic 16-bit PCM WAVs encoded on the
+    // executors (javax.sound.sampled, pure JDK), then decodeFeatures
+    // must recover sample rate / channels / PCM frame count by
+    // actually parsing the WAV headers — index arithmetic the oracle
+    // replays without seeing the bytes.
+    "x45_audio_decode" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticAudioAssets(s, 64)
+      graft.operators.Multimodal.decodeFeatures(assets)
+        .select(col("asset_id"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("n_frames").cast(LongType).as("n_frames"))
+        .orderBy(asc_nulls_first("asset_id"))
+    }),
+
     // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
     // gate: events replayed as a parquet stream, complete-mode hourly
     // aggregate, memory sink — must equal the q18 batch oracle.
@@ -1721,6 +1737,16 @@ object SparkEntry {
                 CAST(16 + (i % 8) * 4 AS BIGINT) AS width,
                 CAST(12 + (i % 5) * 4 AS BIGINT) AS height,
                 CAST(1 AS BIGINT) AS n_frames
+         FROM (SELECT unnest(range(64)) AS i)
+         ORDER BY asset_id NULLS FIRST""",
+    // replay of Multimodal.syntheticAudioAssets(64): the engine must
+    // recover these from really parsing the WAV headers it encoded
+    "x45_audio_decode" ->
+      """SELECT i AS asset_id,
+                CAST([8000, 11025, 16000, 22050][CAST(i % 4 AS INT) + 1]
+                     AS BIGINT) AS sample_rate,
+                CAST(1 + (i % 2) AS BIGINT) AS channels,
+                CAST(500 + (i % 7) * 250 AS BIGINT) AS n_frames
          FROM (SELECT unnest(range(64)) AS i)
          ORDER BY asset_id NULLS FIRST""",
     // full-equality audit over synthetic signatures: DuckDB recomputes

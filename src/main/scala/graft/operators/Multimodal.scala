@@ -32,13 +32,18 @@ object Multimodal {
       StructField("source", StringType),
       StructField("mime", StringType))))))
 
-  /** Decoded-feature schema produced by [[decodeFeatures]]. */
+  /** Decoded-feature schema produced by [[decodeFeatures]].
+    * width/height are image dims (0 for audio); sample_rate/channels
+    * are audio stream properties (0 for images); n_frames is video
+    * frames, audio PCM frames, or 1 for a still image. */
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType),
     StructField("modality", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
     StructField("byte_len", LongType)))
 
   /** STUB codec boundary: parses the deterministic fake header
@@ -148,27 +153,79 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec: pure-JDK `javax.sound.sampled` — WAV/AIFF/AU
+    * container headers parse without decoding sample data (the cheap
+    * path, like [[ImageCodec.decodeDims]]). */
+  object AudioCodec {
+    /** (sampleRate, channels, pcmFrames) from the container header,
+      * or None when no installed reader recognizes the bytes. */
+    def decodeMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        if (frames < 0) None
+        else Some((fmt.getSampleRate.toInt, fmt.getChannels, frames))
+      } catch { case _: Exception => None }
+    }
+
+    /** Deterministic 16-bit PCM WAV encode (header + seed-derived
+      * samples — byte-stable for a fixed JDK). */
+    def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+                  seed: Long): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, channels, true, false)
+      val data = new Array[Byte](nFrames * channels * 2)
+      var i = 0
+      while (i < data.length) {
+        data(i) = ((seed * 31 + i * 7) % 127).toByte; i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
   /** Decode shallow features from the binary column: image payloads
-    * through the real [[ImageCodec]] header read (frames = 1), other
-    * modalities — and image bytes no reader recognizes — through
-    * [[StubCodec]]. mapPartitions with an iterator-to-iterator body:
-    * constant memory per partition regardless of asset size — the
-    * shape that survives 100 TB of video. */
+    * through the real [[ImageCodec]] header read (frames = 1), audio
+    * through the real [[AudioCodec]] container parse (sample rate,
+    * channels, PCM frame count), video — and any payload no reader
+    * recognizes — through [[StubCodec]]. mapPartitions with an
+    * iterator-to-iterator body: constant memory per partition
+    * regardless of asset size — the shape that survives 100 TB of
+    * video. */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     val rdd = assets.select("asset_id", "modality", "bytes").rdd
       .mapPartitions(_.map { r =>
         val bytes = r.getAs[Array[Byte]]("bytes")
         val modality = r.getAs[String]("modality")
-        val (w, h, f) =
-          if (modality == "image")
+        val (w, h, f, sr, ch) = modality match {
+          case "image" =>
             ImageCodec.decodeDims(bytes) match {
-              case Some((iw, ih)) => (iw, ih, 1)
-              case None           => StubCodec.decodeHeader(bytes)
+              case Some((iw, ih)) => (iw, ih, 1, 0, 0)
+              case None =>
+                val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
+                (sw, sh, sf, 0, 0)
             }
-          else StubCodec.decodeHeader(bytes)
+          case "audio" =>
+            AudioCodec.decodeMeta(bytes) match {
+              case Some((rate, chans, frames)) => (0, 0, frames, rate, chans)
+              case None =>
+                val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
+                (sw, sh, sf, 0, 0)
+            }
+          case _ =>
+            val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
+            (sw, sh, sf, 0, 0)
+        }
         Row(r.getAs[Long]("asset_id"), modality,
-          w, h, f, if (bytes == null) 0L else bytes.length.toLong)
+          w, h, f, sr, ch, if (bytes == null) 0L else bytes.length.toLong)
       })
     spark.createDataFrame(rdd, featureSchema)
   }
@@ -243,6 +300,23 @@ object Multimodal {
       val format = if (i % 4 == 3) "bmp" else "png"
       Row(i, "image", ImageCodec.encode(img, format),
         Row(s"src${i % 4}", s"image/$format"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Synthesize a deterministic REAL-audio asset table: every row a
+    * 16-bit PCM WAV encoded on the executors with index-derived
+    * properties an oracle can replay without the bytes: sample_rate ∈
+    * {8000,11025,16000,22050}[i%4], channels 1+(i%2), pcm frames
+    * 500 + (i%7)·250. */
+  def syntheticAudioAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rates = Seq(8000, 11025, 16000, 22050)
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val rate = rates((i % 4).toInt)
+      val channels = 1 + (i % 2).toInt
+      val frames = 500 + (i % 7).toInt * 250
+      Row(i, "audio", AudioCodec.encodeWav(rate, channels, frames, seed = i),
+        Row(s"src${i % 4}", "audio/wav"))
     }
     spark.createDataFrame(rdd, assetSchema)
   }

@@ -115,6 +115,25 @@ class MiscSpec extends AnyFunSuite {
     assert(r == ((0, 0)))
   }
 
+  test("Multimodal: REAL audio decode recovers WAV properties from the bytes") {
+    val assets = Multimodal.syntheticAudioAssets(spark, 16)
+    val feats = Multimodal.decodeFeatures(assets)
+      .select("asset_id", "sample_rate", "channels", "n_frames", "width")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(feats.length == 16)
+    val rates = Seq(8000, 11025, 16000, 22050)
+    feats.foreach { case (i, sr, ch, f, w) =>
+      assert(sr == rates((i % 4).toInt), s"asset $i rate")
+      assert(ch == 1 + (i % 2).toInt, s"asset $i channels")
+      assert(f == 500 + (i % 7).toInt * 250, s"asset $i frames")
+      assert(w == 0) // image dims stay zero for audio
+    }
+    // stub-header audio (syntheticAssets) still decodes via the stub
+    val stub = Multimodal.decodeFeatures(
+      Multimodal.syntheticAssets(spark, 6).where($"modality" === "audio"))
+    assert(stub.where($"sample_rate" === 0).count() == stub.count())
+  }
+
   test("Multimodal: REAL image resize rescales actual pixels") {
     val assets = Multimodal.syntheticImageAssets(spark, 8)
     val resized = Multimodal.decodeFeatures(Multimodal.resize(assets, 0.5))
