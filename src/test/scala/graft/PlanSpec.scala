@@ -181,6 +181,37 @@ class PlanSpec extends AnyFunSuite {
       s"no value-map aggregate buffer may appear:\n$plan")
   }
 
+  test("tokenBudgetSharded: window keyed by (domain, shard) — hot domain spreads") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source",
+        graft.functions.Text.tokenCount($"text").as("nt"))
+    val kept = graft.operators.Mixing.tokenBudgetSharded(
+      docs, "source", "doc_id", "nt", Seq("src0" -> 100000L),
+      defaultBudget = 100000L)
+    kept.collect()
+    val plan = kept.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the cumsum window's exchange must hash on BOTH the domain and
+    // the hash-shard — that is what splits a hot domain's sort
+    assert("hashpartitioning\\(source[^)]*__tb_shard".r.findFirstIn(plan).isDefined,
+      s"window not keyed by (domain, shard):\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"sharded budget must not globally sort:\n$plan")
+  }
+
+  test("exactSharded percentiles: rank window keyed by (group, value shard)") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val pct = graft.operators.Percentiles.exactSharded(
+      orders, "o_orderpriority", "o_totalprice", Seq("p50" -> 0.5), nShards = 8)
+    pct.collect()
+    val plan = pct.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(__g[^)]*__shard".r.findFirstIn(plan).isDefined,
+      s"rank window not keyed by (group, shard):\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"no value-map aggregate buffer may appear:\n$plan")
+  }
+
   test("fanOut is identity when the input already has enough partitions") {
     val target = spark.sparkContext.defaultParallelism
     val docs = Tables.load(spark, sfDir, "documents")
