@@ -795,6 +795,19 @@ object SparkEntry {
         .orderBy(asc_nulls_first("asset_id"))
     }),
 
+    // X46 BM25 relevance (query-driven corpus curation): top-10 docs
+    // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
+    // Both the tokenizer (the x15/x43 stream) and the scoring formula
+    // are engine-replayable, so the oracle recomputes scores
+    // term-for-term; ordering uses the ROUNDED score + doc_id
+    // tiebreak so the top-10 selection is engine-stable.
+    "x46_bm25_topk" -> ((s, d) =>
+      graft.operators.Bm25.score(t(s, d, "documents"),
+          Seq("window", "column", "scan"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, asc_nulls_first("doc_id"))
+        .limit(10)),
+
     // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
     // gate: events replayed as a parquet stream, complete-mode hourly
     // aggregate, memory sink — must equal the q18 batch oracle.
@@ -1739,6 +1752,36 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS n_frames
          FROM (SELECT unnest(range(64)) AS i)
          ORDER BY asset_id NULLS FIRST""",
+    // Okapi BM25 replay: same tokenizer as x15/x43, same smoothed
+    // Robertson idf and k1=1.2 / b=0.75 saturation, rounded score as
+    // the selection key
+    "x46_bm25_topk" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         stats AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  AVG(CAST(len(ts) AS DOUBLE)) AS avgdl FROM tk),
+         f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+                      unnest(ts) AS term FROM tk),
+         tf AS (
+           SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM f WHERE term IN ('window', 'column', 'scan')
+           GROUP BY doc_id, term, dl),
+         df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+         sc AS (
+           SELECT tf.doc_id,
+                  SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+                    AS score
+           FROM tf JOIN df USING (term), stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, ROUND(score, 4) AS score FROM sc
+         ORDER BY ROUND(score, 4) DESC, doc_id NULLS FIRST LIMIT 10""",
     // replay of Multimodal.syntheticAudioAssets(64): the engine must
     // recover these from really parsing the WAV headers it encoded
     "x45_audio_decode" ->
