@@ -1254,6 +1254,33 @@ object SparkEntry {
         .orderBy(asc_nulls_first("source"))
     }),
 
+    // X47 STREAM-STREAM interval join through the gate: views pair
+    // with the same user's clicks within the following hour, both
+    // sides watermarked so join state stays bounded. An inner
+    // stream-stream join emits exactly the matching pairs, so the
+    // batch join oracle applies regardless of micro-batch boundaries;
+    // per-user id sums pin exact pair membership.
+    "x47_stream_interval_join" -> ((s, d) => {
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, 4) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema).parquet(staged)
+          val q = graft.streaming.EventStreams.viewClickJoin(events, 60)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("x47_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x47_out")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("view_id")).cast(LongType).as("view_id_sum"),
+          sum(col("click_id")).cast(LongType).as("click_id_sum"))
+        .orderBy(asc_nulls_first("user_id"))
+    }),
+
     // X42 [ST5] the custom keyed state machine through the gate:
     // flatMapGroupsWithState running per-user totals in Update mode.
     // Each snapshot's n strictly grows per user, so max(struct(n,
@@ -1968,6 +1995,19 @@ object SparkEntry {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
                 ROUND(SUM(value), 2) AS total
          FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    // batch replay of the stream-stream interval join: inner joins
+    // emit exactly the matching pairs, independent of batching
+    "x47_stream_interval_join" ->
+      """WITH p AS (
+           SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+           FROM events v JOIN events c
+             ON v.user_id = c.user_id
+            AND v.event_type = 'view' AND c.event_type = 'click'
+            AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(view_id) AS BIGINT) AS view_id_sum,
+                CAST(SUM(click_id) AS BIGINT) AS click_id_sum
+         FROM p GROUP BY user_id ORDER BY user_id NULLS FIRST""",
     "x41_compaction" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(doc_id) AS BIGINT) AS id_sum,

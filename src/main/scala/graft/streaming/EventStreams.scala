@@ -59,6 +59,33 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("v"))
 
+  /** ST-family extension: STREAM-STREAM interval join — each view
+    * event pairs with the same user's click events in the following
+    * `gapMinutes`. Both sides carry a watermark and the join
+    * condition bounds event-time distance, so Spark can size and
+    * evict the two join-state stores (state per side is bounded by
+    * gap + watermark of traffic — the shape that survives unbounded
+    * streams). Inner joins emit exactly the matching pairs, so the
+    * result equals the batch join of the same condition regardless
+    * of micro-batch boundaries. */
+  def viewClickJoin(events: DataFrame, gapMinutes: Int,
+                    watermark: String = "2 hours"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double, props: String)
   case class UserRunningState(n: Long, total: Double)

@@ -97,6 +97,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(perFile == oneShot)
   }
 
+  test("stream-stream interval join equals the batch join, any batching") {
+    def run(name: String, opts: Map[String, String]): Set[(Long, Long, Long)] = {
+      val q = EventStreams.viewClickJoin(
+          EventStreams.readStream(spark, stagedDir, options = opts), 60)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.table(name).select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val streamed = run("vc_one", Map.empty)
+    val perFile = run("vc_multi", Map("maxFilesPerTrigger" -> "1"))
+    val ev = Tables.load(spark, sfDir, "events")
+    val batch = ev.as("v").join(ev.as("c"),
+        $"v.user_id" === $"c.user_id" &&
+          $"v.event_type" === "view" && $"c.event_type" === "click" &&
+          $"c.ts" > $"v.ts" &&
+          $"c.ts" <= $"v.ts" + org.apache.spark.sql.functions.expr("INTERVAL 60 MINUTES"))
+      .select($"v.user_id", $"v.event_id", $"c.event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "gate population must not be vacuous")
+    assert(streamed == batch)
+    assert(perFile == batch) // inner join emission is batching-invariant
+  }
+
   test("ST5: flatMapGroupsWithState running totals") {
     import EventStreams._
     val events = Tables.load(spark, sfDir, "events").as[Event]
