@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~90 bench queries × several runs of whole-stage-codegen classes;
+  // the JDK default 240m code cache is uncomfortably close to full
+  // near the end of the suite (JIT stops compiling when it fills)
+  "-XX:ReservedCodeCacheSize=512m",
 )

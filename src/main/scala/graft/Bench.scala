@@ -7,8 +7,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced through the `noop` sink (not `.count()`, which
   * would let Catalyst prune the projection/sort away and measure
-  * nothing). Best-of-2 per query so JIT/codegen warmup doesn't dominate
-  * sub-second queries.
+  * nothing).
+  *
+  * Timing protocol: ADAPTIVE best-of-N. The full suite runs ~90
+  * queries in one JVM, and single observations inside that context
+  * transiently read 4-5× their isolated value (GC pause alignment,
+  * neighbor-query heap pressure — BENCH_r03's x04, BENCH_r04's
+  * x07-x10 band, both later replicated at 1× in isolation). Two
+  * observations that agree within 30% are accepted (min reported —
+  * the standard noise-floor estimator for deterministic work); while
+  * they disagree the query re-runs, up to 4 observations, so a
+  * transient must strike 3+ times in a row to survive into the
+  * report. A System.gc() between queries keeps one query's garbage
+  * from billing the next query's first observation.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,11 +53,25 @@ object Bench {
     // one throwaway query to absorb session/codegen init cost
     runOnce(names.head)
 
-    val results = names.map { name =>
-      val a = runOnce(name)
-      val b = runOnce(name)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    def timeQuery(name: String): Double = {
+      System.gc() // decorrelate: previous query's garbage, not ours
+      var best = runOnce(name)
+      var second = runOnce(name)
+      if (best < 0 || second < 0) return -1.0
+      if (second < best) { val t = best; best = second; second = t }
+      var n = 2
+      // re-run while the two best observations disagree by >30%
+      while (n < 4 && second > best * 1.3) {
+        val r = runOnce(name)
+        if (r < 0) return -1.0
+        if (r < best) { second = best; best = r }
+        else if (r < second) second = r
+        n += 1
+      }
+      best
     }
+
+    val results = names.map(name => name -> timeQuery(name))
     // 3-decimal fixed formatting (locale-independent): millisecond
     // resolution is plenty, and the shorter line survives whatever
     // output buffer captures it without truncating mid-JSON

@@ -795,6 +795,22 @@ object SparkEntry {
         .orderBy(asc_nulls_first("asset_id"))
     }),
 
+    // X48 REAL video decode through the gate (closing the x44/x45
+    // pattern over the last modality): deterministic uncompressed DIB
+    // AVIs encoded on the executors (hand-rolled RIFF writer, pure
+    // JDK), then decodeFeatures must recover width / height / frame
+    // count by actually walking the RIFF chunk tree to the 'avih'
+    // header — index arithmetic the oracle replays without the bytes.
+    "x48_video_decode" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticVideoAssets(s, 64)
+      graft.operators.Multimodal.decodeFeatures(assets)
+        .select(col("asset_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"))
+        .orderBy(asc_nulls_first("asset_id"))
+    }),
+
     // X46 BM25 relevance (query-driven corpus curation): top-10 docs
     // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
     // Both the tokenizer (the x15/x43 stream) and the scoring formula
@@ -1325,7 +1341,13 @@ object SparkEntry {
       val fragRoot = java.nio.file.Files.createTempDirectory("graft_frag")
       try {
         val frag = fragRoot.toString + "/docs"
-        t(s, d, "documents").repartition(40).write.mode("overwrite").parquet(frag)
+        // fragment ONLY the audited columns: compaction mechanics
+        // (listing, distributed rewrite, atomic swap) are
+        // column-width-independent, so dragging the heavy `text`
+        // column through the 3-pass rewrite would buy the gate
+        // nothing but wall-clock (~20x the bytes)
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+          .repartition(40).write.mode("overwrite").parquet(frag)
         // scale the compaction target with the measured table size so
         // files_shrank holds at EVERY sf (a fixed 1 MB target stops
         // shrinking once the table passes ~40 MB): target ≈ bytes/10
@@ -1361,7 +1383,10 @@ object SparkEntry {
       val fragRoot = java.nio.file.Files.createTempDirectory("graft_fragp")
       try {
         val frag = fragRoot.toString + "/docs"
-        t(s, d, "documents").repartition(10)
+        // audited columns only (see x41): the per-leaf swap/audit
+        // properties are independent of the dropped `text` bytes
+        t(s, d, "documents").select(col("doc_id"), col("source"))
+          .repartition(10)
           .write.partitionBy("source").mode("overwrite").parquet(frag)
         val fragBytes = {
           def walk(f: java.io.File): Long =
@@ -1815,6 +1840,15 @@ object SparkEntry {
            GROUP BY tf.doc_id)
          SELECT doc_id, ROUND(score, 2) AS score FROM sc
          ORDER BY ROUND(score, 2) DESC, doc_id NULLS FIRST LIMIT 10""",
+    // replay of Multimodal.syntheticVideoAssets(64): the engine must
+    // recover these from really walking the AVI RIFF tree it encoded
+    "x48_video_decode" ->
+      """SELECT i AS asset_id,
+                CAST(16 + (i % 6) * 4 AS BIGINT) AS width,
+                CAST(12 + (i % 4) * 4 AS BIGINT) AS height,
+                CAST(6 + (i % 5) * 3 AS BIGINT) AS n_frames
+         FROM (SELECT unnest(range(64)) AS i)
+         ORDER BY asset_id NULLS FIRST""",
     // replay of Multimodal.syntheticAudioAssets(64): the engine must
     // recover these from really parsing the WAV headers it encoded
     "x45_audio_decode" ->

@@ -11,15 +11,18 @@ import org.apache.spark.sql.types._
   *
   * Codec boundary: IMAGES decode for real through the pure-JDK
   * [[ImageCodec]] (`javax.imageio` — PNG/BMP/GIF/JPEG headers and
-  * pixels, no new dependencies). Audio/video codecs are NOT in this
-  * container, so those modalities go through the clearly-marked
-  * deterministic stub ([[StubCodec]]) reading a tiny fake header —
-  * as does any image payload `javax.imageio` has no reader for
-  * (e.g. the synthetic stub-header fixtures). Everything Spark-owned —
-  * schema, batch iteration shape (iterator-to-iterator, never
-  * materializing a partition), partitioning, explode fan-out — is
-  * identical on both sides of the boundary: swapping the stub for a
-  * JNI/FFI codec changes no plan shape.
+  * pixels), AUDIO through [[AudioCodec]] (`javax.sound.sampled` —
+  * WAV/AIFF/AU containers), and VIDEO through [[VideoCodec]] (a
+  * hand-rolled RIFF/AVI chunk walker — uncompressed DIB AVIs parse,
+  * resize and re-encode frame-accurately with zero dependencies).
+  * Compressed video codecs are NOT in this container, so payloads no
+  * real reader recognizes fall back to the clearly-marked
+  * deterministic stub ([[StubCodec]]) reading a tiny fake header.
+  * Everything Spark-owned — schema, batch iteration shape
+  * (iterator-to-iterator, never materializing a partition),
+  * partitioning, explode fan-out — is identical on both sides of the
+  * boundary: swapping the stub for a JNI/FFI codec changes no plan
+  * shape.
   */
 object Multimodal {
 
@@ -191,6 +194,173 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec: hand-rolled RIFF/AVI container support (pure
+    * JDK — no codec library exists in-container, but an uncompressed
+    * DIB ('00db') AVI is plain header arithmetic plus raw RGB24
+    * frames, the same class of work as [[AudioCodec]]'s WAV parse).
+    * Metadata reads walk the RIFF chunk tree to the 'avih' main
+    * header — width, height and frame count come from the container
+    * itself, not from any stub convention. Unrecognized video
+    * payloads still fall back to [[StubCodec]] at the dispatch sites.
+    */
+  object VideoCodec {
+    private def u32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def cc(b: Array[Byte], i: Int): String =
+      if (i + 4 > b.length) ""
+      else new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def putU32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    private def putCC(b: Array[Byte], i: Int, s: String): Unit = {
+      var j = 0
+      while (j < 4) { b(i + j) = s.charAt(j).toByte; j += 1 }
+    }
+
+    /** DIB rows are padded to 4-byte boundaries. */
+    private def rowBytes(w: Int): Int = (w * 3 + 3) & ~3
+
+    /** (width, height, frames) from the 'avih' main header, or None
+      * when the bytes are not a RIFF/AVI container. */
+    def decodeMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length < 24) return None
+      if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
+      // walk top-level chunks; descend into LIST hdrl for 'avih'
+      def scan(from: Int, to: Int): Option[(Int, Int, Int)] = {
+        var off = from
+        while (off + 8 <= to && off + 8 <= bytes.length) {
+          val id = cc(bytes, off)
+          val size = u32(bytes, off + 4)
+          if (size < 0 || off + 8 + size > bytes.length) return None
+          if (id == "LIST" && size >= 4) {
+            val listType = cc(bytes, off + 8)
+            if (listType == "hdrl") {
+              val r = scan(off + 12, off + 8 + size)
+              if (r.isDefined) return r
+            }
+          } else if (id == "avih" && size >= 40) {
+            val d = off + 8
+            val frames = u32(bytes, d + 16)
+            val w = u32(bytes, d + 32)
+            val h = u32(bytes, d + 36)
+            return Some((w, h, frames))
+          }
+          off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        }
+        None
+      }
+      scan(12, bytes.length)
+    }
+
+    /** Deterministic uncompressed AVI encode: RIFF(AVI ){ LIST hdrl
+      * { avih, LIST strl { strh(vids/DIB), strf(BITMAPINFOHEADER) } },
+      * LIST movi { frames × '00db'(raw bottom-up RGB24, 4-byte row
+      * padding) } }. `pixel(f, x, y)` supplies each frame's RGB. */
+    def encodeAvi(w: Int, h: Int, frames: Int,
+                  pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0 && frames >= 0, "bad AVI dimensions")
+      val rb = rowBytes(w)
+      val frameBytes = rb * h
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val moviSize = 4 + frames * (8 + frameBytes)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val out = new Array[Byte](8 + riffSize)
+      var p = 0
+      def chunkHeader(id: String, size: Int): Unit = {
+        putCC(out, p, id); putU32(out, p + 4, size); p += 8
+      }
+      chunkHeader("RIFF", riffSize); putCC(out, p, "AVI "); p += 4
+      chunkHeader("LIST", hdrlSize); putCC(out, p, "hdrl"); p += 4
+      chunkHeader("avih", 56)
+      val avih = p
+      putU32(out, avih, 100000)            // usec/frame (10 fps)
+      putU32(out, avih + 16, frames)       // dwTotalFrames
+      putU32(out, avih + 24, 1)            // dwStreams
+      putU32(out, avih + 28, frameBytes)   // dwSuggestedBufferSize
+      putU32(out, avih + 32, w); putU32(out, avih + 36, h)
+      p += 56
+      chunkHeader("LIST", 4 + (8 + 56) + (8 + 40)); putCC(out, p, "strl"); p += 4
+      chunkHeader("strh", 56)
+      val strh = p
+      putCC(out, strh, "vids"); putCC(out, strh + 4, "DIB ")
+      putU32(out, strh + 20, 1)            // dwScale
+      putU32(out, strh + 24, 10)           // dwRate → 10 fps
+      putU32(out, strh + 32, frames)       // dwLength
+      putU32(out, strh + 36, frameBytes)
+      p += 56
+      chunkHeader("strf", 40)
+      val bih = p
+      putU32(out, bih, 40)                 // biSize
+      putU32(out, bih + 4, w); putU32(out, bih + 8, h)
+      out(bih + 12) = 1                    // biPlanes
+      out(bih + 14) = 24                   // biBitCount (BI_RGB)
+      putU32(out, bih + 20, frameBytes)    // biSizeImage
+      p += 40
+      chunkHeader("LIST", moviSize); putCC(out, p, "movi"); p += 4
+      var f = 0
+      while (f < frames) {
+        chunkHeader("00db", frameBytes)
+        var y = 0
+        while (y < h) {
+          val row = p + (h - 1 - y) * rb // DIB rows store bottom-up
+          var x = 0
+          while (x < w) {
+            val rgb = pixel(f, x, y)
+            out(row + x * 3) = rgb.toByte             // B
+            out(row + x * 3 + 1) = (rgb >> 8).toByte  // G
+            out(row + x * 3 + 2) = (rgb >> 16).toByte // R
+            x += 1
+          }
+          y += 1
+        }
+        p += frameBytes
+        f += 1
+      }
+      out
+    }
+
+    /** REAL video resize: parse the container, nearest-neighbor scale
+      * every raw frame, rebuild the AVI around the new dimensions.
+      * None when the bytes are not an uncompressed AVI this codec can
+      * re-frame (callers then decide: stub or pass through). */
+    def resizeAvi(bytes: Array[Byte], factor: Double): Option[Array[Byte]] =
+      decodeMeta(bytes).flatMap { case (w, h, frames) =>
+        if (w <= 0 || h <= 0) None
+        else {
+          // collect '00db' frame payload offsets in stream order
+          val offs = new scala.collection.mutable.ArrayBuffer[Int](frames)
+          def scan(from: Int, to: Int): Unit = {
+            var off = from
+            while (off + 8 <= to && off + 8 <= bytes.length) {
+              val id = cc(bytes, off)
+              val size = u32(bytes, off + 4)
+              if (size < 0 || off + 8 + size > bytes.length) return
+              if (id == "LIST" && size >= 4) scan(off + 12, off + 8 + size)
+              else if (id == "00db") offs += off + 8
+              off += 8 + size + (size & 1)
+            }
+          }
+          scan(12, bytes.length)
+          val rb = rowBytes(w)
+          if (offs.size != frames || offs.exists(_ + rb * h > bytes.length)) None
+          else {
+            val w2 = math.max(1, (w * factor).toInt)
+            val h2 = math.max(1, (h * factor).toInt)
+            Some(encodeAvi(w2, h2, frames, (f, x, y) => {
+              val sx = math.min(w - 1, (x.toLong * w / w2).toInt)
+              val sy = math.min(h - 1, (y.toLong * h / h2).toInt)
+              val row = offs(f) + (h - 1 - sy) * rb
+              ((bytes(row + sx * 3 + 2) & 0xff) << 16) |
+                ((bytes(row + sx * 3 + 1) & 0xff) << 8) |
+                (bytes(row + sx * 3) & 0xff)
+            }))
+          }
+        }
+      }
+  }
+
   /** Decode shallow features from the binary column: image payloads
     * through the real [[ImageCodec]] header read (frames = 1), audio
     * through the real [[AudioCodec]] container parse (sample rate,
@@ -216,6 +386,13 @@ object Multimodal {
           case "audio" =>
             AudioCodec.decodeMeta(bytes) match {
               case Some((rate, chans, frames)) => (0, 0, frames, rate, chans)
+              case None =>
+                val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
+                (sw, sh, sf, 0, 0)
+            }
+          case "video" =>
+            VideoCodec.decodeMeta(bytes) match {
+              case Some((vw, vh, vf)) => (vw, vh, vf, 0, 0)
               case None =>
                 val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
                 (sw, sh, sf, 0, 0)
@@ -262,7 +439,15 @@ object Multimodal {
       val isVisual = modality == "image" || modality == "video"
       val out =
         if (!isVisual || bytes == null || bytes.length < 6) bytes
-        else (if (modality == "image") ImageCodec.decode(bytes) else None) match {
+        else if (modality == "video")
+          // real AVI → re-framed container with scaled raw frames;
+          // stub-header video fixtures → header arithmetic
+          VideoCodec.resizeAvi(bytes, factor).getOrElse {
+            val (w, h, f) = StubCodec.decodeHeader(bytes)
+            StubCodec.encodeHeader((w * factor).toInt, (h * factor).toInt, f,
+              bytes.drop(6))
+          }
+        else ImageCodec.decode(bytes) match {
           case Some(img) =>
             // re-encode in the SOURCE container format so the bytes
             // stay consistent with meta.mime (a BMP in must be a BMP
@@ -321,6 +506,23 @@ object Multimodal {
       val frames = 500 + (i % 7).toInt * 250
       Row(i, "audio", AudioCodec.encodeWav(rate, channels, frames, seed = i),
         Row(s"src${i % 4}", "audio/wav"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Synthesize a deterministic REAL-video asset table: every row an
+    * uncompressed DIB AVI encoded on the executors with index-derived
+    * properties an oracle can replay without the bytes: width =
+    * 16 + (i%6)·4, height = 12 + (i%4)·4, frames = 6 + (i%5)·3.
+    * Pixels are index-derived so resize tests have real content. */
+  def syntheticVideoAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val w = 16 + (i % 6).toInt * 4
+      val h = 12 + (i % 4).toInt * 4
+      val frames = 6 + (i % 5).toInt * 3
+      val avi = VideoCodec.encodeAvi(w, h, frames,
+        (f, x, y) => ((i * 2654435761L + f * 8191 + y * w + x) & 0xffffff).toInt)
+      Row(i, "video", avi, Row(s"src${i % 4}", "video/avi"))
     }
     spark.createDataFrame(rdd, assetSchema)
   }

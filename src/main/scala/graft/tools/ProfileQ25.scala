@@ -42,14 +42,30 @@ object ProfileQ25 {
                        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
          ORDER BY o_orderkey NULLS FIRST"""
 
+    // round-5 candidate (judge): shrink the semi-join build input by
+    // pre-aggregating to distinct keys — partial (map-side) aggregation
+    // cuts the shuffled row count by the rows-per-key factor before
+    // the exchange, at the price of an extra aggregate
+    val distinctSemi =
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+         FROM orders o
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+           AND EXISTS (SELECT /*+ SHUFFLE_HASH(l) */ 1
+                       FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+                       WHERE l.l_orderkey = o.o_orderkey)
+         ORDER BY o_orderkey NULLS FIRST"""
+
     println("=== baseline plan ===")
     spark.sql(baseline).explain("formatted")
     println("=== shuffle_hash plan ===")
     spark.sql(hintedShuffleHash).explain("formatted")
+    println("=== distinct semi plan ===")
+    spark.sql(distinctSemi).explain("formatted")
 
     time("baseline EXISTS")(baseline)
     time("SHUFFLE_HASH(l) semi")(hintedShuffleHash)
     time("BROADCAST(l) semi")(hintedBroadcast)
+    time("distinct-key semi")(distinctSemi)
     spark.stop()
   }
 }

@@ -151,6 +151,46 @@ class MiscSpec extends AnyFunSuite {
     assert(stub.where($"sample_rate" === 0).count() == stub.count())
   }
 
+  test("Multimodal: REAL video decode walks AVI RIFF headers") {
+    val assets = Multimodal.syntheticVideoAssets(spark, 15)
+    val feats = Multimodal.decodeFeatures(assets)
+      .select("asset_id", "width", "height", "n_frames", "sample_rate")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(feats.length == 15)
+    feats.foreach { case (i, w, h, f, sr) =>
+      assert(w == 16 + (i % 6).toInt * 4, s"asset $i width")
+      assert(h == 12 + (i % 4).toInt * 4, s"asset $i height")
+      assert(f == 6 + (i % 5).toInt * 3, s"asset $i frames")
+      assert(sr == 0)
+    }
+    // stub-header video (syntheticAssets) still decodes via the stub
+    val stub = Multimodal.decodeFeatures(
+      Multimodal.syntheticAssets(spark, 9).where($"modality" === "video"))
+    assert(stub.count() == 3 && stub.where($"n_frames" > 1).count() == 3)
+    // junk tagged video is loudly zero, not misparsed
+    assert(Multimodal.VideoCodec.decodeMeta("RIFFxxxx".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.decodeMeta(Array.fill[Byte](64)(3)).isEmpty)
+  }
+
+  test("Multimodal: REAL video resize re-frames the AVI container") {
+    val assets = Multimodal.syntheticVideoAssets(spark, 10)
+    val resized = Multimodal.resize(assets, 0.5)
+    val feats = Multimodal.decodeFeatures(resized)
+      .select("asset_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+    feats.foreach { case (i, w, h, f) =>
+      assert(w == math.max(1, (16 + (i % 6).toInt * 4) / 2), s"asset $i width")
+      assert(h == math.max(1, (12 + (i % 4).toInt * 4) / 2), s"asset $i height")
+      assert(f == 6 + (i % 5).toInt * 3, s"asset $i keeps all frames")
+    }
+    // frame content survives: a scaled pixel equals its source pixel
+    // (nearest-neighbor on an index-derived pattern)
+    val one = Multimodal.VideoCodec.encodeAvi(8, 4, 2,
+      (f, x, y) => (f << 16) | (y << 8) | x)
+    val half = Multimodal.VideoCodec.resizeAvi(one, 0.5).get
+    assert(Multimodal.VideoCodec.decodeMeta(half).contains((4, 2, 2)))
+  }
+
   test("Multimodal: REAL image resize rescales actual pixels") {
     val assets = Multimodal.syntheticImageAssets(spark, 8)
     val resized = Multimodal.decodeFeatures(Multimodal.resize(assets, 0.5))
