@@ -187,10 +187,61 @@ class Engine(val spark: SparkSession, kvRoot: String = "/tmp/graft_kv") {
     Catalog.getTag(spark, table, key)
 }
 
-/** Failure-alert message formatting (≙ helper.slack_alert,
-  * helper.py:7-37). Formatting only — posting is the caller's
-  * transport concern; wire it into `Runner.run(onFailure = ...)`. */
+/** Failure-alert formatting AND delivery (≙ helper.slack_alert,
+  * helper.py:7-37): [[format]] builds the message body, [[post]]
+  * delivers it to an incoming-webhook URL as the Slack payload shape
+  * `{"text": ..., "username": "airflow"}` (what SlackWebhookOperator
+  * sends), and [[onFailure]] adapts the pair to
+  * `Runner.run(onFailure = ...)` so a failed step posts end-to-end
+  * like the reference's Airflow `on_failure_callback`. */
 object Alerts {
+
+  /** POST the message to an incoming webhook. Returns the HTTP status.
+    * Delivery is best-effort by contract: the alert path must never
+    * mask the original failure, so callers that want fire-and-forget
+    * use [[onFailure]], which swallows transport errors. */
+  def post(webhookUrl: String, message: String,
+           username: String = "airflow"): Int = {
+    def q(s: String): String =
+      s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val body = s"""{"text": "${q(message)}", "username": "${q(username)}"}"""
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(webhookUrl))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        body, java.nio.charset.StandardCharsets.UTF_8))
+      .build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+      .statusCode()
+  }
+
+  /** `Runner.run(onFailure = ...)` adapter: formats the failed step
+    * into the reference's field set and posts it. Transport failures
+    * are swallowed (logged to stderr) — an unreachable webhook must
+    * not replace the step's own exception as the pipeline's failure. */
+  def onFailure(webhookUrl: String, envLevel: String, headline: String,
+                dag: String, logUrl: String,
+                schedulerExecDate: java.time.Instant)
+      : (String, Throwable) => Unit =
+    (step, err) => {
+      val msg = format(envLevel, s"$headline: ${err.getMessage}", dag, step,
+        schedulerExecDate, logUrl)
+      try post(webhookUrl, msg)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[alerts] webhook delivery failed: $e")
+      }
+      ()
+    }
   def format(envLevel: String, headline: String, dag: String, task: String,
              schedulerExecDate: java.time.Instant,
              logUrl: String,

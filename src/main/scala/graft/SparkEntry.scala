@@ -811,6 +811,50 @@ object SparkEntry {
         .orderBy(asc_nulls_first("asset_id"))
     }),
 
+    // X49 Kafka-shaped transfer bus end-to-end: TransferRequests built
+    // from orders rows, produced onto a 4-partition file-backed commit
+    // log in two batches (offsets must chain across segments), then
+    // group-consumed, decoded, and aggregated by month. The oracle
+    // replays the request construction straight from orders — so the
+    // produce→partition→offset→poll→decode round trip must be lossless
+    // and duplicate-free to hash-match.
+    "x49_kafka_transfer" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_kafka")
+      try {
+        val rootS = root.toString
+        graft.pipeline.KafkaLog.createTopic(rootS, "transfers", 4)
+        val reqs = t(s, d, "orders")
+          .orderBy(asc("o_orderkey")).limit(200)
+          .select(
+            concat(lit("sftp://legacy/orders/"), col("o_orderkey"),
+              lit(".csv")).as("source_connection_string"),
+            concat(lit("blob://lake/landing/"), col("o_orderkey"),
+              lit(".csv")).as("destination_connection_string"),
+            (col("o_orderkey") % 2 === 0).as("remove_file"),
+            col("o_orderdate").cast(DateType).cast(StringType).as("event_date"))
+        def asReqs(df: DataFrame) =
+          df.as[graft.pipeline.Messages.TransferRequest]
+        graft.pipeline.Messages.producePartitioned(
+          asReqs(reqs.where(col("remove_file"))), rootS, "transfers")
+        graft.pipeline.Messages.producePartitioned(
+          asReqs(reqs.where(!col("remove_file"))), rootS, "transfers")
+        val consumed =
+          graft.pipeline.Messages.consumePartitioned(s, rootS, "transfers", "g1")
+        // materialize eagerly (bounded: one row per month) so the
+        // temp log can be deleted before the frame is re-read
+        val rows = consumed
+          .groupBy(substring(col("event_date"), 1, 7).as("month"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("remove_file"), 1L).otherwise(0L)).as("n_remove"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        rows.toSeq.toDF("month", "n_files", "n_remove")
+          .orderBy(asc_nulls_first("month"))
+      } finally rmTree(root.toFile)
+    }),
+
     // X46 BM25 relevance (query-driven corpus curation): top-10 docs
     // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
     // Both the tokenizer (the x15/x43 stream) and the scoring formula
@@ -1840,6 +1884,16 @@ object SparkEntry {
            GROUP BY tf.doc_id)
          SELECT doc_id, ROUND(score, 2) AS score FROM sc
          ORDER BY ROUND(score, 2) DESC, doc_id NULLS FIRST LIMIT 10""",
+    // replay of the x49 TransferRequest construction straight from
+    // orders: the Kafka-shaped produce/poll/decode round trip must be
+    // lossless and duplicate-free for the aggregate to hash-match
+    "x49_kafka_transfer" ->
+      """WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
+         SELECT substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS month,
+                COUNT(*) AS n_files,
+                CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_remove
+         FROM o GROUP BY 1 ORDER BY month NULLS FIRST""",
     // replay of Multimodal.syntheticVideoAssets(64): the engine must
     // recover these from really walking the AVI RIFF tree it encoded
     "x48_video_decode" ->

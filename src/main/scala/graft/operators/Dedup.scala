@@ -24,10 +24,20 @@ object Dedup {
     * shingle/hash work on a single core. No-op when the scan already
     * yields enough splits — the 100 TB case, where this repartition
     * would be a harmful corpus shuffle; here it moves only the
-    * kilobyte-scale text once to unlock every core. */
+    * kilobyte-scale text once to unlock every core.
+    *
+    * CAVEAT: inspecting the partition count forces PHYSICAL PLANNING
+    * of `df` on every call (the plan is then re-derived by whatever
+    * the caller builds on top — Catalyst caches nothing across
+    * frames). `toRdd` keeps that cost to planning alone (`df.rdd`
+    * would additionally attach a Row-deserializing map stage);
+    * measured ~ms on the gate inputs, and at cluster scale the
+    * partition check short-circuits to the identity branch anyway. */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Session-lifetime staged signature tables, keyed by a

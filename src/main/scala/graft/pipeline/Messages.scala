@@ -80,6 +80,34 @@ object Messages {
     msgs.select(col("msg_id"))
       .write.mode("append").json(ackDir(topicDir, subscription))
 
+  // ---- Kafka-shaped transport (production shape): same
+  // TransferRequest contract, same base64(JSON) payload, but carried
+  // over [[KafkaLog]]'s partitioned commit log — keyed by event_date
+  // so all of one day's transfer commands stay ordered on one
+  // partition, which is what a day-partitioned downstream wants.
+
+  /** Publish requests onto a [[KafkaLog]] topic (must exist — create
+    * with `KafkaLog.createTopic`). */
+  def producePartitioned(ds: Dataset[TransferRequest], root: String,
+                         topic: String): Unit =
+    KafkaLog.produce(
+      ds.select(col("event_date").as("key"),
+        base64(to_json(struct(col("*")))).as("value")),
+      root, topic, col("key"), col("value"))
+
+  /** Consume this group's undelivered requests; pair with
+    * `KafkaLog.commitPolled` after processing for at-least-once. The
+    * log record columns (partition, offset, ts, key) ride alongside
+    * the decoded contract for offset management. */
+  def consumePartitioned(spark: SparkSession, root: String, topic: String,
+                         group: String): DataFrame = {
+    val recs = KafkaLog.poll(spark, root, topic, group)
+    recs.select(col("partition"), col("offset"), col("ts"), col("key"),
+      from_json(unbase64(col("value")).cast("string"),
+        org.apache.spark.sql.Encoders.product[TransferRequest].schema).as("m"))
+      .select(col("partition"), col("offset"), col("ts"), col("key"), col("m.*"))
+  }
+
   private def ackedIds(spark: SparkSession, topicDir: String,
                        subscription: String): DataFrame = {
     val dir = ackDir(topicDir, subscription)

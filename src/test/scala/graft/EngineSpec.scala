@@ -123,4 +123,50 @@ class EngineSpec extends AnyFunSuite {
     assert(msg.contains("2024-05-10T06:00:00+00:00"))
     assert(msg.contains("*Log Url*: http://logs/x"))
   }
+
+  test("failure callback posts the formatted alert end-to-end (helper.py:7-37)") {
+    // loopback webhook capturing the POSTed body
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      received.put(body)
+      ex.sendResponseHeaders(200, 2L)
+      ex.getResponseBody.write("ok".getBytes); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val cb = Alerts.onFailure(url, "prod", "Pipeline step failed",
+        "export_dag", "http://logs/fjc",
+        java.time.Instant.parse("2024-05-10T05:00:00Z"))
+      val boom = graft.pipeline.Runner.Step("quality_zone",
+        () => throw new RuntimeException("bad zone"))
+      intercept[graft.pipeline.Runner.StepFailed] {
+        graft.pipeline.Runner.run(Seq(Seq(boom)), onFailure = cb)
+      }
+      val body = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body != null, "webhook never received the alert")
+      // Slack payload shape + the reference's full field set
+      assert(body.startsWith("""{"text": """))
+      assert(body.contains(""""username": "airflow""""))
+      assert(body.contains("[prod] Pipeline step failed: bad zone"))
+      assert(body.contains("*Dag*: export_dag"))
+      assert(body.contains("*Task*: quality_zone"))
+      assert(body.contains("*Execution Datetime (scheduler)*: 2024-05-10T05:00:00Z"))
+      assert(body.contains("*Execution Datetime*: "))
+      assert(body.contains("*Log Url*: http://logs/fjc"))
+      // newlines must be JSON-escaped, not raw
+      assert(!body.contains("\n"))
+      // an unreachable webhook is swallowed, not thrown
+      server.stop(0)
+      val deadCb = Alerts.onFailure(url, "prod", "x", "d", "l",
+        java.time.Instant.EPOCH)
+      deadCb("step", new RuntimeException("e")) // must not throw
+    } finally {
+      try server.stop(0) catch { case _: Throwable => () }
+    }
+  }
 }
