@@ -55,6 +55,23 @@ object ProfileQ25 {
                        WHERE l.l_orderkey = o.o_orderkey)
          ORDER BY o_orderkey NULLS FIRST"""
 
+    // round-5 candidate 2: the price filter keeps ~1% of orders, so
+    // broadcast THAT side into a semi join running map-side over
+    // lineitem — the big table never shuffles; the only exchange left
+    // is the distinct over the matched keys (already shrunk map-side
+    // by partial aggregation) and the 1% final sort. At 100 TB this
+    // is the shape you want: selective dimension broadcast pruning
+    // the fact scan in place.
+    val broadcastFiltered =
+      """WITH big AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)),
+              keys AS (SELECT DISTINCT l_orderkey
+                       FROM lineitem
+                       WHERE l_orderkey IN (SELECT /*+ BROADCAST(big) */ o_orderkey FROM big))
+         SELECT /*+ BROADCAST(keys) */ o_orderkey, ROUND(o_totalprice, 2) AS p
+         FROM big JOIN keys ON o_orderkey = l_orderkey
+         ORDER BY o_orderkey NULLS FIRST"""
+
     println("=== baseline plan ===")
     spark.sql(baseline).explain("formatted")
     println("=== shuffle_hash plan ===")
@@ -66,6 +83,9 @@ object ProfileQ25 {
     time("SHUFFLE_HASH(l) semi")(hintedShuffleHash)
     time("BROADCAST(l) semi")(hintedBroadcast)
     time("distinct-key semi")(distinctSemi)
+    println("=== broadcast-filtered plan ===")
+    spark.sql(broadcastFiltered).explain("formatted")
+    time("broadcast-filtered semi")(broadcastFiltered)
     spark.stop()
   }
 }
