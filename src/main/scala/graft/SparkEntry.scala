@@ -855,6 +855,59 @@ object SparkEntry {
       } finally rmTree(root.toFile)
     }),
 
+    // X50 INCREMENTAL near-dup dedup: admit a new batch (doc_id >=
+    // 300) against the already-admitted corpus (doc_id < 300) — drop
+    // batch docs with exact 5-gram Jaccard >= 0.5 vs ANY corpus doc,
+    // then keep the min-id representative per surviving intra-batch
+    // cluster. The oracle replays the exact all-pairs formulation
+    // (cross-drop anti-join + the same recursive-CTE components as
+    // x20); the hybrid verify matches it up to the ~2e-10-per-pair
+    // bound documented on lshHybridPairs.
+    "x50_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupIncremental(
+        docs.where(col("doc_id") >= 300),
+        docs.where(col("doc_id") < 300),
+        threshold = 0.5,
+        corpusCacheKey = Some(s"inc_corpus:$d"))
+        .select(col("doc_id"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
+    // X51 keyed MERGE upsert: refresh a customer-keyed parquet table
+    // from an orders-derived delta — matched keys are REPLACED (tagged
+    // name, order-revenue balance), unmatched delta keys (offset by
+    // 1e6) are inserted — then read the physically swapped table
+    // back. The oracle replays the merge relationally (FULL OUTER
+    // JOIN, update-row-wins), so every row of the rewritten table is
+    // value-checked.
+    "x51_merge_upsert" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_merge")
+      try {
+        val tgt = root.toString + "/cust"
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"))
+          .write.parquet(tgt)
+        val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        val upd = rev.where(col("o_custkey") % 3 === 0)
+          .select(col("o_custkey").as("c_custkey"),
+            concat(lit("upd_"), col("o_custkey")).as("c_name"),
+            col("rev").as("c_acctbal"))
+          .union(rev.where(col("o_custkey") % 7 === 0)
+            .select((col("o_custkey") + lit(1000000L)).as("c_custkey"),
+              concat(lit("new_"), col("o_custkey")).as("c_name"),
+              col("rev").as("c_acctbal")))
+        graft.catalog.Catalog.merge(s, tgt, upd, Seq("c_custkey"))
+        // materialize eagerly so the temp dir can be deleted here —
+        // the returned frame must not re-read it
+        s.read.parquet(tgt)
+          .orderBy(asc_nulls_first("c_custkey"))
+          .localCheckpoint()
+      } finally rmTree(root.toFile)
+    }),
+
     // X46 BM25 relevance (query-driven corpus curation): top-10 docs
     // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
     // Both the tokenizer (the x15/x43 stream) and the scoring formula
@@ -1894,6 +1947,58 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_remove
          FROM o GROUP BY 1 ORDER BY month NULLS FIRST""",
+    // exact all-pairs replay of the incremental dedup: cross-drop vs
+    // the corpus, then x20's recursive-CTE components over survivors
+    "x50_incremental_dedup" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 3),
+                    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+           FROM documents WHERE length(text) >= 5),
+         bsh AS (SELECT * FROM sh WHERE id >= 300),
+         csh AS (SELECT * FROM sh WHERE id < 300),
+         cross_drop AS (
+           SELECT DISTINCT b.id
+           FROM bsh b, csh c
+           WHERE ROUND(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(b.s, c.s))), 4) >= 0.5),
+         surv AS (SELECT * FROM bsh
+                  WHERE id NOT IN (SELECT id FROM cross_drop)),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM surv a, surv b WHERE a.id < b.id
+             AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         e AS (SELECT id_a AS s, id_b AS r FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s AS id, r FROM e
+           UNION
+           SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
+         comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 300
+           AND doc_id NOT IN (SELECT id FROM cross_drop)
+           AND doc_id NOT IN (SELECT id FROM comp WHERE c < id)
+         ORDER BY doc_id NULLS FIRST""",
+    // relational replay of the physical MERGE: full outer join on the
+    // key, update-row-wins on every non-key column
+    "x51_merge_upsert" ->
+      """WITH rev AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+                      FROM orders GROUP BY o_custkey),
+         upd AS (SELECT o_custkey AS k,
+                        'upd_' || CAST(o_custkey AS VARCHAR) AS nm, rev
+                 FROM rev WHERE o_custkey % 3 = 0
+                 UNION ALL
+                 SELECT o_custkey + 1000000,
+                        'new_' || CAST(o_custkey AS VARCHAR), rev
+                 FROM rev WHERE o_custkey % 7 = 0)
+         SELECT COALESCE(u.k, c.c_custkey) AS c_custkey,
+                CASE WHEN u.k IS NOT NULL THEN u.nm ELSE c.c_name END AS c_name,
+                CASE WHEN u.k IS NOT NULL THEN u.rev
+                     ELSE ROUND(c.c_acctbal, 2) END AS c_acctbal
+         FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
+         ORDER BY c_custkey NULLS FIRST""",
     // replay of Multimodal.syntheticVideoAssets(64): the engine must
     // recover these from really walking the AVI RIFF tree it encoded
     "x48_video_decode" ->

@@ -81,6 +81,68 @@ object Catalog {
       .where($"key" === key).select("value").as[String].collect().headOption
   }
 
+  /** Row counts around a [[merge]] run. */
+  case class MergeStats(rowsBefore: Long, rowsAfter: Long)
+
+  /** Keyed upsert (MERGE) into a parquet directory: an update row
+    * whose key matches a target row REPLACES it (the whole row — an
+    * intentional NULL in an update column lands, unlike a
+    * coalesce-based merge); keys absent from the target are inserted.
+    * The BigQuery-warehouse maintenance shape the reference's
+    * truncate/CTAS family lacks: refresh a keyed table from a delta
+    * without rewriting it from source.
+    *
+    * Implemented as ONE full-outer shuffle join on the key (AQE
+    * broadcasts a small delta side on its own), written to a temp dir
+    * and swapped in with the same crash-safe rename ordering as
+    * [[compact]] — readers see the old table or the new one, never a
+    * mix. Preconditions: `updates` has the target's exact column set,
+    * and at most one row per key (multi-row matches are ambiguous —
+    * BigQuery MERGE errors on them; dedup upstream).
+    *
+    * Scale shape: cost is one join shuffle plus a full rewrite of the
+    * table — correct for parquet, which has no row-level update. At
+    * 100 TB you'd partition the table (e.g. by day) and merge only
+    * the partitions the delta touches; this is the per-partition
+    * primitive. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+            keyCols: Seq[String]): MergeStats = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val target = spark.read.parquet(dir)
+    require(updates.columns.sorted.sameElements(target.columns.sorted),
+      s"merge: updates columns ${updates.columns.mkString(",")} must match " +
+        s"target columns ${target.columns.mkString(",")}")
+    val rowsBefore = target.count()
+    // marker column: "this key had an update row" — update-row-wins
+    // on every non-key column, no coalesce-per-column NULL hazard
+    val marked = updates.withColumn("__upd", lit(true))
+    val joined = target.as("t").join(marked.as("u"), keyCols, "full_outer")
+    val merged = joined.select(
+      target.columns.map { c =>
+        if (keyCols.contains(c)) col(c)
+        else when(col("u.__upd").isNotNull, col(s"u.`$c`"))
+          .otherwise(col(s"t.`$c`")).as(c)
+      }: _*)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"${dir}_merge_${System.nanoTime()}")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val aside = new org.apache.hadoop.fs.Path(s"${dir}_premerge_${System.nanoTime()}")
+    if (!fs.rename(dirP, aside)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"merge: could not move $dir aside")
+    }
+    if (!fs.rename(tmp, dirP)) {
+      fs.rename(aside, dirP) // roll back to the original
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"merge: could not swap rewrite into $dir")
+    }
+    fs.delete(aside, true)
+    MergeStats(rowsBefore, spark.read.parquet(dir).count())
+  }
+
   /** Before/after file counts and byte size of a [[compact]] run. */
   case class CompactStats(filesBefore: Long, filesAfter: Long, bytes: Long)
 

@@ -160,13 +160,18 @@ object Dedup {
     } finally { if (!cached) sig.unpersist(); () }
   }
 
-  /** LSH band join over a (id, sig) signature table: ids-only candidate
-    * pairs from any shared (band, bucket) key. */
-  private def bandCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sig.select(col("id"),
+  /** (id, band, bucket) view of a signature table: each signature
+    * sliced into `bands` row groups, each hashed to a bucket key. */
+  private def bandedView(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** LSH band join over a (id, sig) signature table: ids-only candidate
+    * pairs from any shared (band, bucket) key. */
+  private def bandCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandedView(sig, bands, rowsPerBand)
     banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -253,46 +258,72 @@ object Dedup {
     val sig0 = signatureTable(df, numHashes, shingleSize, idCol, textCol, cacheKey)
     val sig = if (cached) sig0
       else sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val scored = bandCandidates(sig, bands, rowsPerBand)
-        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (graft.expressions.NativeSignatures.sigAgree(col("sig_a"), col("sig_b"))
-            .cast("double") / numHashes)
-            .as("est"))
-        // eager: both branches below read this (ids+estimate only,
-        // candidates ≪ corpus)
-        .localCheckpoint()
-      val clear = scored.where(col("est") >= threshold + margin)
-        .select(col("id_a"), col("id_b"))
-      val near = scored
-        .where(col("est") >= threshold - margin && col("est") < threshold + margin)
-      // driver-side branch on checkpointed metadata: when no candidate
-      // lands near the threshold (the common case — near-dups are
-      // either clearly dup or clearly not), the corpus is never
-      // re-shingled at all
-      if (near.isEmpty) clear
-      else {
-        val nearIds = near.select(col("id_a").as("id"))
-          .union(near.select(col("id_b").as("id"))).distinct()
-        // join FIRST, shingle after: the broadcast semi-join prunes to
-        // the near-threshold docs before any shingle work. (At
-        // warehouse scale this re-scan would be an id-fetch from the
-        // bucketed document store; either way the shingle compute is
-        // bounded by the near set, not the corpus.)
-        val shNear = df.join(broadcast(nearIds), df(idCol) === nearIds("id"), "left_semi")
+    try hybridVerify(bandCandidates(sig, bands, rowsPerBand), sig, sig, df, df,
+      threshold, margin, numHashes, shingleSize, idCol, textCol)
+    finally { if (!cached) sig.unpersist(); () }
+  }
+
+  /** Hybrid verification of candidate (id_a, id_b) pairs — the verify
+    * core of [[lshHybridPairs]], generalized to a bipartite pair set:
+    * `sigA`/`srcA` back the id_a side, `sigB`/`srcB` the id_b side.
+    * The MinHash Jaccard estimator (read from the staged signatures)
+    * resolves clear-margin candidates; only the near-threshold sliver
+    * gets the exact shingle-set re-join against the source frame(s).
+    * When both sides are the SAME frame (self-join dedup) the
+    * near-threshold re-shingle scans the corpus once, not twice.
+    * Divergence bound vs all-exact: see [[lshHybridPairs]]. The
+    * result is eagerly materialized (localCheckpoint), so callers may
+    * unpersist the signature tables as soon as this returns. */
+  private def hybridVerify(cand: DataFrame, sigA: DataFrame, sigB: DataFrame,
+                           srcA: DataFrame, srcB: DataFrame,
+                           threshold: Double, margin: Double,
+                           numHashes: Int, shingleSize: Int,
+                           idCol: String, textCol: String): DataFrame = {
+    val scored = cand
+      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.expressions.NativeSignatures.sigAgree(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
+          .as("est"))
+      // eager: both branches below read this (ids+estimate only,
+      // candidates ≪ corpus)
+      .localCheckpoint()
+    val clear = scored.where(col("est") >= threshold + margin)
+      .select(col("id_a"), col("id_b"))
+    val near = scored
+      .where(col("est") >= threshold - margin && col("est") < threshold + margin)
+    // driver-side branch on checkpointed metadata: when no candidate
+    // lands near the threshold (the common case — near-dups are
+    // either clearly dup or clearly not), the corpus is never
+    // re-shingled at all
+    if (near.isEmpty) clear
+    else {
+      // join FIRST, shingle after: the broadcast semi-join prunes to
+      // the near-threshold docs before any shingle work. (At
+      // warehouse scale this re-scan would be an id-fetch from the
+      // bucketed document store; either way the shingle compute is
+      // bounded by the near set, not the corpus.)
+      def shingled(src: DataFrame, ids: DataFrame): DataFrame =
+        src.join(broadcast(ids), src(idCol) === ids("id"), "left_semi")
           .where(length(col(textCol)) >= shingleSize)
           .select(col(idCol).as("id"), Text.charShingles(col(textCol), shingleSize).as("sh"))
           .localCheckpoint()
-        val verified = near
-          .join(shNear.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(shNear.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .where(Text.jaccard(col("sh_a"), col("sh_b")) >= threshold)
-          .select(col("id_a"), col("id_b"))
-        clear.union(verified).localCheckpoint()
-      }
-    } finally { if (!cached) sig.unpersist(); () }
+      val (shA, shB) =
+        if (srcA eq srcB) {
+          val both = shingled(srcA, near.select(col("id_a").as("id"))
+            .union(near.select(col("id_b").as("id"))).distinct())
+          (both, both)
+        } else
+          (shingled(srcA, near.select(col("id_a").as("id")).distinct()),
+            shingled(srcB, near.select(col("id_b").as("id")).distinct()))
+      val verified = near
+        .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .where(Text.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+      clear.union(verified).localCheckpoint()
+    }
   }
 
   /** SimHash near-dup pairs: bucket by the signature split into
@@ -481,6 +512,68 @@ object Dedup {
     val losers = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** INCREMENTAL near-dup dedup: admit the rows of `batch` that are
+    * near-dups of neither the already-admitted `corpus` nor the
+    * canonical representative of their own intra-batch cluster — the
+    * production shape for continuously-ingested training data, where
+    * re-deduping the full corpus per arriving batch is unaffordable.
+    *
+    * Semantics (oracle-checkable, deterministic): (1) drop every
+    * batch row whose exact shingle Jaccard with ANY corpus row is ≥
+    * `threshold` (verified hybrid — estimator at clear margin, exact
+    * near the threshold, see [[lshHybridPairs]] for the divergence
+    * bound); (2) cluster the SURVIVORS by their intra-batch near-dup
+    * pairs and keep the min-id representative per cluster.
+    * Clustering runs over corpus-survivors, not the whole batch, so a
+    * cluster whose representative was itself a corpus-dup does not
+    * silently lose its remaining members.
+    *
+    * Scale shape: the corpus is touched ONLY through its signature
+    * table (id + k longs, ~100× smaller than the corpus text) — with
+    * `corpusCacheKey` that artifact is staged once per session, and
+    * at warehouse scale it is the signature table you'd maintain as a
+    * persistent side output of admission (append each batch's
+    * admitted signatures). Candidate generation on both paths is an
+    * equi-join on (band, bucket); per-batch work scales with
+    * |batch| · collision rate, never with |corpus|. Corpus text is
+    * re-read only for the near-threshold sliver of cross candidates
+    * (broadcast-semi-pruned id fetch). */
+  def dedupIncremental(batch: DataFrame, corpus: DataFrame, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
+                       margin: Double = 0.3,
+                       corpusCacheKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val numHashes = bands * rowsPerBand
+    val corpusCached = corpusCacheKey.isDefined
+    val cSig0 = signatureTable(corpus, numHashes, shingleSize, idCol, textCol, corpusCacheKey)
+    val cSig = if (corpusCached) cSig0 else cSig0.persist(StorageLevel.MEMORY_AND_DISK)
+    // the batch signature table feeds the cross band join, both sides
+    // of the intra-batch band join, and both verify stages
+    val bSig = signatureTable(batch, numHashes, shingleSize, idCol, textCol, None)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // batch × corpus candidates: bipartite band join, ids only (no
+      // id_a < id_b — the sides are distinct tables)
+      val crossCand = bandedView(bSig, bands, rowsPerBand).as("l")
+        .join(bandedView(cSig, bands, rowsPerBand).as("r"), Seq("band", "bucket"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val corpusDups = hybridVerify(crossCand, bSig, cSig, batch, corpus,
+        threshold, margin, numHashes, shingleSize, idCol, textCol)
+        .select(col("id_a").as("id")).distinct()
+        .localCheckpoint() // read 3×: survivor filter, final anti-join
+      val survSig = bSig.join(corpusDups, Seq("id"), "left_anti")
+      val intraPairs = hybridVerify(bandCandidates(survSig, bands, rowsPerBand),
+        survSig, survSig, batch, batch,
+        threshold, margin, numHashes, shingleSize, idCol, textCol)
+      val nonCanonical = connectedComponents(intraPairs)
+        .where(col("component") < col("id")).select(col("id"))
+      val dropIds = corpusDups.union(nonCanonical).select(col("id").as(idCol))
+      batch.join(dropIds, Seq(idCol), "left_anti")
+    } finally { bSig.unpersist(); if (!corpusCached) cSig.unpersist(); () }
   }
 
   /** Exact n-gram Jaccard over a bounded pair set (for oracle-sized

@@ -106,6 +106,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(files.count(_.endsWith(".parquet")) == 1, files.mkString(","))
   }
 
+  test("merge: matched keys replaced whole-row, new keys inserted") {
+    val dir = Files.createTempDirectory("graft_merge_spec").toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v").write.parquet(dir)
+    val upd = Seq((2L, null.asInstanceOf[String], 99.0), (9L, "i", 1.0))
+      .toDF("k", "name", "v")
+    val stats = Catalog.merge(spark, dir, upd, Seq("k"))
+    assert(stats == Catalog.MergeStats(3L, 4L))
+    val rows = spark.read.parquet(dir)
+      .as[(Long, Option[String], Double)].collect().sortBy(_._1).toSeq
+    // update-row-wins: key 2's intentional NULL name LANDS (a
+    // coalesce-based merge would wrongly keep "b")
+    assert(rows == Seq((1L, Some("a"), 10.0), (2L, None, 99.0),
+      (3L, Some("c"), 30.0), (9L, Some("i"), 1.0)))
+    // the swap left no litter beside the table dir
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(parent.toSeq == Seq("t"), parent.mkString(","))
+  }
+
+  test("merge rejects a mismatched update schema") {
+    val dir = Files.createTempDirectory("graft_merge_bad").toString + "/t"
+    Seq((1L, "a")).toDF("k", "name").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Catalog.merge(spark, dir, Seq((1L, 2.0)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("must match"))
+  }
+
   test("compact with clusterBy yields disjoint per-file key ranges") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString + "/t"

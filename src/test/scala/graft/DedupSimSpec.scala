@@ -85,6 +85,31 @@ class DedupSimSpec extends AnyFunSuite {
     assert(survivors == Seq(0L, 2L))
   }
 
+  test("dedupIncremental: corpus dups dropped, survivors clustered, short docs admitted") {
+    val loremD = "observability dashboards aggregate latency percentiles " +
+      "error rates and saturation metrics across distributed services for the oncall engineer"
+    val loremD2 = loremD.replace("oncall", "platform") // near-dup of D
+    val corpus = Seq((100L, loremA), (101L, loremB)).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, loremA2), // near-dup of corpus 100 → dropped
+      (201L, loremD),  // novel → admitted (cluster representative)
+      (202L, loremD2), // intra-batch near-dup of 201 → dropped
+      (203L, "tiny")   // below shingle size → no signature → admitted
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(batch, corpus, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(201L, 203L))
+  }
+
+  test("dedupIncremental with an empty corpus equals dedupNearDups") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val inc = Dedup.dedupIncremental(docs, empty, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val full = Dedup.dedupNearDups(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(inc == full)
+  }
+
   test("cosine: identical vectors → 1, orthogonal → 0") {
     val df = Seq(
       (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
