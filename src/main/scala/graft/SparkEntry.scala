@@ -855,18 +855,24 @@ object SparkEntry {
       } finally rmTree(root.toFile)
     }),
 
-    // X50 INCREMENTAL near-dup dedup: admit a new batch (doc_id >=
-    // 300) against the already-admitted corpus (doc_id < 300) — drop
-    // batch docs with exact 5-gram Jaccard >= 0.5 vs ANY corpus doc,
-    // then keep the min-id representative per surviving intra-batch
-    // cluster. The oracle replays the exact all-pairs formulation
-    // (cross-drop anti-join + the same recursive-CTE components as
-    // x20); the hybrid verify matches it up to the ~2e-10-per-pair
-    // bound documented on lshHybridPairs.
+    // X50 INCREMENTAL near-dup dedup: admit a new batch (doc_id in
+    // [300, 800)) against the already-admitted corpus (doc_id < 300)
+    // — drop batch docs with exact 5-gram Jaccard >= 0.5 vs ANY
+    // corpus doc, then keep the min-id representative per surviving
+    // intra-batch cluster. The oracle replays the exact all-pairs
+    // formulation (cross-drop anti-join + the same recursive-CTE
+    // components as x20); the hybrid verify matches it up to the
+    // ~2e-10-per-pair bound documented on lshHybridPairs. The batch is
+    // BOUNDED (like the x26/x27 audit populations) because the
+    // oracle's all-pairs side is quadratic in it: at the driver's
+    // sf0.01 correctness SF the bound is a no-op (documents end at
+    // 500), while at sf0.1 an unbounded batch made the DuckDB replay
+    // grind for an hour. The operator itself has no such bound — x20
+    // covers the growing-corpus path.
     "x50_incremental_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.dedupIncremental(
-        docs.where(col("doc_id") >= 300),
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 800),
         docs.where(col("doc_id") < 300),
         threshold = 0.5,
         corpusCacheKey = Some(s"inc_corpus:$d"))
@@ -1955,7 +1961,7 @@ object SparkEntry {
                   list_distinct(list_transform(range(1, length(text) - 3),
                     i -> substr(lower(text), CAST(i AS INT), 5))) AS s
            FROM documents WHERE length(text) >= 5),
-         bsh AS (SELECT * FROM sh WHERE id >= 300),
+         bsh AS (SELECT * FROM sh WHERE id >= 300 AND id < 800),
          csh AS (SELECT * FROM sh WHERE id < 300),
          cross_drop AS (
            SELECT DISTINCT b.id
@@ -1977,7 +1983,7 @@ object SparkEntry {
            SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
          comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id)
          SELECT doc_id FROM documents
-         WHERE doc_id >= 300
+         WHERE doc_id >= 300 AND doc_id < 800
            AND doc_id NOT IN (SELECT id FROM cross_drop)
            AND doc_id NOT IN (SELECT id FROM comp WHERE c < id)
          ORDER BY doc_id NULLS FIRST""",

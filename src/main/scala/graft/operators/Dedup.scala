@@ -168,6 +168,18 @@ object Dedup {
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
+  /** Bipartite LSH band join between two signature tables (the
+    * batch × corpus candidate stage of [[dedupIncremental]]): ids-only
+    * pairs from any shared (band, bucket) key — no id_a < id_b filter,
+    * the sides are distinct tables. Package-private so PlanSpec can
+    * pin its equi-join shape. */
+  private[graft] def crossBandCandidates(sigA: DataFrame, sigB: DataFrame,
+                                         bands: Int, rowsPerBand: Int): DataFrame =
+    bandedView(sigA, bands, rowsPerBand).as("l")
+      .join(bandedView(sigB, bands, rowsPerBand).as("r"), Seq("band", "bucket"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
   /** LSH band join over a (id, sig) signature table: ids-only candidate
     * pairs from any shared (band, bucket) key. */
   private def bandCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
@@ -555,12 +567,7 @@ object Dedup {
     val bSig = signatureTable(batch, numHashes, shingleSize, idCol, textCol, None)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // batch × corpus candidates: bipartite band join, ids only (no
-      // id_a < id_b — the sides are distinct tables)
-      val crossCand = bandedView(bSig, bands, rowsPerBand).as("l")
-        .join(bandedView(cSig, bands, rowsPerBand).as("r"), Seq("band", "bucket"))
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
+      val crossCand = crossBandCandidates(bSig, cSig, bands, rowsPerBand)
       val corpusDups = hybridVerify(crossCand, bSig, cSig, batch, corpus,
         threshold, margin, numHashes, shingleSize, idCol, textCol)
         .select(col("id_a").as("id")).distinct()

@@ -142,6 +142,23 @@ class PlanSpec extends AnyFunSuite {
     assert(shardsUsed >= 12, s"only $shardsUsed shards populated")
   }
 
+  test("incremental dedup: batch×corpus candidates come from an equi band join, never a cartesian") {
+    // sf0.001 has 50 docs — corpus 30 / batch 20; shape, not volume.
+    // Assert the candidate stage itself: dedupIncremental materializes
+    // it eagerly inside hybridVerify, so the final frame's plan would
+    // not show the band join.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bSig = graft.operators.Dedup.signatureTable(
+      docs.where($"doc_id" >= 30), numHashes = 128, shingleSize = 5)
+    val cSig = graft.operators.Dedup.signatureTable(
+      docs.where($"doc_id" < 30), numHashes = 128, shingleSize = 5)
+    val cand = graft.operators.Dedup.crossBandCandidates(bSig, cSig, 16, 8)
+    val plan = executedPlan(cand)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"cross candidates must stay equi-join shaped:\n$plan")
+    assert(plan.contains("band") && plan.contains("bucket"))
+  }
+
   test("weightedSample and epochs are map-only: filter over the scan, no exchange") {
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"source")
     val sampled = graft.operators.Mixing.weightedSample(
