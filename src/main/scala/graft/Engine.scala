@@ -213,9 +213,15 @@ object Alerts {
         case c => c.toString
       }
     val body = s"""{"text": "${q(message)}", "username": "${q(username)}"}"""
-    val client = java.net.http.HttpClient.newHttpClient()
+    // bounded connect + request timeouts: a webhook that accepts the
+    // connection and never answers must degrade to the logged-and-
+    // swallowed path, not hang the pipeline's failure path
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5))
+      .build()
     val req = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(webhookUrl))
+      .timeout(java.time.Duration.ofSeconds(10))
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
         body, java.nio.charset.StandardCharsets.UTF_8))

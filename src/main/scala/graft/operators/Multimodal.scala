@@ -327,10 +327,19 @@ object Multimodal {
       * re-frame (callers then decide: stub or pass through). */
     def resizeAvi(bytes: Array[Byte], factor: Double): Option[Array[Byte]] =
       decodeMeta(bytes).flatMap { case (w, h, frames) =>
-        if (w <= 0 || h <= 0) None
+        // header values are UNTRUSTED record content: bound them
+        // against the payload length before any allocation or index
+        // arithmetic. Each frame costs >= a chunk header (8 bytes) and
+        // w*h raw pixels cost 3 bytes each, so a header whose claim
+        // cannot physically fit in `bytes` is rejected up front — a
+        // crafted dwTotalFrames can no longer pre-size a ~2^31 buffer,
+        // and the per-frame bound below is computed in Long so huge
+        // dims cannot overflow the guard negative.
+        if (w <= 0 || h <= 0 || frames < 0 || frames > bytes.length / 8 ||
+            w.toLong * h > bytes.length.toLong / 3) None
         else {
           // collect '00db' frame payload offsets in stream order
-          val offs = new scala.collection.mutable.ArrayBuffer[Int](frames)
+          val offs = new scala.collection.mutable.ArrayBuffer[Int]()
           def scan(from: Int, to: Int): Unit = {
             var off = from
             while (off + 8 <= to && off + 8 <= bytes.length) {
@@ -343,8 +352,10 @@ object Multimodal {
             }
           }
           scan(12, bytes.length)
-          val rb = rowBytes(w)
-          if (offs.size != frames || offs.exists(_ + rb * h > bytes.length)) None
+          val rb = rowBytes(w) // safe: w*3+3 <= bytes.length+3 after the dim guard
+          val frameLen = rb.toLong * h
+          if (offs.size != frames ||
+              offs.exists(_.toLong + frameLen > bytes.length)) None
           else {
             val w2 = math.max(1, (w * factor).toInt)
             val h2 = math.max(1, (h * factor).toInt)

@@ -98,24 +98,83 @@ object KafkaLog {
     * `Files.createDirectory` is an atomic claim on every sane
     * filesystem. A holder that died is taken over after `staleMs`
     * (its temp file never got renamed in, so nothing torn is ever
-    * visible). */
-  private def withPartitionLock[T](dir: Path, staleMs: Long = 60000L)(body: => T): T = {
+    * visible).
+    *
+    * Liveness vs safety of the takeover:
+    *  - the HOLDER heartbeats the lock dir's mtime every staleMs/4
+    *    from a daemon thread, so a legitimate append that outlives
+    *    staleMs (slow shared filesystem) never looks stale;
+    *  - a WAITER that still sees a stale lock claims the right to
+    *    remove it by atomically RENAMING the lock dir to a tombstone
+    *    unique to the waiter — only one waiter's rename can succeed,
+    *    so two waiters can never both "delete and re-create" (the
+    *    check-then-delete TOCTOU);
+    *  - the takeover is OWNERSHIP-CHECKED: each holder writes a
+    *    unique token file inside its lock dir, the waiter records the
+    *    token it judged stale, and after the rename verifies the
+    *    tombstone still carries that token — if a fresh holder
+    *    slipped in between the age check and the rename, the waiter
+    *    puts the live lock straight back. */
+  private def deleteLockDir(l: Path): Unit = {
+    try Files.deleteIfExists(l.resolve("token")) catch { case _: java.io.IOException => () }
+    try Files.deleteIfExists(l) catch { case _: java.io.IOException => () }
+  }
+
+  private def tokenOf(l: Path): String =
+    try new String(Files.readAllBytes(l.resolve("token")), StandardCharsets.UTF_8)
+    catch { case _: java.io.IOException => "" }
+
+  private[pipeline] def withPartitionLock[T](dir: Path, staleMs: Long = 60000L)(body: => T): T = {
     val lock = dir.resolve("_lock")
+    val myToken = java.util.UUID.randomUUID().toString
     var held = false
+    var beat: Thread = null
     try {
       while (!held) {
-        try { Files.createDirectory(lock); held = true }
-        catch {
+        try {
+          Files.createDirectory(lock)
+          Files.write(lock.resolve("token"), myToken.getBytes(StandardCharsets.UTF_8))
+          held = true
+        } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             val age = try System.currentTimeMillis() -
               Files.getLastModifiedTime(lock).toMillis
             catch { case _: java.io.IOException => 0L } // vanished: retry
-            if (age > staleMs) { try Files.delete(lock) catch { case _: java.io.IOException => () } }
+            if (age > staleMs) {
+              val staleToken = tokenOf(lock)
+              val tomb = dir.resolve(s"_lock.stale.$myToken")
+              try {
+                Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+                if (tokenOf(tomb) == staleToken) deleteLockDir(tomb)
+                else {
+                  // the age check raced a fresh acquisition: restore it
+                  try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
+                  catch { case _: java.io.IOException => deleteLockDir(tomb) }
+                }
+              } catch { case _: java.io.IOException => () } // lost the rename race: retry
+            }
             else Thread.sleep(10L)
         }
       }
+      beat = new Thread(() => {
+        val period = math.max(250L, staleMs / 4)
+        try while (!Thread.interrupted()) {
+          Thread.sleep(period)
+          try Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
+        } catch { case _: InterruptedException => () }
+      }, s"kafkalog-lock-heartbeat-${dir.getFileName}")
+      beat.setDaemon(true)
+      beat.start()
       body
-    } finally if (held) { try Files.delete(lock) catch { case _: java.io.IOException => () } }
+    } finally {
+      if (beat != null) beat.interrupt()
+      // release only what we still own — if the lock was (wrongly)
+      // taken over despite the heartbeat, don't destroy the new
+      // holder's claim
+      if (held && tokenOf(lock) == myToken) deleteLockDir(lock)
+    }
   }
 
   private def jsonEscape(s: String): String =
@@ -129,14 +188,24 @@ object KafkaLog {
       case c => c.toString
     }
 
+  /** Hard per-partition bound on one produce call. The bus is a
+    * CONTROL-PLANE channel (commands, audit events); buffering a
+    * partition's rows for the locked single-segment append is only
+    * safe under that contract, so the contract is enforced, not just
+    * documented — a data-plane frame pointed here fails fast instead
+    * of allocating a driver-sized buffer on an executor. */
+  val MaxProduceRowsPerPartition: Int = 1 << 20
+
   /** Append (key, value) rows to the topic. Partition assignment is
     * `pmod(hash(key), n)` — the SAME hash Spark's `repartition(n, key)`
     * uses, so after that exchange each task holds exactly the rows of
     * its own log partition and appends them as ONE segment: same-key
     * ordering within a produce call for free, one writer per
-    * partition, offsets dense by construction. */
+    * partition, offsets dense by construction. Fails (entire job) when
+    * any partition exceeds [[MaxProduceRowsPerPartition]] rows. */
   def produce(df: DataFrame, root: String, topic: String,
-              key: Column, value: Column): Unit = {
+              key: Column, value: Column,
+              maxRowsPerPartition: Int = MaxProduceRowsPerPartition): Unit = {
     val n = partitionCount(root, topic)
     val rooted = root // avoid capturing `this`
     df.select(key.cast(StringType).as("key"), value.cast(StringType).as("value"))
@@ -145,8 +214,15 @@ object KafkaLog {
         val p = TaskContext.getPartitionId()
         val dir = partDir(rooted, topic, p)
         // buffer the partition's rows: control-plane volume (the
-        // data plane never rides a message bus)
-        val rows = it.toArray
+        // data plane never rides a message bus) — enforced by taking
+        // at most bound+1 rows before materializing
+        val rows = it.take(maxRowsPerPartition + 1).toArray
+        if (rows.length > maxRowsPerPartition)
+          throw new IllegalArgumentException(
+            s"KafkaLog.produce: log partition $p received more than " +
+              s"$maxRowsPerPartition rows in one produce call — " +
+              "this bus is a control-plane channel; route data-plane " +
+              "volume through a table write")
         if (rows.nonEmpty) {
           Files.createDirectories(dir)
           withPartitionLock(dir) {

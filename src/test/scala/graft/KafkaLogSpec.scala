@@ -85,6 +85,21 @@ class KafkaLogSpec extends AnyFunSuite {
     dense.foreach(r => assert(r.getLong(2) == r.getLong(1) - 1))
   }
 
+  test("produce enforces the control-plane row bound per partition") {
+    val root = freshTopic(partitions = 1)
+    val big = (0 until 50).map(i => ("same-key", s"v$i")).toDF("key", "value")
+    val e = intercept[Exception] {
+      KafkaLog.produce(big, root, "t", col("key"), col("value"),
+        maxRowsPerPartition = 10)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("control-plane")),
+      s"guard did not trip: ${chain(e)}")
+    // nothing half-written: the failed produce left no segment behind
+    assert(KafkaLog.readEarliest(spark, root, "t").count() == 0)
+  }
+
   test("TransferRequest round-trips through the partitioned bus") {
     val root = freshTopic(partitions = 4)
     val reqs = (1 to 30).map { i =>
