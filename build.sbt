@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: Bench's one-line JSON result must
+// reach the harness capture as a RAW line (the logger's "[info] "
+// prefix breaks a strict json parse of the line — BENCH_r02-r05 all
+// show parsed:null despite the line being present in the tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

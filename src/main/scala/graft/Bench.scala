@@ -109,7 +109,16 @@ object Bench {
       "\"" + (if (useShort) shortKey(k) else k) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // second channel for the harness: the same line in a known file,
+    // immune to whatever interleaves with or truncates the stream
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+    // stop Spark BEFORE printing so no executor/shutdown log line can
+    // land after the JSON — the line is the absolute last stdout line
     spark.stop()
+    println(line)
   }
 }

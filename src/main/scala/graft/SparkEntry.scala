@@ -914,6 +914,47 @@ object SparkEntry {
       } finally rmTree(root.toFile)
     }),
 
+    // X51B PARTITION-SCOPED MERGE: the same keyed refresh as x51 but
+    // the target is hive-partitioned by market segment and only the
+    // leaves the delta touches are rewritten (untouched leaves stay
+    // byte-identical — asserted by CatalogSpec; here the oracle
+    // value-checks every row of the partially rewritten table).
+    // Matched keys carry their own segment (the merge identity is
+    // partition + key, so keys never migrate); inserted keys open a
+    // brand-new SYNTHETIC partition to exercise leaf creation. The
+    // oracle replays the same relational merge with the partition
+    // column in the join identity.
+    "x51b_merge_partitioned" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_merge_part")
+      try {
+        val tgt = root.toString + "/cust"
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+          .write.partitionBy("c_mktsegment").parquet(tgt)
+        val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        val upd = rev.join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("o_custkey") % 3 === 0)
+          .select(col("o_custkey").as("c_custkey"),
+            concat(lit("upd_"), col("o_custkey")).as("c_name"),
+            col("rev").as("c_acctbal"), col("c_mktsegment"))
+          .union(rev.where(col("o_custkey") % 7 === 0)
+            .select((col("o_custkey") + lit(1000000L)).as("c_custkey"),
+              concat(lit("new_"), col("o_custkey")).as("c_name"),
+              col("rev").as("c_acctbal"),
+              lit("SYNTHETIC").as("c_mktsegment")))
+        graft.catalog.Catalog.mergePartitioned(s, tgt, upd,
+          Seq("c_custkey"), Seq("c_mktsegment"))
+        s.read.parquet(tgt)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment").cast("string").as("c_mktsegment"))
+          .orderBy(asc_nulls_first("c_custkey"))
+          .localCheckpoint()
+      } finally rmTree(root.toFile)
+    }),
+
     // X46 BM25 relevance (query-driven corpus curation): top-10 docs
     // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
     // Both the tokenizer (the x15/x43 stream) and the scoring formula
@@ -2004,6 +2045,30 @@ object SparkEntry {
                 CASE WHEN u.k IS NOT NULL THEN u.rev
                      ELSE ROUND(c.c_acctbal, 2) END AS c_acctbal
          FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
+         ORDER BY c_custkey NULLS FIRST""",
+    // relational replay of the PARTITION-SCOPED merge: the partition
+    // column joins as part of the merge identity, so a key only
+    // matches within its own partition — exactly what rewriting only
+    // touched leaves implements physically
+    "x51b_merge_partitioned" ->
+      """WITH rev AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+                      FROM orders GROUP BY o_custkey),
+         upd AS (SELECT c.c_custkey AS k,
+                        'upd_' || CAST(r.o_custkey AS VARCHAR) AS nm,
+                        r.rev, c.c_mktsegment AS seg
+                 FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+                 WHERE r.o_custkey % 3 = 0
+                 UNION ALL
+                 SELECT o_custkey + 1000000,
+                        'new_' || CAST(o_custkey AS VARCHAR), rev, 'SYNTHETIC'
+                 FROM rev WHERE o_custkey % 7 = 0)
+         SELECT COALESCE(u.k, c.c_custkey) AS c_custkey,
+                CASE WHEN u.k IS NOT NULL THEN u.nm ELSE c.c_name END AS c_name,
+                CASE WHEN u.k IS NOT NULL THEN u.rev
+                     ELSE ROUND(c.c_acctbal, 2) END AS c_acctbal,
+                COALESCE(u.seg, c.c_mktsegment) AS c_mktsegment
+         FROM customer c
+         FULL OUTER JOIN upd u ON c.c_custkey = u.k AND c.c_mktsegment = u.seg
          ORDER BY c_custkey NULLS FIRST""",
     // replay of Multimodal.syntheticVideoAssets(64): the engine must
     // recover these from really walking the AVI RIFF tree it encoded

@@ -134,6 +134,71 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must match"))
   }
 
+  test("merge rejects duplicate keys in the delta (BigQuery MERGE semantics)") {
+    val dir = Files.createTempDirectory("graft_merge_dup").toString + "/t"
+    Seq((1L, "a")).toDF("k", "name").write.parquet(dir)
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      Catalog.merge(spark, dir, dup, Seq("k"))
+    }
+    assert(e.getMessage.contains("more than one row"))
+    // the target was not touched
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+  }
+
+  test("mergePartitioned rewrites only touched leaves, creates new ones") {
+    val root = Files.createTempDirectory("graft_merge_part").toString + "/t"
+    Seq((1L, "a", 10.0, "d1"), (2L, "b", 20.0, "d1"),
+        (3L, "c", 30.0, "d2"), (4L, "d", 40.0, "d3"))
+      .toDF("k", "name", "v", "day")
+      .write.partitionBy("day").parquet(root)
+    def leafFiles(day: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$root/day=$day")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+    }
+    val d2Before = leafFiles("d2")
+    val d3Before = leafFiles("d3")
+    assert(d2Before.nonEmpty && d3Before.nonEmpty)
+    // delta: update k=1 (day=d1), insert k=9 (day=d1), open day=d9.
+    // day=d2 and day=d3 are untouched and must stay byte-identical.
+    val upd = Seq((1L, "A!", 11.0, "d1"), (9L, "i", 1.0, "d1"),
+        (7L, "n", 7.0, "d9"))
+      .toDF("k", "name", "v", "day")
+    val stats = Catalog.mergePartitioned(spark, root, upd, Seq("k"), Seq("day"))
+    assert(stats == Catalog.MergeStats(2L, 4L), stats.toString) // d1: 2→3, d9: 0→1
+    assert(leafFiles("d2") == d2Before, "untouched leaf d2 was rewritten")
+    assert(leafFiles("d3") == d3Before, "untouched leaf d3 was rewritten")
+    val back = spark.read.parquet(root)
+      .select($"k", $"name", $"v", $"day".cast("string"))
+      .as[(Long, String, Double, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, "A!", 11.0, "d1"), (2L, "b", 20.0, "d1"), (3L, "c", 30.0, "d2"),
+      (4L, "d", 40.0, "d3"), (7L, "n", 7.0, "d9"), (9L, "i", 1.0, "d1")))
+  }
+
+  test("mergePartitioned identity is partition-scoped: keys do not migrate") {
+    val root = Files.createTempDirectory("graft_merge_scope").toString + "/t"
+    Seq((1L, "a", "d1")).toDF("k", "name", "day")
+      .write.partitionBy("day").parquet(root)
+    // same key under ANOTHER partition value: inserts there, leaves
+    // d1's row alone — the partition-pruned MERGE contract
+    val upd = Seq((1L, "other-day", "d2")).toDF("k", "name", "day")
+    Catalog.mergePartitioned(spark, root, upd, Seq("k"), Seq("day"))
+    val back = spark.read.parquet(root)
+      .select($"k", $"name", $"day".cast("string"))
+      .as[(Long, String, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(back == Seq((1L, "a", "d1"), (1L, "other-day", "d2")))
+    // duplicate identity across the SAME partition is rejected
+    val dup = Seq((5L, "x", "d1"), (5L, "y", "d1")).toDF("k", "name", "day")
+    val e = intercept[IllegalArgumentException] {
+      Catalog.mergePartitioned(spark, root, dup, Seq("k"), Seq("day"))
+    }
+    assert(e.getMessage.contains("more than one row"))
+  }
+
   test("compact with clusterBy yields disjoint per-file key ranges") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString + "/t"
