@@ -286,11 +286,20 @@ object Dedup {
     * Divergence bound vs all-exact: see [[lshHybridPairs]]. The
     * result is eagerly materialized (localCheckpoint), so callers may
     * unpersist the signature tables as soon as this returns. */
-  private def hybridVerify(cand: DataFrame, sigA: DataFrame, sigB: DataFrame,
+  /** Near-threshold re-shingle fetches at most this many doc ids via
+    * an inlined IN-list (parquet row-group pruning on the id column —
+    * the id-fetch shape of a production document store); above the cap
+    * the fetch falls back to the broadcast semi-join. The near set is
+    * bounded by the candidate count by construction, so the cap only
+    * picks the fetch mechanism, never the semantics. */
+  private val NearFetchPushdownCap = 1000
+
+  private[graft] def hybridVerify(cand: DataFrame, sigA: DataFrame, sigB: DataFrame,
                            srcA: DataFrame, srcB: DataFrame,
                            threshold: Double, margin: Double,
                            numHashes: Int, shingleSize: Int,
-                           idCol: String, textCol: String): DataFrame = {
+                           idCol: String, textCol: String,
+                           eager: Boolean = true): DataFrame = {
     val scored = cand
       .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -311,16 +320,23 @@ object Dedup {
     // re-shingled at all
     if (near.isEmpty) clear
     else {
-      // join FIRST, shingle after: the broadcast semi-join prunes to
-      // the near-threshold docs before any shingle work. (At
-      // warehouse scale this re-scan would be an id-fetch from the
-      // bucketed document store; either way the shingle compute is
-      // bounded by the near set, not the corpus.)
-      def shingled(src: DataFrame, ids: DataFrame): DataFrame =
-        src.join(broadcast(ids), src(idCol) === ids("id"), "left_semi")
+      // prune FIRST, shingle after: the near ids (bounded by the
+      // candidate count) are inlined as an IN-list under the cap, so
+      // the parquet scan prunes row groups on the id column's min/max
+      // stats instead of reading the whole text column — the id-fetch
+      // a production doc store would serve. Above the cap, the
+      // broadcast semi-join does the same pruning post-scan.
+      def shingled(src: DataFrame, ids: DataFrame): DataFrame = {
+        val inline = ids.limit(NearFetchPushdownCap + 1).collect().map(_.get(0))
+        val pruned =
+          if (inline.length <= NearFetchPushdownCap)
+            src.where(col(idCol).isin(inline.toSeq: _*))
+          else src.join(broadcast(ids), src(idCol) === ids("id"), "left_semi")
+        pruned
           .where(length(col(textCol)) >= shingleSize)
           .select(col(idCol).as("id"), Text.charShingles(col(textCol), shingleSize).as("sh"))
           .localCheckpoint()
+      }
       val (shA, shB) =
         if (srcA eq srcB) {
           val both = shingled(srcA, near.select(col("id_a").as("id"))
@@ -334,7 +350,11 @@ object Dedup {
         .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .where(Text.jaccard(col("sh_a"), col("sh_b")) >= threshold)
         .select(col("id_a"), col("id_b"))
-      clear.union(verified).localCheckpoint()
+      val out = clear.union(verified)
+      // every input the union references is already materialized
+      // (scored/shA/shB checkpoints), so a caller that immediately
+      // re-materializes (distinct + checkpoint) can skip this one
+      if (eager) out.localCheckpoint() else out
     }
   }
 
@@ -429,6 +449,54 @@ object Dedup {
     labels
   }
 
+  /** Adaptive connected components: a pair set under `driverCap` rows
+    * (the common case — near-dup pairs are bounded by the band join's
+    * collision count, orders of magnitude below the corpus, and a
+    * per-batch admission graph is smaller still) is solved with one
+    * bounded collect + union-find, skipping the iterative join
+    * rounds whose per-job latency dominates at small pair counts; a
+    * larger set falls through to the distributed
+    * [[connectedComponents]] unchanged. The cap picks the MECHANISM
+    * only — both paths return (id, component = min id in cluster)
+    * for exactly the ids that appear in `pairs`, and the driver path
+    * additionally comes back as a local relation, so downstream
+    * anti-joins broadcast instead of shuffling. */
+  def connectedComponentsAdaptive(pairs: DataFrame, driverCap: Int = 100000,
+                                  maxIter: Int = 20): DataFrame = {
+    val capped = pairs.select(col("id_a"), col("id_b")).limit(driverCap + 1).collect()
+    if (capped.length > driverCap) connectedComponents(pairs, maxIter)
+    else {
+      val spark = pairs.sparkSession
+      val idType = pairs.schema("id_a").dataType
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(idType)
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      capped.foreach { p =>
+        val (a, b) = (p.get(0), p.get(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val rows = parent.keySet().asScala.toSeq
+        .map(id => org.apache.spark.sql.Row(id, find(id)))
+      spark.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    }
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14): converges in O(log² n) rounds on ANY graph shape,
@@ -520,7 +588,7 @@ object Dedup {
                     idCol: String = "doc_id", textCol: String = "text",
                     cacheKey: Option[String] = None): DataFrame = {
     val pairs = lshHybridPairs(df, threshold, idCol, textCol, cacheKey = cacheKey)
-    val comps = connectedComponents(pairs)
+    val comps = connectedComponentsAdaptive(pairs)
     val losers = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -567,19 +635,45 @@ object Dedup {
     val bSig = signatureTable(batch, numHashes, shingleSize, idCol, textCol, None)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val crossCand = crossBandCandidates(bSig, cSig, bands, rowsPerBand)
-      val corpusDups = hybridVerify(crossCand, bSig, cSig, batch, corpus,
-        threshold, margin, numHashes, shingleSize, idCol, textCol)
-        .select(col("id_a").as("id")).distinct()
-        .localCheckpoint() // read 3×: survivor filter, final anti-join
-      val survSig = bSig.join(corpusDups, Seq("id"), "left_anti")
-      val intraPairs = hybridVerify(bandCandidates(survSig, bands, rowsPerBand),
-        survSig, survSig, batch, batch,
-        threshold, margin, numHashes, shingleSize, idCol, textCol)
-      val nonCanonical = connectedComponents(intraPairs)
-        .where(col("component") < col("id")).select(col("id"))
-      val dropIds = corpusDups.union(nonCanonical).select(col("id").as(idCol))
-      batch.join(dropIds, Seq(idCol), "left_anti")
+      bSig.count() // materialize once before concurrent readers
+      // The cross (batch×corpus) and intra (batch×batch) verify
+      // pipelines are INDEPENDENT: intra pairs are verified over the
+      // whole batch, and pairs touching a corpus-dup are dropped
+      // relationally afterwards — the surviving pair set is identical
+      // to verifying only corpus-survivors (per-pair verification
+      // doesn't depend on other pairs), and the handful of extra
+      // verified pairs is bounded by the batch's own candidate count.
+      // Removing that sequential dependency lets both pipelines'
+      // jobs overlap in the scheduler (same bounded-pool pattern as
+      // Catalog.compactPartitioned).
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val corpusDupsF = Future {
+          hybridVerify(crossBandCandidates(bSig, cSig, bands, rowsPerBand),
+            bSig, cSig, batch, corpus,
+            threshold, margin, numHashes, shingleSize, idCol, textCol,
+            eager = false)
+            .select(col("id_a").as("id")).distinct()
+            .localCheckpoint() // read 3×: intra filter, final anti-join
+        }
+        val intraAllF = Future {
+          hybridVerify(bandCandidates(bSig, bands, rowsPerBand),
+            bSig, bSig, batch, batch,
+            threshold, margin, numHashes, shingleSize, idCol, textCol)
+        }
+        val corpusDups = Await.result(corpusDupsF,
+          scala.concurrent.duration.Duration.Inf)
+        val intraPairs = Await.result(intraAllF,
+          scala.concurrent.duration.Duration.Inf)
+          .join(corpusDups.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+          .join(corpusDups.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+        val nonCanonical = connectedComponentsAdaptive(intraPairs)
+          .where(col("component") < col("id")).select(col("id"))
+        val dropIds = corpusDups.union(nonCanonical).select(col("id").as(idCol))
+        batch.join(dropIds, Seq(idCol), "left_anti")
+      } finally { pool.shutdown(); () }
     } finally { bSig.unpersist(); if (!corpusCached) cSig.unpersist(); () }
   }
 
