@@ -20,6 +20,16 @@ import org.apache.spark.sql.SparkSession
   * transient must strike 3+ times in a row to survive into the
   * report. A System.gc() between queries keeps one query's garbage
   * from billing the next query's first observation.
+  *
+  * On top of that, a SECOND PASS re-observes every query once on the
+  * now-fully-warm JVM and the report takes the per-query minimum
+  * across passes. The adaptive protocol's observations are
+  * CONSECUTIVE, so a minute-scale host-load window (this box is
+  * shared) inflates all of them together and agreement-within-30%
+  * happily accepts the inflated pair — two same-session full-suite
+  * runs measured 78.5 vs 46.1 s total with identical binary+config.
+  * A pass separated by a suite-length of wall-clock decorrelates
+  * those windows per query at the cost of one extra observation.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -88,7 +98,12 @@ object Bench {
       best
     }
 
-    val results = names.map(name => name -> timeQuery(name))
+    val firstPass = names.map(name => name -> timeQuery(name))
+    val results = firstPass.map { case (name, t1) =>
+      System.gc()
+      val t2 = runOnce(name)
+      name -> (if (t2 >= 0 && (t1 < 0 || t2 < t1)) t2 else t1)
+    }
     // 3-decimal fixed formatting (locale-independent): millisecond
     // resolution is plenty, and the shorter line survives whatever
     // output buffer captures it without truncating mid-JSON
