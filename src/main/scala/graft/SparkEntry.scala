@@ -811,6 +811,22 @@ object SparkEntry {
         .orderBy(asc_nulls_first("asset_id"))
     }),
 
+    // X48B COMPRESSED video metadata: MJPEG-in-AVI assets whose
+    // container headers advertise NOTHING (zeroed avih/strf dims and
+    // counts) — decodeFeatures must recover width/height from each
+    // first frame's JPEG SOF marker and the frame count from the
+    // '00dc' chunks, i.e. by parsing the real compressed stream. The
+    // oracle replays the index arithmetic without the bytes.
+    "x48b_mjpeg_decode" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticMjpegAssets(s, 64)
+      graft.operators.Multimodal.decodeFeatures(assets)
+        .select(col("asset_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"))
+        .orderBy(asc_nulls_first("asset_id"))
+    }),
+
     // X49 Kafka-shaped transfer bus end-to-end: TransferRequests built
     // from orders rows, produced onto a 4-partition file-backed commit
     // log in two batches (offsets must chain across segments), then
@@ -2077,6 +2093,16 @@ object SparkEntry {
                 CAST(16 + (i % 6) * 4 AS BIGINT) AS width,
                 CAST(12 + (i % 4) * 4 AS BIGINT) AS height,
                 CAST(6 + (i % 5) * 3 AS BIGINT) AS n_frames
+         FROM (SELECT unnest(range(64)) AS i)
+         ORDER BY asset_id NULLS FIRST""",
+    // replay of Multimodal.syntheticMjpegAssets(64): the container
+    // advertises nothing, so matching proves the engine read the
+    // JPEG SOF markers and counted '00dc' chunks in the stream
+    "x48b_mjpeg_decode" ->
+      """SELECT i AS asset_id,
+                CAST(16 + (i % 6) * 4 AS BIGINT) AS width,
+                CAST(12 + (i % 4) * 4 AS BIGINT) AS height,
+                CAST(4 + (i % 3) * 2 AS BIGINT) AS n_frames
          FROM (SELECT unnest(range(64)) AS i)
          ORDER BY asset_id NULLS FIRST""",
     // replay of Multimodal.syntheticAudioAssets(64): the engine must

@@ -321,6 +321,138 @@ object Multimodal {
       out
     }
 
+    /** First SOF (start-of-frame) marker's (width, height) from a
+      * JPEG byte stream at `[off, off+len)` — the dimensional truth
+      * of a compressed frame, read the way the decoder would. Walks
+      * the marker stream (FF xx [len16 payload]): standalone markers
+      * skipped, SOF0–SOF15 accepted except DHT(C4)/JPG(C8)/DAC(CC),
+      * stop at SOS (entropy-coded data follows — a stream with no
+      * SOF before SOS is broken). */
+    def jpegSofDims(b: Array[Byte], off: Int, len: Int): Option[(Int, Int)] = {
+      if (b == null || len < 4 || off < 0 || off + len > b.length) return None
+      if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xff) != 0xd8) return None
+      var p = off + 2
+      val end = off + len
+      while (p + 2 <= end) {
+        if ((b(p) & 0xff) != 0xff) return None // lost marker sync
+        val marker = b(p + 1) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) p += 2
+        else {
+          if (p + 4 > end) return None
+          val segLen = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+          if (segLen < 2 || p + 2 + segLen > end) return None
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            // SOF payload: precision(1) height(2) width(2) ...
+            if (segLen < 7) return None
+            val h = ((b(p + 5) & 0xff) << 8) | (b(p + 6) & 0xff)
+            val w = ((b(p + 7) & 0xff) << 8) | (b(p + 8) & 0xff)
+            return Some((w, h))
+          }
+          if (marker == 0xda) return None // SOS before any SOF
+          p += 2 + segLen
+        }
+      }
+      None
+    }
+
+    /** (width, height, frames) for an MJPEG-in-AVI payload read from
+      * the COMPRESSED STREAM itself: frames = count of '00dc' chunks,
+      * dims = the first frame's JPEG SOF marker. The container's
+      * 'avih' header is deliberately not consulted — compressed
+      * corpora routinely carry absent or lying container headers, and
+      * the frames are the truth. None when the payload is not
+      * RIFF/AVI or no '00dc' frame parses as a JPEG. */
+    def mjpegMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length < 24) return None
+      if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
+      var frames = 0
+      var dims: Option[(Int, Int)] = None
+      def scan(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to && off + 8 <= bytes.length) {
+          val id = cc(bytes, off)
+          val size = u32(bytes, off + 4)
+          if (size < 0 || off + 8 + size > bytes.length) return
+          if (id == "LIST" && size >= 4) scan(off + 12, off + 8 + size)
+          else if (id == "00dc") {
+            frames += 1
+            if (dims.isEmpty) dims = jpegSofDims(bytes, off + 8, size)
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+      scan(12, bytes.length)
+      dims.map { case (w, h) => (w, h, frames) }
+    }
+
+    /** Deterministic MJPEG-in-AVI encode: the same RIFF structure as
+      * [[encodeAvi]] but the stream is 'MJPG' and every '00dc' chunk
+      * payload is a REAL JPEG written by the JDK's ImageIO encoder.
+      * With `advertiseDims = false` the avih and strf headers carry
+      * ZERO dims/frames — the fixture for proving that metadata is
+      * recovered from the frames ([[mjpegMeta]]), not the container. */
+    def encodeMjpegAvi(w: Int, h: Int, frames: Int,
+                       pixel: (Int, Int, Int) => Int,
+                       advertiseDims: Boolean = true): Array[Byte] = {
+      require(w > 0 && h > 0 && frames >= 0, "bad AVI dimensions")
+      val jpegs = (0 until frames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, pixel(f, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val out = new Array[Byte](8 + riffSize)
+      var p = 0
+      def chunkHeader(id: String, size: Int): Unit = {
+        putCC(out, p, id); putU32(out, p + 4, size); p += 8
+      }
+      val adv = if (advertiseDims) 1 else 0
+      chunkHeader("RIFF", riffSize); putCC(out, p, "AVI "); p += 4
+      chunkHeader("LIST", hdrlSize); putCC(out, p, "hdrl"); p += 4
+      chunkHeader("avih", 56)
+      val avih = p
+      putU32(out, avih, 100000)                  // usec/frame (10 fps)
+      putU32(out, avih + 16, frames * adv)       // dwTotalFrames
+      putU32(out, avih + 24, 1)                  // dwStreams
+      putU32(out, avih + 32, w * adv); putU32(out, avih + 36, h * adv)
+      p += 56
+      chunkHeader("LIST", 4 + (8 + 56) + (8 + 40)); putCC(out, p, "strl"); p += 4
+      chunkHeader("strh", 56)
+      val strh = p
+      putCC(out, strh, "vids"); putCC(out, strh + 4, "MJPG")
+      putU32(out, strh + 20, 1)                  // dwScale
+      putU32(out, strh + 24, 10)                 // dwRate → 10 fps
+      putU32(out, strh + 32, frames * adv)       // dwLength
+      p += 56
+      chunkHeader("strf", 40)
+      val bih = p
+      putU32(out, bih, 40)                       // biSize
+      putU32(out, bih + 4, w * adv); putU32(out, bih + 8, h * adv)
+      out(bih + 12) = 1                          // biPlanes
+      out(bih + 14) = 24                         // biBitCount
+      putCC(out, bih + 16, "MJPG")               // biCompression
+      p += 40
+      chunkHeader("LIST", moviSize); putCC(out, p, "movi"); p += 4
+      jpegs.foreach { j =>
+        chunkHeader("00dc", j.length)
+        System.arraycopy(j, 0, out, p, j.length)
+        p += j.length
+        if ((j.length & 1) == 1) { out(p) = 0; p += 1 } // word-align
+      }
+      out
+    }
+
     /** REAL video resize: parse the container, nearest-neighbor scale
       * every raw frame, rebuild the AVI around the new dimensions.
       * None when the bytes are not an uncompressed AVI this codec can
@@ -402,7 +534,12 @@ object Multimodal {
                 (sw, sh, sf, 0, 0)
             }
           case "video" =>
-            VideoCodec.decodeMeta(bytes) match {
+            // container header first (covers DIB and well-formed
+            // MJPEG); a missing or lying avih (zeroed dims) falls
+            // through to reading the compressed frames themselves
+            VideoCodec.decodeMeta(bytes)
+              .filter { case (vw, vh, _) => vw > 0 && vh > 0 }
+              .orElse(VideoCodec.mjpegMeta(bytes)) match {
               case Some((vw, vh, vf)) => (vw, vh, vf, 0, 0)
               case None =>
                 val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
@@ -533,6 +670,28 @@ object Multimodal {
       val frames = 6 + (i % 5).toInt * 3
       val avi = VideoCodec.encodeAvi(w, h, frames,
         (f, x, y) => ((i * 2654435761L + f * 8191 + y * w + x) & 0xffffff).toInt)
+      Row(i, "video", avi, Row(s"src${i % 4}", "video/avi"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Synthesize a deterministic REAL MJPEG asset table: every frame
+    * an actual ImageIO-encoded JPEG inside a '00dc' chunk, and the
+    * container header deliberately advertises NOTHING (zeroed avih /
+    * strf dims and frame counts) — decoding must recover width and
+    * height from the first frame's JPEG SOF marker and the frame
+    * count from the '00dc' chunks, i.e. from the compressed stream
+    * itself. Properties are index-derived so an oracle replays them
+    * without the bytes: width 16+(i%6)·4, height 12+(i%4)·4, frames
+    * 4+(i%3)·2. */
+  def syntheticMjpegAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val w = 16 + (i % 6).toInt * 4
+      val h = 12 + (i % 4).toInt * 4
+      val frames = 4 + (i % 3).toInt * 2
+      val avi = VideoCodec.encodeMjpegAvi(w, h, frames,
+        (f, x, y) => ((i * 2654435761L + f * 8191 + y * w + x) & 0xffffff).toInt,
+        advertiseDims = false)
       Row(i, "video", avi, Row(s"src${i % 4}", "video/avi"))
     }
     spark.createDataFrame(rdd, assetSchema)

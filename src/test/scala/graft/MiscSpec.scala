@@ -172,6 +172,49 @@ class MiscSpec extends AnyFunSuite {
     assert(Multimodal.VideoCodec.decodeMeta(Array.fill[Byte](64)(3)).isEmpty)
   }
 
+  test("Multimodal: MJPEG metadata comes from the frames, not the container") {
+    import Multimodal.VideoCodec
+    // container headers zeroed: avih says nothing, frames say 20x16x3
+    val lying = VideoCodec.encodeMjpegAvi(20, 16, 3,
+      (f, x, y) => (f * 37 + y * 20 + x) & 0xffffff, advertiseDims = false)
+    assert(VideoCodec.decodeMeta(lying).contains((0, 0, 0))) // header consulted alone is useless
+    assert(VideoCodec.mjpegMeta(lying).contains((20, 16, 3)))
+    // truthful container: both paths agree
+    val truthful = VideoCodec.encodeMjpegAvi(24, 12, 2, (_, _, _) => 0x336699)
+    assert(VideoCodec.decodeMeta(truthful).contains((24, 12, 2)))
+    assert(VideoCodec.mjpegMeta(truthful).contains((24, 12, 2)))
+    // the '00dc' payloads are REAL JPEGs: ImageIO can read frame 0
+    // back out of the container at the chunk offset mjpegMeta walked
+    val sof = VideoCodec.jpegSofDims(lying, _: Int, _: Int)
+    var off = 12; var found = false
+    while (!found && off + 8 <= lying.length) {
+      val id = new String(lying, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = (lying(off + 4) & 0xff) | ((lying(off + 5) & 0xff) << 8) |
+        ((lying(off + 6) & 0xff) << 16) | ((lying(off + 7) & 0xff) << 24)
+      if (id == "00dc") {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(lying, off + 8, size))
+        assert(img != null && img.getWidth == 20 && img.getHeight == 16)
+        assert(sof(off + 8, size).contains((20, 16)))
+        found = true
+      } else if (id == "LIST") off += 12
+      else off += 8 + size + (size & 1)
+    }
+    assert(found, "no 00dc chunk located")
+    // decodeFeatures end-to-end on header-less MJPEG assets
+    val feats = Multimodal.decodeFeatures(Multimodal.syntheticMjpegAssets(spark, 9))
+      .select("asset_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(feats.length == 9)
+    feats.foreach { case (i, w, h, f) =>
+      assert(w == 16 + (i % 6).toInt * 4 && h == 12 + (i % 4).toInt * 4 &&
+        f == 4 + (i % 3).toInt * 2, s"asset $i: $w x $h x $f")
+    }
+    // malformed JPEG payloads do not misparse
+    assert(VideoCodec.jpegSofDims(Array[Byte](1, 2, 3, 4), 0, 4).isEmpty)
+    assert(VideoCodec.mjpegMeta("RIFF1234AVI junk".getBytes).isEmpty)
+  }
+
   test("Multimodal: REAL video resize re-frames the AVI container") {
     val assets = Multimodal.syntheticVideoAssets(spark, 10)
     val resized = Multimodal.resize(assets, 0.5)
