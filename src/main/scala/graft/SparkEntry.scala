@@ -871,6 +871,74 @@ object SparkEntry {
       } finally rmTree(root.toFile)
     }),
 
+    // X49B the same transfer bus consumed through the STREAMING
+    // path: KafkaLog.readStream (file-stream over the segment logs,
+    // checkpointed exactly-once) + foreachBatch, each micro-batch
+    // decoded, appended to the sink, and its offsets committed via
+    // commitPolled — the subscribe loop a production consumer runs.
+    // The gate also REQUIRES the post-stream batch poll to come back
+    // empty (the foreachBatch commits really advanced the group
+    // watermark over the whole log). Same oracle replay as x49.
+    "x49b_kafka_stream" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_kafka_s")
+      try {
+        val rootS = root.toString
+        graft.pipeline.KafkaLog.createTopic(rootS, "transfers", 4)
+        val reqs = t(s, d, "orders")
+          .orderBy(asc("o_orderkey")).limit(200)
+          .select(
+            concat(lit("sftp://legacy/orders/"), col("o_orderkey"),
+              lit(".csv")).as("source_connection_string"),
+            concat(lit("blob://lake/landing/"), col("o_orderkey"),
+              lit(".csv")).as("destination_connection_string"),
+            (col("o_orderkey") % 2 === 0).as("remove_file"),
+            col("o_orderdate").cast(DateType).cast(StringType).as("event_date"))
+        def asReqs(df: DataFrame) =
+          df.as[graft.pipeline.Messages.TransferRequest]
+        graft.pipeline.Messages.producePartitioned(
+          asReqs(reqs.where(col("remove_file"))), rootS, "transfers")
+        graft.pipeline.Messages.producePartitioned(
+          asReqs(reqs.where(!col("remove_file"))), rootS, "transfers")
+        val outDir = rootS + "/_consumed"
+        val group = "stream-g"
+        val reqSchema = org.apache.spark.sql.Encoders
+          .product[graft.pipeline.Messages.TransferRequest].schema
+        withCheckpoint { ckpt =>
+          val q = graft.pipeline.KafkaLog.readStream(s, rootS, "transfers")
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.persist()
+              try {
+                batch
+                  .select(from_json(unbase64(col("value")).cast("string"),
+                    reqSchema).as("m"))
+                  .select(col("m.*"))
+                  .write.mode("append").parquet(outDir)
+                graft.pipeline.KafkaLog.commitPolled(rootS, "transfers", group, batch)
+              } finally { batch.unpersist(); () }
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+        // the streaming consumer's commits must cover the entire log
+        require(graft.pipeline.Messages
+          .consumePartitioned(s, rootS, "transfers", group).isEmpty,
+          "x49b: streaming consumer left uncommitted records behind")
+        val rows = s.read.parquet(outDir)
+          .groupBy(substring(col("event_date"), 1, 7).as("month"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("remove_file"), 1L).otherwise(0L)).as("n_remove"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        rows.toSeq.toDF("month", "n_files", "n_remove")
+          .orderBy(asc_nulls_first("month"))
+      } finally rmTree(root.toFile)
+    }),
+
     // X50 INCREMENTAL near-dup dedup: admit a new batch (doc_id in
     // [300, 800)) against the already-admitted corpus (doc_id < 300)
     // — drop batch docs with exact 5-gram Jaccard >= 0.5 vs ANY
@@ -2004,6 +2072,16 @@ object SparkEntry {
     // orders: the Kafka-shaped produce/poll/decode round trip must be
     // lossless and duplicate-free for the aggregate to hash-match
     "x49_kafka_transfer" ->
+      """WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
+         SELECT substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS month,
+                COUNT(*) AS n_files,
+                CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_remove
+         FROM o GROUP BY 1 ORDER BY month NULLS FIRST""",
+    // same replay as x49 — the streaming consumer (readStream +
+    // foreachBatch + commitPolled) must deliver the identical
+    // lossless, duplicate-free aggregate
+    "x49b_kafka_stream" ->
       """WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
          SELECT substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS month,
                 COUNT(*) AS n_files,
