@@ -78,6 +78,34 @@ class DedupSimSpec extends AnyFunSuite {
     assert(viaStar(999L) == 100L)
   }
 
+  test("connectedComponentsAdaptive: driver path equals distributed on both sides of the cap") {
+    val rnd = new scala.util.Random(29)
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val random = Seq.fill(60)((100L + rnd.nextInt(50), 100L + rnd.nextInt(50)))
+      .filter(p => p._1 != p._2)
+    val pairs = (chain ++ random).toDF("id_a", "id_b")
+    val viaProp = Dedup.connectedComponents(pairs, maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    // under the cap: driver union-find
+    val viaDriver = Dedup.connectedComponentsAdaptive(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaProp)
+    // cap forced to 0: must fall through to the distributed path and
+    // still agree
+    val viaFallthrough = Dedup.connectedComponentsAdaptive(pairs, driverCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaFallthrough == viaProp)
+    // non-numeric ids: min is Spark's own ordering (lexicographic)
+    val strPairs = Seq(("b", "a"), ("b", "c"), ("z", "y")).toDF("id_a", "id_b")
+    val strComps = Dedup.connectedComponentsAdaptive(strPairs)
+      .as[(String, String)].collect().toMap
+    assert(strComps == Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "y", "z" -> "y"))
+    // empty pair set: empty labels, correct schema
+    val empty = Dedup.connectedComponentsAdaptive(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.columns.toSeq == Seq("id", "component") && empty.count() == 0)
+  }
+
   test("dedupNearDups keeps one representative per cluster + unpaired docs") {
     val survivors = Dedup.dedupNearDups(docs, threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
