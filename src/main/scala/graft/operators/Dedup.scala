@@ -401,10 +401,12 @@ object Dedup {
   /** Connected components over a near-dup pair set by iterative
     * min-label propagation: label(v) ← min(label(v), min label of
     * neighbors) until fixpoint. Near-dup clusters have tiny diameter,
-    * so this converges in a handful of join+aggregate rounds; for
-    * adversarial graph shapes (long chains) at extreme scale,
-    * [[connectedComponentsStar]] is the drop-in O(log²n)-round
-    * upgrade with the same interface (equivalence tested).
+    * so this converges in a handful of join+aggregate rounds; min-label
+    * propagation needs O(diameter) rounds, so if `maxIter` rounds pass
+    * without reaching the fixpoint (a chain-shaped graph — common in
+    * shingled text, where A~B~C without A~C), the call ESCALATES to
+    * [[connectedComponentsStar]] (O(log²n) rounds on any shape) rather
+    * than ever returning non-converged labels.
     * Returns (id, component) where component = min id in the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -446,7 +448,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    // Never hand back partial labels: past maxIter the graph has a
+    // component with diameter > maxIter, exactly the shape the star
+    // algorithm solves in O(log²n) rounds regardless of diameter.
+    if (converged) labels else connectedComponentsStar(pairs)
   }
 
   /** Adaptive connected components: a pair set under `driverCap` rows
@@ -456,20 +461,32 @@ object Dedup {
     * bounded collect + union-find, skipping the iterative join
     * rounds whose per-job latency dominates at small pair counts; a
     * larger set falls through to the distributed
-    * [[connectedComponents]] unchanged. The cap picks the MECHANISM
-    * only — both paths return (id, component = min id in cluster)
-    * for exactly the ids that appear in `pairs`, and the driver path
-    * additionally comes back as a local relation, so downstream
-    * anti-joins broadcast instead of shuffling. */
-  def connectedComponentsAdaptive(pairs: DataFrame, driverCap: Int = 100000,
-                                  maxIter: Int = 20): DataFrame = {
+    * [[connectedComponentsStar]] — O(log²n) rounds on ANY graph
+    * shape, so chain-structured dup graphs (the shingled-text norm)
+    * converge exactly where O(diameter) min-label propagation would
+    * not. The cap picks the MECHANISM only — both paths return
+    * (id, component = min id in cluster) for exactly the ids that
+    * appear in `pairs`, and the driver path additionally comes back
+    * as a local relation, so downstream anti-joins broadcast instead
+    * of shuffling. */
+  def connectedComponentsAdaptive(pairs: DataFrame,
+                                  driverCap: Int = 100000): DataFrame = {
     val capped = pairs.select(col("id_a"), col("id_b")).limit(driverCap + 1).collect()
-    if (capped.length > driverCap) connectedComponents(pairs, maxIter)
+    if (capped.length > driverCap) connectedComponentsStar(pairs)
     else {
       val spark = pairs.sparkSession
       val idType = pairs.schema("id_a").dataType
-      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      // the interpreted ordering compares Catalyst-internal values
+      // (e.g. UTF8String), but collect() hands back external ones
+      // (java.lang.String) — convert at the comparison boundary
+      val ordInternal = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(idType)
+      val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(idType)
+      val ord = new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          ordInternal.compare(toCatalyst(a), toCatalyst(b))
+      }
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
         var r = x
@@ -569,6 +586,11 @@ object Dedup {
       edgeCount = nextCount
       i += 1
     }
+    // O(log²n) rounds means 25 covers any physically realizable graph;
+    // fail loudly rather than ever emit under-merged components.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds " +
+        s"($edgeCount edges remaining) — raise maxIter")
     val labels = edges.select(col("u").as("id"), col("v").as("component"))
       .groupBy("id").agg(min("component").as("component"))
     val roots = labels.select(col("component")).distinct()
@@ -586,9 +608,10 @@ object Dedup {
     * deterministic function of the data either way. */
   def dedupNearDups(df: DataFrame, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text",
-                    cacheKey: Option[String] = None): DataFrame = {
+                    cacheKey: Option[String] = None,
+                    ccDriverCap: Int = 100000): DataFrame = {
     val pairs = lshHybridPairs(df, threshold, idCol, textCol, cacheKey = cacheKey)
-    val comps = connectedComponentsAdaptive(pairs)
+    val comps = connectedComponentsAdaptive(pairs, ccDriverCap)
     val losers = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -624,7 +647,8 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text",
                        shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
                        margin: Double = 0.3,
-                       corpusCacheKey: Option[String] = None): DataFrame = {
+                       corpusCacheKey: Option[String] = None,
+                       ccDriverCap: Int = 100000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val numHashes = bands * rowsPerBand
     val corpusCached = corpusCacheKey.isDefined
@@ -669,7 +693,7 @@ object Dedup {
           scala.concurrent.duration.Duration.Inf)
           .join(corpusDups.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
           .join(corpusDups.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
-        val nonCanonical = connectedComponentsAdaptive(intraPairs)
+        val nonCanonical = connectedComponentsAdaptive(intraPairs, ccDriverCap)
           .where(col("component") < col("id")).select(col("id"))
         val dropIds = corpusDups.union(nonCanonical).select(col("id").as(idCol))
         batch.join(dropIds, Seq(idCol), "left_anti")

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table access (SURVEY.md §2.1 S4/S13).
   *
@@ -20,20 +20,33 @@ object Tables {
 
   /** Scan one fixture table.
     *
-    * The `events` fixture stores `ts` as Parquet TIMESTAMP(NANOS),
-    * which Spark rejects unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is on (sessions created by Session/Verify/Bench set it). With the
-    * flag the column arrives as a LONG of nanoseconds; convert to a
-    * proper µs TimestampType here. Integer `div` (not `/`, which is
-    * double division and loses precision above 2^53 ns) floors to µs —
-    * the same truncation DuckDB applies when reading ns Parquet.
+    * `ts` has shipped in three physical shapes across fixture
+    * generations, and the load path is the one place that absorbs the
+    * drift so every consumer sees session-zone `TimestampType`:
+    *
+    *  - Parquet TIMESTAMP(NANOS): Spark rejects it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong` is on (sessions created
+    *    by Session/Verify/Bench set it), with which it arrives as a
+    *    LONG of nanoseconds → integer-`div` to µs (not `/`, which is
+    *    double division and loses precision above 2^53 ns — the same
+    *    floor truncation DuckDB applies when reading ns Parquet);
+    *  - Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — the current
+    *    fixtures — which Spark 4 infers as TIMESTAMP_NTZ → cast to
+    *    TimestampType, interpreting the wall clock in the session zone
+    *    (UTC in every graft session), matching how the DuckDB oracle
+    *    reads the same naive values;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=true): already arrives as
+    *    TimestampType, passes through.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case None    => df
+      df.schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case Some(TimestampNTZType) =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
       }
     })
 

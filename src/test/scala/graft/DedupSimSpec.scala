@@ -106,6 +106,38 @@ class DedupSimSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("id", "component") && empty.count() == 0)
   }
 
+  test("connectedComponents escalates past maxIter: 40-hop chain fully merges") {
+    // diameter 40 > maxIter 20 — propagation alone would return
+    // under-merged labels; the escalation to the star algorithm must
+    // deliver the exact fixpoint anyway.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 41 && comps.values.forall(_ == 0L))
+  }
+
+  test("production dedup entry points: 100+-hop chain, distributed CC branch") {
+    // 120 sliding-window docs: consecutive docs share 20 of 21
+    // shingles (jaccard ≈ 0.91 ≥ 0.85), two-step share 19 of 23
+    // (≈ 0.83 < 0.85) — so the verified pair graph is a 119-hop
+    // chain, the worst case for O(diameter) propagation. ccDriverCap
+    // = 0 forces the distributed branch that production hits at
+    // corpus scale; exact components ⇒ a single survivor (min id).
+    val words = (0 until 145).map(i => s"w$i")
+    val chainDocs = (0 until 120)
+      .map(i => (i.toLong, words.slice(i, i + 25).mkString(" ")))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.dedupNearDups(chainDocs, threshold = 0.85,
+        ccDriverCap = 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(0L))
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val admitted = Dedup.dedupIncremental(chainDocs, emptyCorpus,
+        threshold = 0.85, ccDriverCap = 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == Seq(0L))
+  }
+
   test("dedupNearDups keeps one representative per cluster + unpaired docs") {
     val survivors = Dedup.dedupNearDups(docs, threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
