@@ -21,15 +21,25 @@ import org.apache.spark.sql.SparkSession
   * report. A System.gc() between queries keeps one query's garbage
   * from billing the next query's first observation.
   *
-  * On top of that, a SECOND PASS re-observes every query once on the
-  * now-fully-warm JVM and the report takes the per-query minimum
-  * across passes. The adaptive protocol's observations are
-  * CONSECUTIVE, so a minute-scale host-load window (this box is
-  * shared) inflates all of them together and agreement-within-30%
-  * happily accepts the inflated pair — two same-session full-suite
-  * runs measured 78.5 vs 46.1 s total with identical binary+config.
-  * A pass separated by a suite-length of wall-clock decorrelates
-  * those windows per query at the cost of one extra observation.
+  * On top of that, TWO more full passes re-observe every query once
+  * each on the now-fully-warm JVM and the report takes the per-query
+  * minimum across all three passes. The adaptive protocol's
+  * observations are CONSECUTIVE, so a minute-scale host-load window
+  * (this box is shared) inflates all of them together and
+  * agreement-within-30% happily accepts the inflated pair — two
+  * same-session full-suite runs measured 78.5 vs 46.1 s total with
+  * identical binary+config. Passes separated by a suite-length of
+  * wall-clock decorrelate those windows per query at the cost of two
+  * extra observations.
+  *
+  * NOISE VISIBILITY: the printed line also carries `spread_p50` /
+  * `spread_p90` — per-query (max pass / min pass) quantiles — so a
+  * round-over-round delta can be read against the measured host
+  * weather instead of guessed at: a "regression" inside the spread
+  * band is noise, not a plan change. The full per-query per-pass
+  * observations land in BENCH_DETAIL.json (the stdout line must stay
+  * under the harness's ~2000-char tail, the detail file has no such
+  * limit).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,11 +109,26 @@ object Bench {
     }
 
     val firstPass = names.map(name => name -> timeQuery(name))
-    val results = firstPass.map { case (name, t1) =>
+    def rePass(): Seq[(String, Double)] = names.map { name =>
       System.gc()
-      val t2 = runOnce(name)
-      name -> (if (t2 >= 0 && (t1 < 0 || t2 < t1)) t2 else t1)
+      name -> runOnce(name)
     }
+    val (secondPass, thirdPass) = (rePass().toMap, rePass().toMap)
+    val passes = firstPass.map { case (name, t1) =>
+      name -> Seq(t1, secondPass(name), thirdPass(name))
+    }
+    val results = passes.map { case (name, ts) =>
+      val ok = ts.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    // host-weather summary: per-query max/min ratio across passes
+    val spreads = passes.flatMap { case (_, ts) =>
+      val ok = ts.filter(_ >= 0)
+      if (ok.size < 2 || ok.min <= 0) None else Some(ok.max / ok.min)
+    }.sorted
+    def quantile(q: Double): Double =
+      if (spreads.isEmpty) 1.0
+      else spreads(math.min(spreads.size - 1, (q * spreads.size).toInt))
     // 3-decimal fixed formatting (locale-independent): millisecond
     // resolution is plenty, and the shorter line survives whatever
     // output buffer captures it without truncating mid-JSON
@@ -125,11 +150,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""passes":3,"spread_p50":${fmt(quantile(0.5))},""" +
+        s""""spread_p90":${fmt(quantile(0.9))},"sf":"$sfDir"}"""
     // second channel for the harness: the same line in a known file,
     // immune to whatever interleaves with or truncates the stream
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+    // full per-pass observations — no length limit in a file; lets a
+    // reader attribute any round-over-round delta to a specific pass
+    // (pass-correlated inflation = host window, all-pass = plan)
+    val detail = passes.map { case (name, ts) =>
+      "\"" + name + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{\"passes\":{", ",", s"},\"sf\":\"$sfDir\"}\n")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () }
     // stop Spark BEFORE printing so no executor/shutdown log line can
     // land after the JSON — the line is the absolute last stdout line

@@ -827,6 +827,25 @@ object SparkEntry {
         .orderBy(asc_nulls_first("asset_id"))
     }),
 
+    // X48C MP4/ISO-BMFF container metadata: deterministic box trees
+    // (ftyp/moov/mvhd/trak/tkhd/stbl/stsd/stsz) encoded on the
+    // executors, then mp4Metadata must recover dims from tkhd's 16.16
+    // fixed-point fields, frame count from stsz, codec id from the
+    // stsd sample entry, and duration from mvhd — pure big-endian box
+    // arithmetic the oracle replays without the bytes. Sample data is
+    // absent by design: container metadata, not codec decode.
+    "x48c_mp4_metadata" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticMp4Assets(s, 64)
+      graft.operators.Multimodal.mp4Metadata(assets)
+        .select(col("asset_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"),
+          col("codec"),
+          col("duration_ms"))
+        .orderBy(asc_nulls_first("asset_id"))
+    }),
+
     // X49 Kafka-shaped transfer bus end-to-end: TransferRequests built
     // from orders rows, produced onto a 4-partition file-backed commit
     // log in two batches (offsets must chain across segments), then
@@ -2181,6 +2200,18 @@ object SparkEntry {
                 CAST(16 + (i % 6) * 4 AS BIGINT) AS width,
                 CAST(12 + (i % 4) * 4 AS BIGINT) AS height,
                 CAST(4 + (i % 3) * 2 AS BIGINT) AS n_frames
+         FROM (SELECT unnest(range(64)) AS i)
+         ORDER BY asset_id NULLS FIRST""",
+    // replay of Multimodal.syntheticMp4Assets(64): matching proves the
+    // engine walked the ISO-BMFF box tree it encoded — tkhd 16.16
+    // dims, stsz sample count, stsd codec id, mvhd duration
+    "x48c_mp4_metadata" ->
+      """SELECT i AS asset_id,
+                CAST(16 + (i % 6) * 4 AS BIGINT) AS width,
+                CAST(12 + (i % 4) * 4 AS BIGINT) AS height,
+                CAST(5 + (i % 4) * 3 AS BIGINT) AS n_frames,
+                ['avc1', 'hev1', 'vp09', 'mp4v'][CAST(i % 4 AS INT) + 1] AS codec,
+                CAST((5 + (i % 4) * 3) * 40 AS BIGINT) AS duration_ms
          FROM (SELECT unnest(range(64)) AS i)
          ORDER BY asset_id NULLS FIRST""",
     // replay of Multimodal.syntheticAudioAssets(64): the engine must

@@ -502,6 +502,163 @@ object Multimodal {
           }
         }
       }
+
+    // ---- ISO-BMFF (MP4) container metadata ------------------------
+    // H.264/H.265/VP9 sample data has no pure-JDK decoder, but the
+    // CONTAINER is plain big-endian box arithmetic (ISO/IEC 14496-12),
+    // the same class of work as the RIFF walker above: every box is
+    // [size:u32][type:4cc][payload], size==1 → 64-bit largesize
+    // follows, size==0 → box runs to end of file.
+
+    private def u32be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u16be(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u64be(b: Array[Byte], i: Int): Long =
+      (u32be(b, i) << 32) | u32be(b, i + 4)
+
+    /** Walk the direct children of `[from, to)`, invoking `f(type,
+      * payloadStart, payloadEnd)`; malformed sizes stop the walk
+      * (never throw — payloads are untrusted record content). */
+    private def walkBoxes(b: Array[Byte], from: Long, to: Long)
+                         (f: (String, Long, Long) => Unit): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val size0 = u32be(b, off.toInt)
+        val typ = cc(b, off.toInt + 4)
+        var hdr = 8L
+        var size = size0
+        if (size0 == 1L) {
+          if (off + 16 > to) return
+          size = u64be(b, off.toInt + 8); hdr = 16L
+        } else if (size0 == 0L) size = to - off
+        if (size < hdr || off + size > to) return
+        f(typ, off + hdr, off + size)
+        off += size
+      }
+    }
+
+    /** (width, height, frames, codec4cc, durationMs) from the moov
+      * tree: dims from 'tkhd' (16.16 fixed), duration from 'mvhd'
+      * (movie-timescale units → ms), frame count from 'stsz'
+      * sample_count, codec id from the first 'stsd' sample entry.
+      * None when the bytes are not ISO-BMFF (must start with 'ftyp'
+      * or 'moov') or no video track parses. Never consults sample
+      * data — this is container metadata, not codec decode; actual
+      * H.264/H.265/VP9 frame decode stays behind the labelled stub. */
+    def mp4Meta(bytes: Array[Byte]): Option[(Int, Int, Int, String, Long)] = {
+      if (bytes == null || bytes.length < 16) return None
+      val first = cc(bytes, 4)
+      if (first != "ftyp" && first != "moov") return None
+      var w = 0; var h = 0; var frames = 0
+      var codec = ""; var durMs = 0L
+      walkBoxes(bytes, 0L, bytes.length.toLong) { (typ, ps, pe) =>
+        if (typ == "moov") walkBoxes(bytes, ps, pe) { (t2, s2, e2) =>
+          if (t2 == "mvhd" && e2 - s2 >= 20) {
+            val ver = bytes(s2.toInt) & 0xff
+            val (ts, dur) =
+              if (ver == 1 && e2 - s2 >= 32)
+                (u32be(bytes, s2.toInt + 20), u64be(bytes, s2.toInt + 24))
+              else (u32be(bytes, s2.toInt + 12), u32be(bytes, s2.toInt + 16))
+            if (ts > 0) durMs = dur * 1000L / ts
+          } else if (t2 == "trak") walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
+            if (t3 == "tkhd") {
+              val ver = bytes(s3.toInt) & 0xff
+              val dimOff = if (ver == 1) 88 else 76
+              if (e3 - s3 >= dimOff + 8 && w == 0) {
+                // 16.16 fixed point; a sound track carries zeros
+                val tw = (u32be(bytes, s3.toInt + dimOff) >> 16).toInt
+                val th = (u32be(bytes, s3.toInt + dimOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            } else if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+              if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
+                if (t5 == "stbl") walkBoxes(bytes, s5, e5) { (t6, s6, e6) =>
+                  if (t6 == "stsd" && e6 - s6 >= 16 && codec.isEmpty) {
+                    // verflags(4) entry_count(4), then the first
+                    // sample entry: [size:u32][codec:4cc]...
+                    if (u32be(bytes, s6.toInt + 4) >= 1)
+                      codec = cc(bytes, s6.toInt + 12)
+                  } else if (t6 == "stsz" && e6 - s6 >= 12 && frames == 0)
+                    frames = u32be(bytes, s6.toInt + 8).toInt
+                }
+              }
+            }
+          }
+        }
+      }
+      if (w > 0 && h > 0 && codec.nonEmpty) Some((w, h, frames, codec, durMs))
+      else None
+    }
+
+    /** Deterministic minimal ISO-BMFF encode: ftyp + moov { mvhd,
+      * trak { tkhd, mdia { mdhd, hdlr(vide), minf { vmhd, dinf/dref,
+      * stbl { stsd(codec sample entry), stts, stsc, stsz, stco } } } } }
+      * + empty mdat. Carries REAL container metadata (dims, timescale
+      * 1000, `frames` samples at 40 ms each → 25 fps) around a codec
+      * payload this environment cannot synthesize — the honest
+      * container-level fixture for [[mp4Meta]]. */
+    def encodeMp4(w: Int, h: Int, frames: Int, codec: String): Array[Byte] = {
+      require(w > 0 && h > 0 && frames >= 0 && codec.length == 4, "bad MP4 params")
+      def be32(v: Long): Array[Byte] = Array(
+        (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+      def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+        val len = 8 + parts.map(_.length).sum
+        val out = new Array[Byte](len)
+        System.arraycopy(be32(len.toLong), 0, out, 0, 4)
+        System.arraycopy(fourcc(typ), 0, out, 4, 4)
+        var p = 8
+        parts.foreach { b => System.arraycopy(b, 0, out, p, b.length); p += b.length }
+        out
+      }
+      val durMovie = frames.toLong * 40L // timescale 1000, 25 fps
+      val identityMatrix = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000L)
+      val ftyp = box("ftyp", fourcc("isom"), be32(0x200L),
+        fourcc("isom"), fourcc("mp42"))
+      val mvhd = box("mvhd", be32(0), be32(0), be32(0),
+        be32(1000L), be32(durMovie),                 // timescale, duration
+        be32(0x00010000L), be16(0x0100), be16(0),    // rate, volume, rsvd
+        be32(0), be32(0), identityMatrix,
+        new Array[Byte](24), be32(2))                // pre_defined, next track
+      val tkhd = box("tkhd", be32(3),                // v0, enabled+in-movie
+        be32(0), be32(0), be32(1), be32(0),          // times, track 1, rsvd
+        be32(durMovie), new Array[Byte](8),
+        be16(0), be16(0), be16(0), be16(0),          // layer, group, volume
+        identityMatrix,
+        be32(w.toLong << 16), be32(h.toLong << 16))  // 16.16 fixed dims
+      val mdhd = box("mdhd", be32(0), be32(0), be32(0),
+        be32(1000L), be32(durMovie), be16(0x55c4), be16(0)) // 'und'
+      val hdlr = box("hdlr", be32(0), be32(0), fourcc("vide"),
+        new Array[Byte](12), Array[Byte](0))
+      val vmhd = box("vmhd", be32(1), be16(0), be16(0), be16(0), be16(0))
+      val dinf = box("dinf", box("dref", be32(0), be32(1),
+        box("url ", be32(1)))) // flag 1: data in this file
+      val sampleEntry = box(codec,
+        new Array[Byte](6), be16(1),                 // reserved, dref idx
+        be16(0), be16(0), new Array[Byte](12),
+        be16(w), be16(h),
+        be32(0x00480000L), be32(0x00480000L),        // 72 dpi
+        be32(0), be16(1),                            // frame_count 1
+        new Array[Byte](32),                         // compressorname
+        be16(0x18), be16(0xffff))
+      val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+      val stts = box("stts", be32(0), be32(1), be32(frames.toLong), be32(40L))
+      val stsc = box("stsc", be32(0), be32(1), be32(1), be32(frames.toLong), be32(1))
+      val stsz = box("stsz", be32(0), be32(256L), be32(frames.toLong))
+      val stco = box("stco", be32(0), be32(0))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", vmhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      val moov = box("moov", mvhd, trak)
+      val mdat = box("mdat")
+      ftyp ++ moov ++ mdat
+    }
   }
 
   /** Decode shallow features from the binary column: image payloads
@@ -536,10 +693,13 @@ object Multimodal {
           case "video" =>
             // container header first (covers DIB and well-formed
             // MJPEG); a missing or lying avih (zeroed dims) falls
-            // through to reading the compressed frames themselves
+            // through to reading the compressed frames themselves;
+            // ISO-BMFF payloads go through the MP4 box walk
             VideoCodec.decodeMeta(bytes)
               .filter { case (vw, vh, _) => vw > 0 && vh > 0 }
-              .orElse(VideoCodec.mjpegMeta(bytes)) match {
+              .orElse(VideoCodec.mjpegMeta(bytes))
+              .orElse(VideoCodec.mp4Meta(bytes)
+                .map { case (vw, vh, vf, _, _) => (vw, vh, vf) }) match {
               case Some((vw, vh, vf)) => (vw, vh, vf, 0, 0)
               case None =>
                 val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
@@ -693,6 +853,52 @@ object Multimodal {
         (f, x, y) => ((i * 2654435761L + f * 8191 + y * w + x) & 0xffffff).toInt,
         advertiseDims = false)
       Row(i, "video", avi, Row(s"src${i % 4}", "video/avi"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** MP4 container metadata as a relation: (asset_id, width, height,
+    * n_frames, codec, duration_ms) from each payload's ISO-BMFF box
+    * tree ([[VideoCodec.mp4Meta]]), NULL-dim rows for payloads that
+    * are not ISO-BMFF. Same iterator-to-iterator partition-local
+    * shape as [[decodeFeatures]] — constant memory, no closure UDF,
+    * survives 100 TB of video. */
+  val mp4MetaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("codec", StringType),
+    StructField("duration_ms", LongType)))
+
+  def mp4Metadata(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.map { r =>
+      val id = r.getAs[Long]("asset_id")
+      VideoCodec.mp4Meta(r.getAs[Array[Byte]]("bytes")) match {
+        case Some((w, h, f, codec, durMs)) => Row(id, w, h, f, codec, durMs)
+        case None => Row(id, null, null, null, null, null)
+      }
+    })
+    spark.createDataFrame(rdd, mp4MetaSchema)
+  }
+
+  /** Synthesize a deterministic MP4 asset table: every row a real
+    * ISO-BMFF box tree ([[VideoCodec.encodeMp4]]) whose properties
+    * are index-derived so an oracle replays them without the bytes:
+    * width 16+(i%6)·4, height 12+(i%4)·4, frames 5+(i%4)·3, codec
+    * {avc1,hev1,vp09,mp4v}[i%4], duration frames·40 ms (25 fps at
+    * movie timescale 1000). Sample data is absent by design — no
+    * pure-JDK H.264/H.265/VP9 decoder exists, so the fixture proves
+    * the container walk, never pretends to decode. */
+  def syntheticMp4Assets(spark: SparkSession, n: Int): DataFrame = {
+    val codecs = Seq("avc1", "hev1", "vp09", "mp4v")
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val w = 16 + (i % 6).toInt * 4
+      val h = 12 + (i % 4).toInt * 4
+      val frames = 5 + (i % 4).toInt * 3
+      val mp4 = VideoCodec.encodeMp4(w, h, frames, codecs((i % 4).toInt))
+      Row(i, "video", mp4, Row(s"src${i % 4}", "video/mp4"))
     }
     spark.createDataFrame(rdd, assetSchema)
   }

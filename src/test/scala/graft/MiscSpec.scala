@@ -215,6 +215,46 @@ class MiscSpec extends AnyFunSuite {
     assert(VideoCodec.mjpegMeta("RIFF1234AVI junk".getBytes).isEmpty)
   }
 
+  test("Multimodal: MP4 metadata comes from the ISO-BMFF box tree") {
+    import Multimodal.VideoCodec
+    // round-trip: encode a box tree, walk it back
+    val mp4 = VideoCodec.encodeMp4(320, 240, 50, "avc1")
+    assert(VideoCodec.mp4Meta(mp4).contains((320, 240, 50, "avc1", 2000L)))
+    // each codec id survives the stsd sample entry verbatim
+    Seq("hev1", "vp09", "mp4v").foreach { c =>
+      assert(VideoCodec.mp4Meta(VideoCodec.encodeMp4(64, 48, 10, c))
+        .map(_._4).contains(c), c)
+    }
+    // zero frames is a legal (still-initializing) container
+    assert(VideoCodec.mp4Meta(VideoCodec.encodeMp4(16, 12, 0, "avc1"))
+      .contains((16, 12, 0, "avc1", 0L)))
+    // non-BMFF payloads are rejected, not misparsed
+    assert(VideoCodec.mp4Meta("RIFF1234AVI junk".getBytes).isEmpty)
+    assert(VideoCodec.mp4Meta(Array.fill[Byte](64)(7)).isEmpty)
+    assert(VideoCodec.mp4Meta(null).isEmpty)
+    // truncated mid-box: the walk stops cleanly
+    assert(VideoCodec.mp4Meta(mp4.take(40)).isEmpty)
+    // mp4Metadata relation: arithmetic replay + NULLs for non-BMFF
+    val metas = Multimodal.mp4Metadata(Multimodal.syntheticMp4Assets(spark, 12))
+      .select("asset_id", "width", "height", "n_frames", "codec", "duration_ms")
+      .as[(Long, Int, Int, Int, String, Long)].collect()
+    assert(metas.length == 12)
+    val codecs = Seq("avc1", "hev1", "vp09", "mp4v")
+    metas.foreach { case (i, w, h, f, c, d) =>
+      assert(w == 16 + (i % 6).toInt * 4 && h == 12 + (i % 4).toInt * 4, s"asset $i dims")
+      assert(f == 5 + (i % 4).toInt * 3, s"asset $i frames")
+      assert(c == codecs((i % 4).toInt) && d == f * 40L, s"asset $i codec/duration")
+    }
+    // decodeFeatures dispatch recognizes MP4 payloads tagged video
+    val feats = Multimodal.decodeFeatures(Multimodal.syntheticMp4Assets(spark, 6))
+      .select("asset_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+    feats.foreach { case (i, w, h, f) =>
+      assert(w == 16 + (i % 6).toInt * 4 && h == 12 + (i % 4).toInt * 4 &&
+        f == 5 + (i % 4).toInt * 3, s"asset $i via decodeFeatures")
+    }
+  }
+
   test("Multimodal: REAL video resize re-frames the AVI container") {
     val assets = Multimodal.syntheticVideoAssets(spark, 10)
     val resized = Multimodal.resize(assets, 0.5)
