@@ -836,7 +836,26 @@ object SparkEntry {
     // absent by design: container metadata, not codec decode.
     "x48c_mp4_metadata" -> ((s, d) => {
       val assets = graft.operators.Multimodal.syntheticMp4Assets(s, 64)
-      graft.operators.Multimodal.mp4Metadata(assets)
+      graft.operators.Multimodal.containerMetadata(assets)
+        .select(col("asset_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"),
+          col("codec"),
+          col("duration_ms"))
+        .orderBy(asc_nulls_first("asset_id"))
+    }),
+
+    // X48D Matroska/WebM container metadata: deterministic EBML trees
+    // (Segment/Info/Tracks/TrackEntry/Video/Cluster) encoded on the
+    // executors, then containerMetadata must recover dims from
+    // PixelWidth/Height, codec from CodecID, duration from
+    // Duration × TimecodeScale, and frame count from the SimpleBlock
+    // elements — EBML varint arithmetic the oracle replays without
+    // the bytes. VP8/VP9/AV1 sample decode stays behind the stub.
+    "x48d_webm_metadata" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticWebmAssets(s, 64)
+      graft.operators.Multimodal.containerMetadata(assets)
         .select(col("asset_id"),
           col("width").cast(LongType).as("width"),
           col("height").cast(LongType).as("height"),
@@ -2212,6 +2231,18 @@ object SparkEntry {
                 CAST(5 + (i % 4) * 3 AS BIGINT) AS n_frames,
                 ['avc1', 'hev1', 'vp09', 'mp4v'][CAST(i % 4 AS INT) + 1] AS codec,
                 CAST((5 + (i % 4) * 3) * 40 AS BIGINT) AS duration_ms
+         FROM (SELECT unnest(range(64)) AS i)
+         ORDER BY asset_id NULLS FIRST""",
+    // replay of Multimodal.syntheticWebmAssets(64): matching proves
+    // the engine walked the EBML tree it encoded — PixelWidth/Height,
+    // CodecID, Duration × TimecodeScale, SimpleBlock count
+    "x48d_webm_metadata" ->
+      """SELECT i AS asset_id,
+                CAST(16 + (i % 6) * 4 AS BIGINT) AS width,
+                CAST(12 + (i % 4) * 4 AS BIGINT) AS height,
+                CAST(3 + (i % 5) * 2 AS BIGINT) AS n_frames,
+                ['V_VP8', 'V_VP9', 'V_AV1'][CAST(i % 3 AS INT) + 1] AS codec,
+                CAST((3 + (i % 5) * 2) * 40 AS BIGINT) AS duration_ms
          FROM (SELECT unnest(range(64)) AS i)
          ORDER BY asset_id NULLS FIRST""",
     // replay of Multimodal.syntheticAudioAssets(64): the engine must

@@ -659,6 +659,192 @@ object Multimodal {
       val mdat = box("mdat")
       ftyp ++ moov ++ mdat
     }
+
+    // ---- Matroska/WebM (EBML) container metadata -------------------
+    // The other dominant compressed-video container (VP8/VP9/AV1).
+    // EBML is [id-varint][size-varint][payload] all the way down —
+    // byte arithmetic again, no codec work: dims from
+    // Tracks→TrackEntry→Video PixelWidth/Height, codec from CodecID,
+    // duration from Info (Duration × TimecodeScale), frame count =
+    // SimpleBlock/BlockGroup elements across Clusters (container
+    // structure, not sample decode).
+
+    private val EbmlId = 0x1A45DFA3L
+    private val SegmentId = 0x18538067L
+    private val InfoId = 0x1549A966L
+    private val TimecodeScaleId = 0x2AD7B1L
+    private val DurationId = 0x4489L
+    private val TracksId = 0x1654AE6BL
+    private val TrackEntryId = 0xAEL
+    private val TrackTypeId = 0x83L
+    private val CodecIdId = 0x86L
+    private val VideoElId = 0xE0L
+    private val PixelWidthId = 0xB0L
+    private val PixelHeightId = 0xBAL
+    private val ClusterId = 0x1F43B675L
+    private val SimpleBlockId = 0xA3L
+    private val BlockGroupId = 0xA0L
+
+    /** Leading-zero-coded varint length from its first byte (0 = invalid). */
+    private def vintLen(b0: Int): Int = {
+      var mask = 0x80; var n = 1
+      while (mask != 0) {
+        if ((b0 & mask) != 0) return n
+        mask >>= 1; n += 1
+      }
+      0
+    }
+
+    /** (value, nextOffset); for IDs the marker bit is KEPT (Matroska
+      * convention), for sizes it is stripped; None on malformed or
+      * out-of-range input. */
+    private def readVint(b: Array[Byte], off: Long, end: Long,
+                         keepMarker: Boolean): Option[(Long, Long)] = {
+      if (off >= end) return None
+      val n = vintLen(b(off.toInt) & 0xff)
+      if (n == 0 || off + n > end) return None
+      var v = (b(off.toInt) & 0xff).toLong
+      if (!keepMarker) v &= (0xffL >> n)
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(off.toInt + i) & 0xffL); i += 1 }
+      Some((v, off + n))
+    }
+
+    private def ebmlUint(b: Array[Byte], from: Long, to: Long): Long = {
+      var v = 0L; var i = from
+      while (i < to && i - from < 8) { v = (v << 8) | (b(i.toInt) & 0xffL); i += 1 }
+      v
+    }
+
+    private def ebmlFloat(b: Array[Byte], from: Long, to: Long): Double =
+      (to - from) match {
+        case 4 => java.lang.Float.intBitsToFloat(ebmlUint(b, from, to).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(ebmlUint(b, from, to))
+        case _ => 0.0
+      }
+
+    /** Walk the direct child elements of `[from, to)`; unknown-size
+      * elements (all-ones size varint) run to `to`. Malformed input
+      * stops the walk — untrusted record content never throws. */
+    private def walkEbml(b: Array[Byte], from: Long, to: Long)
+                        (f: (Long, Long, Long) => Unit): Unit = {
+      var off = from
+      var ok = true
+      while (ok && off < to) {
+        val step = for {
+          (id, p1) <- readVint(b, off, to, keepMarker = true)
+          (size, p2) <- readVint(b, p1, to, keepMarker = false)
+        } yield {
+          val szLen = (p2 - p1).toInt
+          // a size varint of n bytes carries 7n value bits; all-ones
+          // means "unknown size" (streaming) → element runs to `to`
+          val unknown = szLen < 9 && size == (1L << (7 * szLen)) - 1
+          val pe = if (unknown) to else p2 + size
+          if (pe > to) None else Some((id, p2, pe))
+        }
+        step.flatten match {
+          case Some((id, ps, pe)) => f(id, ps, pe); off = pe
+          case None => ok = false
+        }
+      }
+    }
+
+    /** (width, height, frames, codecId, durationMs) from a Matroska/
+      * WebM stream, or None when the bytes don't open with an EBML
+      * header or carry no video track. Container metadata only —
+      * VP8/VP9/AV1 sample decode stays behind the labelled stub. */
+    def webmMeta(bytes: Array[Byte]): Option[(Int, Int, Int, String, Long)] = {
+      if (bytes == null || bytes.length < 8) return None
+      val head = readVint(bytes, 0L, bytes.length.toLong, keepMarker = true)
+      if (!head.exists(_._1 == EbmlId)) return None
+      var w = 0; var h = 0; var frames = 0
+      var codec = ""; var tcScale = 1000000L; var durTicks = 0.0
+      walkEbml(bytes, 0L, bytes.length.toLong) { (id, ps, pe) =>
+        if (id == SegmentId) walkEbml(bytes, ps, pe) { (id2, s2, e2) =>
+          if (id2 == InfoId) walkEbml(bytes, s2, e2) { (id3, s3, e3) =>
+            if (id3 == TimecodeScaleId) tcScale = ebmlUint(bytes, s3, e3)
+            else if (id3 == DurationId) durTicks = ebmlFloat(bytes, s3, e3)
+          } else if (id2 == TracksId) walkEbml(bytes, s2, e2) { (id3, s3, e3) =>
+            if (id3 == TrackEntryId) {
+              var isVideo = false; var tw = 0; var th = 0; var tc = ""
+              walkEbml(bytes, s3, e3) { (id4, s4, e4) =>
+                if (id4 == TrackTypeId) isVideo = ebmlUint(bytes, s4, e4) == 1L
+                else if (id4 == CodecIdId)
+                  tc = new String(bytes, s4.toInt, (e4 - s4).toInt,
+                    java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
+                else if (id4 == VideoElId) walkEbml(bytes, s4, e4) { (id5, s5, e5) =>
+                  if (id5 == PixelWidthId) tw = ebmlUint(bytes, s5, e5).toInt
+                  else if (id5 == PixelHeightId) th = ebmlUint(bytes, s5, e5).toInt
+                }
+              }
+              if (isVideo && w == 0 && tw > 0 && th > 0) {
+                w = tw; h = th; codec = tc
+              }
+            }
+          } else if (id2 == ClusterId) walkEbml(bytes, s2, e2) { (id3, _, _) =>
+            if (id3 == SimpleBlockId || id3 == BlockGroupId) frames += 1
+          }
+        }
+      }
+      if (w > 0 && h > 0 && codec.nonEmpty)
+        Some((w, h, frames, codec, (durTicks * tcScale / 1e6).round))
+      else None
+    }
+
+    /** Deterministic minimal Matroska/WebM encode: EBML header +
+      * Segment { Info(TimecodeScale 1 ms, Duration), Tracks {
+      * TrackEntry(video, codecId, PixelWidth/Height) }, Cluster {
+      * frames × SimpleBlock(1-byte placeholder payload) } }. Block
+      * payloads are placeholders by design — the fixture proves the
+      * container walk; codec sample data cannot be synthesized here. */
+    def encodeWebm(w: Int, h: Int, frames: Int, codecId: String): Array[Byte] = {
+      require(w > 0 && h > 0 && frames >= 0 && codecId.nonEmpty, "bad WebM params")
+      def idBytes(id: Long): Array[Byte] = {
+        val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+                else if (id <= 0xffffffL) 3 else 4
+        (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+      }
+      // fixed 8-byte size varint: 0x01 marker + 7 value bytes
+      def sizeVint(n: Long): Array[Byte] =
+        Array(0x01.toByte) ++ (0 until 7).map(i =>
+          ((n >> (8 * (6 - i))) & 0xff).toByte)
+      def el(id: Long, parts: Array[Byte]*): Array[Byte] = {
+        val payload = parts.flatten.toArray
+        idBytes(id) ++ sizeVint(payload.length.toLong) ++ payload
+      }
+      def uintPayload(v: Long): Array[Byte] = {
+        var n = 1; while (n < 8 && (v >> (8 * n)) != 0) n += 1
+        (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+      }
+      val ebmlHeader = el(EbmlId,
+        el(0x4286L, uintPayload(1)),                    // EBMLVersion
+        el(0x42F7L, uintPayload(1)),                    // EBMLReadVersion
+        el(0x4282L, "webm".getBytes("US-ASCII")),       // DocType
+        el(0x4287L, uintPayload(4)), el(0x4285L, uintPayload(2)))
+      val info = el(InfoId,
+        el(TimecodeScaleId, uintPayload(1000000L)),     // 1 ms ticks
+        el(DurationId, {                                // frames × 40 ms
+          val bits = java.lang.Double.doubleToLongBits(frames * 40.0)
+          (0 until 8).map(i => ((bits >> (8 * (7 - i))) & 0xff).toByte).toArray
+        }))
+      val tracks = el(TracksId, el(TrackEntryId,
+        el(0xD7L, uintPayload(1)),                      // TrackNumber
+        el(0x73C5L, uintPayload(1)),                    // TrackUID
+        el(TrackTypeId, uintPayload(1)),                // video
+        el(CodecIdId, codecId.getBytes("US-ASCII")),
+        el(VideoElId,
+          el(PixelWidthId, uintPayload(w.toLong)),
+          el(PixelHeightId, uintPayload(h.toLong)))))
+      val blocks = (0 until frames).map { f =>
+        // SimpleBlock: track varint(1) + s16 timecode + flags + payload
+        el(SimpleBlockId, Array(0x81.toByte,
+          ((f * 40) >> 8).toByte, (f * 40).toByte,
+          0x80.toByte, f.toByte))
+      }
+      val cluster = el(ClusterId,
+        (el(0xE7L, uintPayload(0L)) +: blocks): _*)     // Timecode 0
+      ebmlHeader ++ el(SegmentId, info, tracks, cluster)
+    }
   }
 
   /** Decode shallow features from the binary column: image payloads
@@ -699,6 +885,7 @@ object Multimodal {
               .filter { case (vw, vh, _) => vw > 0 && vh > 0 }
               .orElse(VideoCodec.mjpegMeta(bytes))
               .orElse(VideoCodec.mp4Meta(bytes)
+                .orElse(VideoCodec.webmMeta(bytes))
                 .map { case (vw, vh, vf, _, _) => (vw, vh, vf) }) match {
               case Some((vw, vh, vf)) => (vw, vh, vf, 0, 0)
               case None =>
@@ -857,13 +1044,15 @@ object Multimodal {
     spark.createDataFrame(rdd, assetSchema)
   }
 
-  /** MP4 container metadata as a relation: (asset_id, width, height,
-    * n_frames, codec, duration_ms) from each payload's ISO-BMFF box
-    * tree ([[VideoCodec.mp4Meta]]), NULL-dim rows for payloads that
-    * are not ISO-BMFF. Same iterator-to-iterator partition-local
+  /** Compressed-video container metadata as a relation: (asset_id,
+    * width, height, n_frames, codec, duration_ms) from each payload's
+    * container structure — ISO-BMFF box tree ([[VideoCodec.mp4Meta]])
+    * or Matroska/WebM EBML tree ([[VideoCodec.webmMeta]]), dispatched
+    * per record by magic bytes; NULL-dim rows for payloads neither
+    * parser recognizes. Same iterator-to-iterator partition-local
     * shape as [[decodeFeatures]] — constant memory, no closure UDF,
     * survives 100 TB of video. */
-  val mp4MetaSchema: StructType = StructType(Seq(
+  val containerMetaSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
@@ -871,16 +1060,17 @@ object Multimodal {
     StructField("codec", StringType),
     StructField("duration_ms", LongType)))
 
-  def mp4Metadata(assets: DataFrame): DataFrame = {
+  def containerMetadata(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.map { r =>
       val id = r.getAs[Long]("asset_id")
-      VideoCodec.mp4Meta(r.getAs[Array[Byte]]("bytes")) match {
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      VideoCodec.mp4Meta(bytes).orElse(VideoCodec.webmMeta(bytes)) match {
         case Some((w, h, f, codec, durMs)) => Row(id, w, h, f, codec, durMs)
         case None => Row(id, null, null, null, null, null)
       }
     })
-    spark.createDataFrame(rdd, mp4MetaSchema)
+    spark.createDataFrame(rdd, containerMetaSchema)
   }
 
   /** Synthesize a deterministic MP4 asset table: every row a real
@@ -899,6 +1089,25 @@ object Multimodal {
       val frames = 5 + (i % 4).toInt * 3
       val mp4 = VideoCodec.encodeMp4(w, h, frames, codecs((i % 4).toInt))
       Row(i, "video", mp4, Row(s"src${i % 4}", "video/mp4"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Synthesize a deterministic Matroska/WebM asset table: every row
+    * a real EBML element tree ([[VideoCodec.encodeWebm]]) whose
+    * properties are index-derived so an oracle replays them without
+    * the bytes: width 16+(i%6)·4, height 12+(i%4)·4, frames
+    * 3+(i%5)·2, codec {V_VP8,V_VP9,V_AV1}[i%3], duration frames·40
+    * ms. Block payloads are placeholders — the fixture proves the
+    * EBML walk, never pretends to decode VP8/VP9/AV1. */
+  def syntheticWebmAssets(spark: SparkSession, n: Int): DataFrame = {
+    val codecs = Seq("V_VP8", "V_VP9", "V_AV1")
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val w = 16 + (i % 6).toInt * 4
+      val h = 12 + (i % 4).toInt * 4
+      val frames = 3 + (i % 5).toInt * 2
+      val webm = VideoCodec.encodeWebm(w, h, frames, codecs((i % 3).toInt))
+      Row(i, "video", webm, Row(s"src${i % 4}", "video/webm"))
     }
     spark.createDataFrame(rdd, assetSchema)
   }

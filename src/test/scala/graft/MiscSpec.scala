@@ -234,8 +234,8 @@ class MiscSpec extends AnyFunSuite {
     assert(VideoCodec.mp4Meta(null).isEmpty)
     // truncated mid-box: the walk stops cleanly
     assert(VideoCodec.mp4Meta(mp4.take(40)).isEmpty)
-    // mp4Metadata relation: arithmetic replay + NULLs for non-BMFF
-    val metas = Multimodal.mp4Metadata(Multimodal.syntheticMp4Assets(spark, 12))
+    // containerMetadata relation: arithmetic replay + NULLs for non-BMFF
+    val metas = Multimodal.containerMetadata(Multimodal.syntheticMp4Assets(spark, 12))
       .select("asset_id", "width", "height", "n_frames", "codec", "duration_ms")
       .as[(Long, Int, Int, Int, String, Long)].collect()
     assert(metas.length == 12)
@@ -252,6 +252,51 @@ class MiscSpec extends AnyFunSuite {
     feats.foreach { case (i, w, h, f) =>
       assert(w == 16 + (i % 6).toInt * 4 && h == 12 + (i % 4).toInt * 4 &&
         f == 5 + (i % 4).toInt * 3, s"asset $i via decodeFeatures")
+    }
+  }
+
+  test("Multimodal: WebM metadata comes from the EBML element tree") {
+    import Multimodal.VideoCodec
+    // round-trip: encode an EBML tree, walk it back
+    val webm = VideoCodec.encodeWebm(640, 360, 25, "V_VP9")
+    assert(VideoCodec.webmMeta(webm).contains((640, 360, 25, "V_VP9", 1000L)))
+    Seq("V_VP8", "V_AV1").foreach { c =>
+      assert(VideoCodec.webmMeta(VideoCodec.encodeWebm(32, 24, 4, c))
+        .map(_._4).contains(c), c)
+    }
+    // zero blocks is a legal (headers-only) stream
+    assert(VideoCodec.webmMeta(VideoCodec.encodeWebm(16, 12, 0, "V_VP8"))
+      .contains((16, 12, 0, "V_VP8", 0L)))
+    // non-EBML payloads are rejected, not misparsed
+    assert(VideoCodec.webmMeta("RIFF1234AVI junk".getBytes).isEmpty)
+    assert(VideoCodec.webmMeta(VideoCodec.encodeMp4(16, 12, 2, "avc1")).isEmpty)
+    assert(VideoCodec.webmMeta(null).isEmpty)
+    // truncated mid-element: the walk stops cleanly
+    assert(VideoCodec.webmMeta(webm.take(50)).isEmpty)
+    // containerMetadata dispatches per record across MIXED containers
+    val mixed = Multimodal.syntheticMp4Assets(spark, 6)
+      .unionByName(Multimodal.syntheticWebmAssets(spark, 6)
+        .withColumn("asset_id", $"asset_id" + 100L))
+    val metas = Multimodal.containerMetadata(mixed)
+      .select("asset_id", "width", "height", "n_frames", "codec", "duration_ms")
+      .as[(Long, Int, Int, Int, String, Long)].collect()
+    assert(metas.length == 12)
+    val webmCodecs = Seq("V_VP8", "V_VP9", "V_AV1")
+    metas.foreach { case (id, w, h, f, c, d) =>
+      val i = if (id >= 100L) id - 100L else id
+      assert(w == 16 + (i % 6).toInt * 4 && h == 12 + (i % 4).toInt * 4, s"asset $id dims")
+      if (id >= 100L) {
+        assert(f == 3 + (i % 5).toInt * 2 && c == webmCodecs((i % 3).toInt) &&
+          d == f * 40L, s"webm asset $id")
+      } else assert(f == 5 + (i % 4).toInt * 3, s"mp4 asset $id")
+    }
+    // decodeFeatures dispatch recognizes WebM payloads tagged video
+    val feats = Multimodal.decodeFeatures(Multimodal.syntheticWebmAssets(spark, 5))
+      .select("asset_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+    feats.foreach { case (i, w, h, f) =>
+      assert(w == 16 + (i % 6).toInt * 4 && h == 12 + (i % 4).toInt * 4 &&
+        f == 3 + (i % 5).toInt * 2, s"asset $i via decodeFeatures")
     }
   }
 

@@ -57,6 +57,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("container metadata parsers never throw on arbitrary bytes") {
+    import graft.operators.Multimodal.VideoCodec
+    // payloads are untrusted record content: random bytes, random
+    // mutations of VALID containers (flipped sizes/ids/truncations),
+    // and pathological prefixes must all return None or a value —
+    // never throw. Driver-side loop: these are plain byte parsers.
+    val valid = Seq(
+      VideoCodec.encodeMp4(64, 48, 12, "avc1"),
+      VideoCodec.encodeWebm(64, 48, 12, "V_VP9"),
+      VideoCodec.encodeAvi(8, 4, 2, (_, _, _) => 0))
+    val mutGen = for {
+      base <- Gen.oneOf(valid)
+      nMut <- Gen.choose(1, 8)
+      muts <- Gen.listOfN(nMut, for {
+        pos <- Gen.choose(0, base.length - 1)
+        b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (pos, b))
+      cut <- Gen.choose(1, base.length)
+    } yield {
+      val arr = base.take(cut)
+      muts.foreach { case (p, b) => if (p < arr.length) arr(p) = b }
+      arr
+    }
+    val junkBytes = Gen.oneOf(
+      mutGen,
+      Gen.choose(0, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
+    forSamples(junkBytes, 400) { bytes =>
+      VideoCodec.mp4Meta(bytes)
+      VideoCodec.webmMeta(bytes)
+      VideoCodec.decodeMeta(bytes)
+      VideoCodec.mjpegMeta(bytes)
+      ()
+    }
+  }
+
   test("window top-k per key ≡ per-key sort-take") {
     val rowGen = for {
       k <- Gen.chooseNum(0, 4)
