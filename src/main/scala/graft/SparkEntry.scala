@@ -41,6 +41,33 @@ object SparkEntry {
       p
     })
 
+  /** Events staged for OUTER stream-stream joins: the real events as
+    * one file, then a far-future sentinel pair (user −1 view / user
+    * −2 click — both branch watermarks advance, the sentinels join
+    * nothing) as a second file with a later mtime. Replayed with
+    * maxFilesPerTrigger=1 the sentinel batch models "time passes":
+    * it drives the watermark past every real view_ts + gap, so the
+    * state store evicts and flushes every outer null — without it an
+    * AvailableNow replay stops after the last data batch and the
+    * unmatched rows never emit. */
+  private val stagedEventsSentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageEventsWithSentinel(s: SparkSession, d: String): String =
+    stagedEventsSentinelCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val p = sessionTempDir("graft_events_sentinel")
+      val ev = t(s, d, "events")
+      ev.coalesce(1).write.mode("append").parquet(p)
+      Thread.sleep(1100) // distinct mtime → deterministic file order
+      val far = ev.agg(org.apache.spark.sql.functions.max(col("ts")) +
+        expr("INTERVAL 240 HOURS")).head.getTimestamp(0)
+      Seq((-1L, far, -1L, "view", 0.0, "{}"),
+          (-2L, far, -2L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(p)
+      p
+    })
+
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
@@ -1568,6 +1595,39 @@ object SparkEntry {
         .orderBy(asc_nulls_first("user_id"))
     }),
 
+    // X47B stream-stream LEFT OUTER interval join: unmatched views
+    // must ALSO emit (with a NULL click) — which only happens when a
+    // later batch's watermark proves them unmatched, hence the
+    // sentinel staging (see stageEventsWithSentinel). The aggregated
+    // result must hash-match the complete batch left join replayed by
+    // the oracle: unmatched counts included, so dropped-or-spurious
+    // nulls cannot hide.
+    "x47b_stream_outer_join" -> ((s, d) => {
+      val staged = stageEventsWithSentinel(s, d)
+      withStreamPartitions(s, 4) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged)
+          val q = graft.streaming.EventStreams
+            .viewClickJoin(events, 60, joinType = "left_outer")
+            .writeStream.outputMode("append").format("memory")
+            .queryName("x47b_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x47b_out").where(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L))
+            .cast(LongType).as("n_unmatched"),
+          sum(col("view_id")).cast(LongType).as("view_id_sum"),
+          coalesce(sum(col("click_id")), lit(0L))
+            .cast(LongType).as("click_id_sum"))
+        .orderBy(asc_nulls_first("user_id"))
+    }),
+
     // X42 [ST5] the custom keyed state machine through the gate:
     // flatMapGroupsWithState running per-user totals in Update mode.
     // Each snapshot's n strictly grows per user, so max(struct(n,
@@ -2443,6 +2503,19 @@ object SparkEntry {
          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
                 CAST(SUM(view_id) AS BIGINT) AS view_id_sum,
                 CAST(SUM(click_id) AS BIGINT) AS click_id_sum
+         FROM p GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    "x47b_stream_outer_join" ->
+      """WITH p AS (
+           SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+           FROM (SELECT * FROM events WHERE event_type = 'view') v
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON v.user_id = c.user_id
+            AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unmatched,
+                CAST(SUM(view_id) AS BIGINT) AS view_id_sum,
+                CAST(COALESCE(SUM(click_id), 0) AS BIGINT) AS click_id_sum
          FROM p GROUP BY user_id ORDER BY user_id NULLS FIRST""",
     "x41_compaction" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -77,9 +77,18 @@ object EventStreams {
     * either keep the replay to one micro-batch (the x47 gate stages
     * a handful of files, well under the file source's per-trigger
     * cap, so eviction never fires mid-replay) or size `watermark` to
-    * the fixture's full event-time span. */
+    * the fixture's full event-time span.
+    *
+    * `joinType = "left_outer"` additionally emits each unmatched view
+    * with a NULL click — but only once the watermark passes
+    * view_ts + gap (the row is only then provably unmatched), so the
+    * outer result is complete exactly for the watermark-DECIDED
+    * region: view_ts ≤ max event time − watermark − gap. Bounded
+    * replays comparing against a batch left join must filter both
+    * sides to that region (the x47b gate does). */
   def viewClickJoin(events: DataFrame, gapMinutes: Int,
-                    watermark: String = "2 hours"): DataFrame = {
+                    watermark: String = "2 hours",
+                    joinType: String = "inner"): DataFrame = {
     val views = events.where(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -91,7 +100,8 @@ object EventStreams {
     views.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_ts") > col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $gapMinutes MINUTES"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $gapMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

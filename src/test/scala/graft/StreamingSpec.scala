@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{coalesce, expr, lit, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
@@ -95,6 +96,51 @@ class StreamingSpec extends AnyFunSuite {
     val perFile = run("sess_multi", Map("maxFilesPerTrigger" -> "1"))
     assert(oneShot.nonEmpty)
     assert(perFile == oneShot)
+  }
+
+  test("stream-stream LEFT OUTER interval join equals the batch left join") {
+    // outer (null) results emit only when a LATER batch advances the
+    // watermark past view_ts + gap — under AvailableNow the query
+    // stops after the last data batch, so a bounded replay must model
+    // "time passes": stage the real events as one file, then a
+    // far-future sentinel pair (user −1 view / user −2 click, so
+    // both branch watermarks advance and the sentinels join nothing)
+    // as a second file with a later mtime; maxFilesPerTrigger=1 makes
+    // the sentinel batch evict ALL real view state and flush every
+    // null. The result is then the COMPLETE batch left join.
+    val dir = Files.createTempDirectory("events_lo").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtime → deterministic file order
+    val far = ev.agg(max($"ts") + expr("INTERVAL 240 HOURS")).head.getTimestamp(0)
+    Seq((-1L, far, -1L, "view", 0.0, "{}"), (-2L, far, -2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = EventStreams.viewClickJoin(
+        EventStreams.readStream(spark, dir,
+          options = Map("maxFilesPerTrigger" -> "1")), 60,
+        joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lo_out").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("lo_out").where($"user_id" >= 0)
+      .select($"user_id", $"view_id", coalesce($"click_id", lit(-1L)))
+      .as[(Long, Long, Long)].collect().toSet
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val batch = views.join(clicks,
+        $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL 60 MINUTES"), "left")
+      .select($"user_id", $"view_id", coalesce($"click_id", lit(-1L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.exists(_._3 == -1L), "fixture should contain unmatched views")
+    assert(got == batch, {
+      val missing = batch.diff(got); val extra = got.diff(batch)
+      s"missing=${missing.take(5)} extra=${extra.take(5)}"
+    })
   }
 
   test("stream-stream interval join equals the batch join, any batching") {
