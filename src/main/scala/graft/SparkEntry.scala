@@ -822,6 +822,21 @@ object SparkEntry {
         .orderBy(asc_nulls_first("asset_id"))
     }),
 
+    // X45B COMPRESSED audio metadata: MPEG-1 Layer III frame streams
+    // (real header arithmetic behind an ID3v2 tag) — decodeFeatures
+    // must skip the tag and walk the frame-header chain to recover
+    // sample rate, channel mode, and PCM frame count (1152 × frames),
+    // index arithmetic the oracle replays without the bytes.
+    "x45b_mp3_decode" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticMp3Assets(s, 64)
+      graft.operators.Multimodal.decodeFeatures(assets)
+        .select(col("asset_id"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("n_frames").cast(LongType).as("n_frames"))
+        .orderBy(asc_nulls_first("asset_id"))
+    }),
+
     // X48 REAL video decode through the gate (closing the x44/x45
     // pattern over the last modality): deterministic uncompressed DIB
     // AVIs encoded on the executors (hand-rolled RIFF writer, pure
@@ -2291,6 +2306,17 @@ object SparkEntry {
                 CAST(5 + (i % 4) * 3 AS BIGINT) AS n_frames,
                 ['avc1', 'hev1', 'vp09', 'mp4v'][CAST(i % 4 AS INT) + 1] AS codec,
                 CAST((5 + (i % 4) * 3) * 40 AS BIGINT) AS duration_ms
+         FROM (SELECT unnest(range(64)) AS i)
+         ORDER BY asset_id NULLS FIRST""",
+    // replay of Multimodal.syntheticMp3Assets(64): matching proves
+    // the engine skipped the ID3v2 tag and walked the MPEG frame
+    // headers (1152 PCM samples per Layer III frame)
+    "x45b_mp3_decode" ->
+      """SELECT i AS asset_id,
+                CAST([44100, 48000, 32000][CAST(i % 3 AS INT) + 1]
+                     AS BIGINT) AS sample_rate,
+                CAST(1 + (i % 2) AS BIGINT) AS channels,
+                CAST((10 + (i % 5) * 4) * 1152 AS BIGINT) AS n_frames
          FROM (SELECT unnest(range(64)) AS i)
          ORDER BY asset_id NULLS FIRST""",
     // replay of Multimodal.syntheticWebmAssets(64): matching proves

@@ -192,6 +192,86 @@ object Multimodal {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+
+    // ---- MPEG audio (MP3) frame-header metadata --------------------
+    // javax.sound has no MP3 decoder, but the FRAME STREAM is plain
+    // header arithmetic (MPEG-1 Layer III): 4-byte headers carrying
+    // bitrate/samplerate indices, each frame's length derivable as
+    // 144·bitrate/samplerate (+padding), 1152 PCM samples per frame.
+    // Same honesty line as the video containers: stream structure is
+    // parsed for real, sample synthesis/decode is not pretended.
+
+    private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 160, 192, 224, 256, 320) // kbps, MPEG-1 Layer III
+    private val Mp3Rates = Array(44100, 48000, 32000)
+
+    /** (sampleRate, channels, pcmFrames) from an MPEG-1 Layer III
+      * frame stream — frames counted by walking the header chain
+      * (ID3v2 prefix tag and trailing ID3v1 'TAG' block skipped),
+      * pcmFrames = 1152 × frame count. None unless the bytes start
+      * (after any ID3v2) with a valid sync and every subsequent
+      * position holds a consistent frame header. */
+    def mp3Meta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length < 4) return None
+      var p = 0
+      // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+        val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        p = 10 + sz
+      }
+      var frames = 0
+      var rate = 0; var channels = 0
+      while (p + 4 <= bytes.length) {
+        // ID3v1 trailer is the only non-frame tail accepted
+        if (bytes.length - p == 128 && bytes(p) == 'T' && bytes(p + 1) == 'A' &&
+            bytes(p + 2) == 'G') {
+          p = bytes.length
+        } else {
+          val h0 = bytes(p) & 0xff; val h1 = bytes(p + 1) & 0xff
+          val h2 = bytes(p + 2) & 0xff; val h3 = bytes(p + 3) & 0xff
+          // sync + MPEG-1 (version bits 11) + Layer III (bits 01)
+          if (h0 != 0xff || (h1 & 0xfe) != 0xfa) return None
+          val brIdx = (h2 >> 4) & 0xf
+          val srIdx = (h2 >> 2) & 0x3
+          if (brIdx == 0 || brIdx == 0xf || srIdx == 3) return None
+          val br = Mp3Bitrates(brIdx) * 1000
+          val sr = Mp3Rates(srIdx)
+          val pad = (h2 >> 1) & 0x1
+          val ch = if (((h3 >> 6) & 0x3) == 3) 1 else 2
+          if (frames == 0) { rate = sr; channels = ch }
+          else if (rate != sr || channels != ch) return None // no VBR remux
+          val len = 144 * br / sr + pad
+          if (len < 4 || p + len > bytes.length) return None
+          frames += 1
+          p += len
+        }
+      }
+      if (frames == 0 || p != bytes.length) None
+      else Some((rate, channels, frames * 1152))
+    }
+
+    /** Deterministic MPEG-1 Layer III frame stream: a small ID3v2 tag
+      * (so the parser's tag skip is exercised) + `mpegFrames` frames
+      * of real header arithmetic around zeroed payload bytes — the
+      * honest fixture for [[mp3Meta]]; no encoder is pretended. */
+    def encodeMp3(sampleRate: Int, channels: Int, mpegFrames: Int,
+                  bitrateKbps: Int): Array[Byte] = {
+      val srIdx = Mp3Rates.indexOf(sampleRate)
+      val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
+      require(srIdx >= 0 && brIdx > 0 && mpegFrames >= 0, "bad MP3 params")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 10), 0, 10)
+      out.write(new Array[Byte](10), 0, 10) // empty padded tag body
+      val len = 144 * bitrateKbps * 1000 / sampleRate // padding bit 0
+      val frame = new Array[Byte](len)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+      frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      frame(3) = (if (channels == 1) 0xc0 else 0x00).toByte
+      (0 until mpegFrames).foreach(_ => out.write(frame, 0, len))
+      out.toByteArray
+    }
   }
 
   /** REAL video codec: hand-rolled RIFF/AVI container support (pure
@@ -870,7 +950,10 @@ object Multimodal {
                 (sw, sh, sf, 0, 0)
             }
           case "audio" =>
-            AudioCodec.decodeMeta(bytes) match {
+            // real container parse first (WAV/AIFF/AU via javax),
+            // then the MPEG frame-header walk for MP3 payloads
+            AudioCodec.decodeMeta(bytes)
+              .orElse(AudioCodec.mp3Meta(bytes)) match {
               case Some((rate, chans, frames)) => (0, 0, frames, rate, chans)
               case None =>
                 val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
@@ -1089,6 +1172,25 @@ object Multimodal {
       val frames = 5 + (i % 4).toInt * 3
       val mp4 = VideoCodec.encodeMp4(w, h, frames, codecs((i % 4).toInt))
       Row(i, "video", mp4, Row(s"src${i % 4}", "video/mp4"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Synthesize a deterministic MP3 asset table: every row a real
+    * MPEG-1 Layer III frame stream ([[AudioCodec.encodeMp3]]) behind
+    * an ID3v2 tag, with index-derived properties an oracle replays
+    * without the bytes: sample_rate {44100,48000,32000}[i%3],
+    * channels 1+(i%2), mpeg frames 10+(i%5)·4 (→ PCM frames ×1152),
+    * bitrate {64,128,192,320}[i%4] kbps. */
+  def syntheticMp3Assets(spark: SparkSession, n: Int): DataFrame = {
+    val rates = Seq(44100, 48000, 32000)
+    val bitrates = Seq(64, 128, 192, 320)
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val rate = rates((i % 3).toInt)
+      val channels = 1 + (i % 2).toInt
+      val frames = 10 + (i % 5).toInt * 4
+      val mp3 = AudioCodec.encodeMp3(rate, channels, frames, bitrates((i % 4).toInt))
+      Row(i, "audio", mp3, Row(s"src${i % 4}", "audio/mpeg"))
     }
     spark.createDataFrame(rdd, assetSchema)
   }

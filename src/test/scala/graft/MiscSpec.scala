@@ -255,6 +255,34 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: MP3 metadata comes from the MPEG frame-header chain") {
+    import Multimodal.AudioCodec
+    // round-trip: encode a frame stream, walk it back (PCM = 1152/frame)
+    val mp3 = AudioCodec.encodeMp3(44100, 2, 20, 128)
+    assert(AudioCodec.mp3Meta(mp3).contains((44100, 2, 20 * 1152)))
+    assert(AudioCodec.mp3Meta(AudioCodec.encodeMp3(32000, 1, 7, 320))
+      .contains((32000, 1, 7 * 1152)))
+    // ID3v1 trailer after the frames is tolerated
+    val tagged = mp3 ++ ("TAG" + "x" * 125).getBytes("US-ASCII")
+    assert(AudioCodec.mp3Meta(tagged).contains((44100, 2, 20 * 1152)))
+    // non-MP3 payloads and mid-stream garbage are rejected, not misparsed
+    assert(AudioCodec.mp3Meta("RIFF1234WAVEfmt ".getBytes).isEmpty)
+    assert(AudioCodec.mp3Meta(mp3.take(mp3.length - 3)).isEmpty)
+    assert(AudioCodec.mp3Meta(null).isEmpty)
+    assert(AudioCodec.mp3Meta(
+      AudioCodec.encodeWav(8000, 1, 100, seed = 1)).isEmpty)
+    // decodeFeatures dispatch: WAV via javax, MP3 via the frame walk
+    val feats = Multimodal.decodeFeatures(Multimodal.syntheticMp3Assets(spark, 9))
+      .select("asset_id", "sample_rate", "channels", "n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(feats.length == 9)
+    val rates = Seq(44100, 48000, 32000)
+    feats.foreach { case (i, sr, ch, f) =>
+      assert(sr == rates((i % 3).toInt) && ch == 1 + (i % 2).toInt &&
+        f == (10 + (i % 5).toInt * 4) * 1152, s"asset $i: $sr/$ch/$f")
+    }
+  }
+
   test("Multimodal: WebM metadata comes from the EBML element tree") {
     import Multimodal.VideoCodec
     // round-trip: encode an EBML tree, walk it back

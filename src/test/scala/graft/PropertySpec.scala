@@ -63,10 +63,12 @@ class PropertySpec extends AnyFunSuite {
     // mutations of VALID containers (flipped sizes/ids/truncations),
     // and pathological prefixes must all return None or a value —
     // never throw. Driver-side loop: these are plain byte parsers.
+    import graft.operators.Multimodal.AudioCodec
     val valid = Seq(
       VideoCodec.encodeMp4(64, 48, 12, "avc1"),
       VideoCodec.encodeWebm(64, 48, 12, "V_VP9"),
-      VideoCodec.encodeAvi(8, 4, 2, (_, _, _) => 0))
+      VideoCodec.encodeAvi(8, 4, 2, (_, _, _) => 0),
+      AudioCodec.encodeMp3(44100, 2, 6, 128))
     val mutGen = for {
       base <- Gen.oneOf(valid)
       nMut <- Gen.choose(1, 8)
@@ -89,6 +91,7 @@ class PropertySpec extends AnyFunSuite {
       VideoCodec.webmMeta(bytes)
       VideoCodec.decodeMeta(bytes)
       VideoCodec.mjpegMeta(bytes)
+      AudioCodec.mp3Meta(bytes)
       ()
     }
   }
