@@ -583,6 +583,40 @@ object Multimodal {
         }
       }
 
+    /** REAL compressed-video resize for MJPEG-in-AVI: every '00dc'
+      * frame is a JPEG the JDK can decode — scale each frame's actual
+      * pixels and rebuild the container (truthful headers) via
+      * [[encodeMjpegAvi]]. None when the bytes are not an AVI whose
+      * every '00dc' chunk ImageIO can read. */
+    def resizeMjpeg(bytes: Array[Byte], factor: Double): Option[Array[Byte]] = {
+      if (bytes == null || bytes.length < 24) return None
+      if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
+      val chunks = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      def scan(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to && off + 8 <= bytes.length) {
+          val id = cc(bytes, off)
+          val size = u32(bytes, off + 4)
+          if (size < 0 || off + 8 + size > bytes.length) return
+          if (id == "LIST" && size >= 4) scan(off + 12, off + 8 + size)
+          else if (id == "00dc") chunks += ((off + 8, size))
+          off += 8 + size + (size & 1)
+        }
+      }
+      scan(12, bytes.length)
+      if (chunks.isEmpty) return None
+      val imgs = chunks.map { case (o, s) =>
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes, o, s))
+        catch { case _: Exception => null }
+      }
+      if (imgs.exists(_ == null)) return None
+      val scaled = imgs.map(ImageCodec.resizePixels(_, factor))
+      val (w2, h2) = (scaled.head.getWidth, scaled.head.getHeight)
+      if (scaled.exists(i => i.getWidth != w2 || i.getHeight != h2)) return None
+      Some(encodeMjpegAvi(w2, h2, scaled.size,
+        (f, x, y) => scaled(f).getRGB(x, y) & 0xffffff))
+    }
+
     // ---- ISO-BMFF (MP4) container metadata ------------------------
     // H.264/H.265/VP9 sample data has no pure-JDK decoder, but the
     // CONTAINER is plain big-endian box arithmetic (ISO/IEC 14496-12),
@@ -1019,11 +1053,21 @@ object Multimodal {
         if (!isVisual || bytes == null || bytes.length < 6) bytes
         else if (modality == "video")
           // real AVI → re-framed container with scaled raw frames;
+          // MJPEG → per-frame JPEG decode/scale/re-encode (frames are
+          // real JPEGs, so this is actual pixel work); MP4/WebM
+          // (codec frames we cannot re-encode) → BYTE-IDENTICAL
+          // pass-through — mangling a real container through the
+          // stub's fake-header arithmetic would corrupt it;
           // stub-header video fixtures → header arithmetic
-          VideoCodec.resizeAvi(bytes, factor).getOrElse {
-            val (w, h, f) = StubCodec.decodeHeader(bytes)
-            StubCodec.encodeHeader((w * factor).toInt, (h * factor).toInt, f,
-              bytes.drop(6))
+          VideoCodec.resizeAvi(bytes, factor)
+            .orElse(VideoCodec.resizeMjpeg(bytes, factor)).getOrElse {
+            if (VideoCodec.mp4Meta(bytes).isDefined ||
+                VideoCodec.webmMeta(bytes).isDefined) bytes
+            else {
+              val (w, h, f) = StubCodec.decodeHeader(bytes)
+              StubCodec.encodeHeader((w * factor).toInt, (h * factor).toInt, f,
+                bytes.drop(6))
+            }
           }
         else ImageCodec.decode(bytes) match {
           case Some(img) =>

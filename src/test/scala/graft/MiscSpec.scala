@@ -347,6 +347,31 @@ class MiscSpec extends AnyFunSuite {
     assert(Multimodal.VideoCodec.decodeMeta(half).contains((4, 2, 2)))
   }
 
+  test("Multimodal: MJPEG resize rescales real JPEG frames; MP4/WebM pass through") {
+    // MJPEG: per-frame decode/scale/re-encode — decoded dims halve,
+    // frame count survives, and the rebuilt container is truthful
+    val mj = Multimodal.resize(Multimodal.syntheticMjpegAssets(spark, 6), 0.5)
+    val feats = Multimodal.decodeFeatures(mj)
+      .select("asset_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+    feats.foreach { case (i, w, h, f) =>
+      assert(w == math.max(1, (16 + (i % 6).toInt * 4) / 2), s"asset $i width")
+      assert(h == math.max(1, (12 + (i % 4).toInt * 4) / 2), s"asset $i height")
+      assert(f == 4 + (i % 3).toInt * 2, s"asset $i keeps all frames")
+    }
+    // MP4/WebM: codec frames can't be re-encoded — resize must be a
+    // byte-identical pass-through, never stub-header corruption
+    Seq(Multimodal.syntheticMp4Assets(spark, 4),
+        Multimodal.syntheticWebmAssets(spark, 4)).foreach { assets =>
+      val before = assets.select("asset_id", "bytes")
+        .as[(Long, Array[Byte])].collect().toMap
+      Multimodal.resize(assets, 0.5).select("asset_id", "bytes")
+        .as[(Long, Array[Byte])].collect().foreach { case (id, b) =>
+          assert(java.util.Arrays.equals(b, before(id)), s"asset $id mutated")
+        }
+    }
+  }
+
   test("Multimodal: REAL image resize rescales actual pixels") {
     val assets = Multimodal.syntheticImageAssets(spark, 8)
     val resized = Multimodal.decodeFeatures(Multimodal.resize(assets, 0.5))
