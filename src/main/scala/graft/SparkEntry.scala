@@ -58,15 +58,32 @@ object SparkEntry {
       val p = sessionTempDir("graft_events_sentinel")
       val ev = t(s, d, "events")
       ev.coalesce(1).write.mode("append").parquet(p)
-      Thread.sleep(1100) // distinct mtime → deterministic file order
       val far = ev.agg(org.apache.spark.sql.functions.max(col("ts")) +
         expr("INTERVAL 240 HOURS")).head.getTimestamp(0)
+      val before = listParquet(p)
       Seq((-1L, far, -1L, "view", 0.0, "{}"),
           (-2L, far, -2L, "click", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(p)
+      bumpMtime(p, before) // sentinel file strictly later, no sleep
       p
     })
+
+  /** FileStreamSource orders files by modification time; make every
+    * parquet file NOT in `before` strictly newer than all that are,
+    * so the new files replay as later micro-batches deterministically
+    * (explicit setLastModifiedTime instead of a wall-clock sleep). */
+  private def listParquet(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+  private def bumpMtime(dir: String, before: Set[String]): Unit = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val maxBefore = files.filter(f => before(f.getName))
+      .map(_.lastModified()).foldLeft(0L)(math.max)
+    files.filterNot(f => before(f.getName))
+      .foreach(f => { f.setLastModified(maxBefore + 2000L); () })
+  }
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()

@@ -478,14 +478,26 @@ object Dedup {
       val idType = pairs.schema("id_a").dataType
       // the interpreted ordering compares Catalyst-internal values
       // (e.g. UTF8String), but collect() hands back external ones
-      // (java.lang.String) — convert at the comparison boundary
+      // (java.lang.String) — convert at the comparison boundary.
+      // Memoized per distinct id: compare runs once per union, and
+      // re-converting the same root each time would allocate a fresh
+      // UTF8String per comparison. (External compareTo is NOT a
+      // substitute: String orders by UTF-16 code unit, UTF8String by
+      // UTF-8 byte — they disagree above the BMP, and the min-id
+      // labels must match the distributed path's `min()` exactly.)
       val ordInternal = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(idType)
       val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToCatalystConverter(idType)
+      val catalystOf = new java.util.HashMap[Any, Any]()
+      def conv(x: Any): Any = {
+        var c = catalystOf.get(x)
+        if (c == null) { c = toCatalyst(x); catalystOf.put(x, c) }
+        c
+      }
       val ord = new Ordering[Any] {
         def compare(a: Any, b: Any): Int =
-          ordInternal.compare(toCatalyst(a), toCatalyst(b))
+          ordInternal.compare(conv(a), conv(b))
       }
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {

@@ -302,36 +302,38 @@ object Multimodal {
     /** DIB rows are padded to 4-byte boundaries. */
     private def rowBytes(w: Int): Int = (w * 3 + 3) & ~3
 
+    /** Walk the RIFF chunk tree under `[from, to)`, descending into
+      * every LIST and invoking `f(id, payloadOffset, size)` on leaf
+      * chunks. ALL arithmetic is Long: chunk sizes are untrusted
+      * record content, and an Int guard like `off + 8 + size >
+      * length` overflows for sizes near 2^31, wrapping the cursor
+      * negative and crashing the walk. Malformed sizes stop the scan
+      * — never throw. */
+    private def scanRiff(bytes: Array[Byte], from: Long, to: Long)
+                        (f: (String, Int, Int) => Unit): Unit = {
+      val end = math.min(to, bytes.length.toLong)
+      var off = from
+      while (off + 8 <= end) {
+        val id = cc(bytes, off.toInt)
+        val size = u32(bytes, off.toInt + 4).toLong & 0xffffffffL
+        if (off + 8 + size > end) return
+        if (id == "LIST" && size >= 4) scanRiff(bytes, off + 12, off + 8 + size)(f)
+        else f(id, (off + 8).toInt, size.toInt)
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+    }
+
     /** (width, height, frames) from the 'avih' main header, or None
       * when the bytes are not a RIFF/AVI container. */
     def decodeMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
       if (bytes == null || bytes.length < 24) return None
       if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
-      // walk top-level chunks; descend into LIST hdrl for 'avih'
-      def scan(from: Int, to: Int): Option[(Int, Int, Int)] = {
-        var off = from
-        while (off + 8 <= to && off + 8 <= bytes.length) {
-          val id = cc(bytes, off)
-          val size = u32(bytes, off + 4)
-          if (size < 0 || off + 8 + size > bytes.length) return None
-          if (id == "LIST" && size >= 4) {
-            val listType = cc(bytes, off + 8)
-            if (listType == "hdrl") {
-              val r = scan(off + 12, off + 8 + size)
-              if (r.isDefined) return r
-            }
-          } else if (id == "avih" && size >= 40) {
-            val d = off + 8
-            val frames = u32(bytes, d + 16)
-            val w = u32(bytes, d + 32)
-            val h = u32(bytes, d + 36)
-            return Some((w, h, frames))
-          }
-          off += 8 + size + (size & 1) // RIFF chunks are word-aligned
-        }
-        None
+      var result: Option[(Int, Int, Int)] = None
+      scanRiff(bytes, 12L, bytes.length.toLong) { (id, d, size) =>
+        if (id == "avih" && size >= 40 && result.isEmpty)
+          result = Some((u32(bytes, d + 32), u32(bytes, d + 36), u32(bytes, d + 16)))
       }
-      scan(12, bytes.length)
+      result
     }
 
     /** Deterministic uncompressed AVI encode: RIFF(AVI ){ LIST hdrl
@@ -448,21 +450,12 @@ object Multimodal {
       if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
       var frames = 0
       var dims: Option[(Int, Int)] = None
-      def scan(from: Int, to: Int): Unit = {
-        var off = from
-        while (off + 8 <= to && off + 8 <= bytes.length) {
-          val id = cc(bytes, off)
-          val size = u32(bytes, off + 4)
-          if (size < 0 || off + 8 + size > bytes.length) return
-          if (id == "LIST" && size >= 4) scan(off + 12, off + 8 + size)
-          else if (id == "00dc") {
-            frames += 1
-            if (dims.isEmpty) dims = jpegSofDims(bytes, off + 8, size)
-          }
-          off += 8 + size + (size & 1)
+      scanRiff(bytes, 12L, bytes.length.toLong) { (id, off, size) =>
+        if (id == "00dc") {
+          frames += 1
+          if (dims.isEmpty) dims = jpegSofDims(bytes, off, size)
         }
       }
-      scan(12, bytes.length)
       dims.map { case (w, h) => (w, h, frames) }
     }
 
@@ -552,18 +545,9 @@ object Multimodal {
         else {
           // collect '00db' frame payload offsets in stream order
           val offs = new scala.collection.mutable.ArrayBuffer[Int]()
-          def scan(from: Int, to: Int): Unit = {
-            var off = from
-            while (off + 8 <= to && off + 8 <= bytes.length) {
-              val id = cc(bytes, off)
-              val size = u32(bytes, off + 4)
-              if (size < 0 || off + 8 + size > bytes.length) return
-              if (id == "LIST" && size >= 4) scan(off + 12, off + 8 + size)
-              else if (id == "00db") offs += off + 8
-              off += 8 + size + (size & 1)
-            }
+          scanRiff(bytes, 12L, bytes.length.toLong) { (id, off, _) =>
+            if (id == "00db") offs += off
           }
-          scan(12, bytes.length)
           val rb = rowBytes(w) // safe: w*3+3 <= bytes.length+3 after the dim guard
           val frameLen = rb.toLong * h
           if (offs.size != frames ||
@@ -592,18 +576,9 @@ object Multimodal {
       if (bytes == null || bytes.length < 24) return None
       if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
       val chunks = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-      def scan(from: Int, to: Int): Unit = {
-        var off = from
-        while (off + 8 <= to && off + 8 <= bytes.length) {
-          val id = cc(bytes, off)
-          val size = u32(bytes, off + 4)
-          if (size < 0 || off + 8 + size > bytes.length) return
-          if (id == "LIST" && size >= 4) scan(off + 12, off + 8 + size)
-          else if (id == "00dc") chunks += ((off + 8, size))
-          off += 8 + size + (size & 1)
-        }
+      scanRiff(bytes, 12L, bytes.length.toLong) { (id, off, size) =>
+        if (id == "00dc") chunks += ((off, size))
       }
-      scan(12, bytes.length)
       if (chunks.isEmpty) return None
       val imgs = chunks.map { case (o, s) =>
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes, o, s))
@@ -654,13 +629,17 @@ object Multimodal {
     }
 
     /** (width, height, frames, codec4cc, durationMs) from the moov
-      * tree: dims from 'tkhd' (16.16 fixed), duration from 'mvhd'
-      * (movie-timescale units → ms), frame count from 'stsz'
-      * sample_count, codec id from the first 'stsd' sample entry.
-      * None when the bytes are not ISO-BMFF (must start with 'ftyp'
-      * or 'moov') or no video track parses. Never consults sample
-      * data — this is container metadata, not codec decode; actual
-      * H.264/H.265/VP9 frame decode stays behind the labelled stub. */
+      * tree: dims from the VIDEO trak's 'tkhd' (16.16 fixed),
+      * duration from 'mvhd' (movie-timescale units → ms), frame count
+      * from that trak's 'stsz' sample_count, codec id from its 'stsd'
+      * sample entry. Only the trak whose mdia/hdlr handler is 'vide'
+      * contributes codec/frames — a muxed file with the audio trak
+      * first must NOT report 'mp4a' and the AAC sample count for a
+      * video asset. None when the bytes are not ISO-BMFF (must start
+      * with 'ftyp' or 'moov') or no video track parses. Never
+      * consults sample data — this is container metadata, not codec
+      * decode; actual H.264/H.265/VP9 frame decode stays behind the
+      * labelled stub. */
     def mp4Meta(bytes: Array[Byte]): Option[(Int, Int, Int, String, Long)] = {
       if (bytes == null || bytes.length < 16) return None
       val first = cc(bytes, 4)
@@ -676,28 +655,40 @@ object Multimodal {
                 (u32be(bytes, s2.toInt + 20), u64be(bytes, s2.toInt + 24))
               else (u32be(bytes, s2.toInt + 12), u32be(bytes, s2.toInt + 16))
             if (ts > 0) durMs = dur * 1000L / ts
-          } else if (t2 == "trak") walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
-            if (t3 == "tkhd") {
-              val ver = bytes(s3.toInt) & 0xff
-              val dimOff = if (ver == 1) 88 else 76
-              if (e3 - s3 >= dimOff + 8 && w == 0) {
-                // 16.16 fixed point; a sound track carries zeros
-                val tw = (u32be(bytes, s3.toInt + dimOff) >> 16).toInt
-                val th = (u32be(bytes, s3.toInt + dimOff + 4) >> 16).toInt
-                if (tw > 0 && th > 0) { w = tw; h = th }
-              }
-            } else if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
-              if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
-                if (t5 == "stbl") walkBoxes(bytes, s5, e5) { (t6, s6, e6) =>
-                  if (t6 == "stsd" && e6 - s6 >= 16 && codec.isEmpty) {
-                    // verflags(4) entry_count(4), then the first
-                    // sample entry: [size:u32][codec:4cc]...
-                    if (u32be(bytes, s6.toInt + 4) >= 1)
-                      codec = cc(bytes, s6.toInt + 12)
-                  } else if (t6 == "stsz" && e6 - s6 >= 12 && frames == 0)
-                    frames = u32be(bytes, s6.toInt + 8).toInt
+          } else if (t2 == "trak") {
+            // gather per-trak, commit only if this trak is video
+            var tw = 0; var th = 0; var tCodec = ""; var tFrames = 0
+            var handler = ""
+            walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "tkhd") {
+                val ver = bytes(s3.toInt) & 0xff
+                val dimOff = if (ver == 1) 88 else 76
+                if (e3 - s3 >= dimOff + 8) {
+                  // 16.16 fixed point; a sound track carries zeros
+                  tw = (u32be(bytes, s3.toInt + dimOff) >> 16).toInt
+                  th = (u32be(bytes, s3.toInt + dimOff + 4) >> 16).toInt
+                }
+              } else if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+                if (t4 == "hdlr" && e4 - s4 >= 12)
+                  handler = cc(bytes, s4.toInt + 8)
+                else if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") walkBoxes(bytes, s5, e5) { (t6, s6, e6) =>
+                    if (t6 == "stsd" && e6 - s6 >= 16 && tCodec.isEmpty) {
+                      // verflags(4) entry_count(4), then the first
+                      // sample entry: [size:u32][codec:4cc]...
+                      if (u32be(bytes, s6.toInt + 4) >= 1)
+                        tCodec = cc(bytes, s6.toInt + 12)
+                    } else if (t6 == "stsz" && e6 - s6 >= 12 && tFrames == 0)
+                      tFrames = u32be(bytes, s6.toInt + 8).toInt
+                  }
                 }
               }
+            }
+            // 'vide' is authoritative; a missing hdlr falls back to
+            // the tkhd-dims heuristic (sound traks carry zero dims)
+            val isVideo = handler == "vide" || (handler.isEmpty && tw > 0 && th > 0)
+            if (isVideo && w == 0 && tw > 0 && th > 0) {
+              w = tw; h = th; codec = tCodec; frames = tFrames
             }
           }
         }
@@ -712,8 +703,13 @@ object Multimodal {
       * + empty mdat. Carries REAL container metadata (dims, timescale
       * 1000, `frames` samples at 40 ms each → 25 fps) around a codec
       * payload this environment cannot synthesize — the honest
-      * container-level fixture for [[mp4Meta]]. */
-    def encodeMp4(w: Int, h: Int, frames: Int, codec: String): Array[Byte] = {
+      * container-level fixture for [[mp4Meta]]. With
+      * `audioTrackFirst` an 'mp4a'/'soun' trak (zero tkhd dims, a
+      * deliberately larger stsz sample count) precedes the video trak
+      * — the standard muxed layout that must NOT leak its codec or
+      * sample count into the video metadata. */
+    def encodeMp4(w: Int, h: Int, frames: Int, codec: String,
+                  audioTrackFirst: Boolean = false): Array[Byte] = {
       require(w > 0 && h > 0 && frames >= 0 && codec.length == 4, "bad MP4 params")
       def be32(v: Long): Array[Byte] = Array(
         (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
@@ -769,7 +765,30 @@ object Multimodal {
       val minf = box("minf", vmhd, dinf, stbl)
       val mdia = box("mdia", mdhd, hdlr, minf)
       val trak = box("trak", tkhd, mdia)
-      val moov = box("moov", mvhd, trak)
+      val moov =
+        if (!audioTrackFirst) box("moov", mvhd, trak)
+        else {
+          val aTkhd = box("tkhd", be32(3), be32(0), be32(0), be32(2),
+            be32(0), be32(durMovie), new Array[Byte](8),
+            be16(0), be16(0), be16(0x0100), be16(0),    // audio volume
+            identityMatrix, be32(0), be32(0))            // zero dims
+          val aHdlr = box("hdlr", be32(0), be32(0), fourcc("soun"),
+            new Array[Byte](12), Array[Byte](0))
+          val aEntry = box("mp4a", new Array[Byte](6), be16(1),
+            new Array[Byte](8), be16(2), be16(16), be32(0),
+            be32(44100L << 16))
+          val aStsd = box("stsd", be32(0), be32(1), aEntry)
+          val aFrames = frames.toLong * 40L + 7L // ≠ video count
+          val aStbl = box("stbl", aStsd,
+            box("stts", be32(0), be32(1), be32(aFrames), be32(1L)),
+            box("stsc", be32(0), be32(1), be32(1), be32(aFrames), be32(1)),
+            box("stsz", be32(0), be32(64L), be32(aFrames)),
+            box("stco", be32(0), be32(0)))
+          val aMinf = box("minf",
+            box("smhd", be32(0), be16(0), be16(0)), dinf, aStbl)
+          val aMdia = box("mdia", mdhd, aHdlr, aMinf)
+          box("moov", mvhd, box("trak", aTkhd, aMdia), trak)
+        }
       val mdat = box("mdat")
       ftyp ++ moov ++ mdat
     }
@@ -863,16 +882,32 @@ object Multimodal {
       }
     }
 
+    private val BlockId = 0xA1L
+    private val TrackNumberId = 0xD7L
+
     /** (width, height, frames, codecId, durationMs) from a Matroska/
       * WebM stream, or None when the bytes don't open with an EBML
-      * header or carry no video track. Container metadata only —
-      * VP8/VP9/AV1 sample decode stays behind the labelled stub. */
+      * header or carry no video track. Frames count ONLY the blocks
+      * whose leading track-number varint matches the video track's
+      * TrackNumber — a muxed file's audio blocks (typically 2-3× the
+      * video blocks) must not inflate the frame count. Container
+      * metadata only — VP8/VP9/AV1 sample decode stays behind the
+      * labelled stub. */
     def webmMeta(bytes: Array[Byte]): Option[(Int, Int, Int, String, Long)] = {
       if (bytes == null || bytes.length < 8) return None
       val head = readVint(bytes, 0L, bytes.length.toLong, keepMarker = true)
       if (!head.exists(_._1 == EbmlId)) return None
-      var w = 0; var h = 0; var frames = 0
+      var w = 0; var h = 0
       var codec = ""; var tcScale = 1000000L; var durTicks = 0.0
+      var videoTrack = -1L
+      // per-track block tallies; resolved against videoTrack at the
+      // end so Cluster-before-Tracks element order also works
+      val blockCounts = new java.util.HashMap[Long, Int]()
+      def countBlock(payloadStart: Long, payloadEnd: Long): Unit =
+        readVint(bytes, payloadStart, payloadEnd, keepMarker = false)
+          .foreach { case (track, _) =>
+            blockCounts.merge(track, 1, (a, b) => a + b); ()
+          }
       walkEbml(bytes, 0L, bytes.length.toLong) { (id, ps, pe) =>
         if (id == SegmentId) walkEbml(bytes, ps, pe) { (id2, s2, e2) =>
           if (id2 == InfoId) walkEbml(bytes, s2, e2) { (id3, s3, e3) =>
@@ -881,8 +916,10 @@ object Multimodal {
           } else if (id2 == TracksId) walkEbml(bytes, s2, e2) { (id3, s3, e3) =>
             if (id3 == TrackEntryId) {
               var isVideo = false; var tw = 0; var th = 0; var tc = ""
+              var trackNum = -1L
               walkEbml(bytes, s3, e3) { (id4, s4, e4) =>
                 if (id4 == TrackTypeId) isVideo = ebmlUint(bytes, s4, e4) == 1L
+                else if (id4 == TrackNumberId) trackNum = ebmlUint(bytes, s4, e4)
                 else if (id4 == CodecIdId)
                   tc = new String(bytes, s4.toInt, (e4 - s4).toInt,
                     java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
@@ -892,17 +929,21 @@ object Multimodal {
                 }
               }
               if (isVideo && w == 0 && tw > 0 && th > 0) {
-                w = tw; h = th; codec = tc
+                w = tw; h = th; codec = tc; videoTrack = trackNum
               }
             }
-          } else if (id2 == ClusterId) walkEbml(bytes, s2, e2) { (id3, _, _) =>
-            if (id3 == SimpleBlockId || id3 == BlockGroupId) frames += 1
+          } else if (id2 == ClusterId) walkEbml(bytes, s2, e2) { (id3, s3, e3) =>
+            if (id3 == SimpleBlockId) countBlock(s3, e3)
+            else if (id3 == BlockGroupId) walkEbml(bytes, s3, e3) { (id4, s4, e4) =>
+              if (id4 == BlockId) countBlock(s4, e4)
+            }
           }
         }
       }
-      if (w > 0 && h > 0 && codec.nonEmpty)
+      if (w > 0 && h > 0 && codec.nonEmpty) {
+        val frames = blockCounts.getOrDefault(videoTrack, 0)
         Some((w, h, frames, codec, (durTicks * tcScale / 1e6).round))
-      else None
+      } else None
     }
 
     /** Deterministic minimal Matroska/WebM encode: EBML header +
@@ -910,8 +951,13 @@ object Multimodal {
       * TrackEntry(video, codecId, PixelWidth/Height) }, Cluster {
       * frames × SimpleBlock(1-byte placeholder payload) } }. Block
       * payloads are placeholders by design — the fixture proves the
-      * container walk; codec sample data cannot be synthesized here. */
-    def encodeWebm(w: Int, h: Int, frames: Int, codecId: String): Array[Byte] = {
+      * container walk; codec sample data cannot be synthesized here.
+      * With `withAudioTrack` an A_OPUS TrackEntry (track 2) precedes
+      * the video entry and 3× as many track-2 SimpleBlocks interleave
+      * the video blocks — the muxed layout whose audio blocks must
+      * not inflate the video frame count. */
+    def encodeWebm(w: Int, h: Int, frames: Int, codecId: String,
+                   withAudioTrack: Boolean = false): Array[Byte] = {
       require(w > 0 && h > 0 && frames >= 0 && codecId.nonEmpty, "bad WebM params")
       def idBytes(id: Long): Array[Byte] = {
         val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
@@ -941,19 +987,34 @@ object Multimodal {
           val bits = java.lang.Double.doubleToLongBits(frames * 40.0)
           (0 until 8).map(i => ((bits >> (8 * (7 - i))) & 0xff).toByte).toArray
         }))
-      val tracks = el(TracksId, el(TrackEntryId,
+      val videoEntry = el(TrackEntryId,
         el(0xD7L, uintPayload(1)),                      // TrackNumber
         el(0x73C5L, uintPayload(1)),                    // TrackUID
         el(TrackTypeId, uintPayload(1)),                // video
         el(CodecIdId, codecId.getBytes("US-ASCII")),
         el(VideoElId,
           el(PixelWidthId, uintPayload(w.toLong)),
-          el(PixelHeightId, uintPayload(h.toLong)))))
-      val blocks = (0 until frames).map { f =>
+          el(PixelHeightId, uintPayload(h.toLong))))
+      val audioEntry = el(TrackEntryId,
+        el(0xD7L, uintPayload(2)),                      // TrackNumber 2
+        el(0x73C5L, uintPayload(2)),
+        el(TrackTypeId, uintPayload(2)),                // audio
+        el(CodecIdId, "A_OPUS".getBytes("US-ASCII")))
+      val tracks =
+        if (withAudioTrack) el(TracksId, audioEntry, videoEntry)
+        else el(TracksId, videoEntry)
+      def simpleBlock(track: Int, f: Int): Array[Byte] =
         // SimpleBlock: track varint(1) + s16 timecode + flags + payload
-        el(SimpleBlockId, Array(0x81.toByte,
+        el(SimpleBlockId, Array((0x80 | track).toByte,
           ((f * 40) >> 8).toByte, (f * 40).toByte,
           0x80.toByte, f.toByte))
+      val blocks = (0 until frames).flatMap { f =>
+        // muxed layout: ~3 audio blocks around every video frame —
+        // they carry track 2 and must not count as video frames
+        if (withAudioTrack)
+          Seq(simpleBlock(2, f * 3), simpleBlock(1, f),
+            simpleBlock(2, f * 3 + 1), simpleBlock(2, f * 3 + 2))
+        else Seq(simpleBlock(1, f))
       }
       val cluster = el(ClusterId,
         (el(0xE7L, uintPayload(0L)) +: blocks): _*)     // Timecode 0

@@ -213,6 +213,17 @@ class MiscSpec extends AnyFunSuite {
     // malformed JPEG payloads do not misparse
     assert(VideoCodec.jpegSofDims(Array[Byte](1, 2, 3, 4), 0, 4).isEmpty)
     assert(VideoCodec.mjpegMeta("RIFF1234AVI junk".getBytes).isEmpty)
+    // a crafted chunk size near 2^31 must not wrap the Int cursor
+    // negative and crash the RIFF walk (untrusted record content)
+    val evil = new Array[Byte](32)
+    System.arraycopy("RIFF".getBytes, 0, evil, 0, 4)
+    System.arraycopy("AVI ".getBytes, 0, evil, 8, 4)
+    System.arraycopy("00dc".getBytes, 0, evil, 12, 4)
+    evil(16) = 0xf0.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte // size 0x7FFFFFF0
+    assert(VideoCodec.mjpegMeta(evil).isEmpty)
+    assert(VideoCodec.decodeMeta(evil).isEmpty)
+    assert(Multimodal.VideoCodec.resizeMjpeg(evil, 0.5).isEmpty)
   }
 
   test("Multimodal: MP4 metadata comes from the ISO-BMFF box tree") {
@@ -228,6 +239,10 @@ class MiscSpec extends AnyFunSuite {
     // zero frames is a legal (still-initializing) container
     assert(VideoCodec.mp4Meta(VideoCodec.encodeMp4(16, 12, 0, "avc1"))
       .contains((16, 12, 0, "avc1", 0L)))
+    // muxed file with the audio trak FIRST: codec and frame count
+    // must come from the 'vide' trak, not the mp4a sample table
+    val muxed = VideoCodec.encodeMp4(320, 240, 50, "avc1", audioTrackFirst = true)
+    assert(VideoCodec.mp4Meta(muxed).contains((320, 240, 50, "avc1", 2000L)))
     // non-BMFF payloads are rejected, not misparsed
     assert(VideoCodec.mp4Meta("RIFF1234AVI junk".getBytes).isEmpty)
     assert(VideoCodec.mp4Meta(Array.fill[Byte](64)(7)).isEmpty)
@@ -295,6 +310,10 @@ class MiscSpec extends AnyFunSuite {
     // zero blocks is a legal (headers-only) stream
     assert(VideoCodec.webmMeta(VideoCodec.encodeWebm(16, 12, 0, "V_VP8"))
       .contains((16, 12, 0, "V_VP8", 0L)))
+    // muxed stream: track-2 audio blocks outnumber the video blocks
+    // 3:1 and must not inflate the video frame count
+    val muxed = VideoCodec.encodeWebm(640, 360, 25, "V_VP9", withAudioTrack = true)
+    assert(VideoCodec.webmMeta(muxed).contains((640, 360, 25, "V_VP9", 1000L)))
     // non-EBML payloads are rejected, not misparsed
     assert(VideoCodec.webmMeta("RIFF1234AVI junk".getBytes).isEmpty)
     assert(VideoCodec.webmMeta(VideoCodec.encodeMp4(16, 12, 2, "avc1")).isEmpty)

@@ -111,11 +111,18 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("events_lo").toString
     val ev = Tables.load(spark, sfDir, "events")
     ev.coalesce(1).write.mode("append").parquet(dir)
-    Thread.sleep(1100) // distinct mtime → deterministic file order
+    def parquets = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val before = parquets.map(_.getName).toSet
     val far = ev.agg(max($"ts") + expr("INTERVAL 240 HOURS")).head.getTimestamp(0)
     Seq((-1L, far, -1L, "view", 0.0, "{}"), (-2L, far, -2L, "click", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(dir)
+    // sentinel file strictly newer → deterministic file order, no sleep
+    val maxBefore = parquets.filter(f => before(f.getName))
+      .map(_.lastModified()).max
+    parquets.filterNot(f => before(f.getName))
+      .foreach(f => assert(f.setLastModified(maxBefore + 2000L)))
     val q = EventStreams.viewClickJoin(
         EventStreams.readStream(spark, dir,
           options = Map("maxFilesPerTrigger" -> "1")), 60,
@@ -123,7 +130,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory")
       .queryName("lo_out").trigger(
         org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish; sink is partial")
     val got = spark.table("lo_out").where($"user_id" >= 0)
       .select($"user_id", $"view_id", coalesce($"click_id", lit(-1L)))
       .as[(Long, Long, Long)].collect().toSet
