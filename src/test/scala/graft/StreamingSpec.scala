@@ -75,10 +75,21 @@ class StreamingSpec extends AnyFunSuite {
     val tsl = ev.select($"ts".cast("long").as("t"))
       .stat.approxQuantile("t", Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
     val bounds = (Long.MinValue +: tsl.toSeq) :+ Long.MaxValue
+    // explicit mtimes (slice index, seconds apart) instead of sleeps:
+    // deterministic order at zero wall-clock cost
+    var slice = 0
+    val t0 = System.currentTimeMillis()
     bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      val before = new java.io.File(dir).listFiles() match {
+        case null => Set.empty[String]
+        case fs => fs.map(_.getName).toSet
+      }
       ev.where($"ts".cast("long") > lo && $"ts".cast("long") <= hi)
         .coalesce(1).write.mode("append").parquet(dir)
-      Thread.sleep(1100) // distinct mtimes → deterministic file order
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => assert(f.setLastModified(t0 + slice * 2000L)))
+      slice += 1
     }
 
     def run(name: String, opts: Map[String, String]): Map[(Long, java.sql.Timestamp), Long] = {
