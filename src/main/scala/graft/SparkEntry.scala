@@ -854,6 +854,20 @@ object SparkEntry {
         .orderBy(asc_nulls_first("asset_id"))
     }),
 
+    // X45C FLAC metadata: real STREAMINFO headers — decodeFeatures
+    // must unpack the 20-bit sample rate / 3-bit channel / 36-bit
+    // total-sample fields from the bit-packed block, index arithmetic
+    // the oracle replays without the bytes.
+    "x45c_flac_decode" -> ((s, d) => {
+      val assets = graft.operators.Multimodal.syntheticFlacAssets(s, 64)
+      graft.operators.Multimodal.decodeFeatures(assets)
+        .select(col("asset_id"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("n_frames").cast(LongType).as("n_frames"))
+        .orderBy(asc_nulls_first("asset_id"))
+    }),
+
     // X48 REAL video decode through the gate (closing the x44/x45
     // pattern over the last modality): deterministic uncompressed DIB
     // AVIs encoded on the executors (hand-rolled RIFF writer, pure
@@ -2334,6 +2348,16 @@ object SparkEntry {
                      AS BIGINT) AS sample_rate,
                 CAST(1 + (i % 2) AS BIGINT) AS channels,
                 CAST((10 + (i % 5) * 4) * 1152 AS BIGINT) AS n_frames
+         FROM (SELECT unnest(range(64)) AS i)
+         ORDER BY asset_id NULLS FIRST""",
+    // replay of Multimodal.syntheticFlacAssets(64): matching proves
+    // the engine unpacked the STREAMINFO bit fields
+    "x45c_flac_decode" ->
+      """SELECT i AS asset_id,
+                CAST([44100, 48000, 96000][CAST(i % 3 AS INT) + 1]
+                     AS BIGINT) AS sample_rate,
+                CAST(1 + (i % 2) AS BIGINT) AS channels,
+                CAST(1000 + (i % 7) * 500 AS BIGINT) AS n_frames
          FROM (SELECT unnest(range(64)) AS i)
          ORDER BY asset_id NULLS FIRST""",
     // replay of Multimodal.syntheticWebmAssets(64): matching proves

@@ -251,6 +251,67 @@ object Multimodal {
       else Some((rate, channels, frames * 1152))
     }
 
+    /** (sampleRate, channels, totalSamples) from a FLAC STREAMINFO
+      * block — "fLaC" magic, then metadata block headers ([last:1 |
+      * type:7][len:u24be]); STREAMINFO (type 0, 34 bytes) packs
+      * 20-bit sample rate, 3-bit channels−1, 5-bit bps−1 and 36-bit
+      * total samples after the block/frame size fields. Container
+      * metadata only — no frame decode. */
+    def flacMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length < 8) return None
+      if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' || bytes(3) != 'C')
+        return None
+      var p = 4L
+      while (p + 4 <= bytes.length) {
+        val hdr = bytes(p.toInt) & 0xff
+        val len = ((bytes(p.toInt + 1) & 0xff) << 16) |
+          ((bytes(p.toInt + 2) & 0xff) << 8) | (bytes(p.toInt + 3) & 0xff)
+        val body = p + 4
+        if (body + len > bytes.length) return None
+        if ((hdr & 0x7f) == 0) { // STREAMINFO
+          if (len < 34) return None
+          val b = body.toInt
+          val sr = ((bytes(b + 10) & 0xff) << 12) |
+            ((bytes(b + 11) & 0xff) << 4) | ((bytes(b + 12) & 0xff) >> 4)
+          val ch = (((bytes(b + 12) & 0xff) >> 1) & 0x7) + 1
+          val totalSamples = ((bytes(b + 13) & 0x0fL) << 32) |
+            ((bytes(b + 14) & 0xffL) << 24) | ((bytes(b + 15) & 0xffL) << 16) |
+            ((bytes(b + 16) & 0xffL) << 8) | (bytes(b + 17) & 0xffL)
+          return if (sr > 0) Some((sr, ch,
+            math.min(totalSamples, Int.MaxValue.toLong).toInt)) else None
+        }
+        if ((hdr & 0x80) != 0) return None // last block, no STREAMINFO
+        p = body + len
+      }
+      None
+    }
+
+    /** Deterministic FLAC header: "fLaC" + a STREAMINFO block with
+      * the given properties (16-bit samples, zeroed frame-size and
+      * MD5 fields) — the container-metadata fixture for [[flacMeta]];
+      * no audio frames are pretended. */
+    def encodeFlac(sampleRate: Int, channels: Int, totalSamples: Int): Array[Byte] = {
+      require(sampleRate > 0 && sampleRate < (1 << 20) &&
+        channels >= 1 && channels <= 8 && totalSamples >= 0, "bad FLAC params")
+      val out = new Array[Byte](4 + 4 + 34)
+      out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+      out(4) = 0x80.toByte // last metadata block, type 0 = STREAMINFO
+      out(7) = 34          // 24-bit length
+      val b = 8
+      out(b) = 0x10; out(b + 1) = 0x00      // min block size 4096
+      out(b + 2) = 0x10; out(b + 3) = 0x00  // max block size 4096
+      out(b + 10) = (sampleRate >> 12).toByte
+      out(b + 11) = (sampleRate >> 4).toByte
+      out(b + 12) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+        ((16 - 1) >> 4)).toByte             // bps-1 high bit (16-bit)
+      out(b + 13) = ((((16 - 1) & 0xf) << 4)).toByte // bps-1 low, samples hi 4 = 0
+      out(b + 14) = (totalSamples >> 24).toByte
+      out(b + 15) = (totalSamples >> 16).toByte
+      out(b + 16) = (totalSamples >> 8).toByte
+      out(b + 17) = totalSamples.toByte
+      out
+    }
+
     /** Deterministic MPEG-1 Layer III frame stream: a small ID3v2 tag
       * (so the parser's tag skip is exercised) + `mpegFrames` frames
       * of real header arithmetic around zeroed payload bytes — the
@@ -1046,9 +1107,11 @@ object Multimodal {
             }
           case "audio" =>
             // real container parse first (WAV/AIFF/AU via javax),
-            // then the MPEG frame-header walk for MP3 payloads
+            // then the MPEG frame-header walk for MP3 payloads, then
+            // the FLAC STREAMINFO bit unpack
             AudioCodec.decodeMeta(bytes)
-              .orElse(AudioCodec.mp3Meta(bytes)) match {
+              .orElse(AudioCodec.mp3Meta(bytes))
+              .orElse(AudioCodec.flacMeta(bytes)) match {
               case Some((rate, chans, frames)) => (0, 0, frames, rate, chans)
               case None =>
                 val (sw, sh, sf) = StubCodec.decodeHeader(bytes)
@@ -1296,6 +1359,23 @@ object Multimodal {
       val frames = 10 + (i % 5).toInt * 4
       val mp3 = AudioCodec.encodeMp3(rate, channels, frames, bitrates((i % 4).toInt))
       Row(i, "audio", mp3, Row(s"src${i % 4}", "audio/mpeg"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Synthesize a deterministic FLAC asset table: every row a real
+    * STREAMINFO header ([[AudioCodec.encodeFlac]]) with index-derived
+    * properties an oracle replays without the bytes: sample_rate
+    * {44100,48000,96000}[i%3], channels 1+(i%2), total samples
+    * 1000+(i%7)·500. */
+  def syntheticFlacAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rates = Seq(44100, 48000, 96000)
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val rate = rates((i % 3).toInt)
+      val channels = 1 + (i % 2).toInt
+      val samples = 1000 + (i % 7).toInt * 500
+      Row(i, "audio", AudioCodec.encodeFlac(rate, channels, samples),
+        Row(s"src${i % 4}", "audio/flac"))
     }
     spark.createDataFrame(rdd, assetSchema)
   }

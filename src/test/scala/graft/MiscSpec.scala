@@ -298,6 +298,31 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: FLAC metadata unpacks the STREAMINFO bit fields") {
+    import Multimodal.AudioCodec
+    assert(AudioCodec.flacMeta(AudioCodec.encodeFlac(44100, 2, 88200))
+      .contains((44100, 2, 88200)))
+    assert(AudioCodec.flacMeta(AudioCodec.encodeFlac(96000, 1, 0))
+      .contains((96000, 1, 0)))
+    // 8 channels and a non-canonical rate survive the bit packing
+    assert(AudioCodec.flacMeta(AudioCodec.encodeFlac(12345, 8, 77))
+      .contains((12345, 8, 77)))
+    // rejects, never misparses
+    assert(AudioCodec.flacMeta("fLaX not flac".getBytes).isEmpty)
+    assert(AudioCodec.flacMeta(AudioCodec.encodeMp3(44100, 2, 3, 128)).isEmpty)
+    assert(AudioCodec.flacMeta(null).isEmpty)
+    assert(AudioCodec.flacMeta(AudioCodec.encodeFlac(44100, 2, 100).take(20)).isEmpty)
+    // decodeFeatures dispatch: sample properties via the bit unpack
+    val feats = Multimodal.decodeFeatures(Multimodal.syntheticFlacAssets(spark, 9))
+      .select("asset_id", "sample_rate", "channels", "n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+    val rates = Seq(44100, 48000, 96000)
+    feats.foreach { case (i, sr, ch, f) =>
+      assert(sr == rates((i % 3).toInt) && ch == 1 + (i % 2).toInt &&
+        f == 1000 + (i % 7).toInt * 500, s"asset $i: $sr/$ch/$f")
+    }
+  }
+
   test("Multimodal: WebM metadata comes from the EBML element tree") {
     import Multimodal.VideoCodec
     // round-trip: encode an EBML tree, walk it back

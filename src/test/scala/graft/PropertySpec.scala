@@ -68,7 +68,8 @@ class PropertySpec extends AnyFunSuite {
       VideoCodec.encodeMp4(64, 48, 12, "avc1"),
       VideoCodec.encodeWebm(64, 48, 12, "V_VP9"),
       VideoCodec.encodeAvi(8, 4, 2, (_, _, _) => 0),
-      AudioCodec.encodeMp3(44100, 2, 6, 128))
+      AudioCodec.encodeMp3(44100, 2, 6, 128),
+      AudioCodec.encodeFlac(44100, 2, 1000))
     val mutGen = for {
       base <- Gen.oneOf(valid)
       nMut <- Gen.choose(1, 8)
@@ -92,6 +93,7 @@ class PropertySpec extends AnyFunSuite {
       VideoCodec.decodeMeta(bytes)
       VideoCodec.mjpegMeta(bytes)
       AudioCodec.mp3Meta(bytes)
+      AudioCodec.flacMeta(bytes)
       ()
     }
   }
