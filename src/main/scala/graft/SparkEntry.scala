@@ -82,7 +82,12 @@ object SparkEntry {
     val maxBefore = files.filter(f => before(f.getName))
       .map(_.lastModified()).foldLeft(0L)(math.max)
     files.filterNot(f => before(f.getName))
-      .foreach(f => { f.setLastModified(maxBefore + 2000L); () })
+      .foreach { f =>
+        // A silent setLastModified failure would put FileStreamSource
+        // ordering back on wall-clock timing — fail loudly instead.
+        require(f.setLastModified(maxBefore + 2000L),
+          s"setLastModified failed for $f — filesystem without mtime-set support?")
+      }
   }
 
   private def rmTree(f: java.io.File): Unit = {

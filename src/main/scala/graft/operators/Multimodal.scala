@@ -248,7 +248,10 @@ object Multimodal {
         }
       }
       if (frames == 0 || p != bytes.length) None
-      else Some((rate, channels, frames * 1152))
+      // Long arithmetic + cap, matching flacMeta: ~1.86M frames of a
+      // valid 32 kbps stream would overflow `frames * 1152` as Int.
+      else Some((rate, channels,
+        math.min(frames.toLong * 1152L, Int.MaxValue.toLong).toInt))
     }
 
     /** (sampleRate, channels, totalSamples) from a FLAC STREAMINFO
@@ -683,7 +686,11 @@ object Multimodal {
           if (off + 16 > to) return
           size = u64be(b, off.toInt + 8); hdr = 16L
         } else if (size0 == 0L) size = to - off
-        if (size < hdr || off + size > to) return
+        // Overflow-safe bound: `to - off` is small and non-negative,
+        // while a hostile 64-bit largesize near 2^63 would wrap
+        // `off + size` negative and sail past an `off + size > to`
+        // check (then index with a garbage Int below).
+        if (size < hdr || size > to - off) return
         f(typ, off + hdr, off + size)
         off += size
       }

@@ -39,7 +39,7 @@ object Tables {
     *    TimestampType, passes through.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), _ => {
+    cacheFor(spark).plans.computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema.find(_.name == "ts").map(_.dataType) match {
         case Some(LongType) =>
@@ -52,10 +52,45 @@ object Tables {
 
   // Re-resolving a fixture path re-lists files and re-reads footers on
   // every query; the fixtures are immutable, so reuse the resolved
-  // plan per (session, dir, table). Plans are tiny; entries die with
-  // the session.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // plan per (session, dir, table). Plans are tiny; entries must die
+  // with the session. A global strong map can't deliver that — a
+  // cached DataFrame strongly references its SparkSession, so even
+  // weak KEYS are inert (value→key cycle pins the entry). Instead the
+  // per-session plan map is owned BY the session: it doubles as a
+  // never-matching SparkStrategy appended to the session-scoped
+  // `experimental.extraStrategies`, so the strong chain session →
+  // sessionState → experimentalMethods → plans → DataFrames → session
+  // is a cycle wholly inside the session's object island. (NOT
+  // `listenerManager.register`: that escapes to the shared
+  // SparkContext's LiveListenerBus via ExecutionListenerBus and pins
+  // the session context-wide.) The only global state is a WeakHashMap
+  // with WeakReference values — once callers drop a session, the
+  // whole island (plans included) is collectable; TablesSpec proves
+  // it with a GC loop.
+  private final class PlanCache
+      extends org.apache.spark.sql.execution.SparkStrategy {
+    val plans =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = Nil
+  }
+
+  private val sessionCaches =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[PlanCache]]()
+
+  private def cacheFor(spark: SparkSession): PlanCache =
+    sessionCaches.synchronized {
+      Option(sessionCaches.get(spark)).flatMap(r => Option(r.get))
+        .getOrElse {
+          val pc = new PlanCache
+          // session-lifetime strong anchor, invisible to planning
+          // (apply always returns Nil)
+          spark.experimental.extraStrategies =
+            spark.experimental.extraStrategies :+ pc
+          sessionCaches.put(spark, new java.lang.ref.WeakReference(pc))
+          pc
+        }
+    }
 
   /** Register every fixture table as a temp view (for `spark.sql`). */
   def registerViews(spark: SparkSession, dir: String): Unit =

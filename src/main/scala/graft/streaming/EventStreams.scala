@@ -84,8 +84,12 @@ object EventStreams {
     * view_ts + gap (the row is only then provably unmatched), so the
     * outer result is complete exactly for the watermark-DECIDED
     * region: view_ts ≤ max event time − watermark − gap. Bounded
-    * replays comparing against a batch left join must filter both
-    * sides to that region (the x47b gate does). */
+    * replays comparing against a batch left join must either filter
+    * both sides to that region, or advance the watermark past the
+    * whole real input with a trailing far-future sentinel batch and
+    * filter only the sentinel rows out of the result (the x47b gate
+    * does the latter: sentinel user_ids < 0, gate keeps
+    * user_id >= 0). */
   def viewClickJoin(events: DataFrame, gapMinutes: Int,
                     watermark: String = "2 hours",
                     joinType: String = "inner"): DataFrame = {

@@ -249,6 +249,15 @@ class MiscSpec extends AnyFunSuite {
     assert(VideoCodec.mp4Meta(null).isEmpty)
     // truncated mid-box: the walk stops cleanly
     assert(VideoCodec.mp4Meta(mp4.take(40)).isEmpty)
+    // hostile 64-bit largesize near 2^63: positive (passes size<hdr)
+    // but `off + size` wraps negative — the walk must stop, not index
+    // with a garbage Int (regression: overflow-safe `size > to - off`)
+    Seq(Long.MaxValue - Int.MaxValue + 1L, Long.MaxValue - 1L,
+        Long.MaxValue).foreach { largesize =>
+      val evil = java.nio.ByteBuffer.allocate(32)
+      evil.putInt(1).put("ftyp".getBytes).putLong(largesize)
+      assert(VideoCodec.mp4Meta(evil.array()).isEmpty, s"largesize=$largesize")
+    }
     // containerMetadata relation: arithmetic replay + NULLs for non-BMFF
     val metas = Multimodal.containerMetadata(Multimodal.syntheticMp4Assets(spark, 12))
       .select("asset_id", "width", "height", "n_frames", "codec", "duration_ms")

@@ -83,8 +83,21 @@ class PropertySpec extends AnyFunSuite {
       muts.foreach { case (p, b) => if (p < arr.length) arr(p) = b }
       arr
     }
+    // BMFF boxes with size0==1 and a hostile 64-bit largesize near
+    // 2^63: positive, so it passes a `size < hdr` check, but would
+    // wrap `off + size` negative without the overflow-safe bound
+    val hugeBoxGen = for {
+      typ <- Gen.oneOf("ftyp", "moov", "trak", "mdia")
+      largesize <- Gen.choose(Long.MaxValue - Int.MaxValue, Long.MaxValue)
+      tail <- Gen.choose(0, 48)
+    } yield {
+      val bb = java.nio.ByteBuffer.allocate(16 + tail)
+      bb.putInt(1).put(typ.getBytes).putLong(largesize)
+      bb.array()
+    }
     val junkBytes = Gen.oneOf(
       mutGen,
+      hugeBoxGen,
       Gen.choose(0, 200).flatMap(n =>
         Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
     forSamples(junkBytes, 400) { bytes =>

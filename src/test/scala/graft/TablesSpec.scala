@@ -61,4 +61,37 @@ class TablesSpec extends AnyFunSuite {
     assert(df.schema.map(_.name) == Seq("id", "name"))
     assert(df.count() == 1)
   }
+
+  test("plan cache reuses per session and does not pin dropped sessions") {
+    val dir = Files.createTempDirectory("tables_cache").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/region.parquet")
+
+    // same session + table → the SAME resolved plan instance
+    val a = Tables.load(spark, dir, "region")
+    assert(Tables.load(spark, dir, "region") eq a)
+
+    // a cloned session gets its own entry...
+    // (helper scope so no stack-frame local keeps the clone alive)
+    def makeClone(): java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession] = {
+      val clone = spark.newSession()
+      val df = Tables.load(clone, dir, "region")
+      assert(Tables.load(clone, dir, "region") eq df)
+      assert(!(df eq a))
+      new java.lang.ref.WeakReference(clone)
+    }
+    val ref = makeClone()
+
+    // ...and once the caller drops the clone, the cache must not pin
+    // it: the per-session plan map lives inside the session's own
+    // object island (via listenerManager), the global map is weak
+    var tries = 0
+    while (ref.get != null && tries < 80) {
+      System.gc(); System.runFinalization(); Thread.sleep(25); tries += 1
+    }
+    assert(ref.get == null,
+      "dropped session still strongly reachable through Tables.load cache")
+
+    // the long-lived session's cache survived the GC storm
+    assert(Tables.load(spark, dir, "region") eq a)
+  }
 }
