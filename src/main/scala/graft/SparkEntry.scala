@@ -813,9 +813,9 @@ object SparkEntry {
     }),
 
     // X44 REAL image decode through the gate: deterministic tiny
-    // PNGs/BMPs are encoded on the executors (javax.imageio, pure
-    // JDK), then decodeFeatures must recover width/height by actually
-    // parsing the image headers — the dims are index arithmetic the
+    // PNG/JPEG/GIF/BMP images are encoded on the executors
+    // (javax.imageio, pure JDK), then decodeFeatures must recover
+    // width/height by actually parsing the image headers — the dims are index arithmetic the
     // oracle replays WITHOUT seeing the bytes, so a codec that didn't
     // really decode the image container could not match.
     "x44_image_decode" -> ((s, d) => {
@@ -2176,8 +2176,8 @@ object SparkEntry {
          FROM a, s GROUP BY modality, s.sampled_frames
          ORDER BY modality NULLS FIRST""",
     // replay of Multimodal.syntheticImageAssets(64): the engine must
-    // recover these dims by really parsing the PNG/BMP headers it
-    // encoded — the oracle re-derives them from the index arithmetic
+    // recover these dims by really parsing the PNG/JPEG/GIF/BMP
+    // headers it encoded — the oracle re-derives them from the index arithmetic
     // (width 16+(i%8)*4, height 12+(i%5)*4, still images = 1 frame)
     "x44_image_decode" ->
       """SELECT i AS asset_id,

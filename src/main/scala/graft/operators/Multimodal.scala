@@ -1218,13 +1218,17 @@ object Multimodal {
   }
 
   /** Synthesize a deterministic REAL-image asset table: every row is
-    * an actual PNG (or BMP, every 4th asset — proving multi-format
-    * dispatch) encoded on the executors from index-derived dims and
-    * pixels. Decoding these through [[decodeFeatures]] exercises the
-    * real `javax.imageio` path, and the dims are pure arithmetic on
-    * the index, so an oracle can replay them without seeing the
-    * bytes: width = 16 + (i%8)·4, height = 12 + (i%5)·4. */
+    * an actual PNG / JPEG / GIF / BMP (cycling on i%4 — proving
+    * multi-format dispatch across all four containers the JDK ships
+    * readers for) encoded on the executors from index-derived dims
+    * and pixels. Decoding these through [[decodeFeatures]] exercises
+    * the real `javax.imageio` path, and the dims are pure arithmetic
+    * on the index, so an oracle can replay them without seeing the
+    * bytes: width = 16 + (i%8)·4, height = 12 + (i%5)·4. (JPEG is
+    * lossy and GIF quantizes, but dimensions live in the container
+    * header, so the oracle contract is unaffected.) */
   def syntheticImageAssets(spark: SparkSession, n: Int): DataFrame = {
+    val formats = Seq("png", "jpeg", "gif", "bmp")
     val rdd = spark.range(n.toLong).rdd.map { i =>
       val w = 16 + (i % 8).toInt * 4
       val h = 12 + (i % 5).toInt * 4
@@ -1239,7 +1243,7 @@ object Multimodal {
         }
         y += 1
       }
-      val format = if (i % 4 == 3) "bmp" else "png"
+      val format = formats((i % 4).toInt)
       Row(i, "image", ImageCodec.encode(img, format),
         Row(s"src${i % 4}", s"image/$format"))
     }

@@ -435,6 +435,33 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: JPEG and GIF decode via imageio; resize keeps the source container") {
+    import Multimodal.ImageCodec
+    val formats = Seq("png", "jpeg", "gif", "bmp")
+    val raw = Multimodal.syntheticImageAssets(spark, 8)
+      .select("asset_id", "bytes").as[(Long, Array[Byte])].collect()
+    assert(raw.length == 8)
+    raw.foreach { case (i, bytes) =>
+      assert(ImageCodec.formatName(bytes).contains(formats((i % 4).toInt)),
+        s"asset $i container")
+      assert(ImageCodec.decodeDims(bytes)
+        .contains((16 + (i % 8).toInt * 4, 12 + (i % 5).toInt * 4)),
+        s"asset $i header dims")
+    }
+    // resize must re-encode in the SOURCE container: a jpeg in is a
+    // jpeg out, a gif in is a gif out — and the new header parses
+    val resized = Multimodal.resize(Multimodal.syntheticImageAssets(spark, 8), 0.5)
+      .select("asset_id", "bytes").as[(Long, Array[Byte])].collect()
+    resized.foreach { case (i, bytes) =>
+      assert(ImageCodec.formatName(bytes).contains(formats((i % 4).toInt)),
+        s"resized asset $i container")
+      assert(ImageCodec.decodeDims(bytes).contains(
+        (math.max(1, (16 + (i % 8).toInt * 4) / 2),
+         math.max(1, (12 + (i % 5).toInt * 4) / 2))),
+        s"resized asset $i header dims")
+    }
+  }
+
   test("Messages: re-publishing identical payloads yields fresh ids (no silent loss)") {
     val req = Seq(Messages.TransferRequest("sftp://a/1", "gs://b/1",
       remove_file = false, "2024-01-01")).toDS()
