@@ -1,0 +1,555 @@
+package graft.gates
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Ivf, Sim, Text}
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
+import graft.ops.{Dims, Quality}
+import graft.sources.Tables
+
+/** Catalog/maintenance + pipeline-composition gates: compaction,
+  * keyed MERGE, Kafka-shaped transfer log, sketch audits, the composed
+  * training pipeline.
+  *
+  * Split out of SparkEntry (one gate map per operator family); the
+  * driver contract is still the combined SparkEntry.queries /
+  * SparkEntry.oracleSql. Helpers and shared oracle CTEs live in
+  * [[GateSupport]].
+  */
+private[graft] object CatalogGates {
+  import GateSupport._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X49 Kafka-shaped transfer bus end-to-end: TransferRequests built
+    // from orders rows, produced onto a 4-partition file-backed commit
+    // log in two batches (offsets must chain across segments), then
+    // group-consumed, decoded, and aggregated by month. The oracle
+    // replays the request construction straight from orders — so the
+    // produce→partition→offset→poll→decode round trip must be lossless
+    // and duplicate-free to hash-match.
+
+    // X49 Kafka-shaped transfer bus end-to-end: TransferRequests built
+    // from orders rows, produced onto a 4-partition file-backed commit
+    // log in two batches (offsets must chain across segments), then
+    // group-consumed, decoded, and aggregated by month. The oracle
+    // replays the request construction straight from orders — so the
+    // produce→partition→offset→poll→decode round trip must be lossless
+    // and duplicate-free to hash-match.
+    "x49_kafka_transfer" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_kafka")
+      try {
+        val rootS = root.toString
+        graft.pipeline.KafkaLog.createTopic(rootS, "transfers", 4)
+        val reqs = t(s, d, "orders")
+          .orderBy(asc("o_orderkey")).limit(200)
+          .select(
+            concat(lit("sftp://legacy/orders/"), col("o_orderkey"),
+              lit(".csv")).as("source_connection_string"),
+            concat(lit("blob://lake/landing/"), col("o_orderkey"),
+              lit(".csv")).as("destination_connection_string"),
+            (col("o_orderkey") % 2 === 0).as("remove_file"),
+            col("o_orderdate").cast(DateType).cast(StringType).as("event_date"))
+        def asReqs(df: DataFrame) =
+          df.as[graft.pipeline.Messages.TransferRequest]
+        graft.pipeline.Messages.producePartitioned(
+          asReqs(reqs.where(col("remove_file"))), rootS, "transfers")
+        graft.pipeline.Messages.producePartitioned(
+          asReqs(reqs.where(!col("remove_file"))), rootS, "transfers")
+        val consumed =
+          graft.pipeline.Messages.consumePartitioned(s, rootS, "transfers", "g1")
+        // materialize eagerly (bounded: one row per month) so the
+        // temp log can be deleted before the frame is re-read
+        val rows = consumed
+          .groupBy(substring(col("event_date"), 1, 7).as("month"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("remove_file"), 1L).otherwise(0L)).as("n_remove"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        rows.toSeq.toDF("month", "n_files", "n_remove")
+          .orderBy(asc_nulls_first("month"))
+      } finally rmTree(root.toFile)
+    }),
+
+    // X49B the same transfer bus consumed through the STREAMING
+    // path: KafkaLog.readStream (file-stream over the segment logs,
+    // checkpointed exactly-once) + foreachBatch, each micro-batch
+    // decoded, appended to the sink, and its offsets committed via
+    // commitPolled — the subscribe loop a production consumer runs.
+    // The gate also REQUIRES the post-stream batch poll to come back
+    // empty (the foreachBatch commits really advanced the group
+    // watermark over the whole log). Same oracle replay as x49.
+
+    // X49B the same transfer bus consumed through the STREAMING
+    // path: KafkaLog.readStream (file-stream over the segment logs,
+    // checkpointed exactly-once) + foreachBatch, each micro-batch
+    // decoded, appended to the sink, and its offsets committed via
+    // commitPolled — the subscribe loop a production consumer runs.
+    // The gate also REQUIRES the post-stream batch poll to come back
+    // empty (the foreachBatch commits really advanced the group
+    // watermark over the whole log). Same oracle replay as x49.
+    "x49b_kafka_stream" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_kafka_s")
+      try {
+        val rootS = root.toString
+        graft.pipeline.KafkaLog.createTopic(rootS, "transfers", 4)
+        val reqs = t(s, d, "orders")
+          .orderBy(asc("o_orderkey")).limit(200)
+          .select(
+            concat(lit("sftp://legacy/orders/"), col("o_orderkey"),
+              lit(".csv")).as("source_connection_string"),
+            concat(lit("blob://lake/landing/"), col("o_orderkey"),
+              lit(".csv")).as("destination_connection_string"),
+            (col("o_orderkey") % 2 === 0).as("remove_file"),
+            col("o_orderdate").cast(DateType).cast(StringType).as("event_date"))
+        def asReqs(df: DataFrame) =
+          df.as[graft.pipeline.Messages.TransferRequest]
+        graft.pipeline.Messages.producePartitioned(
+          asReqs(reqs.where(col("remove_file"))), rootS, "transfers")
+        graft.pipeline.Messages.producePartitioned(
+          asReqs(reqs.where(!col("remove_file"))), rootS, "transfers")
+        val outDir = rootS + "/_consumed"
+        val group = "stream-g"
+        val reqSchema = org.apache.spark.sql.Encoders
+          .product[graft.pipeline.Messages.TransferRequest].schema
+        withCheckpoint { ckpt =>
+          val q = graft.pipeline.KafkaLog.readStream(s, rootS, "transfers")
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.persist()
+              try {
+                batch
+                  .select(from_json(unbase64(col("value")).cast("string"),
+                    reqSchema).as("m"))
+                  .select(col("m.*"))
+                  .write.mode("append").parquet(outDir)
+                graft.pipeline.KafkaLog.commitPolled(rootS, "transfers", group, batch)
+              } finally { batch.unpersist(); () }
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+        // the streaming consumer's commits must cover the entire log
+        require(graft.pipeline.Messages
+          .consumePartitioned(s, rootS, "transfers", group).isEmpty,
+          "x49b: streaming consumer left uncommitted records behind")
+        val rows = s.read.parquet(outDir)
+          .groupBy(substring(col("event_date"), 1, 7).as("month"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("remove_file"), 1L).otherwise(0L)).as("n_remove"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        rows.toSeq.toDF("month", "n_files", "n_remove")
+          .orderBy(asc_nulls_first("month"))
+      } finally rmTree(root.toFile)
+    }),
+
+    // X51 keyed MERGE upsert: refresh a customer-keyed parquet table
+    // from an orders-derived delta — matched keys are REPLACED (tagged
+    // name, order-revenue balance), unmatched delta keys (offset by
+    // 1e6) are inserted — then read the physically swapped table
+    // back. The oracle replays the merge relationally (FULL OUTER
+    // JOIN, update-row-wins), so every row of the rewritten table is
+    // value-checked.
+
+    // X51 keyed MERGE upsert: refresh a customer-keyed parquet table
+    // from an orders-derived delta — matched keys are REPLACED (tagged
+    // name, order-revenue balance), unmatched delta keys (offset by
+    // 1e6) are inserted — then read the physically swapped table
+    // back. The oracle replays the merge relationally (FULL OUTER
+    // JOIN, update-row-wins), so every row of the rewritten table is
+    // value-checked.
+    "x51_merge_upsert" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_merge")
+      try {
+        val tgt = root.toString + "/cust"
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"))
+          .write.parquet(tgt)
+        val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        val upd = rev.where(col("o_custkey") % 3 === 0)
+          .select(col("o_custkey").as("c_custkey"),
+            concat(lit("upd_"), col("o_custkey")).as("c_name"),
+            col("rev").as("c_acctbal"))
+          .union(rev.where(col("o_custkey") % 7 === 0)
+            .select((col("o_custkey") + lit(1000000L)).as("c_custkey"),
+              concat(lit("new_"), col("o_custkey")).as("c_name"),
+              col("rev").as("c_acctbal")))
+        graft.catalog.Catalog.merge(s, tgt, upd, Seq("c_custkey"))
+        // materialize eagerly so the temp dir can be deleted here —
+        // the returned frame must not re-read it
+        s.read.parquet(tgt)
+          .orderBy(asc_nulls_first("c_custkey"))
+          .localCheckpoint()
+      } finally rmTree(root.toFile)
+    }),
+
+    // X51B PARTITION-SCOPED MERGE: the same keyed refresh as x51 but
+    // the target is hive-partitioned by market segment and only the
+    // leaves the delta touches are rewritten (untouched leaves stay
+    // byte-identical — asserted by CatalogSpec; here the oracle
+    // value-checks every row of the partially rewritten table).
+    // Matched keys carry their own segment (the merge identity is
+    // partition + key, so keys never migrate); inserted keys open a
+    // brand-new SYNTHETIC partition to exercise leaf creation. The
+    // oracle replays the same relational merge with the partition
+    // column in the join identity.
+
+    // X51B PARTITION-SCOPED MERGE: the same keyed refresh as x51 but
+    // the target is hive-partitioned by market segment and only the
+    // leaves the delta touches are rewritten (untouched leaves stay
+    // byte-identical — asserted by CatalogSpec; here the oracle
+    // value-checks every row of the partially rewritten table).
+    // Matched keys carry their own segment (the merge identity is
+    // partition + key, so keys never migrate); inserted keys open a
+    // brand-new SYNTHETIC partition to exercise leaf creation. The
+    // oracle replays the same relational merge with the partition
+    // column in the join identity.
+    "x51b_merge_partitioned" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_merge_part")
+      try {
+        val tgt = root.toString + "/cust"
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+          .write.partitionBy("c_mktsegment").parquet(tgt)
+        val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        val upd = rev.join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("o_custkey") % 3 === 0)
+          .select(col("o_custkey").as("c_custkey"),
+            concat(lit("upd_"), col("o_custkey")).as("c_name"),
+            col("rev").as("c_acctbal"), col("c_mktsegment"))
+          .union(rev.where(col("o_custkey") % 7 === 0)
+            .select((col("o_custkey") + lit(1000000L)).as("c_custkey"),
+              concat(lit("new_"), col("o_custkey")).as("c_name"),
+              col("rev").as("c_acctbal"),
+              lit("SYNTHETIC").as("c_mktsegment")))
+        graft.catalog.Catalog.mergePartitioned(s, tgt, upd,
+          Seq("c_custkey"), Seq("c_mktsegment"))
+        s.read.parquet(tgt)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment").cast("string").as("c_mktsegment"))
+          .orderBy(asc_nulls_first("c_custkey"))
+          .localCheckpoint()
+      } finally rmTree(root.toFile)
+    }),
+
+    // X25 the full training-data pipeline as ONE dataflow: curation
+    // verdicts → keep → near-dup dedup (LSH + exact verify + CC) →
+    // deterministic split → chunk/token budget per split. Every stage
+    // is an operator already oracle-verified on its own (x19, x20,
+    // x24, x22, x09); this query pins their composition.
+
+    // X25 the full training-data pipeline as ONE dataflow: curation
+    // verdicts → keep → near-dup dedup (LSH + exact verify + CC) →
+    // deterministic split → chunk/token budget per split. Every stage
+    // is an operator already oracle-verified on its own (x19, x20,
+    // x24, x22, x09); this query pins their composition.
+    "x25_training_pipeline" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      // stage the curated set: dedup reads it twice (signature pass +
+      // survivor anti-join), and at warehouse scale each pipeline
+      // stage writes its output as a table between stages anyway —
+      // without staging, the curation signal math runs twice.
+      // localCheckpoint is the local-mode stand-in for that table
+      // write: it is NOT fault-tolerant to executor loss (a real
+      // cluster run would use a durable table/checkpoint between
+      // stages), which also bounds the lifetime of the signature
+      // cache entry built over it below.
+      val curated = graft.operators.Curation.annotate(t(s, d, "documents"))
+        .where(col("keep")).select("doc_id", "text")
+        .localCheckpoint()
+      val deduped = Dedup.dedupNearDups(curated, threshold = 0.5,
+        cacheKey = Some(s"curated:$d"))
+      graft.operators.Splits.hashSplit(deduped, "doc_id", splits, "v1")
+        .select(col("split"), graft.functions.Text.tokenCount(col("text")).as("nt"))
+        // chunk count is pure window arithmetic on the token count
+        // (size 80, step 60): no need to materialize chunk strings
+        .withColumn("nc",
+          when(col("nt") === 0, 0L)
+            .when(col("nt") <= 80, 1L)
+            .otherwise(lit(1L) +
+              ceil((col("nt") - 80).cast("double") / 60).cast("long")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nc").cast("long").as("n_chunks"),
+          sum("nt").cast("long").as("n_tokens"))
+        .orderBy(asc_nulls_first("split"))
+    }),
+
+    // X33/X34 [A-family sketches] audit queries for the mergeable
+    // sketch surface: the probabilistic guarantees (CMS never
+    // undercounts, overcounts by ≤ eps·N; Bloom has no false
+    // negatives, false positives within the designed rate) are
+    // deterministic for fixed data and seed, so they gate exactly —
+    // violation counts pin to 0 in the oracle.
+
+    // X33/X34 [A-family sketches] audit queries for the mergeable
+    // sketch surface: the probabilistic guarantees (CMS never
+    // undercounts, overcounts by ≤ eps·N; Bloom has no false
+    // negatives, false positives within the designed rate) are
+    // deterministic for fixed data and seed, so they gate exactly —
+    // violation counts pin to 0 in the oracle.
+    "x33_cms_audit" -> ((s, d) =>
+      graft.operators.Sketches.cmsAudit(t(s, d, "events"), "event_type")),
+
+
+    "x34_bloom_audit" -> ((s, d) =>
+      graft.operators.Sketches.bloomAudit(t(s, d, "events"), "event_type",
+        expectedItems = 100000, fpp = 0.03)),
+
+    // X41 small-file compaction: fragment a copy of documents into 40
+    // files, compact to ~1 MB targets, and prove the data survived the
+    // atomic swap byte-for-byte (count + key/char sums against the
+    // ORIGINAL table's oracle). files_shrank pins that compaction
+    // actually reduced the file count, not just rewrote.
+
+    // X41 small-file compaction: fragment a copy of documents into 40
+    // files, compact to ~1 MB targets, and prove the data survived the
+    // atomic swap byte-for-byte (count + key/char sums against the
+    // ORIGINAL table's oracle). files_shrank pins that compaction
+    // actually reduced the file count, not just rewrote.
+    "x41_compaction" -> ((s, d) => {
+      import s.implicits._
+      val fragRoot = java.nio.file.Files.createTempDirectory("graft_frag")
+      try {
+        val frag = fragRoot.toString + "/docs"
+        // fragment ONLY the audited columns: compaction mechanics
+        // (listing, distributed rewrite, atomic swap) are
+        // column-width-independent, so dragging the heavy `text`
+        // column through the 3-pass rewrite would buy the gate
+        // nothing but wall-clock (~20x the bytes)
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+          .repartition(40).write.mode("overwrite").parquet(frag)
+        // scale the compaction target with the measured table size so
+        // files_shrank holds at EVERY sf (a fixed 1 MB target stops
+        // shrinking once the table passes ~40 MB): target ≈ bytes/10
+        // → ~10 output files, always fewer than the 40 fragments.
+        val fragBytes = new java.io.File(frag).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+        val stats = graft.catalog.Catalog.compact(s, frag,
+          targetFileBytes = math.max(1L << 20, fragBytes / 10 + 1))
+        // materialize the 1-row audit eagerly so the staged copy can be
+        // deleted here instead of leaking one fixture-sized dir per
+        // invocation (the returned frame must not read the dir later)
+        val r = s.read.parquet(frag)
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast(LongType).as("id_sum"),
+            sum(col("n_chars")).cast(LongType).as("char_sum"))
+          .head()
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+          stats.filesAfter < stats.filesBefore))
+          .toDF("n", "id_sum", "char_sum", "files_shrank")
+      } finally rmTree(fragRoot.toFile)
+    }),
+
+    // X41b compaction over a HIVE-PARTITIONED layout (the reference's
+    // DAY-partitioned tables are the layout that fragments): fragment
+    // a source=… partitioned copy of documents (~10 files per
+    // partition), compact per-partition, and prove both the byte-for-
+    // byte survival of the data INCLUDING the partition column (its
+    // values live in dir names the per-partition swap must not touch)
+    // and the file-count shrink.
+
+    // X41b compaction over a HIVE-PARTITIONED layout (the reference's
+    // DAY-partitioned tables are the layout that fragments): fragment
+    // a source=… partitioned copy of documents (~10 files per
+    // partition), compact per-partition, and prove both the byte-for-
+    // byte survival of the data INCLUDING the partition column (its
+    // values live in dir names the per-partition swap must not touch)
+    // and the file-count shrink.
+    "x41b_compaction_partitioned" -> ((s, d) => {
+      import s.implicits._
+      val fragRoot = java.nio.file.Files.createTempDirectory("graft_fragp")
+      try {
+        val frag = fragRoot.toString + "/docs"
+        // audited columns only (see x41): the per-leaf swap/audit
+        // properties are independent of the dropped `text` bytes
+        t(s, d, "documents").select(col("doc_id"), col("source"))
+          .repartition(10)
+          .write.partitionBy("source").mode("overwrite").parquet(frag)
+        val fragBytes = {
+          def walk(f: java.io.File): Long =
+            if (f.isFile) (if (f.getName.endsWith(".parquet")) f.length else 0L)
+            else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          walk(new java.io.File(frag))
+        }
+        val stats = graft.catalog.Catalog.compactPartitioned(s, frag,
+          targetFileBytes = math.max(1L << 20, fragBytes / 10 + 1))
+        // per-SOURCE audit: reading through the root must still
+        // discover the source=… values (they live in dir names the
+        // swap must preserve), and per-source count/id_sum pin that
+        // no row changed partitions during the rewrite. Materialized
+        // eagerly so the staged copy can be deleted here.
+        val rows = s.read.parquet(frag)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast(LongType).as("id_sum"))
+          .orderBy(asc_nulls_first("source"))
+          .collect()
+        val shrank = stats.filesAfter < stats.filesBefore
+        rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2), shrank))
+          .toDF("source", "n", "id_sum", "files_shrank")
+      } finally rmTree(fragRoot.toFile)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the full training-data pipeline, one oracle: curation keepers →
+    // all-pairs exact-Jaccard near-dup components (restricted to the
+    // keepers) → survivors → hash split → chunk/token budget per split
+    // the full training-data pipeline, one oracle: curation keepers →
+    // all-pairs exact-Jaccard near-dup components (restricted to the
+    // keepers) → survivors → hash split → chunk/token budget per split
+    "x25_training_pipeline" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      s"""WITH RECURSIVE $tokCte,
+         $entCte,
+         $punctCte,
+         $curationRulesCte,
+         keepers AS (SELECT doc_id FROM rs WHERE len(reasons) = 0),
+         kd AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+         sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 3),
+                    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+           FROM kd WHERE length(text) >= 5),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM sh a, sh b WHERE a.id < b.id
+             AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         e AS (SELECT id_a AS s, id_b AS r FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s AS id, r FROM e
+           UNION
+           SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
+         comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id),
+         survivors AS (
+           SELECT doc_id FROM kd
+           WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)),
+         fin AS (
+           SELECT $splitExpr AS split, len(ts) AS n,
+                  CASE WHEN len(ts) = 0 THEN 0
+                       WHEN len(ts) <= 80 THEN 1
+                       ELSE 1 + CAST(ceil(CAST(len(ts) - 80 AS DOUBLE) / 60) AS INT)
+                  END AS c
+           FROM survivors JOIN tok USING (doc_id))
+         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(c) AS BIGINT) AS n_chunks,
+                CAST(SUM(n) AS BIGINT) AS n_tokens
+         FROM fin GROUP BY 1 ORDER BY split NULLS FIRST"""
+    },
+    // replay of the x49 TransferRequest construction straight from
+    // orders: the Kafka-shaped produce/poll/decode round trip must be
+    // lossless and duplicate-free for the aggregate to hash-match
+    // replay of the x49 TransferRequest construction straight from
+    // orders: the Kafka-shaped produce/poll/decode round trip must be
+    // lossless and duplicate-free for the aggregate to hash-match
+    "x49_kafka_transfer" ->
+      """WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
+         SELECT substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS month,
+                COUNT(*) AS n_files,
+                CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_remove
+         FROM o GROUP BY 1 ORDER BY month NULLS FIRST""",
+    // same replay as x49 — the streaming consumer (readStream +
+    // foreachBatch + commitPolled) must deliver the identical
+    // lossless, duplicate-free aggregate
+    // same replay as x49 — the streaming consumer (readStream +
+    // foreachBatch + commitPolled) must deliver the identical
+    // lossless, duplicate-free aggregate
+    "x49b_kafka_stream" ->
+      """WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
+         SELECT substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS month,
+                COUNT(*) AS n_files,
+                CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_remove
+         FROM o GROUP BY 1 ORDER BY month NULLS FIRST""",
+    // relational replay of the physical MERGE: full outer join on the
+    // key, update-row-wins on every non-key column
+    // relational replay of the physical MERGE: full outer join on the
+    // key, update-row-wins on every non-key column
+    "x51_merge_upsert" ->
+      """WITH rev AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+                      FROM orders GROUP BY o_custkey),
+         upd AS (SELECT o_custkey AS k,
+                        'upd_' || CAST(o_custkey AS VARCHAR) AS nm, rev
+                 FROM rev WHERE o_custkey % 3 = 0
+                 UNION ALL
+                 SELECT o_custkey + 1000000,
+                        'new_' || CAST(o_custkey AS VARCHAR), rev
+                 FROM rev WHERE o_custkey % 7 = 0)
+         SELECT COALESCE(u.k, c.c_custkey) AS c_custkey,
+                CASE WHEN u.k IS NOT NULL THEN u.nm ELSE c.c_name END AS c_name,
+                CASE WHEN u.k IS NOT NULL THEN u.rev
+                     ELSE ROUND(c.c_acctbal, 2) END AS c_acctbal
+         FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
+         ORDER BY c_custkey NULLS FIRST""",
+    // relational replay of the PARTITION-SCOPED merge: the partition
+    // column joins as part of the merge identity, so a key only
+    // matches within its own partition — exactly what rewriting only
+    // touched leaves implements physically
+    // relational replay of the PARTITION-SCOPED merge: the partition
+    // column joins as part of the merge identity, so a key only
+    // matches within its own partition — exactly what rewriting only
+    // touched leaves implements physically
+    "x51b_merge_partitioned" ->
+      """WITH rev AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+                      FROM orders GROUP BY o_custkey),
+         upd AS (SELECT c.c_custkey AS k,
+                        'upd_' || CAST(r.o_custkey AS VARCHAR) AS nm,
+                        r.rev, c.c_mktsegment AS seg
+                 FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+                 WHERE r.o_custkey % 3 = 0
+                 UNION ALL
+                 SELECT o_custkey + 1000000,
+                        'new_' || CAST(o_custkey AS VARCHAR), rev, 'SYNTHETIC'
+                 FROM rev WHERE o_custkey % 7 = 0)
+         SELECT COALESCE(u.k, c.c_custkey) AS c_custkey,
+                CASE WHEN u.k IS NOT NULL THEN u.nm ELSE c.c_name END AS c_name,
+                CASE WHEN u.k IS NOT NULL THEN u.rev
+                     ELSE ROUND(c.c_acctbal, 2) END AS c_acctbal,
+                COALESCE(u.seg, c.c_mktsegment) AS c_mktsegment
+         FROM customer c
+         FULL OUTER JOIN upd u ON c.c_custkey = u.k AND c.c_mktsegment = u.seg
+         ORDER BY c_custkey NULLS FIRST""",
+    "x41_compaction" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+                TRUE AS files_shrank
+         FROM documents""",
+    "x41b_compaction_partitioned" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                TRUE AS files_shrank
+         FROM documents GROUP BY source ORDER BY source NULLS FIRST""",
+    "x33_cms_audit" ->
+      """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_keys,
+         CAST(0 AS BIGINT) AS undercount_violations,
+         CAST(0 AS BIGINT) AS overcount_violations
+         FROM events""",
+    "x34_bloom_audit" ->
+      """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_keys,
+         CAST(0 AS BIGINT) AS false_negatives,
+         true AS fp_ok
+         FROM events""",
+  )
+}

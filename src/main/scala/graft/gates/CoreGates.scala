@@ -1,0 +1,564 @@
+package graft.gates
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Ivf, Sim, Text}
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
+import graft.ops.{Dims, Quality}
+import graft.sources.Tables
+
+/** Core relational gates (SURVEY.md §2 q-family): scan/project/filter,
+  * joins, aggregation, rollup/cube/grouping sets, windows, set ops,
+  * subqueries, percentiles.
+  *
+  * Split out of SparkEntry (one gate map per operator family); the
+  * driver contract is still the combined SparkEntry.queries /
+  * SparkEntry.oracleSql. Helpers and shared oracle CTEs live in
+  * [[GateSupport]].
+  */
+private[graft] object CoreGates {
+  import GateSupport._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 [S13,P1,W1] scan + project + sort
+    "q01_scan_sort" -> ((s, d) =>
+      t(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(asc_nulls_first("r_regionkey"))),
+
+    // Q2 [P3,P5] sentinel→NULL (ref pattern export_svg.py:212)
+
+    // Q2 [P3,P5] sentinel→NULL (ref pattern export_svg.py:212)
+    "q02_sentinel_null" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          Quality.sentinelNull(col("c_mktsegment"), Seq("AUTOMOBILE")).as("seg"))
+        .orderBy(asc_nulls_first("c_custkey"))),
+
+    // Q3 [P4,F5] sentinel→NULL + cast (ref pattern export_svg.py:211)
+
+    // Q3 [P4,F5] sentinel→NULL + cast (ref pattern export_svg.py:211)
+    "q03_sentinel_cast" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          Quality.sentinelNull(col("o_orderstatus"), Seq("P")).as("st"),
+          (col("o_orderkey").cast(LongType) * 2).as("k2"))
+        .orderBy(asc_nulls_first("o_orderkey"))),
+
+    // Q4 [A1,D*,P6,W1] distinct + CASE-decode dim build (export_svg.py:275-293)
+
+    // Q4 [A1,D*,P6,W1] distinct + CASE-decode dim build (export_svg.py:275-293)
+    "q04_dim_decode" -> ((s, d) =>
+      Dims.buildDim(t(s, d, "nation"), "n_regionkey", "region_name",
+        Seq(0 -> "AFRICA", 1 -> "AMERICA", 2 -> "ASIA", 3 -> "EUROPE",
+            4 -> "MIDDLE EAST"))),
+
+    // Q5 [J1,J2] equi joins through the star; dims broadcast
+
+    // Q5 [J1,J2] equi joins through the star; dims broadcast
+    "q05_join_star" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("r_name"))
+    }),
+
+    // Q6 [J3] left outer + null probe. Scale-aware shape: pre-aggregate
+    // the big side down to |nations| rows, then broadcast that to the
+    // small side — avoids shuffling `customer` for an outer join.
+
+    // Q6 [J3] left outer + null probe. Scale-aware shape: pre-aggregate
+    // the big side down to |nations| rows, then broadcast that to the
+    // small side — avoids shuffling `customer` for an outer join.
+    "q06_left_join" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val perNation = t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(col("c_custkey")).as("cnt"))
+      n.join(broadcast(perNation), n("n_nationkey") === perNation("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_cust"))
+        .orderBy(asc_nulls_first("n_name"))
+    }),
+
+    // Q7a [J4] left semi (EXISTS)
+
+    // Q7a [J4] left semi (EXISTS)
+    "q07a_semi" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      val li = t(s, d, "lineitem")
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"))
+        .orderBy(asc_nulls_first("s_suppkey"))
+    }),
+
+    // Q7b [J4] left anti (NOT EXISTS)
+
+    // Q7b [J4] left anti (NOT EXISTS)
+    "q07b_anti" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val li = t(s, d, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select(col("p_partkey"))
+        .orderBy(asc_nulls_first("p_partkey"))
+    }),
+
+    // Q8 [A2,F10] TPC-H Q1-style grouped aggregate
+
+    // Q8 [A2,F10] TPC-H Q1-style grouped aggregate
+    "q08_group_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Q9 [A3] exact count distinct
+
+    // Q9 [A3] exact count distinct
+    "q09_count_distinct" -> ((s, d) =>
+      t(s, d, "orders").agg(count_distinct(col("o_custkey")).as("n"))),
+
+    // Q9b [A3] approx count distinct (HLL++), error-bound gated: the
+    // estimate itself is engine-specific, but |approx − exact| ≤
+    // 3·rsd·exact is the design guarantee — emitted as a boolean the
+    // DuckDB oracle pins TRUE next to the exact count it recomputes.
+
+    // Q9b [A3] approx count distinct (HLL++), error-bound gated: the
+    // estimate itself is engine-specific, but |approx − exact| ≤
+    // 3·rsd·exact is the design guarantee — emitted as a boolean the
+    // DuckDB oracle pins TRUE next to the exact count it recomputes.
+    "q09b_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .agg(count_distinct(col("o_custkey")).cast(LongType).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.05).as("approx"))
+        .select(col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <=
+            lit(3 * 0.05) * col("n_exact")).as("within_bound"))),
+
+    // Q10 [A4] rollup
+
+    // Q10 [A4] rollup
+    "q10_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Q10b [A4] cube
+
+    // Q10b [A4] cube
+    "q10b_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Q10c [A5] filtered/conditional aggregate (CASE-inside-agg idiom)
+
+    // Q10c [A5] filtered/conditional aggregate (CASE-inside-agg idiom)
+    "q10c_cond_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          count(when(col("o_totalprice") > 150000d, lit(1))).as("n_big"))
+        .orderBy(asc_nulls_first("o_orderpriority"))),
+
+    // Q11 [W2] ranking window, top-3 per nation
+
+    // Q11 [W2] ranking window, top-3 per nation
+    "q11_rank_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          row_number().over(w).cast(LongType).as("rnk"))
+        .where(col("rnk") <= 3)
+        .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("rnk"))
+    }),
+
+    // Q12 [W4] running-sum frame
+
+    // Q12 [W4] running-sum frame
+    "q12_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("run"))
+        .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    // Q12b [W3] lag/lead analytics
+
+    // Q12b [W3] lag/lead analytics
+    "q12b_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    // Q13 [W5] top-k with unique tie-break (TakeOrderedAndProject)
+
+    // Q13 [W5] top-k with unique tie-break (TakeOrderedAndProject)
+    "q13_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // Q14a [W6] intersect
+
+    // Q14a [W6] intersect
+    "q14a_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(asc_nulls_first("k"))),
+
+    // Q14b [W6] except
+
+    // Q14b [W6] except
+    "q14b_except" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_nationkey").as("k"))
+        .except(t(s, d, "customer").select(col("c_nationkey").as("k")))
+        .orderBy(asc_nulls_first("k"))),
+
+    // Q14c [W6] union distinct
+
+    // Q14c [W6] union distinct
+    "q14c_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy(asc_nulls_first("k"))),
+
+    // Q18 [ST2-batch] tumbling-window batch analogue over events
+
+    // Q18 [ST2-batch] tumbling-window batch analogue over events
+    "q18_hourly_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))),
+
+    // Q19 [P1-P6 composite] quality-zone replica over events
+    // (mirrors export_svg.py:209-246 semantics on fixture data).
+    // The half-up cent rounding is spelled out as floor(v*100+0.5)/100
+    // so both engines compute the identical double. The gate emits the
+    // cents as DOUBLE: values were proven equal under DECIMAL(18,2) on
+    // both sides (round-2 adjudication), but the two engines' decimal
+    // wire types canonicalize differently in the driver hash, so the
+    // decimal-cast coverage lives in FjcPipelineSpec / tools/check.py
+    // and the gate column stays in a type both engines render alike.
+
+    // Q19 [P1-P6 composite] quality-zone replica over events
+    // (mirrors export_svg.py:209-246 semantics on fixture data).
+    // The half-up cent rounding is spelled out as floor(v*100+0.5)/100
+    // so both engines compute the identical double. The gate emits the
+    // cents as DOUBLE: values were proven equal under DECIMAL(18,2) on
+    // both sides (round-2 adjudication), but the two engines' decimal
+    // wire types canonicalize differently in the driver hash, so the
+    // decimal-cast coverage lives in FjcPipelineSpec / tools/check.py
+    // and the gate column stays in a type both engines render alike.
+    "q19_quality_zone" -> ((s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          Quality.sentinelNull(col("event_type"), Seq("error")).as("etype"),
+          when(col("value") < 0, lit(null))
+            .otherwise(round(floor(col("value") * 100 + lit(0.5)) / 100, 2))
+            .as("val"))
+        .orderBy(asc_nulls_first("event_id"))),
+
+    // Q23 [J5,J6] range join: lineitems shipped within 30 days of
+    // order. Equi-anchored on the order key with the range conditions
+    // as join residuals (never a BNLJ); fact-fact, so no broadcast.
+
+    // Q23 [J5,J6] range join: lineitems shipped within 30 days of
+    // order. Equi-anchored on the order key with the range conditions
+    // as join residuals (never a BNLJ); fact-fact, so no broadcast.
+    "q23_range_join" -> ((s, d) => {
+      val o = t(s, d, "orders").hint("shuffle_hash")
+      val li = t(s, d, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(o("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderpriority"))
+    }),
+
+    // Q24 [J8] cross join (tiny × tiny)
+
+    // Q24 [J8] cross join (tiny × tiny)
+    "q24_cross_join" -> ((s, d) =>
+      t(s, d, "region").select(col("r_regionkey"))
+        .crossJoin(t(s, d, "nation").select(col("n_nationkey")))
+        .groupBy(col("r_regionkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("r_regionkey"))),
+
+    // Q28 [A2+] exact interpolated percentiles + width_bucket histogram.
+    // Sort-based (operators/Percentiles) rather than the builtin
+    // `percentile` aggregate, whose buffer holds the group's whole
+    // distinct-value map; o_totalprice is never NULL, so n_vals ≡
+    // COUNT(*) and the oracle is unchanged.
+
+    // Q28 [A2+] exact interpolated percentiles + width_bucket histogram.
+    // Sort-based (operators/Percentiles) rather than the builtin
+    // `percentile` aggregate, whose buffer holds the group's whole
+    // distinct-value map; o_totalprice is never NULL, so n_vals ≡
+    // COUNT(*) and the oracle is unchanged.
+    "q28_percentiles" -> ((s, d) =>
+      graft.operators.Percentiles.exact(
+        t(s, d, "orders"), "o_orderpriority", "o_totalprice",
+        Seq("p50r" -> 0.5, "p90r" -> 0.9))
+        .select(col("o_orderpriority"),
+          round(col("p50r"), 2).as("p50"),
+          round(col("p90r"), 2).as("p90"),
+          col("n_vals").as("n"))
+        .orderBy(asc_nulls_first("o_orderpriority"))),
+
+    // Q25 [EP3] ad-hoc SQL surface with a correlated + scalar subquery
+    // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg).
+    // SHUFFLE_HASH on the decorrelated semi join: unhinted, AQE
+    // broadcasts LINEITEM — the fact side, a plan that dies at scale —
+    // and measures 1.0 s; the hash-shuffled semi is 0.56 s at sf0.1
+    // (ProfileQ25, best-of-3) and shuffles only 8-byte keys at any
+    // scale.
+
+    // Q25 [EP3] ad-hoc SQL surface with a correlated + scalar subquery
+    // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg).
+    // SHUFFLE_HASH on the decorrelated semi join: unhinted, AQE
+    // broadcasts LINEITEM — the fact side, a plan that dies at scale —
+    // and measures 1.0 s; the hash-shuffled semi is 0.56 s at sf0.1
+    // (ProfileQ25, best-of-3) and shuffles only 8-byte keys at any
+    // scale.
+    "q25_sql_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(
+        """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+           FROM orders o
+           WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+             AND EXISTS (SELECT /*+ SHUFFLE_HASH(l) */ 1
+                         FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+           ORDER BY o_orderkey NULLS FIRST""")
+    }),
+
+    // Q26 [A4] grouping sets (finer than rollup/cube)
+
+    // Q26 [A4] grouping sets (finer than rollup/cube)
+    "q26_grouping_sets" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+           ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
+    // Q27 [J3] full outer join with null probes on both sides
+
+    // Q27 [J3] full outer join with null probes on both sides
+    "q27_full_outer" -> ((s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey").as("k"), col("n_name"))
+      val agg = t(s, d, "supplier")
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      n.join(agg, n("k") === agg("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("k"), col("s_nationkey")).as("k"),
+          col("n_name"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(asc_nulls_first("k"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_sort" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey NULLS FIRST",
+    "q02_sentinel_null" ->
+      """SELECT c_custkey,
+         CASE WHEN c_mktsegment IN ('AUTOMOBILE') THEN NULL ELSE c_mktsegment END AS seg
+         FROM customer ORDER BY c_custkey NULLS FIRST""",
+    "q03_sentinel_cast" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus IN ('P') THEN NULL ELSE o_orderstatus END AS st,
+         CAST(o_orderkey AS BIGINT) * 2 AS k2
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "q04_dim_decode" ->
+      """SELECT DISTINCT n_regionkey,
+         CASE WHEN n_regionkey = 0 THEN 'AFRICA'
+              WHEN n_regionkey = 1 THEN 'AMERICA'
+              WHEN n_regionkey = 2 THEN 'ASIA'
+              WHEN n_regionkey = 3 THEN 'EUROPE'
+              WHEN n_regionkey = 4 THEN 'MIDDLE EAST' END AS region_name
+         FROM nation WHERE n_regionkey IS NOT NULL
+         ORDER BY n_regionkey NULLS FIRST""",
+    "q05_join_star" ->
+      """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name NULLS FIRST""",
+    "q06_left_join" ->
+      """SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_cust
+         FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name NULLS FIRST""",
+    "q07a_semi" ->
+      """SELECT s_suppkey FROM supplier s
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+         ORDER BY s_suppkey NULLS FIRST""",
+    "q07b_anti" ->
+      """SELECT p_partkey FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+         ORDER BY p_partkey NULLS FIRST""",
+    "q08_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2)                         AS sum_qty,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         ROUND(AVG(l_quantity), 2)                         AS avg_qty,
+         CAST(COUNT(*) AS BIGINT)                          AS cnt
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q09_count_distinct" ->
+      "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders",
+    // the estimate is engine-specific; the 3·rsd error bound is the
+    // contract — oracle recomputes the exact count and pins the bound
+    // the estimate is engine-specific; the 3·rsd error bound is the
+    // contract — oracle recomputes the exact count and pins the bound
+    "q09b_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                TRUE AS within_bound FROM orders""",
+    "q10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q10b_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q10c_cond_agg" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS n_big
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority NULLS FIRST""",
+    "q11_rank_window" ->
+      """SELECT c_custkey, c_nationkey, CAST(rnk AS BIGINT) AS rnk FROM (
+           SELECT c_custkey, c_nationkey,
+                  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer) t
+         WHERE rnk <= 3 ORDER BY c_nationkey NULLS FIRST, rnk NULLS FIRST""",
+    "q12_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+         FROM orders ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+    "q12b_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+         LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+         LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price
+         FROM orders ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+    "q13_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q14a_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY k NULLS FIRST""",
+    "q14b_except" ->
+      """SELECT n_nationkey AS k FROM nation
+         EXCEPT SELECT c_nationkey FROM customer ORDER BY k NULLS FIRST""",
+    "q14c_union" ->
+      """SELECT c_nationkey AS k FROM customer
+         UNION SELECT s_nationkey FROM supplier ORDER BY k NULLS FIRST""",
+    "q18_hourly_window" ->
+      """SELECT DATE_TRUNC('HOUR', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v
+         FROM events GROUP BY 1, 2
+         ORDER BY h NULLS FIRST, event_type NULLS FIRST""",
+    "q19_quality_zone" ->
+      """SELECT event_id,
+         CASE WHEN event_type IN ('error') THEN NULL ELSE event_type END AS etype,
+         CASE WHEN value < 0 THEN NULL
+              ELSE ROUND(FLOOR(value * 100 + 0.5) / 100, 2) END AS val
+         FROM events ORDER BY event_id NULLS FIRST""",
+    "q23_range_join" ->
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate >= o.o_orderdate
+           AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority NULLS FIRST""",
+    "q24_cross_join" ->
+      """SELECT r.r_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT r_regionkey FROM region) r
+         CROSS JOIN (SELECT n_nationkey FROM nation) n
+         GROUP BY r.r_regionkey
+         ORDER BY r.r_regionkey NULLS FIRST""",
+    "q28_percentiles" ->
+      """SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority NULLS FIRST""",
+    "x16_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 2),
+                    i -> substr(lower(text), CAST(i AS INT), 4))) AS s
+           FROM documents WHERE doc_id < 40 AND length(text) >= 4),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a, sh b WHERE a.id < b.id)
+         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
+         ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""",
+    "x15_word_counts" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS word
+           FROM documents) t
+         GROUP BY word ORDER BY n DESC, word NULLS FIRST LIMIT 20""",
+    "q25_sql_subquery" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+         FROM orders o
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+           AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+         ORDER BY o_orderkey NULLS FIRST""",
+    "q26_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q27_full_outer" ->
+      """SELECT COALESCE(n.n_nationkey, s.s_nationkey) AS k, n.n_name,
+         CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+         FROM nation n
+         FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp
+                          FROM supplier GROUP BY s_nationkey) s
+           ON n.n_nationkey = s.s_nationkey
+         ORDER BY k NULLS FIRST""",
+  )
+}

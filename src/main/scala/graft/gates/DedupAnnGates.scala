@@ -1,0 +1,573 @@
+package graft.gates
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Ivf, Sim, Text}
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
+import graft.ops.{Dims, Quality}
+import graft.sources.Tables
+
+/** Dedup + similarity-search gates: exact/fingerprint/MinHash-LSH/
+  * SimHash dedup, connected components, n-gram Jaccard, brute kNN,
+  * SRP banding, IVF ANN, decontamination, skew salting.
+  *
+  * Split out of SparkEntry (one gate map per operator family); the
+  * driver contract is still the combined SparkEntry.queries /
+  * SparkEntry.oracleSql. Helpers and shared oracle CTEs live in
+  * [[GateSupport]].
+  */
+private[graft] object DedupAnnGates {
+  import GateSupport._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1 exact dedup: survivors (min doc_id per identical text)
+    "x01_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X2 fingerprint dedup (whitespace/case-insensitive identity) —
+    // xxhash64-based, rows-only check
+
+    // X2 fingerprint dedup (whitespace/case-insensitive identity) —
+    // xxhash64-based, rows-only check
+    "x02_dedup_fingerprint" -> ((s, d) =>
+      Dedup.byFingerprint(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X3 MinHash+LSH near-dup pairs (verified Jaccard) — rows-only
+
+    // X3 MinHash+LSH near-dup pairs (verified Jaccard) — rows-only
+    "x03_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.4,
+        cacheKey = Some(s"docs:$d"))
+        .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
+
+    // X4 SimHash pigeonhole pairing, full hash-match oracle: the real
+    // banding+verify operator (Dedup.hammingPairs — the exact code
+    // path simhashPairs rides) runs over engine-replayable synthetic
+    // 64-bit signatures (16 clusters of 4, members 0-3 bit-flips from
+    // the cluster base — pure integer arithmetic, identical in both
+    // engines), and DuckDB recomputes the exact pair set with
+    // bit_count(xor(a,b)) ≤ 3. Any pigeonhole miss OR any Hamming
+    // disagreement breaks the hash match — the x27 synthetic-audit
+    // pattern upgraded from containment to full equality. The
+    // text→simhash64 step itself stays pinned by NativeEquivalence/
+    // DedupSim specs and the x10 fingerprint gate.
+
+    // X4 SimHash pigeonhole pairing, full hash-match oracle: the real
+    // banding+verify operator (Dedup.hammingPairs — the exact code
+    // path simhashPairs rides) runs over engine-replayable synthetic
+    // 64-bit signatures (16 clusters of 4, members 0-3 bit-flips from
+    // the cluster base — pure integer arithmetic, identical in both
+    // engines), and DuckDB recomputes the exact pair set with
+    // bit_count(xor(a,b)) ≤ 3. Any pigeonhole miss OR any Hamming
+    // disagreement breaks the hash match — the x27 synthetic-audit
+    // pattern upgraded from containment to full equality. The
+    // text→simhash64 step itself stays pinned by NativeEquivalence/
+    // DedupSim specs and the x10 fingerprint gate.
+    "x04_simhash_pairs" -> ((s, d) => {
+      val sigSql =
+        """((id div 4) * 2654435761 ^ shiftleft((id div 4) * 40503, 20))
+           ^ IF(id % 4 > 0, shiftleft(1L, cast(((id div 4) * 7 + 5) % 62 + 1 as int)), 0L)
+           ^ IF(id % 4 > 1, shiftleft(1L, cast(((id div 4) * 7 + 22) % 62 + 1 as int)), 0L)
+           ^ IF(id % 4 > 2, shiftleft(1L, cast(((id div 4) * 7 + 39) % 62 + 1 as int)), 0L)"""
+      val sigs = s.range(64).select(col("id"), expr(sigSql).as("sig"))
+      Dedup.hammingPairs(sigs, maxHamming = 3)
+        .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))
+    }),
+
+    // X5 brute-force cosine top-5 for query vectors vec_id < 10
+
+    // X5 brute-force cosine top-5 for query vectors vec_id < 10
+    "x05_knn_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Sim.knnBrute(emb.where(col("vec_id") < 10), emb, k = 5)
+        .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
+    }),
+
+    // X6 SRP-LSH approximate near-dup vector pairs — rows-only
+
+    // X6 SRP-LSH approximate near-dup vector pairs — rows-only
+    "x06_srp_neardup" -> ((s, d) =>
+      Sim.nearDupPairs(t(s, d, "embeddings"), threshold = 0.4)
+        .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
+
+    // X10 document fingerprint + SimHash signatures — rows-only
+
+    // X10 document fingerprint + SimHash signatures — rows-only
+    "x10_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.simhash64(col("text")).as("simhash"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X20 end-to-end near-dup dedup: LSH pairs → connected components
+    // → one representative per cluster (rows-only; semantics pinned
+    // by DedupSimSpec chain/cluster tests)
+
+    // X20 end-to-end near-dup dedup: LSH pairs → connected components
+    // → one representative per cluster (rows-only; semantics pinned
+    // by DedupSimSpec chain/cluster tests)
+    "x20_dedup_pipeline" -> ((s, d) =>
+      Dedup.dedupNearDups(t(s, d, "documents"), threshold = 0.5,
+        cacheKey = Some(s"docs:$d"))
+        .select(col("doc_id"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X16 exact char-4-gram Jaccard over a bounded pair set — full
+    // DuckDB oracle (shingle construction spelled out in SQL)
+
+    // X16 exact char-4-gram Jaccard over a bounded pair set — full
+    // DuckDB oracle (shingle construction spelled out in SQL)
+    "x16_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").where(col("doc_id") < 40 && length(col("text")) >= 4),
+        threshold = 0.2, shingleSize = 4, shingler = Text.charShingles)
+        .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
+
+    // X50 INCREMENTAL near-dup dedup: admit a new batch (doc_id in
+    // [300, 800)) against the already-admitted corpus (doc_id < 300)
+    // — drop batch docs with exact 5-gram Jaccard >= 0.5 vs ANY
+    // corpus doc, then keep the min-id representative per surviving
+    // intra-batch cluster. The oracle replays the exact all-pairs
+    // formulation (cross-drop anti-join + the same recursive-CTE
+    // components as x20); the hybrid verify matches it up to the
+    // ~2e-10-per-pair bound documented on lshHybridPairs. The batch is
+    // BOUNDED (like the x26/x27 audit populations) because the
+    // oracle's all-pairs side is quadratic in it: at the driver's
+    // sf0.01 correctness SF the bound is a no-op (documents end at
+    // 500), while at sf0.1 an unbounded batch made the DuckDB replay
+    // grind for an hour. The operator itself has no such bound — x20
+    // covers the growing-corpus path.
+
+    // X50 INCREMENTAL near-dup dedup: admit a new batch (doc_id in
+    // [300, 800)) against the already-admitted corpus (doc_id < 300)
+    // — drop batch docs with exact 5-gram Jaccard >= 0.5 vs ANY
+    // corpus doc, then keep the min-id representative per surviving
+    // intra-batch cluster. The oracle replays the exact all-pairs
+    // formulation (cross-drop anti-join + the same recursive-CTE
+    // components as x20); the hybrid verify matches it up to the
+    // ~2e-10-per-pair bound documented on lshHybridPairs. The batch is
+    // BOUNDED (like the x26/x27 audit populations) because the
+    // oracle's all-pairs side is quadratic in it: at the driver's
+    // sf0.01 correctness SF the bound is a no-op (documents end at
+    // 500), while at sf0.1 an unbounded batch made the DuckDB replay
+    // grind for an hour. The operator itself has no such bound — x20
+    // covers the growing-corpus path.
+    "x50_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupIncremental(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 800),
+        docs.where(col("doc_id") < 300),
+        threshold = 0.5,
+        corpusCacheKey = Some(s"inc_corpus:$d"))
+        .select(col("doc_id"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
+    // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=8),
+    // recall-gated vs the exact top-k: the IVF result rows are
+    // approximate, but recall@5 against knnBrute (itself hash-verified
+    // by x05's oracle) is the design guarantee — emitted as a bounded
+    // boolean the oracle pins TRUE next to the exact pair count it
+    // recomputes in SQL. Both index halves are cached per dataset dir
+    // as build artifacts: the trained quantizer AND the
+    // hive-partitioned inverted lists — the search reads only the
+    // probed lists' partitions (DPP pruning asserted in PlanSpec),
+    // the shape that survives 100 TB.
+    // Recall bound context (measured, tools/ProfileX14): the fixture
+    // embeddings are RANDOM vectors — no cluster structure, IVF's
+    // worst case — so recall@5 at nprobe=8/16 measures 0.78-0.86
+    // across sf; the gate bound is missed ≤ 20 (recall ≥ 0.6) to hold
+    // at every sf. x14b audits the design case (clustered vectors)
+    // with a tight bound.
+
+    // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=8),
+    // recall-gated vs the exact top-k: the IVF result rows are
+    // approximate, but recall@5 against knnBrute (itself hash-verified
+    // by x05's oracle) is the design guarantee — emitted as a bounded
+    // boolean the oracle pins TRUE next to the exact pair count it
+    // recomputes in SQL. Both index halves are cached per dataset dir
+    // as build artifacts: the trained quantizer AND the
+    // hive-partitioned inverted lists — the search reads only the
+    // probed lists' partitions (DPP pruning asserted in PlanSpec),
+    // the shape that survives 100 TB.
+    // Recall bound context (measured, tools/ProfileX14): the fixture
+    // embeddings are RANDOM vectors — no cluster structure, IVF's
+    // worst case — so recall@5 at nprobe=8/16 measures 0.78-0.86
+    // across sf; the gate bound is missed ≤ 20 (recall ≥ 0.6) to hold
+    // at every sf. x14b audits the design case (clustered vectors)
+    // with a tight bound.
+    "x14_ivf_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.indexFor(s"ivf16:$d", emb, k = 16, iters = 3)
+      val lists = stageIvfLists(s, d, s"ivf16:$d", idx)
+      val queries = emb.where(col("vec_id") < 10)
+      val ivf = Ivf.searchIndexed(queries, lists, idx, k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Sim.knnBrute(queries, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      recallGate(exact, ivf, maxMissed = 20L)
+    }),
+
+    // X14b IVF recall on CLUSTERED vectors — the operator's design
+    // case, over the x27-style deterministic synthetic corpus (12
+    // clusters of 8, mate cosine ≈ 1): probing nprobe=4 of 12 cells
+    // must recover ≥ 90% of the exact top-5 (which are all cluster
+    // mates). Engine-replayable, so the oracle recomputes the exact
+    // side and pins the bound.
+
+    // X14b IVF recall on CLUSTERED vectors — the operator's design
+    // case, over the x27-style deterministic synthetic corpus (12
+    // clusters of 8, mate cosine ≈ 1): probing nprobe=4 of 12 cells
+    // must recover ≥ 90% of the exact top-5 (which are all cluster
+    // mates). Engine-replayable, so the oracle recomputes the exact
+    // side and pins the bound.
+    "x14b_ivf_clustered_recall" -> ((s, d) => {
+      val synth = s.range(96)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            (((col("id") / 8).cast(LongType) * 31 + j * 7) % 13 - 6).cast(DoubleType)
+              + ((col("id") * 13 + j * 5) % 7 - 3).cast(DoubleType) / 1024.0)
+            .as("embedding"))
+      val idx = Ivf.indexFor("ivf-synth12", synth, k = 12, iters = 3)
+      val lists = stageIvfListsFor("ivf-synth12", synth, idx)
+      val queries = synth.where(col("vec_id") < 10)
+      val ivf = Ivf.searchIndexed(queries, lists, idx, k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Sim.knnBrute(queries, synth, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      recallGate(exact, ivf, maxMissed = 5L)
+    }),
+
+    // X26 LSH recall containment audit: every exact char-5-gram
+    // Jaccard ≥ 0.9 pair (the banding's design point: 16 bands × 8
+    // rows misses a j=0.9 pair w.p. ~1.2e-4) must appear in the LSH
+    // candidate set. The approximate operator (x03) can't have an
+    // equality oracle, but this containment CAN be gated exactly: the
+    // oracle recomputes the exact pair count and pins missed = 0 —
+    // recall enforced by the driver, not just ScalaTest. Bounded to
+    // doc_id < 200 — wide enough that the sf0.01 gate population
+    // actually CONTAINS j ≥ 0.9 pairs (3 of them; doc_id < 40 had
+    // none, which made the audit vacuous), small enough that the
+    // exact side stays crossJoin-safe.
+
+    // X26 LSH recall containment audit: every exact char-5-gram
+    // Jaccard ≥ 0.9 pair (the banding's design point: 16 bands × 8
+    // rows misses a j=0.9 pair w.p. ~1.2e-4) must appear in the LSH
+    // candidate set. The approximate operator (x03) can't have an
+    // equality oracle, but this containment CAN be gated exactly: the
+    // oracle recomputes the exact pair count and pins missed = 0 —
+    // recall enforced by the driver, not just ScalaTest. Bounded to
+    // doc_id < 200 — wide enough that the sf0.01 gate population
+    // actually CONTAINS j ≥ 0.9 pairs (3 of them; doc_id < 40 had
+    // none, which made the audit vacuous), small enough that the
+    // exact side stays crossJoin-safe.
+    "x26_lsh_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .where(col("doc_id") < 200 && length(col("text")) >= 5)
+      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9, shingleSize = 5,
+        shingler = Text.charShingles)
+        .localCheckpoint() // read twice below (count + anti-join)
+      val cand = Dedup.lshCandidates(docs, cacheKey = Some(s"docs200:$d"))
+      exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
+        .crossJoin(
+          exact.join(cand, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).cast(LongType).as("missed_pairs")))
+    }),
+
+    // X27 SRP recall containment audit (same idea for the vector
+    // near-dup path). The embedding FIXTURE has no high-cosine pairs
+    // at any scale factor (max pairwise cosine ≈ 0.46 — an audit over
+    // it is vacuous), so the audit runs on deterministic clustered
+    // vectors generated by pure integer/dyadic arithmetic on the row
+    // index — identical doubles in both engines, clusters of 4 with
+    // mate cosine ≥ 0.99999. Every exact cosine ≥ 0.999 pair must be
+    // an SRP band-join candidate: at that threshold the 6-band ×
+    // 10-bit banding misses a pair w.p. < 1e-5 (p = 1 − θ/π ≈ 0.986,
+    // (1 − p^10)^6), the same margin class as x26.
+
+    // X27 SRP recall containment audit (same idea for the vector
+    // near-dup path). The embedding FIXTURE has no high-cosine pairs
+    // at any scale factor (max pairwise cosine ≈ 0.46 — an audit over
+    // it is vacuous), so the audit runs on deterministic clustered
+    // vectors generated by pure integer/dyadic arithmetic on the row
+    // index — identical doubles in both engines, clusters of 4 with
+    // mate cosine ≥ 0.99999. Every exact cosine ≥ 0.999 pair must be
+    // an SRP band-join candidate: at that threshold the 6-band ×
+    // 10-bit banding misses a pair w.p. < 1e-5 (p = 1 − θ/π ≈ 0.986,
+    // (1 − p^10)^6), the same margin class as x26.
+    "x27_srp_recall" -> ((s, d) => {
+      val synth = s.range(60)
+        .select(col("id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            (((col("id") / 4).cast(LongType) * 31 + j * 7) % 13 - 6).cast(DoubleType)
+              + ((col("id") * 13 + j * 5) % 7 - 3).cast(DoubleType) / 1024.0)
+            .as("v"))
+      val exact = synth.select(col("id").as("id_a"), col("v").as("v_a"))
+        .crossJoin(synth.select(col("id").as("id_b"), col("v").as("v_b")))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.expressions.NativeVector.cosineSim(col("v_a"), col("v_b")), 6)
+            .as("sim"))
+        .where(col("sim") >= 0.999)
+        .localCheckpoint() // read twice below (count + anti-join)
+      val cand = Sim.srpCandidates(synth, idCol = "id", vecCol = "v")
+      exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
+        .crossJoin(
+          exact.join(cand, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).cast(LongType).as("missed_pairs")))
+    }),
+
+    // X29 [skew] two-phase salted aggregation through the gate: the
+    // hot-key mitigation (group on (key, salt) first, re-aggregate on
+    // the key) must be result-invariant to salting — pinned against
+    // the plain GROUP BY oracle.
+
+    // X29 [skew] two-phase salted aggregation through the gate: the
+    // hot-key mitigation (group on (key, salt) first, re-aggregate on
+    // the key) must be result-invariant to salting — pinned against
+    // the plain GROUP BY oracle.
+    "x29_salted_agg" -> ((s, d) =>
+      graft.operators.SkewJoin.saltedSumAgg(t(s, d, "events"), "user_id",
+        salts = 8, Seq("value"))
+        .select(col("user_id"), col("cnt").cast(LongType).as("cnt"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(asc_nulls_first("user_id"))),
+
+    // X35 train/test decontamination: test-split documents whose
+    // word 8-grams appear in any train-split document (the standard
+    // pre-training overlap check). Split assignment and the n-gram
+    // stream are both engine-replayable, so the oracle recomputes the
+    // full overlap exactly.
+
+    // X35 train/test decontamination: test-split documents whose
+    // word 8-grams appear in any train-split document (the standard
+    // pre-training overlap check). Split assignment and the n-gram
+    // stream are both engine-replayable, so the oracle recomputes the
+    // full overlap exactly.
+    "x35_decontamination" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val docs = graft.operators.Splits.hashSplit(
+        t(s, d, "documents"), "doc_id", splits, "v1")
+      graft.operators.Decontaminate.ngramOverlap(
+        docs, "split", "train", "test", n = 8)
+        .select(col("doc_id"), col("n_hits").cast(LongType).as("n_hits"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x16_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 2),
+                    i -> substr(lower(text), CAST(i AS INT), 4))) AS s
+           FROM documents WHERE doc_id < 40 AND length(text) >= 4),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a, sh b WHERE a.id < b.id)
+         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
+         ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""",
+    "x01_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
+         GROUP BY text ORDER BY doc_id NULLS FIRST""",
+    // fingerprint groups ≡ equality of the normalized token stream:
+    // lowercase, collapse whitespace runs, trim (collision-free at
+    // fixture scale by construction of the 64-bit hash chain)
+    // fingerprint groups ≡ equality of the normalized token stream:
+    // lowercase, collapse whitespace runs, trim (collision-free at
+    // fixture scale by construction of the 64-bit hash chain)
+    "x02_dedup_fingerprint" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_dups
+         FROM documents
+         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         ORDER BY doc_id NULLS FIRST""",
+    // all-pairs exact char-5-gram Jaccard ≥ 0.5 → recursive-CTE
+    // connected components → survivors = docs that are not a non-min
+    // member of any component (LSH recall at the fixture's j≥0.9 dup
+    // pairs is ~1, so candidate banding loses nothing — verified here)
+    // all-pairs exact char-5-gram Jaccard ≥ 0.5 → recursive-CTE
+    // connected components → survivors = docs that are not a non-min
+    // member of any component (LSH recall at the fixture's j≥0.9 dup
+    // pairs is ~1, so candidate banding loses nothing — verified here)
+    "x20_dedup_pipeline" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 3),
+                    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+           FROM documents WHERE length(text) >= 5),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM sh a, sh b WHERE a.id < b.id
+             AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         e AS (SELECT id_a AS s, id_b AS r FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s AS id, r FROM e
+           UNION
+           SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
+         comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)
+         ORDER BY doc_id NULLS FIRST""",
+    "x05_knn_cosine" -> knnOracleSql,
+    // exact all-pairs replay of the incremental dedup: cross-drop vs
+    // the corpus, then x20's recursive-CTE components over survivors
+    // exact all-pairs replay of the incremental dedup: cross-drop vs
+    // the corpus, then x20's recursive-CTE components over survivors
+    "x50_incremental_dedup" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 3),
+                    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+           FROM documents WHERE length(text) >= 5),
+         bsh AS (SELECT * FROM sh WHERE id >= 300 AND id < 800),
+         csh AS (SELECT * FROM sh WHERE id < 300),
+         cross_drop AS (
+           SELECT DISTINCT b.id
+           FROM bsh b, csh c
+           WHERE ROUND(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(b.s, c.s))), 4) >= 0.5),
+         surv AS (SELECT * FROM bsh
+                  WHERE id NOT IN (SELECT id FROM cross_drop)),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM surv a, surv b WHERE a.id < b.id
+             AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         e AS (SELECT id_a AS s, id_b AS r FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s AS id, r FROM e
+           UNION
+           SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
+         comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 300 AND doc_id < 800
+           AND doc_id NOT IN (SELECT id FROM cross_drop)
+           AND doc_id NOT IN (SELECT id FROM comp WHERE c < id)
+         ORDER BY doc_id NULLS FIRST""",
+    // full-equality audit over synthetic signatures: DuckDB recomputes
+    // the same deterministic sigs and the exact Hamming pair set
+    // full-equality audit over synthetic signatures: DuckDB recomputes
+    // the same deterministic sigs and the exact Hamming pair set
+    "x04_simhash_pairs" ->
+      """WITH g AS (SELECT unnest(range(64)) AS id),
+         s AS (SELECT id,
+           xor(xor(xor(
+             xor((id // 4) * 2654435761, ((id // 4) * 40503) << 20),
+             CASE WHEN id % 4 > 0 THEN 1::BIGINT << CAST(((id // 4) * 7 + 5) % 62 + 1 AS INT) ELSE 0 END),
+             CASE WHEN id % 4 > 1 THEN 1::BIGINT << CAST(((id // 4) * 7 + 22) % 62 + 1 AS INT) ELSE 0 END),
+             CASE WHEN id % 4 > 2 THEN 1::BIGINT << CAST(((id // 4) * 7 + 39) % 62 + 1 AS INT) ELSE 0 END) AS sig
+          FROM g)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM s a, s b
+         WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""",
+    // recall audit vs the exact top-k the x05 oracle already verifies:
+    // oracle recomputes the exact pair count and pins the recall bound
+    // recall audit vs the exact top-k the x05 oracle already verifies:
+    // oracle recomputes the exact pair count and pins the recall bound
+    "x14_ivf_knn" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_inner_product(q.e, c.e) /
+                        (sqrt(list_inner_product(q.e, q.e)) *
+                         sqrt(list_inner_product(c.e, c.e))), 4) AS sim
+           FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         topk AS (
+           SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk FROM pairs) t
+           WHERE rnk <= 5)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+         FROM topk""",
+    "x14b_ivf_clustered_recall" ->
+      """WITH g AS (SELECT unnest(range(96)) AS id),
+         v AS (SELECT id, list_transform(range(16), j ->
+                 CAST((id // 8) * 31 + j * 7 AS BIGINT) % 13 - 6 +
+                 (CAST(id * 13 + j * 5 AS BIGINT) % 7 - 3) / 1024.0) AS e
+               FROM g),
+         pairs AS (
+           SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ROUND(list_inner_product(q.e, c.e) /
+                        (sqrt(list_inner_product(q.e, q.e)) *
+                         sqrt(list_inner_product(c.e, c.e))), 4) AS sim
+           FROM v q, v c WHERE q.id < 10 AND c.id <> q.id),
+         topk AS (
+           SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk FROM pairs) t
+           WHERE rnk <= 5)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+         FROM topk""",
+    // containment audits: the oracle recomputes the exact pair count
+    // (the approximate operators' design target) and pins missed = 0
+    // containment audits: the oracle recomputes the exact pair count
+    // (the approximate operators' design target) and pins missed = 0
+    "x26_lsh_recall" ->
+      """WITH sh AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, length(text) - 3),
+                    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+           FROM documents WHERE doc_id < 200 AND length(text) >= 5),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a, sh b WHERE a.id < b.id)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                CAST(0 AS BIGINT) AS missed_pairs
+         FROM pairs WHERE jaccard >= 0.9""",
+    "x27_srp_recall" ->
+      """WITH g AS (SELECT unnest(range(60)) AS id),
+         v AS (SELECT id, list_transform(range(16), j ->
+                 CAST((id // 4) * 31 + j * 7 AS BIGINT) % 13 - 6 +
+                 (CAST(id * 13 + j * 5 AS BIGINT) % 7 - 3) / 1024.0) AS e
+               FROM g),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  ROUND(list_inner_product(a.e, b.e) /
+                        (sqrt(list_inner_product(a.e, a.e)) *
+                         sqrt(list_inner_product(b.e, b.e))), 6) AS sim
+           FROM v a, v b WHERE a.id < b.id)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                CAST(0 AS BIGINT) AS missed_pairs
+         FROM pairs WHERE sim >= 0.999""",
+    "x35_decontamination" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      s"""WITH tk AS (
+           SELECT doc_id, $splitExpr AS split,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, split,
+                  unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2] || ' ' || ts[CAST(i AS INT) + 3] || ' ' || ts[CAST(i AS INT) + 4] || ' ' || ts[CAST(i AS INT) + 5] || ' ' || ts[CAST(i AS INT) + 6] || ' ' || ts[CAST(i AS INT) + 7]))) AS gram
+           FROM tk WHERE len(ts) >= 8),
+         tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM g WHERE split = 'test' AND gram IN (SELECT gram FROM tr)
+         GROUP BY doc_id ORDER BY doc_id NULLS FIRST"""
+    },
+    "x29_salted_agg" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+  )
+}

@@ -1,0 +1,348 @@
+package graft.gates
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Ivf, Sim, Text}
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
+import graft.ops.{Dims, Quality}
+import graft.sources.Tables
+
+/** Corpus mixing/packing gates: splits, shuffling, caps, epochs,
+  * token budgets, sequence packing, quantization, vector mean.
+  *
+  * Split out of SparkEntry (one gate map per operator family); the
+  * driver contract is still the combined SparkEntry.queries /
+  * SparkEntry.oracleSql. Helpers and shared oracle CTEs live in
+  * [[GateSupport]].
+  */
+private[graft] object MixingGates {
+  import GateSupport._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X30 [storage scale] symmetric int8 embedding quantization:
+    // codes = floor(x/scale + 0.5) with scale = max|x|/127 (4-8×
+    // storage reduction for ANN corpora). The gate checks per-vector
+    // scale and the max reconstruction error — which the design bounds
+    // by scale/2 — against an oracle replaying the same arithmetic.
+
+    // X30 [storage scale] symmetric int8 embedding quantization:
+    // codes = floor(x/scale + 0.5) with scale = max|x|/127 (4-8×
+    // storage reduction for ANN corpora). The gate checks per-vector
+    // scale and the max reconstruction error — which the design bounds
+    // by scale/2 — against an oracle replaying the same arithmetic.
+    "x30_quantize" -> ((s, d) => {
+      val e = Sim.asDouble(col("embedding"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), e.as("e"))
+        .withColumn("sc", Sim.quantScale(col("e")))
+        .withColumn("qv", Sim.quantize(col("e"), col("sc")))
+        .select(col("vec_id"),
+          round(col("sc"), 6).as("scale"),
+          round(aggregate(
+            zip_with(col("e"), Sim.dequantize(col("qv"), col("sc")),
+              (a, r) => abs(a - r)),
+            lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_err"))
+        .orderBy(asc_nulls_first("vec_id"))
+    }),
+
+    // X36 sequence packing: documents → fixed-2048-token training
+    // sequences, packed contiguously per (split, hash-shard) in
+    // doc_id order — the shard-parallel form, so the 80% train split
+    // sorts on 16 tasks, not one, and seq_id ranges are disjoint per
+    // shard. Oracle replays the identical two-level window + shard
+    // CASE (same md5-hex buckets).
+
+    // X36 sequence packing: documents → fixed-2048-token training
+    // sequences, packed contiguously per (split, hash-shard) in
+    // doc_id order — the shard-parallel form, so the 80% train split
+    // sorts on 16 tasks, not one, and seq_id ranges are disjoint per
+    // shard. Oracle replays the identical two-level window + shard
+    // CASE (same md5-hex buckets).
+    "x36_seq_packing" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val docs = graft.operators.Splits.hashSplit(
+        t(s, d, "documents"), "doc_id", splits, "v1")
+        .select(col("doc_id"), col("split"),
+          graft.functions.Text.tokenCount(col("text")).as("nt"))
+      graft.operators.Packing.contiguousSharded(
+          docs, "split", "doc_id", "nt", 2048L, nShards = 16, salt = "pack")
+        .groupBy(col("split"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast(LongType).as("n_tokens"))
+        .orderBy(asc_nulls_first("split"), asc_nulls_first("seq_id"))
+    }),
+
+    // X37 deterministic domain mixing: per-source sampling rates as a
+    // pure function of (salt, doc_id) — the mixture-weights stage of a
+    // training pipeline. Same md5-hex-bucket construction as x24, so
+    // the oracle evaluates the identical predicate.
+
+    // X37 deterministic domain mixing: per-source sampling rates as a
+    // pure function of (salt, doc_id) — the mixture-weights stage of a
+    // training pipeline. Same md5-hex-bucket construction as x24, so
+    // the oracle evaluates the identical predicate.
+    "x37_domain_mix" -> ((s, d) => {
+      val rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+      graft.operators.Mixing.weightedSample(t(s, d, "documents"),
+          "source", "doc_id", rates, defaultRate = 0.02, salt = "mix1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).cast(LongType).as("min_id"),
+          max(col("doc_id")).cast(LongType).as("max_id"))
+        .orderBy(asc_nulls_first("source"))
+    }),
+
+    // X38 deterministic corpus shuffle: ORDER BY seeded md5(key) —
+    // executed as range-partition + local sort, the scale-correct
+    // global shuffle. The head-25 emission pins the ORDER itself
+    // (the driver's compare is otherwise order-insensitive); the
+    // operator drops its helper sort key, so the gate re-derives it
+    // from (salt, key) to pin the key values too.
+
+    // X38 deterministic corpus shuffle: ORDER BY seeded md5(key) —
+    // executed as range-partition + local sort, the scale-correct
+    // global shuffle. The head-25 emission pins the ORDER itself
+    // (the driver's compare is otherwise order-insensitive); the
+    // operator drops its helper sort key, so the gate re-derives it
+    // from (salt, key) to pin the key values too.
+    "x38_corpus_shuffle" -> ((s, d) =>
+      graft.operators.Mixing.shuffled(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", salt = "shuf1")
+        .limit(25)
+        .withColumn("shuffle_key",
+          md5(concat(lit("shuf1"), col("doc_id").cast("string"))))),
+
+    // X39 per-domain cap: at most 10 docs per source, selected as the
+    // 10 smallest seeded hashes via the bounded-heap TopK UDAF (map
+    // partitions forward ≤k candidates per domain — no per-domain
+    // window sort of the corpus). sum(doc_id) pins exact membership.
+
+    // X39 per-domain cap: at most 10 docs per source, selected as the
+    // 10 smallest seeded hashes via the bounded-heap TopK UDAF (map
+    // partitions forward ≤k candidates per domain — no per-domain
+    // window sort of the corpus). sum(doc_id) pins exact membership.
+    "x39_domain_cap" -> ((s, d) =>
+      graft.operators.Mixing.capPerDomain(t(s, d, "documents"),
+          "source", "doc_id", k = 10, salt = "cap1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast(LongType).as("id_sum"))
+        .orderBy(asc_nulls_first("source"))),
+
+    // X40 per-domain epoch repetition (the "domain d runs f_d epochs"
+    // mixture spec; fractional last epoch at a deterministic hash
+    // rate). Grouped by (source, epoch) so full copies AND the
+    // fractional tail are each pinned exactly.
+
+    // X40 per-domain epoch repetition (the "domain d runs f_d epochs"
+    // mixture spec; fractional last epoch at a deterministic hash
+    // rate). Grouped by (source, epoch) so full copies AND the
+    // fractional tail are each pinned exactly.
+    "x40_domain_epochs" -> ((s, d) =>
+      graft.operators.Mixing.epochs(t(s, d, "documents"),
+          "source", "doc_id",
+          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
+          defaultFactor = 1.0, salt = "rep1")
+        .groupBy(col("source"), col("epoch").cast(LongType).as("epoch"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast(LongType).as("id_sum"))
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("epoch"))),
+
+    // X43 deterministic token-budget selection: greedy prefix of the
+    // seeded-hash order per domain until the budget would be passed —
+    // "take N tokens of domain d". Budgets chosen so the gate
+    // exercises partial take (src0), near-empty take (src1), zero
+    // budget (src2 absent from output), and the default (others).
+
+    // X43 deterministic token-budget selection: greedy prefix of the
+    // seeded-hash order per domain until the budget would be passed —
+    // "take N tokens of domain d". Budgets chosen so the gate
+    // exercises partial take (src0), near-empty take (src1), zero
+    // budget (src2 absent from output), and the default (others).
+    "x43_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("nt", graft.functions.Text.tokenCount(col("text")))
+      graft.operators.Mixing.tokenBudget(docs, "source", "doc_id", "nt",
+          Seq("src0" -> 700L, "src1" -> 200L, "src2" -> 0L),
+          defaultBudget = 600L, salt = "tb1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("nt")).cast(LongType).as("tok"))
+        .orderBy(asc_nulls_first("source"))
+    }),
+
+    // X43b the same token-budget selection through the SHARDED
+    // two-level cumsum (shard-local prefix sums + broadcast shard
+    // offsets — no single task sorts a hot domain): output is
+    // identical to x43 by construction, so it shares x43's oracle —
+    // the gate proves the scale-shaped path, not just the property
+    // test.
+
+    // X43b the same token-budget selection through the SHARDED
+    // two-level cumsum (shard-local prefix sums + broadcast shard
+    // offsets — no single task sorts a hot domain): output is
+    // identical to x43 by construction, so it shares x43's oracle —
+    // the gate proves the scale-shaped path, not just the property
+    // test.
+    "x43b_token_budget_sharded" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("nt", graft.functions.Text.tokenCount(col("text")))
+      graft.operators.Mixing.tokenBudgetSharded(docs, "source", "doc_id", "nt",
+          Seq("src0" -> 700L, "src1" -> 200L, "src2" -> 0L),
+          defaultBudget = 600L, salt = "tb1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("nt")).cast(LongType).as("tok"))
+        .orderBy(asc_nulls_first("source"))
+    }),
+
+    // X24 deterministic train/val/test split (md5 hex buckets —
+    // map-only, engine-portable, stable under corpus growth; the
+    // oracle derives the identical assignment from the same
+    // generated CASE expression)
+
+    // X24 deterministic train/val/test split (md5 hex buckets —
+    // map-only, engine-portable, stable under corpus growth; the
+    // oracle derives the identical assignment from the same
+    // generated CASE expression)
+    "x24_hash_split" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      graft.operators.Splits.hashSplit(t(s, d, "documents"), "doc_id", splits, "v1")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).cast("long").as("min_id"),
+          max(col("doc_id")).cast("long").as("max_id"))
+        .orderBy(asc_nulls_first("split"))
+    }),
+
+    // X23 [A6 UDAF] mean-pooled embedding per label (class prototype)
+    // through the VectorMean Aggregator — buffer is one vector+count,
+    // so the shuffle carries one partial row per (partition, label)
+    // instead of N·dim exploded rows. Elements pre-rounded with the
+    // explicit half-up formula and fixed-formatted on both sides so
+    // the array canonicalization is engine-exact.
+
+    // X23 [A6 UDAF] mean-pooled embedding per label (class prototype)
+    // through the VectorMean Aggregator — buffer is one vector+count,
+    // so the shuffle carries one partial row per (partition, label)
+    // instead of N·dim exploded rows. Elements pre-rounded with the
+    // explicit half-up formula and fixed-formatted on both sides so
+    // the array canonicalization is engine-exact.
+    "x23_vector_mean" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val canon = (x: Column) =>
+        format_string("%.4f", floor(x * 10000 + lit(0.5)) / 10000)
+      emb.select(col("label"), Sim.asDouble(col("embedding")).as("v"))
+        .groupBy("label")
+        .agg(graft.functions.VectorAgg.meanVec(col("v")).as("mv"),
+          count(lit(1)).cast("long").as("n"))
+        .select(col("label").cast("long").as("label"),
+          array_join(transform(col("mv"), canon), ",").as("mean_vec"),
+          col("n"))
+        .orderBy(asc_nulls_first("label"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x24_hash_split" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      s"""SELECT $splitExpr AS split, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                 CAST(MAX(doc_id) AS BIGINT) AS max_id
+          FROM documents GROUP BY 1 ORDER BY split NULLS FIRST"""
+    },
+    "x23_vector_mean" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         u AS (SELECT label,
+                 unnest(list_transform(range(1, len(v) + 1),
+                   i -> {'p': i, 'x': v[CAST(i AS INT)]})) AS s
+               FROM e),
+         a AS (SELECT label, s.p AS p, avg(s.x) AS m FROM u GROUP BY 1, 2),
+         l AS (SELECT label,
+                 list(printf('%.4f', floor(m * 10000 + 0.5) / 10000) ORDER BY p) AS mv
+               FROM a GROUP BY 1),
+         c AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1)
+         SELECT CAST(l.label AS BIGINT) AS label,
+                array_to_string(l.mv, ',') AS mean_vec,
+                CAST(c.n AS BIGINT) AS n
+         FROM l JOIN c USING (label)
+         ORDER BY label NULLS FIRST""",
+    "x37_domain_mix" -> {
+      val pred = graft.operators.Mixing.sampleSql("source", "doc_id",
+        Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+        defaultRate = 0.02, salt = "mix1")
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                 CAST(MAX(doc_id) AS BIGINT) AS max_id
+          FROM documents WHERE $pred
+          GROUP BY source ORDER BY source NULLS FIRST"""
+    },
+    "x38_corpus_shuffle" ->
+      """SELECT doc_id,
+                md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents ORDER BY shuffle_key LIMIT 25""",
+    "x43_token_budget" -> tokenBudgetOracleSql,
+    // the sharded two-level form is output-identical by construction,
+    // so it gates against the very same single-window oracle
+    // the sharded two-level form is output-identical by construction,
+    // so it gates against the very same single-window oracle
+    "x43b_token_budget_sharded" -> tokenBudgetOracleSql,
+    "x39_domain_cap" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM (SELECT * FROM documents
+               QUALIFY row_number() OVER (PARTITION BY source
+                 ORDER BY substr(md5('cap1' || CAST(doc_id AS VARCHAR)), 1, 8),
+                          doc_id) <= 10)
+         GROUP BY source ORDER BY source NULLS FIRST""",
+    "x40_domain_epochs" -> {
+      val (maxEpochs, pred) = graft.operators.Mixing.epochsSql(
+        "source", "doc_id",
+        Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
+        defaultFactor = 1.0, salt = "rep1")
+      s"""SELECT source, CAST(epoch AS BIGINT) AS epoch,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(0, $maxEpochs)) AS epoch) e
+          WHERE $pred
+          GROUP BY source, epoch
+          ORDER BY source NULLS FIRST, epoch NULLS FIRST"""
+    },
+    "x36_seq_packing" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      val shardExpr = graft.operators.Packing.shardSql("doc_id", 16, "pack")
+      s"""WITH tk AS (
+           SELECT doc_id, $splitExpr AS split, $shardExpr AS shard,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         o AS (
+           SELECT split, shard, doc_id, nt,
+                  COALESCE(SUM(nt) OVER (PARTITION BY split, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM tk)
+         SELECT split, CAST(FLOOR(off / 2048) * 16 + shard AS BIGINT) AS seq_id,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens
+         FROM o GROUP BY 1, 2
+         ORDER BY split NULLS FIRST, seq_id NULLS FIRST"""
+    },
+    "x30_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         s AS (SELECT vec_id, e,
+                      list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+               FROM v),
+         q AS (SELECT vec_id, e, sc,
+                      list_transform(e, x -> CASE WHEN sc > 0
+                        THEN floor(x / sc + 0.5) ELSE 0.0 END) AS qv
+               FROM s)
+         SELECT vec_id, ROUND(sc, 6) AS scale,
+                ROUND(list_max(list_transform(range(1, len(e) + 1),
+                  i -> abs(e[CAST(i AS INT)] - qv[CAST(i AS INT)] * sc))), 6) AS max_err
+         FROM q ORDER BY vec_id NULLS FIRST""",
+  )
+}

@@ -1,0 +1,389 @@
+package graft.gates
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Ivf, Sim, Text}
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
+import graft.ops.{Dims, Quality}
+import graft.sources.Tables
+
+/** Streaming + temporal gates: windowed/session aggregation, stream
+  * dedup/enrich/totals, stream-stream interval joins, as-of joins,
+  * sessionization.
+  *
+  * Split out of SparkEntry (one gate map per operator family); the
+  * driver contract is still the combined SparkEntry.queries /
+  * SparkEntry.oracleSql. Helpers and shared oracle CTEs live in
+  * [[GateSupport]].
+  */
+private[graft] object StreamingGates {
+  import GateSupport._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X11 as-of join: latest order at-or-before each event, per user
+
+    // X11 as-of join: latest order at-or-before each event, per user
+    "x11_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asOf(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(asc_nulls_first("event_id"))
+    }),
+
+    // X11b forward as-of: earliest order at-or-after each event —
+    // the direction that was previously only ScalaTest-covered
+    // (DuckDB's ASOF expresses it with the <= inequality)
+
+    // X11b forward as-of: earliest order at-or-after each event —
+    // the direction that was previously only ScalaTest-covered
+    // (DuckDB's ASOF expresses it with the <= inequality)
+    "x11b_asof_forward" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asOf(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate"), direction = "forward")
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(asc_nulls_first("event_id"))
+    }),
+
+    // X12 sessionization (10-minute inactivity gap) via session_window
+
+    // X12 sessionization (10-minute inactivity gap) via session_window
+    "x12_sessionize" -> ((s, d) =>
+      Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))),
+
+    // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
+    // gate: events replayed as a parquet stream, complete-mode hourly
+    // aggregate, memory sink — must equal the q18 batch oracle.
+
+    // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
+    // gate: events replayed as a parquet stream, complete-mode hourly
+    // aggregate, memory sink — must equal the q18 batch oracle.
+    "x13_stream_hourly" -> ((s, d) => {
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, 4) {
+        val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
+          .parquet(staged)
+          .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        withCheckpoint { ckpt =>
+          val q = agg.writeStream.outputMode("complete").format("memory")
+            .queryName("x13_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x13_out")
+        .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))
+    }),
+
+    // X18 [ST3,ST4,ST5] STATEFUL streaming through the gate: session
+    // windows in append mode — only watermark-closed sessions emit;
+    // the oracle replicates the emission rule (session_last + gap <
+    // max_ts - delay) on top of gaps-and-islands sessionization.
+
+    // X18 [ST3,ST4,ST5] STATEFUL streaming through the gate: session
+    // windows in append mode — only watermark-closed sessions emit;
+    // the oracle replicates the emission rule (session_last + gap <
+    // max_ts - delay) on top of gaps-and-islands sessionization.
+    "x18_stream_sessions" -> ((s, d) => {
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, 4) {
+        val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
+          .parquet(staged)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("n_events"), col("v"))
+        withCheckpoint { ckpt =>
+          val q = agg.writeStream.outputMode("append").format("memory")
+            .queryName("x18_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x18_out")
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))
+    }),
+
+    // X28 [ST5+] STREAMING DEDUP through the gate: first-occurrence
+    // key dedup over the event stream — the streaming form of exact
+    // dedup for incremental corpus ingestion (state = the distinct
+    // key set, exactly what the batch operator would shuffle; grows
+    // with key cardinality, not stream length). The emitted set is
+    // deterministic regardless of arrival order, so the batch
+    // DISTINCT oracle applies.
+
+    // X28 [ST5+] STREAMING DEDUP through the gate: first-occurrence
+    // key dedup over the event stream — the streaming form of exact
+    // dedup for incremental corpus ingestion (state = the distinct
+    // key set, exactly what the batch operator would shuffle; grows
+    // with key cardinality, not stream length). The emitted set is
+    // deterministic regardless of arrival order, so the batch
+    // DISTINCT oracle applies.
+    "x28_stream_dedup" -> ((s, d) => {
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, 4) {
+        val dedup = s.readStream.schema(graft.streaming.EventStreams.schema)
+          .parquet(staged)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+        withCheckpoint { ckpt =>
+          val q = dedup.writeStream.outputMode("append").format("memory")
+            .queryName("x28_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x28_out")
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
+    }),
+
+    // X32 [ST+] stream-static enrichment join: the event stream joins
+    // a broadcast static dimension mid-stream (the standard streaming
+    // enrichment shape — dim lookup per micro-batch, no stream-side
+    // state), then aggregates per dimension label in complete mode.
+    // Oracle = the identical batch join+aggregate.
+
+    // X32 [ST+] stream-static enrichment join: the event stream joins
+    // a broadcast static dimension mid-stream (the standard streaming
+    // enrichment shape — dim lookup per micro-batch, no stream-side
+    // state), then aggregates per dimension label in complete mode.
+    // Oracle = the identical batch join+aggregate.
+    "x32_stream_enrich" -> ((s, d) => {
+      val staged = stageEvents(s, d)
+      val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      withStreamPartitions(s, 4) {
+        val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
+          .parquet(staged)
+          .withColumn("nk", col("user_id") % 25)
+          .join(broadcast(nation), col("nk") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        withCheckpoint { ckpt =>
+          val q = agg.writeStream.outputMode("complete").format("memory")
+            .queryName("x32_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x32_out").orderBy(asc_nulls_first("n_name"))
+    }),
+
+    // X47 STREAM-STREAM interval join through the gate: views pair
+    // with the same user's clicks within the following hour, both
+    // sides watermarked so join state stays bounded. An inner
+    // stream-stream join emits exactly the matching pairs, so the
+    // batch join oracle applies regardless of micro-batch boundaries;
+    // per-user id sums pin exact pair membership.
+
+    // X47 STREAM-STREAM interval join through the gate: views pair
+    // with the same user's clicks within the following hour, both
+    // sides watermarked so join state stays bounded. An inner
+    // stream-stream join emits exactly the matching pairs, so the
+    // batch join oracle applies regardless of micro-batch boundaries;
+    // per-user id sums pin exact pair membership.
+    "x47_stream_interval_join" -> ((s, d) => {
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, 4) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema).parquet(staged)
+          val q = graft.streaming.EventStreams.viewClickJoin(events, 60)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("x47_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x47_out")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("view_id")).cast(LongType).as("view_id_sum"),
+          sum(col("click_id")).cast(LongType).as("click_id_sum"))
+        .orderBy(asc_nulls_first("user_id"))
+    }),
+
+    // X47B stream-stream LEFT OUTER interval join: unmatched views
+    // must ALSO emit (with a NULL click) — which only happens when a
+    // later batch's watermark proves them unmatched, hence the
+    // sentinel staging (see stageEventsWithSentinel). The aggregated
+    // result must hash-match the complete batch left join replayed by
+    // the oracle: unmatched counts included, so dropped-or-spurious
+    // nulls cannot hide.
+
+    // X47B stream-stream LEFT OUTER interval join: unmatched views
+    // must ALSO emit (with a NULL click) — which only happens when a
+    // later batch's watermark proves them unmatched, hence the
+    // sentinel staging (see stageEventsWithSentinel). The aggregated
+    // result must hash-match the complete batch left join replayed by
+    // the oracle: unmatched counts included, so dropped-or-spurious
+    // nulls cannot hide.
+    "x47b_stream_outer_join" -> ((s, d) => {
+      val staged = stageEventsWithSentinel(s, d)
+      withStreamPartitions(s, 4) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged)
+          val q = graft.streaming.EventStreams
+            .viewClickJoin(events, 60, joinType = "left_outer")
+            .writeStream.outputMode("append").format("memory")
+            .queryName("x47b_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x47b_out").where(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L))
+            .cast(LongType).as("n_unmatched"),
+          sum(col("view_id")).cast(LongType).as("view_id_sum"),
+          coalesce(sum(col("click_id")), lit(0L))
+            .cast(LongType).as("click_id_sum"))
+        .orderBy(asc_nulls_first("user_id"))
+    }),
+
+    // X42 [ST5] the custom keyed state machine through the gate:
+    // flatMapGroupsWithState running per-user totals in Update mode.
+    // Each snapshot's n strictly grows per user, so max(struct(n,
+    // total)) picks the FINAL state even when multiple micro-batches
+    // emit intermediate snapshots — the batch GROUP BY oracle applies
+    // regardless of batch boundaries.
+
+    // X42 [ST5] the custom keyed state machine through the gate:
+    // flatMapGroupsWithState running per-user totals in Update mode.
+    // Each snapshot's n strictly grows per user, so max(struct(n,
+    // total)) picks the FINAL state even when multiple micro-batches
+    // emit intermediate snapshots — the batch GROUP BY oracle applies
+    // regardless of batch boundaries.
+    "x42_stream_totals" -> ((s, d) => {
+      import s.implicits._
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, 4) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema).parquet(staged)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.runningTotals(events)
+            .toDF().writeStream.outputMode("update").format("memory")
+            .queryName("x42_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x42_out")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("total"))).as("last"))
+        .select(col("user_id"), col("last.n").as("n"),
+          round(col("last.total"), 2).as("total"))
+        .orderBy(asc_nulls_first("user_id"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x11_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, o.o_orderkey, o.o_orderdate
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id NULLS FIRST""",
+    "x11b_asof_forward" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, o.o_orderkey, o.o_orderdate
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+         ORDER BY e.event_id NULLS FIRST""",
+    "x18_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                       WHEN ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1
+                       ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+         sess AS (
+           SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+                  CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS v
+           FROM s GROUP BY user_id, sid)
+         SELECT user_id, session_start, n_events, v FROM sess
+         WHERE session_last + INTERVAL 10 MINUTE <
+               (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+         ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""",
+    "x28_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",
+    "x32_stream_enrich" ->
+      """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(e.value), 2) AS v
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name NULLS FIRST""",
+    "x42_stream_totals" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(SUM(value), 2) AS total
+         FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    // batch replay of the stream-stream interval join: inner joins
+    // emit exactly the matching pairs, independent of batching
+    // batch replay of the stream-stream interval join: inner joins
+    // emit exactly the matching pairs, independent of batching
+    "x47_stream_interval_join" ->
+      """WITH p AS (
+           SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+           FROM events v JOIN events c
+             ON v.user_id = c.user_id
+            AND v.event_type = 'view' AND c.event_type = 'click'
+            AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(view_id) AS BIGINT) AS view_id_sum,
+                CAST(SUM(click_id) AS BIGINT) AS click_id_sum
+         FROM p GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    "x47b_stream_outer_join" ->
+      """WITH p AS (
+           SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+           FROM (SELECT * FROM events WHERE event_type = 'view') v
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON v.user_id = c.user_id
+            AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unmatched,
+                CAST(SUM(view_id) AS BIGINT) AS view_id_sum,
+                CAST(COALESCE(SUM(click_id), 0) AS BIGINT) AS click_id_sum
+         FROM p GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    "x13_stream_hourly" ->
+      """SELECT DATE_TRUNC('HOUR', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v
+         FROM events GROUP BY 1, 2
+         ORDER BY h NULLS FIRST, event_type NULLS FIRST""",
+    "x12_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                       WHEN ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1
+                       ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+         SELECT user_id, MIN(ts) AS session_start,
+                CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS v
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""",
+  )
+}

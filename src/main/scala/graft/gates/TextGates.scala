@@ -1,0 +1,349 @@
+package graft.gates
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Ivf, Sim, Text}
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
+import graft.ops.{Dims, Quality}
+import graft.sources.Tables
+
+/** Text-analysis gates: language ID, quality scoring, token counts,
+  * word counts, curation rules, chunking, PII scrub, BM25, top-k UDAF.
+  *
+  * Split out of SparkEntry (one gate map per operator family); the
+  * driver contract is still the combined SparkEntry.queries /
+  * SparkEntry.oracleSql. Helpers and shared oracle CTEs live in
+  * [[GateSupport]].
+  */
+private[graft] object TextGates {
+  import GateSupport._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X7 language ID (stopword heuristic + CJK fast path) — rows-only
+    // (accuracy vs the fixture lang column is asserted in ScalaTest)
+
+    // X7 language ID (stopword heuristic + CJK fast path) — rows-only
+    // (accuracy vs the fixture lang column is asserted in ScalaTest)
+    "x07_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X8 quality scoring (length/punct/stopword composite) — rows-only
+
+    // X8 quality scoring (length/punct/stopword composite) — rows-only
+    "x08_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.punctRatio(col("text")).as("punct_ratio"),
+          Text.stopwordRatio(col("text")).as("stopword_ratio"),
+          Text.charEntropy(col("text")).as("entropy"),
+          Text.qualityScore(col("text")).as("quality"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X9 token counting (whitespace + subword proxy) — portable oracle
+
+    // X9 token counting (whitespace + subword proxy) — portable oracle
+    "x09_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tok"),
+          Text.subwordCount(col("text")).as("n_subword"),
+          length(col("text")).cast(LongType).as("n_chars_calc"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X19 curation verdicts: quality signals + rule attribution
+    // (rows-only; signal math covered by unit tests + x08/x09 oracles)
+
+    // X19 curation verdicts: quality signals + rule attribution
+    // (rows-only; signal math covered by unit tests + x08/x09 oracles)
+    "x19_curation" -> ((s, d) =>
+      graft.operators.Curation.annotate(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tok"), col("entropy"),
+          col("top_bigram_frac"), col("dup_line_frac"),
+          to_json(col("drop_reasons")).as("drop_reasons"), col("keep"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X15 [UDTF surface] explode token stream → global top-20 words
+
+    // X15 [UDTF surface] explode token stream → global top-20 words
+    "x15_word_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, asc_nulls_first("word"))
+        .limit(20)),
+
+    // X46 BM25 relevance (query-driven corpus curation): top-10 docs
+    // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
+    // Both the tokenizer (the x15/x43 stream) and the scoring formula
+    // are engine-replayable, so the oracle recomputes scores
+    // term-for-term. Compared score is ROUND(...,2): Spark and DuckDB
+    // sum the ≤3 per-term contributions in different orders, so the
+    // float sums differ in the last ulps — a 2-decimal grid keeps a
+    // boundary flip (sum within ~1e-13 of a 0.005 edge) out of
+    // realistic reach where a 4-decimal grid did not. Ordering uses
+    // the same rounded score + doc_id tiebreak so the top-10
+    // selection is engine-stable.
+
+    // X46 BM25 relevance (query-driven corpus curation): top-10 docs
+    // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
+    // Both the tokenizer (the x15/x43 stream) and the scoring formula
+    // are engine-replayable, so the oracle recomputes scores
+    // term-for-term. Compared score is ROUND(...,2): Spark and DuckDB
+    // sum the ≤3 per-term contributions in different orders, so the
+    // float sums differ in the last ulps — a 2-decimal grid keeps a
+    // boundary flip (sum within ~1e-13 of a 0.005 edge) out of
+    // realistic reach where a 4-decimal grid did not. Ordering uses
+    // the same rounded score + doc_id tiebreak so the top-10
+    // selection is engine-stable.
+    "x46_bm25_topk" -> ((s, d) =>
+      graft.operators.Bm25.score(t(s, d, "documents"),
+          Seq("window", "column", "scan"))
+        .select(col("doc_id"), round(col("score"), 2).as("score"))
+        .orderBy(col("score").desc, asc_nulls_first("doc_id"))
+        .limit(10)),
+
+    // X22 token-window chunking (training-data prep): 80-token
+    // windows, 20-token overlap; map-only native expression emitting
+    // struct<chunk, n_tok> so the per-chunk token count rides along
+    // from the window construction instead of being re-tokenized.
+    // Oracle replicates the window arithmetic.
+
+    // X22 token-window chunking (training-data prep): 80-token
+    // windows, 20-token overlap; map-only native expression emitting
+    // struct<chunk, n_tok> so the per-chunk token count rides along
+    // from the window construction instead of being re-tokenized.
+    // Oracle replicates the window arithmetic.
+    "x22_chunking" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.Text.chunksWithCounts(col("text"), 80, 20)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          col("col.n_tok").as("n_tok"),
+          col("col.chunk").as("chunk"))
+        .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
+
+    // X31 PII scrubbing through the gate: the fixture corpus has no
+    // PII, so the gate synthesizes deterministic PII-bearing text by
+    // pure arithmetic on the row index (the x17 pattern) and checks
+    // the scrubbed output plus per-kind counts. The regex constants
+    // are RE2-portable and shared verbatim with the oracle SQL —
+    // single source of truth, engine-identical matches.
+
+    // X31 PII scrubbing through the gate: the fixture corpus has no
+    // PII, so the gate synthesizes deterministic PII-bearing text by
+    // pure arithmetic on the row index (the x17 pattern) and checks
+    // the scrubbed output plus per-kind counts. The regex constants
+    // are RE2-portable and shared verbatim with the oracle SQL —
+    // single source of truth, engine-identical matches.
+    "x31_pii_scrub" -> ((s, d) => {
+      val raw = concat(
+        lit("user"), col("i"), lit(" wrote from 10.0."),
+        (col("i") % 256).cast(StringType), lit("."),
+        ((col("i") * 7) % 256).cast(StringType),
+        lit(" contact user"), col("i"),
+        lit("@example.com or call 555-123-"),
+        lpad(((col("i") * 37) % 10000).cast(StringType), 4, "0"),
+        lit(" about the weather"))
+      s.range(50).select(col("id").as("i"))
+        .select(col("i"), raw.as("raw"))
+        .select(col("i"),
+          Text.scrubPii(col("raw")).as("clean"),
+          Text.piiCounts(col("raw")).as("pc"))
+        .select(col("i"), col("clean"),
+          col("pc.emails").cast(LongType).as("emails"),
+          col("pc.ips").cast(LongType).as("ips"),
+          col("pc.phones").cast(LongType).as("phones"))
+        .orderBy(asc_nulls_first("i"))
+    }),
+
+    // X21 [A6 UDAF] the same kNN ranking as x05, but through the
+    // bounded-heap Aggregator UDAF instead of a row_number window —
+    // map-side partial top-k, so only ≤k rows per (partition, query)
+    // reach the shuffle. Checked against the identical window oracle.
+
+    // X21 [A6 UDAF] the same kNN ranking as x05, but through the
+    // bounded-heap Aggregator UDAF instead of a row_number window —
+    // map-side partial top-k, so only ≤k rows per (partition, query)
+    // reach the shuffle. Checked against the identical window oracle.
+    "x21_topk_udaf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(graft.expressions.NativeVector.cosineSim(col("qv"), col("cv")), 4)
+            .as("sim"))
+      val tk = graft.functions.TopKAgg.topK(5)
+      scored.groupBy("query_id")
+        .agg(tk(col("neighbor_id"), col("sim")).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          col("col.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x15_word_counts" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS word
+           FROM documents) t
+         GROUP BY word ORDER BY n DESC, word NULLS FIRST LIMIT 20""",
+    "x07_lang_id" -> {
+      val scores = Text.stopwordSets.map { case (lang, ws) =>
+        s"len(list_intersect(list_distinct(ts), ${sqlList(ws)})) AS s_$lang"
+      }.mkString(",\n                ")
+      val langsDesc = Text.stopwordSets.map(_._1).sorted.reverse
+      val mx = Text.stopwordSets.map(s => "s_" + s._1).mkString("GREATEST(", ", ", ")")
+      val pick = langsDesc.init.map(l => s"WHEN s_$l = $mx THEN '$l'")
+        .mkString("\n                ") + s"\n                ELSE '${langsDesc.last}'"
+      s"""WITH $tokCte,
+         sc AS (SELECT doc_id, text,
+                $scores
+                FROM tok)
+         SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN $mx = 0 THEN 'und'
+                $pick END AS lang_pred
+         FROM sc ORDER BY doc_id NULLS FIRST"""
+    },
+    "x08_quality_score" ->
+      s"""WITH $tokCte,
+         $entCte,
+         $punctCte,
+         sr AS (
+           SELECT doc_id, len(ts) AS n_tok,
+                  CASE WHEN len(ts) > 0 THEN
+                    ROUND(CAST(len(list_filter(ts,
+                          t -> list_contains(${sqlList(Text.enStopwords)}, t)))
+                      AS DOUBLE) / len(ts), 4)
+                  ELSE 0.0 END AS stopword_ratio
+           FROM tok)
+         SELECT d.doc_id, pr.punct_ratio, sr.stopword_ratio,
+                COALESCE(ent.entropy, 0.0) AS entropy,
+                ROUND(
+                  LEAST(CASE WHEN sr.n_tok BETWEEN 20 AND 5000 THEN 1.0
+                             WHEN sr.n_tok > 0 THEN sr.n_tok / 20.0
+                             ELSE 0.0 END, 1.0) * 0.4 +
+                  (1.0 - LEAST(pr.punct_ratio * 5.0, 1.0)) * 0.3 +
+                  LEAST(sr.stopword_ratio * 4.0, 1.0) * 0.3, 4) AS quality
+         FROM documents d
+         JOIN pr USING (doc_id) JOIN sr USING (doc_id)
+         LEFT JOIN ent USING (doc_id)
+         ORDER BY doc_id NULLS FIRST""",
+    "x19_curation" ->
+      s"""WITH $tokCte,
+         $entCte,
+         $punctCte,
+         $curationRulesCte
+         SELECT doc_id, n_tok, entropy, top_bigram_frac, dup_line_frac,
+                CAST(to_json(reasons) AS VARCHAR) AS drop_reasons,
+                len(reasons) = 0 AS keep
+         FROM rs ORDER BY doc_id NULLS FIRST""",
+    // same oracle by design: the UDAF must reproduce the window result
+    // same oracle by design: the UDAF must reproduce the window result
+    "x21_topk_udaf" -> knnOracleSql,
+    // 80-token windows, step 60: chunk count = 1 if n<=80 else
+    // 1+ceil((n-80)/60); chunk k covers tokens [k*60+1, min(k*60+80,n)]
+    // 80-token windows, step 60: chunk count = 1 if n<=80 else
+    // 1+ceil((n-80)/60); chunk k covers tokens [k*60+1, min(k*60+80,n)]
+    "x22_chunking" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         cc AS (
+           SELECT doc_id, ts, len(ts) AS n,
+                  CASE WHEN len(ts) = 0 THEN 0
+                       WHEN len(ts) <= 80 THEN 1
+                       ELSE 1 + CAST(ceil(CAST(len(ts) - 80 AS DOUBLE) / 60) AS INT)
+                  END AS c
+           FROM tk),
+         ch AS (SELECT doc_id, unnest(range(c)) AS k, ts, n FROM cc WHERE c > 0),
+         ck AS (
+           SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                  array_to_string(ts[CAST(k*60+1 AS INT) :
+                                     CAST(least(k*60+80, n) AS INT)], ' ') AS chunk
+           FROM ch)
+         SELECT doc_id, chunk_id,
+                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok, chunk
+         FROM ck
+         ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""",
+    // Okapi BM25 replay: same tokenizer as x15/x43, same smoothed
+    // Robertson idf and k1=1.2 / b=0.75 saturation; 2-decimal rounded
+    // score as the selection key (coarse grid — engines sum the float
+    // contributions in different orders)
+    // Okapi BM25 replay: same tokenizer as x15/x43, same smoothed
+    // Robertson idf and k1=1.2 / b=0.75 saturation; 2-decimal rounded
+    // score as the selection key (coarse grid — engines sum the float
+    // contributions in different orders)
+    "x46_bm25_topk" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         stats AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  AVG(CAST(len(ts) AS DOUBLE)) AS avgdl FROM tk),
+         f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+                      unnest(ts) AS term FROM tk),
+         tf AS (
+           SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM f WHERE term IN ('window', 'column', 'scan')
+           GROUP BY doc_id, term, dl),
+         df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+         sc AS (
+           SELECT tf.doc_id,
+                  SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+                    AS score
+           FROM tf JOIN df USING (term), stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, ROUND(score, 2) AS score FROM sc
+         ORDER BY ROUND(score, 2) DESC, doc_id NULLS FIRST LIMIT 10""",
+    "x09_token_count" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword,
+         CAST(length(text) AS BIGINT) AS n_chars_calc
+         FROM documents ORDER BY doc_id NULLS FIRST""",
+    "x31_pii_scrub" -> {
+      val em = graft.functions.Text.emailRe
+      val ip = graft.functions.Text.ipv4Re
+      val ph = graft.functions.Text.phoneRe
+      s"""WITH g AS (SELECT unnest(range(50)) AS i),
+         r AS (SELECT i,
+                 'user' || i || ' wrote from 10.0.' || (i % 256) || '.' ||
+                 ((i * 7) % 256) || ' contact user' || i ||
+                 '@example.com or call 555-123-' ||
+                 lpad(CAST((i * 37) % 10000 AS VARCHAR), 4, '0') ||
+                 ' about the weather' AS raw
+               FROM g)
+         SELECT i,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+             AS clean,
+           CAST(len(regexp_extract_all(raw, '$em')) AS BIGINT) AS emails,
+           CAST(len(regexp_extract_all(regexp_replace(raw, '$em', '', 'g'),
+             '$ip')) AS BIGINT) AS ips,
+           CAST(len(regexp_extract_all(regexp_replace(regexp_replace(raw,
+             '$em', '', 'g'), '$ip', '', 'g'), '$ph')) AS BIGINT) AS phones
+         FROM r ORDER BY i NULLS FIRST"""
+    },
+  )
+}
