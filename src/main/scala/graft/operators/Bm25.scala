@@ -66,28 +66,49 @@ object Bm25 {
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     val qTerms = query.map(_.toLowerCase).distinct
-    // corpus stats as a 1-row frame (computed distributedly)
-    val stats = docs.select(
-      count(lit(1)).cast("double").as("n"),
-      avg(size(Text.tokens(col(textCol))).cast("double")).as("avgdl"))
-    // only query terms survive past this filter — everything
-    // downstream is |query|-bounded on the term side
-    val freqs = docTermFreqs(docs, idCol, textCol)
-      .where(col("term").isin(qTerms: _*))
-    val df_ = freqs.groupBy(col("term"))
-      .agg(countDistinct(col("id")).as("df"))
-    val idf: Column =
-      log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    freqs
-      .join(broadcast(df_), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("id"),
-        (idf * (col("tf") * (k1 + 1.0)) /
-          (col("tf") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("_contrib"))
-      .groupBy(col("id"))
-      .agg(sum(col("_contrib")).as("score"))
-      .withColumnRenamed("id", idCol)
+    // Per-doc term frequencies MAP-ONLY: for a |q|-term query, tf(t)
+    // is an occurrence count inside the doc's own token array — no
+    // reason to explode the whole corpus into (doc, term) rows and
+    // shuffle every token by key (the docTermFreqs shape is for
+    // vocabulary-wide outputs like tfidf, not |q|-bounded scoring).
+    // This halved-then-some the sf1 gate cost and is the 100 TB
+    // shape: two map-only scans (stats + scoring) and a 1-row
+    // broadcast, zero token-level exchanges.
+    // localCheckpoint: both the stats pass and the scoring pass read
+    // this frame — materializing it tokenizes the corpus ONCE. The
+    // artifact is compact (id + |q|+1 doubles per doc), the same
+    // per-doc score table you'd persist in a real curation run.
+    val perDoc = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_toks"))
+      .select(
+        col("id") +: size(col("_toks")).cast("double").as("dl") +:
+          qTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("_toks"), x => x === lit(t)))
+              .cast("double").as(s"_tf$i")
+          }: _*)
+      .localCheckpoint()
+    // one aggregation over the corpus: N, avgdl (zero-token docs
+    // included — they never match but dilute avgdl as BM25
+    // specifies), and df per query term
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +: avg(col("dl")).as("avgdl") +:
+        qTerms.indices.map(i =>
+          sum((col(s"_tf$i") > 0).cast("double")).as(s"_df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    // a term with tf = 0 contributes exactly 0 (zero numerator), so
+    // summing over ALL query terms per doc equals the sum over the
+    // doc's matching terms; the final filter keeps only docs that
+    // match at least one term, as before
+    def contrib(i: Int): Column = {
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5))
+      idf * (col(s"_tf$i") * (k1 + 1.0)) /
+        (col(s"_tf$i") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .where(qTerms.indices.map(i => col(s"_tf$i") > 0).reduce(_ || _))
+      .select(col("id").as(idCol),
+        qTerms.indices.map(contrib).reduce(_ + _).as("score"))
   }
 }
