@@ -72,7 +72,7 @@ private[graft] object StreamingGates {
     // aggregate, memory sink — must equal the q18 batch oracle.
     "x13_stream_hourly" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      withStreamPartitions(s, 4) {
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
         val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
           .parquet(staged)
           .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
@@ -99,7 +99,7 @@ private[graft] object StreamingGates {
     // max_ts - delay) on top of gaps-and-islands sessionization.
     "x18_stream_sessions" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      withStreamPartitions(s, 4) {
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
         val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
           .parquet(staged)
           .withWatermark("ts", "10 minutes")
@@ -135,7 +135,7 @@ private[graft] object StreamingGates {
     // DISTINCT oracle applies.
     "x28_stream_dedup" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      withStreamPartitions(s, 4) {
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
         val dedup = s.readStream.schema(graft.streaming.EventStreams.schema)
           .parquet(staged)
           .select(col("user_id"), col("event_type"))
@@ -165,7 +165,7 @@ private[graft] object StreamingGates {
     "x32_stream_enrich" -> ((s, d) => {
       val staged = stageEvents(s, d)
       val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
-      withStreamPartitions(s, 4) {
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
         val agg = s.readStream.schema(graft.streaming.EventStreams.schema)
           .parquet(staged)
           .withColumn("nk", col("user_id") % 25)
@@ -197,7 +197,7 @@ private[graft] object StreamingGates {
     // per-user id sums pin exact pair membership.
     "x47_stream_interval_join" -> ((s, d) => {
       val staged = stageEvents(s, d)
-      withStreamPartitions(s, 4) {
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
         withCheckpoint { ckpt =>
           val events = s.readStream
             .schema(graft.streaming.EventStreams.schema).parquet(staged)
@@ -233,7 +233,7 @@ private[graft] object StreamingGates {
     // nulls cannot hide.
     "x47b_stream_outer_join" -> ((s, d) => {
       val staged = stageEventsWithSentinel(s, d)
-      withStreamPartitions(s, 4) {
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
         withCheckpoint { ckpt =>
           val events = s.readStream
             .schema(graft.streaming.EventStreams.schema)
@@ -273,7 +273,7 @@ private[graft] object StreamingGates {
     "x42_stream_totals" -> ((s, d) => {
       import s.implicits._
       val staged = stageEvents(s, d)
-      withStreamPartitions(s, 4) {
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
         withCheckpoint { ckpt =>
           val events = s.readStream
             .schema(graft.streaming.EventStreams.schema).parquet(staged)
