@@ -722,7 +722,17 @@ object Multimodal {
               if (ver == 1 && e2 - s2 >= 32)
                 (u32be(bytes, s2.toInt + 20), u64be(bytes, s2.toInt + 24))
               else (u32be(bytes, s2.toInt + 12), u32be(bytes, s2.toInt + 16))
-            if (ts > 0) durMs = dur * 1000L / ts
+            // overflow-safe ms: a hostile 64-bit duration (possibly
+            // with bit 63 set → negative Long) must not wrap the
+            // ×1000. Split whole/remainder (rem < ts ≤ 2^32 →
+            // rem*1000 < 2^42) and saturate the absurd tail: whole ≤
+            // MaxValue/1000 keeps whole*1000 + <1000 below MaxValue.
+            if (ts > 0 && dur >= 0) {
+              val whole = dur / ts
+              durMs =
+                if (whole > Long.MaxValue / 1000L) Long.MaxValue
+                else whole * 1000L + (dur % ts) * 1000L / ts
+            }
           } else if (t2 == "trak") {
             // gather per-trak, commit only if this trak is video
             var tw = 0; var th = 0; var tCodec = ""; var tFrames = 0
@@ -1010,7 +1020,10 @@ object Multimodal {
       }
       if (w > 0 && h > 0 && codec.nonEmpty) {
         val frames = blockCounts.getOrDefault(videoTrack, 0)
-        Some((w, h, frames, codec, (durTicks * tcScale / 1e6).round))
+        Some((w, h, frames, codec,
+          // hostile float Duration (sign-flipped / NaN / Inf) must
+          // clamp, not surface as a negative or wrapped millisecond
+          math.max(0L, (durTicks * tcScale / 1e6).round)))
       } else None
     }
 

@@ -229,6 +229,23 @@ class PlanSpec extends AnyFunSuite {
       s"no value-map aggregate buffer may appear:\n$plan")
   }
 
+  test("BM25 score: map-only tf, no token-level shuffle, 1-row broadcast stats") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.Bm25.score(docs, Seq("window", "column", "scan"))
+    val plan = executedPlan(df)
+    // the corpus must never be exploded into (doc, term) rows and
+    // shuffled by key: the only exchanges allowed are the broadcast
+    // of the 1-row stats frame and the stats aggregation's own
+    // single-partition reduce — no hash-partitioned exchange of doc
+    // rows, no Generate (explode) anywhere
+    assert(!plan.contains("Generate"), s"token explode reappeared:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stats not broadcast:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 0,
+      s"token-level/doc-level hash shuffle in BM25 score ($hashExchanges):\n$plan")
+  }
+
   test("fanOut is identity when the input already has enough partitions") {
     val target = spark.sparkContext.defaultParallelism
     val docs = Tables.load(spark, sfDir, "documents")

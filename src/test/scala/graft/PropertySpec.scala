@@ -101,12 +101,23 @@ class PropertySpec extends AnyFunSuite {
       Gen.choose(0, 200).flatMap(n =>
         Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
     forSamples(junkBytes, 400) { bytes =>
-      VideoCodec.mp4Meta(bytes)
-      VideoCodec.webmMeta(bytes)
+      // besides never throwing, any parsed metadata must be sane:
+      // hostile 64-bit duration/size fields must saturate, not wrap
+      // into negative dims/frames/durations
+      VideoCodec.mp4Meta(bytes).foreach { case (w, h, f, _, durMs) =>
+        assert(w >= 0 && h >= 0 && f >= 0 && durMs >= 0L, s"mp4 wrap: $w $h $f $durMs")
+      }
+      VideoCodec.webmMeta(bytes).foreach { case (w, h, f, _, durMs) =>
+        assert(w >= 0 && h >= 0 && f >= 0 && durMs >= 0L, s"webm wrap: $w $h $f $durMs")
+      }
       VideoCodec.decodeMeta(bytes)
       VideoCodec.mjpegMeta(bytes)
-      AudioCodec.mp3Meta(bytes)
-      AudioCodec.flacMeta(bytes)
+      AudioCodec.mp3Meta(bytes).foreach { case (sr, ch, fr) =>
+        assert(sr >= 0 && ch >= 0 && fr >= 0, s"mp3 wrap: $sr $ch $fr")
+      }
+      AudioCodec.flacMeta(bytes).foreach { case (sr, ch, ns) =>
+        assert(sr >= 0 && ch >= 0 && ns >= 0, s"flac wrap: $sr $ch $ns")
+      }
       ()
     }
   }
