@@ -168,6 +168,83 @@ class StreamingSpec extends AnyFunSuite {
       s"restarted stream sessions diverge from batch: got=${got.size} batch=${batch.size}")
   }
 
+  test("stream-stream join state survives a query restart from checkpoint") {
+    // The other stateful-store family (symmetric join state, vs the
+    // session-window store above): run 1 consumes the early half of
+    // the stream and exits; run 2 restarts from the checkpoint with
+    // the late half. A (view ≤ mid, click > mid) pair within the
+    // 60-minute window can only be emitted if run 2 reloaded run 1's
+    // buffered view rows — and the exactly-once sink must not
+    // re-emit run 1's pairs.
+    val dir = Files.createTempDirectory("events_join_restart").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    // cut the stream INSIDE the widest actual view→click pair, so at
+    // least one pair is guaranteed to straddle the restart (a median
+    // cut of the tiny fixture often lands between pairs)
+    val widest = {
+      val v = ev.where($"event_type" === "view")
+        .select($"user_id".as("vu"), $"ts".as("vts"))
+      val c = ev.where($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"))
+      v.join(c, $"vu" === $"cu" && $"cts" > $"vts" &&
+          $"cts" <= $"vts" + expr("INTERVAL 60 MINUTES"))
+        .select($"vts".cast("long").as("a"), $"cts".cast("long").as("b"))
+        .orderBy(($"b" - $"a").desc).limit(1)
+        .as[(Long, Long)].head()
+    }
+    assert(widest._2 - widest._1 >= 2, "no pair wide enough to cut")
+    val mid = (widest._1 + widest._2) / 2
+    val t0 = System.currentTimeMillis()
+    def stage(df: org.apache.spark.sql.DataFrame, slice: Int): Unit = {
+      val before = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+      df.coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => assert(f.setLastModified(t0 + slice * 2000L)))
+    }
+    val ckpt = Files.createTempDirectory("join_restart_ckpt").toString
+    val sink = Files.createTempDirectory("join_restart_sink").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.viewClickJoin(
+          EventStreams.readStream(spark, dir,
+            options = Map("maxFilesPerTrigger" -> "1")), 60)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "stream did not finish; sink is partial")
+    }
+    stage(ev.where($"ts".cast("long") <= mid), 0)
+    runOnce()
+    stage(ev.where($"ts".cast("long") > mid), 1)
+    runOnce()
+
+    val got = spark.read.parquet(sink)
+      .select($"user_id", $"view_id", $"click_id")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.distinct.length,
+      "restart re-emitted pairs — sink is not exactly-once")
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val batchPairs = views.join(clicks,
+        $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL 60 MINUTES"))
+      .select($"user_id", $"view_id", $"click_id", $"view_ts", $"click_ts")
+    // the interesting pairs straddle the restart cut
+    val spanning = batchPairs
+      .where($"view_ts".cast("long") <= mid && $"click_ts".cast("long") > mid)
+      .count()
+    assert(spanning > 0, "no view-click pair spans the restart cut — test is vacuous")
+    val batch = batchPairs.select($"user_id", $"view_id", $"click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet == batch, {
+      val missing = batch.diff(got.toSet); val extra = got.toSet.diff(batch)
+      s"missing=${missing.take(5)} extra=${extra.take(5)}"
+    })
+  }
+
   test("stream-stream LEFT OUTER interval join equals the batch left join") {
     // outer (null) results emit only when a LATER batch advances the
     // watermark past view_ts + gap — under AvailableNow the query
