@@ -31,14 +31,6 @@ private[graft] object CatalogGates {
     // replays the request construction straight from orders — so the
     // produce→partition→offset→poll→decode round trip must be lossless
     // and duplicate-free to hash-match.
-
-    // X49 Kafka-shaped transfer bus end-to-end: TransferRequests built
-    // from orders rows, produced onto a 4-partition file-backed commit
-    // log in two batches (offsets must chain across segments), then
-    // group-consumed, decoded, and aggregated by month. The oracle
-    // replays the request construction straight from orders — so the
-    // produce→partition→offset→poll→decode round trip must be lossless
-    // and duplicate-free to hash-match.
     "x49_kafka_transfer" -> ((s, d) => {
       import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft_kafka")
@@ -75,15 +67,6 @@ private[graft] object CatalogGates {
           .orderBy(asc_nulls_first("month"))
       } finally rmTree(root.toFile)
     }),
-
-    // X49B the same transfer bus consumed through the STREAMING
-    // path: KafkaLog.readStream (file-stream over the segment logs,
-    // checkpointed exactly-once) + foreachBatch, each micro-batch
-    // decoded, appended to the sink, and its offsets committed via
-    // commitPolled — the subscribe loop a production consumer runs.
-    // The gate also REQUIRES the post-stream batch poll to come back
-    // empty (the foreachBatch commits really advanced the group
-    // watermark over the whole log). Same oracle replay as x49.
 
     // X49B the same transfer bus consumed through the STREAMING
     // path: KafkaLog.readStream (file-stream over the segment logs,
@@ -160,14 +143,6 @@ private[graft] object CatalogGates {
     // back. The oracle replays the merge relationally (FULL OUTER
     // JOIN, update-row-wins), so every row of the rewritten table is
     // value-checked.
-
-    // X51 keyed MERGE upsert: refresh a customer-keyed parquet table
-    // from an orders-derived delta — matched keys are REPLACED (tagged
-    // name, order-revenue balance), unmatched delta keys (offset by
-    // 1e6) are inserted — then read the physically swapped table
-    // back. The oracle replays the merge relationally (FULL OUTER
-    // JOIN, update-row-wins), so every row of the rewritten table is
-    // value-checked.
     "x51_merge_upsert" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_merge")
       try {
@@ -194,17 +169,6 @@ private[graft] object CatalogGates {
           .localCheckpoint()
       } finally rmTree(root.toFile)
     }),
-
-    // X51B PARTITION-SCOPED MERGE: the same keyed refresh as x51 but
-    // the target is hive-partitioned by market segment and only the
-    // leaves the delta touches are rewritten (untouched leaves stay
-    // byte-identical — asserted by CatalogSpec; here the oracle
-    // value-checks every row of the partially rewritten table).
-    // Matched keys carry their own segment (the merge identity is
-    // partition + key, so keys never migrate); inserted keys open a
-    // brand-new SYNTHETIC partition to exercise leaf creation. The
-    // oracle replays the same relational merge with the partition
-    // column in the join identity.
 
     // X51B PARTITION-SCOPED MERGE: the same keyed refresh as x51 but
     // the target is hive-partitioned by market segment and only the
@@ -252,12 +216,6 @@ private[graft] object CatalogGates {
     // deterministic split → chunk/token budget per split. Every stage
     // is an operator already oracle-verified on its own (x19, x20,
     // x24, x22, x09); this query pins their composition.
-
-    // X25 the full training-data pipeline as ONE dataflow: curation
-    // verdicts → keep → near-dup dedup (LSH + exact verify + CC) →
-    // deterministic split → chunk/token budget per split. Every stage
-    // is an operator already oracle-verified on its own (x19, x20,
-    // x24, x22, x09); this query pins their composition.
     "x25_training_pipeline" -> ((s, d) => {
       val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
       // stage the curated set: dedup reads it twice (signature pass +
@@ -296,13 +254,6 @@ private[graft] object CatalogGates {
     // negatives, false positives within the designed rate) are
     // deterministic for fixed data and seed, so they gate exactly —
     // violation counts pin to 0 in the oracle.
-
-    // X33/X34 [A-family sketches] audit queries for the mergeable
-    // sketch surface: the probabilistic guarantees (CMS never
-    // undercounts, overcounts by ≤ eps·N; Bloom has no false
-    // negatives, false positives within the designed rate) are
-    // deterministic for fixed data and seed, so they gate exactly —
-    // violation counts pin to 0 in the oracle.
     "x33_cms_audit" -> ((s, d) =>
       graft.operators.Sketches.cmsAudit(t(s, d, "events"), "event_type")),
 
@@ -310,12 +261,6 @@ private[graft] object CatalogGates {
     "x34_bloom_audit" -> ((s, d) =>
       graft.operators.Sketches.bloomAudit(t(s, d, "events"), "event_type",
         expectedItems = 100000, fpp = 0.03)),
-
-    // X41 small-file compaction: fragment a copy of documents into 40
-    // files, compact to ~1 MB targets, and prove the data survived the
-    // atomic swap byte-for-byte (count + key/char sums against the
-    // ORIGINAL table's oracle). files_shrank pins that compaction
-    // actually reduced the file count, not just rewrote.
 
     // X41 small-file compaction: fragment a copy of documents into 40
     // files, compact to ~1 MB targets, and prove the data survived the
@@ -364,14 +309,6 @@ private[graft] object CatalogGates {
     // byte survival of the data INCLUDING the partition column (its
     // values live in dir names the per-partition swap must not touch)
     // and the file-count shrink.
-
-    // X41b compaction over a HIVE-PARTITIONED layout (the reference's
-    // DAY-partitioned tables are the layout that fragments): fragment
-    // a source=… partitioned copy of documents (~10 files per
-    // partition), compact per-partition, and prove both the byte-for-
-    // byte survival of the data INCLUDING the partition column (its
-    // values live in dir names the per-partition swap must not touch)
-    // and the file-count shrink.
     "x41b_compaction_partitioned" -> ((s, d) => {
       import s.implicits._
       val fragRoot = java.nio.file.Files.createTempDirectory("graft_fragp")
@@ -409,9 +346,6 @@ private[graft] object CatalogGates {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // the full training-data pipeline, one oracle: curation keepers →
-    // all-pairs exact-Jaccard near-dup components (restricted to the
-    // keepers) → survivors → hash split → chunk/token budget per split
     // the full training-data pipeline, one oracle: curation keepers →
     // all-pairs exact-Jaccard near-dup components (restricted to the
     // keepers) → survivors → hash split → chunk/token budget per split
@@ -459,9 +393,6 @@ private[graft] object CatalogGates {
     // replay of the x49 TransferRequest construction straight from
     // orders: the Kafka-shaped produce/poll/decode round trip must be
     // lossless and duplicate-free for the aggregate to hash-match
-    // replay of the x49 TransferRequest construction straight from
-    // orders: the Kafka-shaped produce/poll/decode round trip must be
-    // lossless and duplicate-free for the aggregate to hash-match
     "x49_kafka_transfer" ->
       """WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
          SELECT substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS month,
@@ -472,9 +403,6 @@ private[graft] object CatalogGates {
     // same replay as x49 — the streaming consumer (readStream +
     // foreachBatch + commitPolled) must deliver the identical
     // lossless, duplicate-free aggregate
-    // same replay as x49 — the streaming consumer (readStream +
-    // foreachBatch + commitPolled) must deliver the identical
-    // lossless, duplicate-free aggregate
     "x49b_kafka_stream" ->
       """WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
          SELECT substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS month,
@@ -482,8 +410,6 @@ private[graft] object CatalogGates {
                 CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_remove
          FROM o GROUP BY 1 ORDER BY month NULLS FIRST""",
-    // relational replay of the physical MERGE: full outer join on the
-    // key, update-row-wins on every non-key column
     // relational replay of the physical MERGE: full outer join on the
     // key, update-row-wins on every non-key column
     "x51_merge_upsert" ->
@@ -502,10 +428,6 @@ private[graft] object CatalogGates {
                      ELSE ROUND(c.c_acctbal, 2) END AS c_acctbal
          FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
          ORDER BY c_custkey NULLS FIRST""",
-    // relational replay of the PARTITION-SCOPED merge: the partition
-    // column joins as part of the merge identity, so a key only
-    // matches within its own partition — exactly what rewriting only
-    // touched leaves implements physically
     // relational replay of the PARTITION-SCOPED merge: the partition
     // column joins as part of the merge identity, so a key only
     // matches within its own partition — exactly what rewriting only

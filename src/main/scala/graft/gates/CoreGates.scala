@@ -30,16 +30,12 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("r_regionkey"))),
 
     // Q2 [P3,P5] sentinel→NULL (ref pattern export_svg.py:212)
-
-    // Q2 [P3,P5] sentinel→NULL (ref pattern export_svg.py:212)
     "q02_sentinel_null" -> ((s, d) =>
       t(s, d, "customer")
         .select(
           col("c_custkey"),
           Quality.sentinelNull(col("c_mktsegment"), Seq("AUTOMOBILE")).as("seg"))
         .orderBy(asc_nulls_first("c_custkey"))),
-
-    // Q3 [P4,F5] sentinel→NULL + cast (ref pattern export_svg.py:211)
 
     // Q3 [P4,F5] sentinel→NULL + cast (ref pattern export_svg.py:211)
     "q03_sentinel_cast" -> ((s, d) =>
@@ -51,14 +47,10 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("o_orderkey"))),
 
     // Q4 [A1,D*,P6,W1] distinct + CASE-decode dim build (export_svg.py:275-293)
-
-    // Q4 [A1,D*,P6,W1] distinct + CASE-decode dim build (export_svg.py:275-293)
     "q04_dim_decode" -> ((s, d) =>
       Dims.buildDim(t(s, d, "nation"), "n_regionkey", "region_name",
         Seq(0 -> "AFRICA", 1 -> "AMERICA", 2 -> "ASIA", 3 -> "EUROPE",
             4 -> "MIDDLE EAST"))),
-
-    // Q5 [J1,J2] equi joins through the star; dims broadcast
 
     // Q5 [J1,J2] equi joins through the star; dims broadcast
     "q05_join_star" -> ((s, d) => {
@@ -75,10 +67,6 @@ private[graft] object CoreGates {
     // Q6 [J3] left outer + null probe. Scale-aware shape: pre-aggregate
     // the big side down to |nations| rows, then broadcast that to the
     // small side — avoids shuffling `customer` for an outer join.
-
-    // Q6 [J3] left outer + null probe. Scale-aware shape: pre-aggregate
-    // the big side down to |nations| rows, then broadcast that to the
-    // small side — avoids shuffling `customer` for an outer join.
     "q06_left_join" -> ((s, d) => {
       val n = t(s, d, "nation")
       val perNation = t(s, d, "customer")
@@ -91,8 +79,6 @@ private[graft] object CoreGates {
     }),
 
     // Q7a [J4] left semi (EXISTS)
-
-    // Q7a [J4] left semi (EXISTS)
     "q07a_semi" -> ((s, d) => {
       val sup = t(s, d, "supplier")
       val li = t(s, d, "lineitem")
@@ -102,8 +88,6 @@ private[graft] object CoreGates {
     }),
 
     // Q7b [J4] left anti (NOT EXISTS)
-
-    // Q7b [J4] left anti (NOT EXISTS)
     "q07b_anti" -> ((s, d) => {
       val p = t(s, d, "part")
       val li = t(s, d, "lineitem")
@@ -111,8 +95,6 @@ private[graft] object CoreGates {
         .select(col("p_partkey"))
         .orderBy(asc_nulls_first("p_partkey"))
     }),
-
-    // Q8 [A2,F10] TPC-H Q1-style grouped aggregate
 
     // Q8 [A2,F10] TPC-H Q1-style grouped aggregate
     "q08_group_agg" -> ((s, d) =>
@@ -128,15 +110,8 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     // Q9 [A3] exact count distinct
-
-    // Q9 [A3] exact count distinct
     "q09_count_distinct" -> ((s, d) =>
       t(s, d, "orders").agg(count_distinct(col("o_custkey")).as("n"))),
-
-    // Q9b [A3] approx count distinct (HLL++), error-bound gated: the
-    // estimate itself is engine-specific, but |approx − exact| ≤
-    // 3·rsd·exact is the design guarantee — emitted as a boolean the
-    // DuckDB oracle pins TRUE next to the exact count it recomputes.
 
     // Q9b [A3] approx count distinct (HLL++), error-bound gated: the
     // estimate itself is engine-specific, but |approx − exact| ≤
@@ -151,15 +126,11 @@ private[graft] object CoreGates {
             lit(3 * 0.05) * col("n_exact")).as("within_bound"))),
 
     // Q10 [A4] rollup
-
-    // Q10 [A4] rollup
     "q10_rollup" -> ((s, d) =>
       t(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
-
-    // Q10b [A4] cube
 
     // Q10b [A4] cube
     "q10b_cube" -> ((s, d) =>
@@ -169,8 +140,6 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
     // Q10c [A5] filtered/conditional aggregate (CASE-inside-agg idiom)
-
-    // Q10c [A5] filtered/conditional aggregate (CASE-inside-agg idiom)
     "q10c_cond_agg" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -178,8 +147,6 @@ private[graft] object CoreGates {
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
           count(when(col("o_totalprice") > 150000d, lit(1))).as("n_big"))
         .orderBy(asc_nulls_first("o_orderpriority"))),
-
-    // Q11 [W2] ranking window, top-3 per nation
 
     // Q11 [W2] ranking window, top-3 per nation
     "q11_rank_window" -> ((s, d) => {
@@ -193,8 +160,6 @@ private[graft] object CoreGates {
     }),
 
     // Q12 [W4] running-sum frame
-
-    // Q12 [W4] running-sum frame
     "q12_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -203,8 +168,6 @@ private[graft] object CoreGates {
           round(sum(col("o_totalprice")).over(w), 2).as("run"))
         .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
     }),
-
-    // Q12b [W3] lag/lead analytics
 
     // Q12b [W3] lag/lead analytics
     "q12b_lag_lead" -> ((s, d) => {
@@ -217,15 +180,11 @@ private[graft] object CoreGates {
     }),
 
     // Q13 [W5] top-k with unique tie-break (TakeOrderedAndProject)
-
-    // Q13 [W5] top-k with unique tie-break (TakeOrderedAndProject)
     "q13_topk" -> ((s, d) =>
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
-
-    // Q14a [W6] intersect
 
     // Q14a [W6] intersect
     "q14a_intersect" -> ((s, d) =>
@@ -234,14 +193,10 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("k"))),
 
     // Q14b [W6] except
-
-    // Q14b [W6] except
     "q14b_except" -> ((s, d) =>
       t(s, d, "nation").select(col("n_nationkey").as("k"))
         .except(t(s, d, "customer").select(col("c_nationkey").as("k")))
         .orderBy(asc_nulls_first("k"))),
-
-    // Q14c [W6] union distinct
 
     // Q14c [W6] union distinct
     "q14c_union" -> ((s, d) =>
@@ -251,23 +206,11 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("k"))),
 
     // Q18 [ST2-batch] tumbling-window batch analogue over events
-
-    // Q18 [ST2-batch] tumbling-window batch analogue over events
     "q18_hourly_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
         .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))),
-
-    // Q19 [P1-P6 composite] quality-zone replica over events
-    // (mirrors export_svg.py:209-246 semantics on fixture data).
-    // The half-up cent rounding is spelled out as floor(v*100+0.5)/100
-    // so both engines compute the identical double. The gate emits the
-    // cents as DOUBLE: values were proven equal under DECIMAL(18,2) on
-    // both sides (round-2 adjudication), but the two engines' decimal
-    // wire types canonicalize differently in the driver hash, so the
-    // decimal-cast coverage lives in FjcPipelineSpec / tools/check.py
-    // and the gate column stays in a type both engines render alike.
 
     // Q19 [P1-P6 composite] quality-zone replica over events
     // (mirrors export_svg.py:209-246 semantics on fixture data).
@@ -291,10 +234,6 @@ private[graft] object CoreGates {
     // Q23 [J5,J6] range join: lineitems shipped within 30 days of
     // order. Equi-anchored on the order key with the range conditions
     // as join residuals (never a BNLJ); fact-fact, so no broadcast.
-
-    // Q23 [J5,J6] range join: lineitems shipped within 30 days of
-    // order. Equi-anchored on the order key with the range conditions
-    // as join residuals (never a BNLJ); fact-fact, so no broadcast.
     "q23_range_join" -> ((s, d) => {
       val o = t(s, d, "orders").hint("shuffle_hash")
       val li = t(s, d, "lineitem")
@@ -307,20 +246,12 @@ private[graft] object CoreGates {
     }),
 
     // Q24 [J8] cross join (tiny × tiny)
-
-    // Q24 [J8] cross join (tiny × tiny)
     "q24_cross_join" -> ((s, d) =>
       t(s, d, "region").select(col("r_regionkey"))
         .crossJoin(t(s, d, "nation").select(col("n_nationkey")))
         .groupBy(col("r_regionkey"))
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("r_regionkey"))),
-
-    // Q28 [A2+] exact interpolated percentiles + width_bucket histogram.
-    // Sort-based (operators/Percentiles) rather than the builtin
-    // `percentile` aggregate, whose buffer holds the group's whole
-    // distinct-value map; o_totalprice is never NULL, so n_vals ≡
-    // COUNT(*) and the oracle is unchanged.
 
     // Q28 [A2+] exact interpolated percentiles + width_bucket histogram.
     // Sort-based (operators/Percentiles) rather than the builtin
@@ -344,14 +275,6 @@ private[graft] object CoreGates {
     // and measures 1.0 s; the hash-shuffled semi is 0.56 s at sf0.1
     // (ProfileQ25, best-of-3) and shuffles only 8-byte keys at any
     // scale.
-
-    // Q25 [EP3] ad-hoc SQL surface with a correlated + scalar subquery
-    // (Catalyst decorrelates EXISTS → semi join, scalar → cross agg).
-    // SHUFFLE_HASH on the decorrelated semi join: unhinted, AQE
-    // broadcasts LINEITEM — the fact side, a plan that dies at scale —
-    // and measures 1.0 s; the hash-shuffled semi is 0.56 s at sf0.1
-    // (ProfileQ25, best-of-3) and shuffles only 8-byte keys at any
-    // scale.
     "q25_sql_subquery" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(
@@ -364,8 +287,6 @@ private[graft] object CoreGates {
     }),
 
     // Q26 [A4] grouping sets (finer than rollup/cube)
-
-    // Q26 [A4] grouping sets (finer than rollup/cube)
     "q26_grouping_sets" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(
@@ -374,8 +295,6 @@ private[graft] object CoreGates {
            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
     }),
-
-    // Q27 [J3] full outer join with null probes on both sides
 
     // Q27 [J3] full outer join with null probes on both sides
     "q27_full_outer" -> ((s, d) => {
@@ -441,8 +360,6 @@ private[graft] object CoreGates {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q09_count_distinct" ->
       "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders",
-    // the estimate is engine-specific; the 3·rsd error bound is the
-    // contract — oracle recomputes the exact count and pins the bound
     // the estimate is engine-specific; the 3·rsd error bound is the
     // contract — oracle recomputes the exact count and pins the bound
     "q09b_approx_distinct" ->

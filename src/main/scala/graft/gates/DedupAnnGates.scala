@@ -31,33 +31,16 @@ private[graft] object DedupAnnGates {
 
     // X2 fingerprint dedup (whitespace/case-insensitive identity) —
     // xxhash64-based, rows-only check
-
-    // X2 fingerprint dedup (whitespace/case-insensitive identity) —
-    // xxhash64-based, rows-only check
     "x02_dedup_fingerprint" -> ((s, d) =>
       Dedup.byFingerprint(t(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("n_dups"))
         .orderBy(asc_nulls_first("doc_id"))),
 
     // X3 MinHash+LSH near-dup pairs (verified Jaccard) — rows-only
-
-    // X3 MinHash+LSH near-dup pairs (verified Jaccard) — rows-only
     "x03_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.4,
         cacheKey = Some(s"docs:$d"))
         .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
-
-    // X4 SimHash pigeonhole pairing, full hash-match oracle: the real
-    // banding+verify operator (Dedup.hammingPairs — the exact code
-    // path simhashPairs rides) runs over engine-replayable synthetic
-    // 64-bit signatures (16 clusters of 4, members 0-3 bit-flips from
-    // the cluster base — pure integer arithmetic, identical in both
-    // engines), and DuckDB recomputes the exact pair set with
-    // bit_count(xor(a,b)) ≤ 3. Any pigeonhole miss OR any Hamming
-    // disagreement breaks the hash match — the x27 synthetic-audit
-    // pattern upgraded from containment to full equality. The
-    // text→simhash64 step itself stays pinned by NativeEquivalence/
-    // DedupSim specs and the x10 fingerprint gate.
 
     // X4 SimHash pigeonhole pairing, full hash-match oracle: the real
     // banding+verify operator (Dedup.hammingPairs — the exact code
@@ -82,8 +65,6 @@ private[graft] object DedupAnnGates {
     }),
 
     // X5 brute-force cosine top-5 for query vectors vec_id < 10
-
-    // X5 brute-force cosine top-5 for query vectors vec_id < 10
     "x05_knn_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Sim.knnBrute(emb.where(col("vec_id") < 10), emb, k = 5)
@@ -91,13 +72,9 @@ private[graft] object DedupAnnGates {
     }),
 
     // X6 SRP-LSH approximate near-dup vector pairs — rows-only
-
-    // X6 SRP-LSH approximate near-dup vector pairs — rows-only
     "x06_srp_neardup" -> ((s, d) =>
       Sim.nearDupPairs(t(s, d, "embeddings"), threshold = 0.4)
         .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
-
-    // X10 document fingerprint + SimHash signatures — rows-only
 
     // X10 document fingerprint + SimHash signatures — rows-only
     "x10_fingerprint" -> ((s, d) =>
@@ -110,10 +87,6 @@ private[graft] object DedupAnnGates {
     // X20 end-to-end near-dup dedup: LSH pairs → connected components
     // → one representative per cluster (rows-only; semantics pinned
     // by DedupSimSpec chain/cluster tests)
-
-    // X20 end-to-end near-dup dedup: LSH pairs → connected components
-    // → one representative per cluster (rows-only; semantics pinned
-    // by DedupSimSpec chain/cluster tests)
     "x20_dedup_pipeline" -> ((s, d) =>
       Dedup.dedupNearDups(t(s, d, "documents"), threshold = 0.5,
         cacheKey = Some(s"docs:$d"))
@@ -122,29 +95,11 @@ private[graft] object DedupAnnGates {
 
     // X16 exact char-4-gram Jaccard over a bounded pair set — full
     // DuckDB oracle (shingle construction spelled out in SQL)
-
-    // X16 exact char-4-gram Jaccard over a bounded pair set — full
-    // DuckDB oracle (shingle construction spelled out in SQL)
     "x16_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         t(s, d, "documents").where(col("doc_id") < 40 && length(col("text")) >= 4),
         threshold = 0.2, shingleSize = 4, shingler = Text.charShingles)
         .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
-
-    // X50 INCREMENTAL near-dup dedup: admit a new batch (doc_id in
-    // [300, 800)) against the already-admitted corpus (doc_id < 300)
-    // — drop batch docs with exact 5-gram Jaccard >= 0.5 vs ANY
-    // corpus doc, then keep the min-id representative per surviving
-    // intra-batch cluster. The oracle replays the exact all-pairs
-    // formulation (cross-drop anti-join + the same recursive-CTE
-    // components as x20); the hybrid verify matches it up to the
-    // ~2e-10-per-pair bound documented on lshHybridPairs. The batch is
-    // BOUNDED (like the x26/x27 audit populations) because the
-    // oracle's all-pairs side is quadratic in it: at the driver's
-    // sf0.01 correctness SF the bound is a no-op (documents end at
-    // 500), while at sf0.1 an unbounded batch made the DuckDB replay
-    // grind for an hour. The operator itself has no such bound — x20
-    // covers the growing-corpus path.
 
     // X50 INCREMENTAL near-dup dedup: admit a new batch (doc_id in
     // [300, 800)) against the already-admitted corpus (doc_id < 300)
@@ -187,23 +142,6 @@ private[graft] object DedupAnnGates {
     // across sf; the gate bound is missed ≤ 20 (recall ≥ 0.6) to hold
     // at every sf. x14b audits the design case (clustered vectors)
     // with a tight bound.
-
-    // X14 IVF approximate kNN (k-means coarse quantizer, nprobe=8),
-    // recall-gated vs the exact top-k: the IVF result rows are
-    // approximate, but recall@5 against knnBrute (itself hash-verified
-    // by x05's oracle) is the design guarantee — emitted as a bounded
-    // boolean the oracle pins TRUE next to the exact pair count it
-    // recomputes in SQL. Both index halves are cached per dataset dir
-    // as build artifacts: the trained quantizer AND the
-    // hive-partitioned inverted lists — the search reads only the
-    // probed lists' partitions (DPP pruning asserted in PlanSpec),
-    // the shape that survives 100 TB.
-    // Recall bound context (measured, tools/ProfileX14): the fixture
-    // embeddings are RANDOM vectors — no cluster structure, IVF's
-    // worst case — so recall@5 at nprobe=8/16 measures 0.78-0.86
-    // across sf; the gate bound is missed ≤ 20 (recall ≥ 0.6) to hold
-    // at every sf. x14b audits the design case (clustered vectors)
-    // with a tight bound.
     "x14_ivf_knn" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = Ivf.indexFor(s"ivf16:$d", emb, k = 16, iters = 3)
@@ -215,13 +153,6 @@ private[graft] object DedupAnnGates {
         .select(col("query_id"), col("neighbor_id"))
       recallGate(exact, ivf, maxMissed = 20L)
     }),
-
-    // X14b IVF recall on CLUSTERED vectors — the operator's design
-    // case, over the x27-style deterministic synthetic corpus (12
-    // clusters of 8, mate cosine ≈ 1): probing nprobe=4 of 12 cells
-    // must recover ≥ 90% of the exact top-5 (which are all cluster
-    // mates). Engine-replayable, so the oracle recomputes the exact
-    // side and pins the bound.
 
     // X14b IVF recall on CLUSTERED vectors — the operator's design
     // case, over the x27-style deterministic synthetic corpus (12
@@ -257,18 +188,6 @@ private[graft] object DedupAnnGates {
     // actually CONTAINS j ≥ 0.9 pairs (3 of them; doc_id < 40 had
     // none, which made the audit vacuous), small enough that the
     // exact side stays crossJoin-safe.
-
-    // X26 LSH recall containment audit: every exact char-5-gram
-    // Jaccard ≥ 0.9 pair (the banding's design point: 16 bands × 8
-    // rows misses a j=0.9 pair w.p. ~1.2e-4) must appear in the LSH
-    // candidate set. The approximate operator (x03) can't have an
-    // equality oracle, but this containment CAN be gated exactly: the
-    // oracle recomputes the exact pair count and pins missed = 0 —
-    // recall enforced by the driver, not just ScalaTest. Bounded to
-    // doc_id < 200 — wide enough that the sf0.01 gate population
-    // actually CONTAINS j ≥ 0.9 pairs (3 of them; doc_id < 40 had
-    // none, which made the audit vacuous), small enough that the
-    // exact side stays crossJoin-safe.
     "x26_lsh_recall" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .where(col("doc_id") < 200 && length(col("text")) >= 5)
@@ -281,17 +200,6 @@ private[graft] object DedupAnnGates {
           exact.join(cand, Seq("id_a", "id_b"), "left_anti")
             .agg(count(lit(1)).cast(LongType).as("missed_pairs")))
     }),
-
-    // X27 SRP recall containment audit (same idea for the vector
-    // near-dup path). The embedding FIXTURE has no high-cosine pairs
-    // at any scale factor (max pairwise cosine ≈ 0.46 — an audit over
-    // it is vacuous), so the audit runs on deterministic clustered
-    // vectors generated by pure integer/dyadic arithmetic on the row
-    // index — identical doubles in both engines, clusters of 4 with
-    // mate cosine ≥ 0.99999. Every exact cosine ≥ 0.999 pair must be
-    // an SRP band-join candidate: at that threshold the 6-band ×
-    // 10-bit banding misses a pair w.p. < 1e-5 (p = 1 − θ/π ≈ 0.986,
-    // (1 − p^10)^6), the same margin class as x26.
 
     // X27 SRP recall containment audit (same idea for the vector
     // near-dup path). The embedding FIXTURE has no high-cosine pairs
@@ -329,23 +237,12 @@ private[graft] object DedupAnnGates {
     // hot-key mitigation (group on (key, salt) first, re-aggregate on
     // the key) must be result-invariant to salting — pinned against
     // the plain GROUP BY oracle.
-
-    // X29 [skew] two-phase salted aggregation through the gate: the
-    // hot-key mitigation (group on (key, salt) first, re-aggregate on
-    // the key) must be result-invariant to salting — pinned against
-    // the plain GROUP BY oracle.
     "x29_salted_agg" -> ((s, d) =>
       graft.operators.SkewJoin.saltedSumAgg(t(s, d, "events"), "user_id",
         salts = 8, Seq("value"))
         .select(col("user_id"), col("cnt").cast(LongType).as("cnt"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(asc_nulls_first("user_id"))),
-
-    // X35 train/test decontamination: test-split documents whose
-    // word 8-grams appear in any train-split document (the standard
-    // pre-training overlap check). Split assignment and the n-gram
-    // stream are both engine-replayable, so the oracle recomputes the
-    // full overlap exactly.
 
     // X35 train/test decontamination: test-split documents whose
     // word 8-grams appear in any train-split document (the standard
@@ -383,19 +280,12 @@ private[graft] object DedupAnnGates {
     // fingerprint groups ≡ equality of the normalized token stream:
     // lowercase, collapse whitespace runs, trim (collision-free at
     // fixture scale by construction of the 64-bit hash chain)
-    // fingerprint groups ≡ equality of the normalized token stream:
-    // lowercase, collapse whitespace runs, trim (collision-free at
-    // fixture scale by construction of the 64-bit hash chain)
     "x02_dedup_fingerprint" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                 CAST(COUNT(*) AS BIGINT) AS n_dups
          FROM documents
          GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
          ORDER BY doc_id NULLS FIRST""",
-    // all-pairs exact char-5-gram Jaccard ≥ 0.5 → recursive-CTE
-    // connected components → survivors = docs that are not a non-min
-    // member of any component (LSH recall at the fixture's j≥0.9 dup
-    // pairs is ~1, so candidate banding loses nothing — verified here)
     // all-pairs exact char-5-gram Jaccard ≥ 0.5 → recursive-CTE
     // connected components → survivors = docs that are not a non-min
     // member of any component (LSH recall at the fixture's j≥0.9 dup
@@ -422,8 +312,6 @@ private[graft] object DedupAnnGates {
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)
          ORDER BY doc_id NULLS FIRST""",
     "x05_knn_cosine" -> knnOracleSql,
-    // exact all-pairs replay of the incremental dedup: cross-drop vs
-    // the corpus, then x20's recursive-CTE components over survivors
     // exact all-pairs replay of the incremental dedup: cross-drop vs
     // the corpus, then x20's recursive-CTE components over survivors
     "x50_incremental_dedup" ->
@@ -460,8 +348,6 @@ private[graft] object DedupAnnGates {
          ORDER BY doc_id NULLS FIRST""",
     // full-equality audit over synthetic signatures: DuckDB recomputes
     // the same deterministic sigs and the exact Hamming pair set
-    // full-equality audit over synthetic signatures: DuckDB recomputes
-    // the same deterministic sigs and the exact Hamming pair set
     "x04_simhash_pairs" ->
       """WITH g AS (SELECT unnest(range(64)) AS id),
          s AS (SELECT id,
@@ -476,8 +362,6 @@ private[graft] object DedupAnnGates {
          FROM s a, s b
          WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""",
-    // recall audit vs the exact top-k the x05 oracle already verifies:
-    // oracle recomputes the exact pair count and pins the recall bound
     // recall audit vs the exact top-k the x05 oracle already verifies:
     // oracle recomputes the exact pair count and pins the recall bound
     "x14_ivf_knn" ->
@@ -514,8 +398,6 @@ private[graft] object DedupAnnGates {
            WHERE rnk <= 5)
          SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
          FROM topk""",
-    // containment audits: the oracle recomputes the exact pair count
-    // (the approximate operators' design target) and pins missed = 0
     // containment audits: the oracle recomputes the exact pair count
     // (the approximate operators' design target) and pins missed = 0
     "x26_lsh_recall" ->

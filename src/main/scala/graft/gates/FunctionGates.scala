@@ -25,8 +25,6 @@ private[graft] object FunctionGates {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q15 [F2,F6,F13] string functions
-
-    // Q15 [F2,F6,F13] string functions
     "q15_string_funcs" -> ((s, d) =>
       t(s, d, "part")
         .select(
@@ -41,8 +39,6 @@ private[graft] object FunctionGates {
         .orderBy(asc_nulls_first("p_partkey"))),
 
     // Q16 [F3,F9] date/time functions
-
-    // Q16 [F3,F9] date/time functions
     "q16_date_funcs" -> ((s, d) =>
       t(s, d, "orders")
         .select(
@@ -52,8 +48,6 @@ private[graft] object FunctionGates {
           dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
           col("o_orderdate").cast(DateType).as("d"))
         .orderBy(asc_nulls_first("o_orderkey"))),
-
-    // Q17 [F10] math functions
 
     // Q17 [F10] math functions
     "q17_math_funcs" -> ((s, d) =>
@@ -69,9 +63,6 @@ private[graft] object FunctionGates {
 
     // Q20 [F11] array access — paired-dialect (Spark element_at is
     // 1-based like DuckDB's [n]; both sides cast float→double)
-
-    // Q20 [F11] array access — paired-dialect (Spark element_at is
-    // 1-based like DuckDB's [n]; both sides cast float→double)
     "q20_array_access" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(
@@ -83,18 +74,12 @@ private[graft] object FunctionGates {
     // Q21 [F8] JSON extraction — native streaming single-field parse
     // (from_json/get_json_object are CodegenFallback and would kick
     // the whole projection off whole-stage codegen)
-
-    // Q21 [F8] JSON extraction — native streaming single-field parse
-    // (from_json/get_json_object are CodegenFallback and would kick
-    // the whole projection off whole-stage codegen)
     "q21_json_extract" -> ((s, d) =>
       t(s, d, "events")
         .select(
           col("event_id"),
           graft.expressions.NativeJson.jsonGetLong(col("props"), "k").as("k"))
         .orderBy(asc_nulls_first("event_id"))),
-
-    // Q22 [F3] date parse round-trip — paired-dialect
 
     // Q22 [F3] date parse round-trip — paired-dialect
     "q22_date_parse" -> ((s, d) =>
@@ -113,8 +98,6 @@ private[graft] object FunctionGates {
         .orderBy(asc_nulls_first("bucket"))),
 
     // Q29 pivot: order counts per priority × status (fixed pivot values)
-
-    // Q29 pivot: order counts per priority × status (fixed pivot values)
     "q29_pivot" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -125,8 +108,6 @@ private[graft] object FunctionGates {
         .withColumnRenamed("O", "n_o")
         .withColumnRenamed("P", "n_p")
         .orderBy(asc_nulls_first("o_orderpriority"))),
-
-    // Q29b unpivot (melt): wide per-priority counts back to long form
 
     // Q29b unpivot (melt): wide per-priority counts back to long form
     "q29b_unpivot" -> ((s, d) => {
@@ -143,8 +124,6 @@ private[graft] object FunctionGates {
     }),
 
     // Q30 collect_list/set + listagg-style string aggregation
-
-    // Q30 collect_list/set + listagg-style string aggregation
     "q30_collect" -> ((s, d) =>
       t(s, d, "nation")
         .groupBy(col("n_regionkey"))
@@ -153,8 +132,6 @@ private[graft] object FunctionGates {
           array_join(sort_array(collect_set(col("n_name"))), ",").as("name_csv"),
           count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("n_regionkey"))),
-
-    // Q31 statistical aggregates
 
     // Q31 statistical aggregates
     "q31_stats" -> ((s, d) =>
@@ -168,8 +145,6 @@ private[graft] object FunctionGates {
         .orderBy(asc_nulls_first("l_returnflag"))),
 
     // Q15b regex extraction (F13 full form)
-
-    // Q15b regex extraction (F13 full form)
     "q15b_regex_extract" -> ((s, d) =>
       t(s, d, "part")
         .select(
@@ -177,13 +152,6 @@ private[graft] object FunctionGates {
           regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
           regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
         .orderBy(asc_nulls_first("p_partkey"))),
-
-    // Q16b date arithmetic: diffs, shifts, truncation. Fact-fact join
-    // (orders is NOT broadcastable at scale): shuffle-HASH on the
-    // order key — both sides shuffle either way, but hashing the
-    // smaller build side skips the two sort passes SMJ would pay
-    // (measured 1.3 s → 0.83 s at sf0.1; the output sort the oracle
-    // mandates is unchanged).
 
     // Q16b date arithmetic: diffs, shifts, truncation. Fact-fact join
     // (orders is NOT broadcastable at scale): shuffle-HASH on the

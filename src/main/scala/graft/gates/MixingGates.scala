@@ -28,12 +28,6 @@ private[graft] object MixingGates {
     // storage reduction for ANN corpora). The gate checks per-vector
     // scale and the max reconstruction error — which the design bounds
     // by scale/2 — against an oracle replaying the same arithmetic.
-
-    // X30 [storage scale] symmetric int8 embedding quantization:
-    // codes = floor(x/scale + 0.5) with scale = max|x|/127 (4-8×
-    // storage reduction for ANN corpora). The gate checks per-vector
-    // scale and the max reconstruction error — which the design bounds
-    // by scale/2 — against an oracle replaying the same arithmetic.
     "x30_quantize" -> ((s, d) => {
       val e = Sim.asDouble(col("embedding"))
       t(s, d, "embeddings")
@@ -48,13 +42,6 @@ private[graft] object MixingGates {
             lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_err"))
         .orderBy(asc_nulls_first("vec_id"))
     }),
-
-    // X36 sequence packing: documents → fixed-2048-token training
-    // sequences, packed contiguously per (split, hash-shard) in
-    // doc_id order — the shard-parallel form, so the 80% train split
-    // sorts on 16 tasks, not one, and seq_id ranges are disjoint per
-    // shard. Oracle replays the identical two-level window + shard
-    // CASE (same md5-hex buckets).
 
     // X36 sequence packing: documents → fixed-2048-token training
     // sequences, packed contiguously per (split, hash-shard) in
@@ -79,11 +66,6 @@ private[graft] object MixingGates {
     // pure function of (salt, doc_id) — the mixture-weights stage of a
     // training pipeline. Same md5-hex-bucket construction as x24, so
     // the oracle evaluates the identical predicate.
-
-    // X37 deterministic domain mixing: per-source sampling rates as a
-    // pure function of (salt, doc_id) — the mixture-weights stage of a
-    // training pipeline. Same md5-hex-bucket construction as x24, so
-    // the oracle evaluates the identical predicate.
     "x37_domain_mix" -> ((s, d) => {
       val rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
       graft.operators.Mixing.weightedSample(t(s, d, "documents"),
@@ -94,13 +76,6 @@ private[graft] object MixingGates {
           max(col("doc_id")).cast(LongType).as("max_id"))
         .orderBy(asc_nulls_first("source"))
     }),
-
-    // X38 deterministic corpus shuffle: ORDER BY seeded md5(key) —
-    // executed as range-partition + local sort, the scale-correct
-    // global shuffle. The head-25 emission pins the ORDER itself
-    // (the driver's compare is otherwise order-insensitive); the
-    // operator drops its helper sort key, so the gate re-derives it
-    // from (salt, key) to pin the key values too.
 
     // X38 deterministic corpus shuffle: ORDER BY seeded md5(key) —
     // executed as range-partition + local sort, the scale-correct
@@ -119,11 +94,6 @@ private[graft] object MixingGates {
     // 10 smallest seeded hashes via the bounded-heap TopK UDAF (map
     // partitions forward ≤k candidates per domain — no per-domain
     // window sort of the corpus). sum(doc_id) pins exact membership.
-
-    // X39 per-domain cap: at most 10 docs per source, selected as the
-    // 10 smallest seeded hashes via the bounded-heap TopK UDAF (map
-    // partitions forward ≤k candidates per domain — no per-domain
-    // window sort of the corpus). sum(doc_id) pins exact membership.
     "x39_domain_cap" -> ((s, d) =>
       graft.operators.Mixing.capPerDomain(t(s, d, "documents"),
           "source", "doc_id", k = 10, salt = "cap1")
@@ -131,11 +101,6 @@ private[graft] object MixingGates {
         .agg(count(lit(1)).as("n"),
           sum(col("doc_id")).cast(LongType).as("id_sum"))
         .orderBy(asc_nulls_first("source"))),
-
-    // X40 per-domain epoch repetition (the "domain d runs f_d epochs"
-    // mixture spec; fractional last epoch at a deterministic hash
-    // rate). Grouped by (source, epoch) so full copies AND the
-    // fractional tail are each pinned exactly.
 
     // X40 per-domain epoch repetition (the "domain d runs f_d epochs"
     // mixture spec; fractional last epoch at a deterministic hash
@@ -150,12 +115,6 @@ private[graft] object MixingGates {
         .agg(count(lit(1)).as("n"),
           sum(col("doc_id")).cast(LongType).as("id_sum"))
         .orderBy(asc_nulls_first("source"), asc_nulls_first("epoch"))),
-
-    // X43 deterministic token-budget selection: greedy prefix of the
-    // seeded-hash order per domain until the budget would be passed —
-    // "take N tokens of domain d". Budgets chosen so the gate
-    // exercises partial take (src0), near-empty take (src1), zero
-    // budget (src2 absent from output), and the default (others).
 
     // X43 deterministic token-budget selection: greedy prefix of the
     // seeded-hash order per domain until the budget would be passed —
@@ -179,13 +138,6 @@ private[graft] object MixingGates {
     // identical to x43 by construction, so it shares x43's oracle —
     // the gate proves the scale-shaped path, not just the property
     // test.
-
-    // X43b the same token-budget selection through the SHARDED
-    // two-level cumsum (shard-local prefix sums + broadcast shard
-    // offsets — no single task sorts a hot domain): output is
-    // identical to x43 by construction, so it shares x43's oracle —
-    // the gate proves the scale-shaped path, not just the property
-    // test.
     "x43b_token_budget_sharded" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("nt", graft.functions.Text.tokenCount(col("text")))
@@ -201,11 +153,6 @@ private[graft] object MixingGates {
     // map-only, engine-portable, stable under corpus growth; the
     // oracle derives the identical assignment from the same
     // generated CASE expression)
-
-    // X24 deterministic train/val/test split (md5 hex buckets —
-    // map-only, engine-portable, stable under corpus growth; the
-    // oracle derives the identical assignment from the same
-    // generated CASE expression)
     "x24_hash_split" -> ((s, d) => {
       val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
       graft.operators.Splits.hashSplit(t(s, d, "documents"), "doc_id", splits, "v1")
@@ -215,13 +162,6 @@ private[graft] object MixingGates {
           max(col("doc_id")).cast("long").as("max_id"))
         .orderBy(asc_nulls_first("split"))
     }),
-
-    // X23 [A6 UDAF] mean-pooled embedding per label (class prototype)
-    // through the VectorMean Aggregator — buffer is one vector+count,
-    // so the shuffle carries one partial row per (partition, label)
-    // instead of N·dim exploded rows. Elements pre-rounded with the
-    // explicit half-up formula and fixed-formatted on both sides so
-    // the array canonicalization is engine-exact.
 
     // X23 [A6 UDAF] mean-pooled embedding per label (class prototype)
     // through the VectorMean Aggregator — buffer is one vector+count,
@@ -284,8 +224,6 @@ private[graft] object MixingGates {
                 md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key LIMIT 25""",
     "x43_token_budget" -> tokenBudgetOracleSql,
-    // the sharded two-level form is output-identical by construction,
-    // so it gates against the very same single-window oracle
     // the sharded two-level form is output-identical by construction,
     // so it gates against the very same single-window oracle
     "x43b_token_budget_sharded" -> tokenBudgetOracleSql,

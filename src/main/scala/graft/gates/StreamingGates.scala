@@ -25,8 +25,6 @@ private[graft] object StreamingGates {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X11 as-of join: latest order at-or-before each event, per user
-
-    // X11 as-of join: latest order at-or-before each event, per user
     "x11_asof_join" -> ((s, d) => {
       val e = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
       val o = t(s, d, "orders")
@@ -37,10 +35,6 @@ private[graft] object StreamingGates {
         .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
         .orderBy(asc_nulls_first("event_id"))
     }),
-
-    // X11b forward as-of: earliest order at-or-after each event —
-    // the direction that was previously only ScalaTest-covered
-    // (DuckDB's ASOF expresses it with the <= inequality)
 
     // X11b forward as-of: earliest order at-or-after each event —
     // the direction that was previously only ScalaTest-covered
@@ -57,15 +51,9 @@ private[graft] object StreamingGates {
     }),
 
     // X12 sessionization (10-minute inactivity gap) via session_window
-
-    // X12 sessionization (10-minute inactivity gap) via session_window
     "x12_sessionize" -> ((s, d) =>
       Sessionize.sessions(t(s, d, "events"), "user_id", "ts")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))),
-
-    // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
-    // gate: events replayed as a parquet stream, complete-mode hourly
-    // aggregate, memory sink — must equal the q18 batch oracle.
 
     // X13 [ST1,ST2,ST6] REAL streaming path through the correctness
     // gate: events replayed as a parquet stream, complete-mode hourly
@@ -87,11 +75,6 @@ private[graft] object StreamingGates {
       s.table("x13_out")
         .orderBy(asc_nulls_first("h"), asc_nulls_first("event_type"))
     }),
-
-    // X18 [ST3,ST4,ST5] STATEFUL streaming through the gate: session
-    // windows in append mode — only watermark-closed sessions emit;
-    // the oracle replicates the emission rule (session_last + gap <
-    // max_ts - delay) on top of gaps-and-islands sessionization.
 
     // X18 [ST3,ST4,ST5] STATEFUL streaming through the gate: session
     // windows in append mode — only watermark-closed sessions emit;
@@ -125,14 +108,6 @@ private[graft] object StreamingGates {
     // with key cardinality, not stream length). The emitted set is
     // deterministic regardless of arrival order, so the batch
     // DISTINCT oracle applies.
-
-    // X28 [ST5+] STREAMING DEDUP through the gate: first-occurrence
-    // key dedup over the event stream — the streaming form of exact
-    // dedup for incremental corpus ingestion (state = the distinct
-    // key set, exactly what the batch operator would shuffle; grows
-    // with key cardinality, not stream length). The emitted set is
-    // deterministic regardless of arrival order, so the batch
-    // DISTINCT oracle applies.
     "x28_stream_dedup" -> ((s, d) => {
       val staged = stageEvents(s, d)
       withStreamPartitions(s, streamPartitionsFor(staged)) {
@@ -150,12 +125,6 @@ private[graft] object StreamingGates {
       s.table("x28_out")
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
     }),
-
-    // X32 [ST+] stream-static enrichment join: the event stream joins
-    // a broadcast static dimension mid-stream (the standard streaming
-    // enrichment shape — dim lookup per micro-batch, no stream-side
-    // state), then aggregates per dimension label in complete mode.
-    // Oracle = the identical batch join+aggregate.
 
     // X32 [ST+] stream-static enrichment join: the event stream joins
     // a broadcast static dimension mid-stream (the standard streaming
@@ -181,13 +150,6 @@ private[graft] object StreamingGates {
       }
       s.table("x32_out").orderBy(asc_nulls_first("n_name"))
     }),
-
-    // X47 STREAM-STREAM interval join through the gate: views pair
-    // with the same user's clicks within the following hour, both
-    // sides watermarked so join state stays bounded. An inner
-    // stream-stream join emits exactly the matching pairs, so the
-    // batch join oracle applies regardless of micro-batch boundaries;
-    // per-user id sums pin exact pair membership.
 
     // X47 STREAM-STREAM interval join through the gate: views pair
     // with the same user's clicks within the following hour, both
@@ -223,14 +185,6 @@ private[graft] object StreamingGates {
     // result must hash-match the complete batch left join replayed by
     // the oracle: unmatched counts included, so dropped-or-spurious
     // nulls cannot hide.
-
-    // X47B stream-stream LEFT OUTER interval join: unmatched views
-    // must ALSO emit (with a NULL click) — which only happens when a
-    // later batch's watermark proves them unmatched, hence the
-    // sentinel staging (see stageEventsWithSentinel). The aggregated
-    // result must hash-match the complete batch left join replayed by
-    // the oracle: unmatched counts included, so dropped-or-spurious
-    // nulls cannot hide.
     "x47b_stream_outer_join" -> ((s, d) => {
       val staged = stageEventsWithSentinel(s, d)
       withStreamPartitions(s, streamPartitionsFor(staged)) {
@@ -256,13 +210,6 @@ private[graft] object StreamingGates {
             .cast(LongType).as("click_id_sum"))
         .orderBy(asc_nulls_first("user_id"))
     }),
-
-    // X42 [ST5] the custom keyed state machine through the gate:
-    // flatMapGroupsWithState running per-user totals in Update mode.
-    // Each snapshot's n strictly grows per user, so max(struct(n,
-    // total)) picks the FINAL state even when multiple micro-batches
-    // emit intermediate snapshots — the batch GROUP BY oracle applies
-    // regardless of batch boundaries.
 
     // X42 [ST5] the custom keyed state machine through the gate:
     // flatMapGroupsWithState running per-user totals in Update mode.
@@ -338,8 +285,6 @@ private[graft] object StreamingGates {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
                 ROUND(SUM(value), 2) AS total
          FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
-    // batch replay of the stream-stream interval join: inner joins
-    // emit exactly the matching pairs, independent of batching
     // batch replay of the stream-stream interval join: inner joins
     // emit exactly the matching pairs, independent of batching
     "x47_stream_interval_join" ->

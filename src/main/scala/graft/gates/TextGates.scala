@@ -25,15 +25,10 @@ private[graft] object TextGates {
 
     // X7 language ID (stopword heuristic + CJK fast path) — rows-only
     // (accuracy vs the fixture lang column is asserted in ScalaTest)
-
-    // X7 language ID (stopword heuristic + CJK fast path) — rows-only
-    // (accuracy vs the fixture lang column is asserted in ScalaTest)
     "x07_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
         .orderBy(asc_nulls_first("doc_id"))),
-
-    // X8 quality scoring (length/punct/stopword composite) — rows-only
 
     // X8 quality scoring (length/punct/stopword composite) — rows-only
     "x08_quality_score" -> ((s, d) =>
@@ -46,8 +41,6 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))),
 
     // X9 token counting (whitespace + subword proxy) — portable oracle
-
-    // X9 token counting (whitespace + subword proxy) — portable oracle
     "x09_token_count" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -55,9 +48,6 @@ private[graft] object TextGates {
           Text.subwordCount(col("text")).as("n_subword"),
           length(col("text")).cast(LongType).as("n_chars_calc"))
         .orderBy(asc_nulls_first("doc_id"))),
-
-    // X19 curation verdicts: quality signals + rule attribution
-    // (rows-only; signal math covered by unit tests + x08/x09 oracles)
 
     // X19 curation verdicts: quality signals + rule attribution
     // (rows-only; signal math covered by unit tests + x08/x09 oracles)
@@ -69,8 +59,6 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))),
 
     // X15 [UDTF surface] explode token stream → global top-20 words
-
-    // X15 [UDTF surface] explode token stream → global top-20 words
     "x15_word_counts" -> ((s, d) =>
       t(s, d, "documents")
         .select(explode(Text.tokens(col("text"))).as("word"))
@@ -78,18 +66,6 @@ private[graft] object TextGates {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, asc_nulls_first("word"))
         .limit(20)),
-
-    // X46 BM25 relevance (query-driven corpus curation): top-10 docs
-    // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
-    // Both the tokenizer (the x15/x43 stream) and the scoring formula
-    // are engine-replayable, so the oracle recomputes scores
-    // term-for-term. Compared score is ROUND(...,2): Spark and DuckDB
-    // sum the ≤3 per-term contributions in different orders, so the
-    // float sums differ in the last ulps — a 2-decimal grid keeps a
-    // boundary flip (sum within ~1e-13 of a 0.005 edge) out of
-    // realistic reach where a 4-decimal grid did not. Ordering uses
-    // the same rounded score + doc_id tiebreak so the top-10
-    // selection is engine-stable.
 
     // X46 BM25 relevance (query-driven corpus curation): top-10 docs
     // for a 3-term probe query, Okapi BM25 with corpus-wide N/avgdl.
@@ -114,12 +90,6 @@ private[graft] object TextGates {
     // struct<chunk, n_tok> so the per-chunk token count rides along
     // from the window construction instead of being re-tokenized.
     // Oracle replicates the window arithmetic.
-
-    // X22 token-window chunking (training-data prep): 80-token
-    // windows, 20-token overlap; map-only native expression emitting
-    // struct<chunk, n_tok> so the per-chunk token count rides along
-    // from the window construction instead of being re-tokenized.
-    // Oracle replicates the window arithmetic.
     "x22_chunking" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -128,13 +98,6 @@ private[graft] object TextGates {
           col("col.n_tok").as("n_tok"),
           col("col.chunk").as("chunk"))
         .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
-
-    // X31 PII scrubbing through the gate: the fixture corpus has no
-    // PII, so the gate synthesizes deterministic PII-bearing text by
-    // pure arithmetic on the row index (the x17 pattern) and checks
-    // the scrubbed output plus per-kind counts. The regex constants
-    // are RE2-portable and shared verbatim with the oracle SQL —
-    // single source of truth, engine-identical matches.
 
     // X31 PII scrubbing through the gate: the fixture corpus has no
     // PII, so the gate synthesizes deterministic PII-bearing text by
@@ -162,11 +125,6 @@ private[graft] object TextGates {
           col("pc.phones").cast(LongType).as("phones"))
         .orderBy(asc_nulls_first("i"))
     }),
-
-    // X21 [A6 UDAF] the same kNN ranking as x05, but through the
-    // bounded-heap Aggregator UDAF instead of a row_number window —
-    // map-side partial top-k, so only ≤k rows per (partition, query)
-    // reach the shuffle. Checked against the identical window oracle.
 
     // X21 [A6 UDAF] the same kNN ranking as x05, but through the
     // bounded-heap Aggregator UDAF instead of a row_number window —
@@ -250,10 +208,7 @@ private[graft] object TextGates {
                 len(reasons) = 0 AS keep
          FROM rs ORDER BY doc_id NULLS FIRST""",
     // same oracle by design: the UDAF must reproduce the window result
-    // same oracle by design: the UDAF must reproduce the window result
     "x21_topk_udaf" -> knnOracleSql,
-    // 80-token windows, step 60: chunk count = 1 if n<=80 else
-    // 1+ceil((n-80)/60); chunk k covers tokens [k*60+1, min(k*60+80,n)]
     // 80-token windows, step 60: chunk count = 1 if n<=80 else
     // 1+ceil((n-80)/60); chunk k covers tokens [k*60+1, min(k*60+80,n)]
     "x22_chunking" ->
@@ -278,10 +233,6 @@ private[graft] object TextGates {
                 CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok, chunk
          FROM ck
          ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""",
-    // Okapi BM25 replay: same tokenizer as x15/x43, same smoothed
-    // Robertson idf and k1=1.2 / b=0.75 saturation; 2-decimal rounded
-    // score as the selection key (coarse grid — engines sum the float
-    // contributions in different orders)
     // Okapi BM25 replay: same tokenizer as x15/x43, same smoothed
     // Robertson idf and k1=1.2 / b=0.75 saturation; 2-decimal rounded
     // score as the selection key (coarse grid — engines sum the float
