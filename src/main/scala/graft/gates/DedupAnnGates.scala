@@ -233,6 +233,30 @@ private[graft] object DedupAnnGates {
             .agg(count(lit(1)).cast(LongType).as("missed_pairs")))
     }),
 
+    // X52 semantic dedup (SemDeDup, Abbas et al. 2023): k-means
+    // cells → within-cell cosine ≥ 0.999 pairs → connected
+    // components → min-id survivor per component. Runs on the x14b
+    // deterministic clustered fixture (12 planted clusters of 8,
+    // mate cosine ≈ 1, cross-cluster cosine far below threshold;
+    // quantizer artifact shared with x14b via its cache key), so the
+    // oracle can replay the EXACT all-pairs formulation: near-
+    // identical mates land in the same probed cell (probes = 2
+    // covers argmin ties at a cell boundary), so the cell-bounded
+    // operator must EQUAL the exact survivors — a full hash oracle
+    // on an approximate operator, not just containment.
+    "x52_semantic_dedup" -> ((s, d) => {
+      val synth = s.range(96)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            (((col("id") / 8).cast(LongType) * 31 + j * 7) % 13 - 6).cast(DoubleType)
+              + ((col("id") * 13 + j * 5) % 7 - 3).cast(DoubleType) / 1024.0)
+            .as("embedding"))
+      graft.operators.SemDedup.semDedup(synth, k = 12, threshold = 0.999,
+          probes = 2, indexKey = Some("ivf-synth12"))
+        .select(col("vec_id"))
+        .orderBy(asc_nulls_first("vec_id"))
+    }),
+
     // X29 [skew] two-phase salted aggregation through the gate: the
     // hot-key mitigation (group on (key, salt) first, re-aggregate on
     // the key) must be result-invariant to salting — pinned against
@@ -429,6 +453,31 @@ private[graft] object DedupAnnGates {
          SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
                 CAST(0 AS BIGINT) AS missed_pairs
          FROM pairs WHERE sim >= 0.999""",
+    // exact SemDeDup replay: all-pairs cosine (no cell approximation)
+    // → recursive-CTE components → min-id survivors; equality with
+    // the cell-bounded Spark result is the gate
+    "x52_semantic_dedup" ->
+      """WITH RECURSIVE g AS (SELECT unnest(range(96)) AS id),
+         v AS (SELECT id, list_transform(range(16), j ->
+                 CAST((id // 8) * 31 + j * 7 AS BIGINT) % 13 - 6 +
+                 (CAST(id * 13 + j * 5 AS BIGINT) % 7 - 3) / 1024.0) AS e
+               FROM g),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM v a, v b WHERE a.id < b.id
+             AND ROUND(list_inner_product(a.e, b.e) /
+                       (sqrt(list_inner_product(a.e, a.e)) *
+                        sqrt(list_inner_product(b.e, b.e))), 4) >= 0.999),
+         e AS (SELECT id_a AS s, id_b AS r FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s AS id, r FROM e
+           UNION
+           SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
+         comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS vec_id FROM g
+         WHERE id NOT IN (SELECT id FROM comp WHERE c < id)
+         ORDER BY vec_id NULLS FIRST""",
     "x35_decontamination" -> {
       val splitExpr = graft.operators.Splits.splitSql(
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")

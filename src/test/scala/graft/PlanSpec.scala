@@ -159,6 +159,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("band") && plan.contains("bucket"))
   }
 
+  test("semantic dedup pairs: equi-join on the cell id, never a cartesian") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val idx = graft.functions.Ivf.indexFor(s"plan-semdedup:$sfDir", emb, k = 4, iters = 1)
+    val pairs = graft.operators.SemDedup.semanticPairs(
+      emb, idx, threshold = 0.9, probes = 2)
+    val plan = executedPlan(pairs)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"within-cell candidates must stay equi-join shaped:\n$plan")
+    assert(plan.contains("cell"), plan)
+  }
+
   test("weightedSample and epochs are map-only: filter over the scan, no exchange") {
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"source")
     val sampled = graft.operators.Mixing.weightedSample(
