@@ -70,6 +70,53 @@ object NativeSignatures {
     new GenericArrayData(mins)
   }
 
+  /** Fused shingle+MinHash: signature of the char-n-gram multiset of
+    * `str`, computed by sliding a two-pointer byte window over the
+    * lowercased text and hashing each window IN PLACE. Bit-identical
+    * to `minhashEval(charShinglesEval(str, n))`: MinHash is invariant
+    * under duplicate shingles (min over a multiset = min over its
+    * set), and each window hashes exactly the bytes the substring
+    * copy would — so the distinct-set pass, the per-shingle
+    * UTF8String allocations, and the intermediate array all drop out.
+    * Fewer than n chars → the empty-set sentinel (Long.MaxValue
+    * everywhere), matching the composed path on an empty shingle
+    * array. */
+  def minhashTextEval(str: UTF8String, n: Int,
+                      as: Array[Long], bs: Array[Long]): ArrayData = {
+    val s = str.toLowerCase
+    val numHashes = as.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val total = s.numBytes()
+    // advance the window end n chars in (UTF-8 aware)
+    var end = 0
+    var chars = 0
+    while (chars < n && end < total) {
+      end += UTF8String.numBytesForFirstByte(s.getByte(end))
+      chars += 1
+    }
+    if (chars == n && end <= total) {
+      var start = 0
+      var more = true
+      while (more) {
+        val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+        var k = 0
+        while (k < numHashes) {
+          val g = as(k) * h + bs(k)
+          if (g < mins(k)) mins(k) = g
+          k += 1
+        }
+        if (end >= total) more = false
+        else {
+          start += UTF8String.numBytesForFirstByte(s.getByte(start))
+          end += UTF8String.numBytesForFirstByte(s.getByte(end))
+        }
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
   def srpEval(arr: ArrayData, planes: Int, coefCache: Array[Array[Double]]): Long = {
     val dim = arr.numElements()
     val vec = arr.toDoubleArray()
@@ -160,6 +207,34 @@ object NativeSignatures {
     }
 
     override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+      copy(child = c)
+  }
+
+  /** Fused text→MinHash signature (see [[minhashTextEval]]): the
+    * signature-table hot path. Same constants as [[MinHashSigExpr]],
+    * so signatures from the two paths are interchangeable. */
+  case class MinHashTextExpr(child: Expression, n: Int, numHashes: Int)
+      extends UnaryExpression {
+    require(n > 0, "shingle size must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_text_native"
+
+    @transient private lazy val as: Array[Long] =
+      Array.tabulate(numHashes)(i => splitmix64(2L * i) | 1L)
+    @transient private lazy val bs: Array[Long] =
+      Array.tabulate(numHashes)(i => splitmix64(2L * i + 1))
+
+    override def nullSafeEval(v: Any): Any =
+      minhashTextEval(v.asInstanceOf[UTF8String], n, as, bs)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeSignatures.minhashTextEval($c, $n, $asRef, $bsRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashTextExpr =
       copy(child = c)
   }
 
@@ -258,6 +333,10 @@ object NativeSignatures {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
+
+  def minhashText(str: Column, n: Int, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashTextExpr(ColumnBridge.expression(str), n, numHashes))
 
   def srpSignature(vec: Column, planes: Int): Column =
     ColumnBridge.column(SrpSigExpr(ColumnBridge.expression(vec), planes))

@@ -43,6 +43,11 @@ object Registry {
       (es: Seq[Expression]) =>
         NativeSignatures.MinHashSigExpr(es.head, intArg(es(1), "graft_minhash")),
       "graft_minhash(shingles, k) - k-component MinHash signature"),
+    ("graft_minhash_text",
+      (es: Seq[Expression]) =>
+        NativeSignatures.MinHashTextExpr(es.head,
+          intArg(es(1), "graft_minhash_text"), intArg(es(2), "graft_minhash_text")),
+      "graft_minhash_text(str, n, k) - fused char-n-gram MinHash signature"),
     ("graft_char_shingles",
       (es: Seq[Expression]) =>
         NativeSignatures.CharShinglesExpr(es.head, intArg(es(1), "graft_char_shingles")),

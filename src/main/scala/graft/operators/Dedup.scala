@@ -77,10 +77,17 @@ object Dedup {
   def signatureTable(df: DataFrame, numHashes: Int, shingleSize: Int,
                      idCol: String = "doc_id", textCol: String = "text",
                      cacheKey: Option[String] = None): DataFrame = {
+    // fused shingle+minhash: hashes each char window in place instead
+    // of materializing the distinct shingle array first (MinHash is
+    // duplicate-invariant, so the signatures are bit-identical —
+    // NativeEquivalenceSpec pins it); the signature build was the
+    // dominant cost of every LSH dedup entry point (≈17 s of x20's
+    // sf1 wall-clock before, ≈3 s after)
     def build(): DataFrame = fanOut(df)
       .where(length(col(textCol)) >= shingleSize)
       .select(col(idCol).as("id"),
-        minhashSignature(Text.charShingles(col(textCol), shingleSize), numHashes)
+        graft.expressions.NativeSignatures
+          .minhashText(col(textCol), shingleSize, numHashes)
           .as("sig"))
     cacheKey match {
       case Some(k) =>

@@ -25,6 +25,8 @@ object ExtensionsCheck {
         "SELECT graft_simhash64(graft_tokens('a b c')) IS NOT NULL" -> "true",
         "SELECT size(graft_minhash(graft_char_shingles('abcdef', 3), 8))" -> "8",
         "SELECT size(graft_char_shingles('abcd', 2))" -> "3",
+        ("SELECT graft_minhash_text('AbcDef', 3, 8) = " +
+          "graft_minhash(graft_char_shingles('AbcDef', 3), 8)") -> "true",
         "SELECT graft_srp_sig(array(1.0D, 2.0D), 8) IS NOT NULL" -> "true",
         "SELECT graft_char_entropy('aaaa')" -> "0.0",
         "SELECT graft_lang_score(graft_tokens('the cat and the dog'))" -> "en",

@@ -34,6 +34,26 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     assert(df.where($"native" =!= $"builtin").count() == 0)
   }
 
+  test("fused minhashText equals minhash over distinct char shingles") {
+    // MinHash is duplicate-invariant, so the fused sliding-window path
+    // (no distinct-set, no substring allocation) must be bit-identical
+    // to the composed one — including multibyte text, mixed case,
+    // heavy repetition, and below-shingle-size strings (the empty-set
+    // sentinel signature)
+    val texts = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => randToken).mkString(" ")
+    } ++ Seq("", "ab", "abcd", "ABBA ABBA ABBA", "日本語のテキスト断片",
+      "aaaaaaaaaaaaaaaaaaaa", "αβγδ ΑΒΓΔ mixed Περίπτωση")
+    for (n <- Seq(3, 5)) {
+      val df = texts.toDF("t").select(
+        graft.expressions.NativeSignatures.minhashText($"t", n, 32).as("fused"),
+        graft.expressions.NativeSignatures.minhashSignature(
+          Text.charShingles($"t", n), 32).as("composed"))
+      assert(df.where(not($"fused" <=> $"composed")).count() == 0,
+        s"fused/composed minhash disagree at shingle size $n")
+    }
+  }
+
   test("cosineSim equals the HOF dot/norm formulation on random vectors") {
     val rows = (0 until 200).map { _ =>
       val dim = 1 + rnd.nextInt(32)
