@@ -82,13 +82,19 @@ object Dedup {
     // duplicate-invariant, so the signatures are bit-identical —
     // NativeEquivalenceSpec pins it); the signature build was the
     // dominant cost of every LSH dedup entry point (≈17 s of x20's
-    // sf1 wall-clock before, ≈3 s after)
+    // sf1 wall-clock before, ≈3 s after). `fp` is the raw-text
+    // xxhash64: equal fp ⇒ identical text ⇒ Jaccard exactly 1, the
+    // exact-duplicate short-circuit hybridVerify uses to skip the
+    // shingle re-join for the dominant pair class of replica-heavy
+    // corpora (P[false accept] = 2⁻⁶⁴ per pair, far below the
+    // estimator's documented 2e-10 divergence bound).
     def build(): DataFrame = fanOut(df)
       .where(length(col(textCol)) >= shingleSize)
       .select(col(idCol).as("id"),
         graft.expressions.NativeSignatures
           .minhashText(col(textCol), shingleSize, numHashes)
-          .as("sig"))
+          .as("sig"),
+        xxhash64(col(textCol)).as("fp"))
     cacheKey match {
       case Some(k) =>
         sigCache.computeIfAbsent(s"$k|$numHashes|$shingleSize|$idCol|$textCol", _ => {
@@ -307,20 +313,32 @@ object Dedup {
                            numHashes: Int, shingleSize: Int,
                            idCol: String, textCol: String,
                            eager: Boolean = true): DataFrame = {
+    // `same_fp` = identical raw text (64-bit fingerprint equality) —
+    // Jaccard is exactly 1 for those pairs, so they fast-accept at
+    // any threshold without touching the shingle re-join. Replica-
+    // heavy corpora (the realistic web-scale profile) are dominated
+    // by this pair class, and at high thresholds (threshold + margin
+    // > 1, where no estimator fast-accept exists) it is the ONLY
+    // fast path.
     val scored = cand
-      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("fp").as("fp_a")), Seq("id_a"))
+      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("fp").as("fp_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (graft.expressions.NativeSignatures.sigAgree(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
-          .as("est"))
-      // eager: both branches below read this (ids+estimate only,
+          .as("est"),
+        (col("fp_a") === col("fp_b")).as("same_fp"))
+      // eager: both branches below read this (ids+estimate+flag only,
       // candidates ≪ corpus)
       .localCheckpoint()
-    val clear = scored.where(col("est") >= threshold + margin)
+    val clear = scored
+      .where(col("same_fp") || col("est") >= threshold + margin)
       .select(col("id_a"), col("id_b"))
     val near = scored
-      .where(col("est") >= threshold - margin && col("est") < threshold + margin)
+      .where(!col("same_fp") &&
+        col("est") >= threshold - margin && col("est") < threshold + margin)
     // driver-side branch on checkpointed metadata: when no candidate
     // lands near the threshold (the common case — near-dups are
     // either clearly dup or clearly not), the corpus is never
