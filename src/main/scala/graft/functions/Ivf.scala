@@ -76,10 +76,21 @@ object Ivf {
         // map-only assignment, then element-wise means: posexplode is
         // map-side, the groupBy partial-aggregates before the shuffle,
         // so only numLists·dim rows move (and land on the driver —
-        // that IS the index build output)
-        val upd = vecs
+        // that IS the index build output).
+        // The assignment is eagerly materialized BEFORE the explode:
+        // `select(cid_expr, posexplode(v))` plans the argmin in a
+        // projection above the Generate, re-evaluating it per element
+        // row (dim× the work, and k·dim ops each when realistic seed
+        // spacing defeats the distance early-exit — measured 14 s/iter
+        // vs 1.5 s at sf1 k=141). localCheckpoint pins one argmin per
+        // vector; the frame is (cid, v) — small by the train-sample
+        // contract.
+        val assigned = vecs
           .select(NativeVector.nearestCentroid(col("v"), cents).as("cid"),
-            posexplode(col("v")))
+            col("v"))
+          .localCheckpoint()
+        val upd = assigned
+          .select(col("cid"), posexplode(col("v")))
           .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("m"))
           .collect()
           .groupBy(_.getInt(0))
