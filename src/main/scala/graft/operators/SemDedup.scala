@@ -79,51 +79,88 @@ object SemDedup {
         round(NativeVector.cosineSim(col("v"), col("cent")), 6).as("cent_sim"))
   }
 
-  /** Full semantic dedup: cluster → within-cell pairs ≥ `threshold` →
+  /** Full semantic dedup: collapse exact-duplicate vectors → cluster
+    * → within-cell pairs ≥ `threshold` over DISTINCT vectors →
     * connected components → one survivor per component (plus every
-    * document that is in no duplicate pair).
+    * document in no duplicate group).
+    *
+    * The collapse is the replica-scale optimization: exact copies are
+    * semantic duplicates by definition (cosine exactly 1, and
+    * identical vectors always share cell assignments), so the
+    * quadratic within-cell stage runs over distinct vectors only —
+    * on a 50×-replicated corpus that is 2500× fewer candidate pairs
+    * for a bit-identical survivor set. One groupBy on the vector
+    * value (exact — no hashing) plus one re-join replace the
+    * candidate flood.
     *
     * `keepFarthest = false` (default) keeps the min-id member —
     * deterministic and replayable by a relational oracle.
     * `keepFarthest = true` keeps the member LEAST similar to its cell
     * centroid (the paper's choice: retain the most atypical example
-    * for diversity), ties broken by min id.
+    * for diversity), ties broken by min id. (Exact copies share their
+    * centroid similarity, so under both policies a collapsed group
+    * is represented by its min id, exactly as uncollapsed.)
     *
     * `indexKey` stages the trained quantizer per corpus identity
     * (same artifact contract as [[Ivf.indexFor]]); without it the
-    * quantizer is trained on every call. */
+    * quantizer is trained on every call. The quantizer trains on the
+    * full frame (artifact identity unchanged by the collapse). */
   def semDedup(df: DataFrame, k: Int, threshold: Double,
                iters: Int = 3, probes: Int = 1,
                keepFarthest: Boolean = false,
                idCol: String = "vec_id", vecCol: String = "embedding",
                indexKey: Option[String] = None,
                ccDriverCap: Int = 100000): DataFrame = {
+    // cosine is ≤ 1 (round(·,4) included), so nothing can pair — and
+    // the exact-copy collapse below would be WRONG here (identical
+    // vectors are not duplicates under an unreachable threshold)
+    if (threshold > 1.0) return df
     val index = indexKey match {
       case Some(key) => Ivf.indexFor(key, df, k, iters, vecCol)
       case None      => Ivf.train(df, k, iters, vecCol)
     }
-    val pairs = semanticPairs(df, index, threshold, probes, idCol, vecCol)
+    val vecs = df
+      .select(col(idCol).as("gid"), Sim.asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull)
+    // one distinct row per vector VALUE; rid = min member id (float→
+    // double widening is exact, so grouping the widened vectors
+    // equals grouping the raw ones)
+    val reps = vecs.groupBy("v").agg(min(col("gid")).as("rid"))
+      .localCheckpoint() // read 2-3× below (pairs, labeling, policy)
+    val pairs = semanticPairs(
+      reps.select(col("rid").as("id"), col("v")), index, threshold, probes,
+      idCol = "id", vecCol = "v")
     val comps = Dedup.connectedComponentsAdaptive(pairs, ccDriverCap)
-    val losers =
+    // every rep gets a duplicate-group label: its CC component when it
+    // paired, else itself (exact copies of an isolated vector still
+    // collapse to rid — they are cosine-1 duplicates of each other)
+    val labeled = reps
+      .join(comps.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+      .select(col("rid"), col("v"),
+        coalesce(col("component"), col("rid")).as("comp"))
+    val keep =
       if (!keepFarthest)
-        comps.where(col("id") =!= col("component"))
-          .select(col("id").as(idCol))
+        // min rid per group == min member id (rid is already the min
+        // of its copies)
+        labeled.groupBy("comp").agg(min(col("rid")).as("keep_id"))
       else {
-        // representative = argmin (cent_sim, id) per component; the
-        // centroid table join is broadcast (k rows), the component
-        // reduction is one partial-aggregable min(struct)
-        val vecs = df
-          .select(col(idCol).as("id"), Sim.asDouble(col(vecCol)).as("v"))
-          .where(col("v").isNotNull)
-        val reps = comps
-          .join(centroidSim(vecs, index), Seq("id"))
-          .groupBy("component")
-          .agg(min(struct(col("cent_sim"), col("id"))).as("rep"))
-          .select(col("component"), col("rep.id").as("rep_id"))
-        comps.join(reps, Seq("component"))
-          .where(col("id") =!= col("rep_id"))
-          .select(col("id").as(idCol))
+        // argmin (cent_sim, rid) per group; the centroid table join
+        // is broadcast (k rows), the reduction partial-aggregates
+        val cs = centroidSim(labeled.select(col("rid").as("id"), col("v")), index)
+          .select(col("id").as("rid"), col("cent_sim"))
+        labeled.join(cs, Seq("rid"))
+          .groupBy("comp")
+          .agg(min(struct(col("cent_sim"), col("rid"))).as("rep"))
+          .select(col("comp"), col("rep.rid").as("keep_id"))
       }
+    // expand back to member ids: a row is dropped iff its vector's
+    // group keeps a different id; null-vector rows never enter `vecs`
+    // and always survive (same as the pre-collapse behavior)
+    val losers = vecs
+      .join(labeled.select(col("v"), col("comp")), Seq("v"))
+      .join(keep, Seq("comp"))
+      .where(col("gid") =!= col("keep_id"))
+      .select(col("gid").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 }

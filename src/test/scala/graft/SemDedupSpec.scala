@@ -77,6 +77,39 @@ class SemDedupSpec extends AnyFunSuite {
     assert(kept == want)
   }
 
+  test("exact vector copies collapse: survivors unchanged by replication") {
+    // copies under fresh ids (the replica-corpus profile): the
+    // collapse stage must route them to their original's group, so
+    // survivors are the same 12 min ids as the unreplicated corpus
+    val copies = synth.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val replicated = synth.unionByName(copies).unionByName(
+      synth.select((col("vec_id") + 2000).as("vec_id"), col("embedding")))
+    val kept = SemDedup.semDedup(replicated, k = 12, threshold = 0.999, probes = 2,
+        indexKey = Some("semdedup-spec-synth12"))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == (0 until 12).map(_ * 8L))
+  }
+
+  test("copies of an isolated vector still dedup; nulls and unreachable thresholds survive") {
+    // one lonely vector replicated 3x: no near-dup neighbor, but the
+    // copies are cosine-1 duplicates of each other -> min id survives
+    val lone = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (7L, Seq(1.0, 0.0, 0.0)),
+      (9L, Seq(1.0, 0.0, 0.0)), (4L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val kept = SemDedup.semDedup(lone, k = 2, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+    // null embedding rows never pair and always survive
+    val withNull = lone.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    val keptN = SemDedup.semDedup(withNull, k = 2, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(keptN == Seq(1L, 4L, 99L))
+    // threshold past cosine's range: identical copies are NOT dups
+    assert(SemDedup.semDedup(lone, k = 2, threshold = 1.01).count() == 4)
+  }
+
   test("corpus with no high-cosine pairs survives intact") {
     // the real embeddings fixture's property (max pairwise cosine ≈
     // 0.46) modeled by thresholding the synth far above mate cosine:
