@@ -258,6 +258,13 @@ class DedupSimSpec extends AnyFunSuite {
     // degenerate margins: all-exact (margin 1) and all-estimator (margin 0)
     // must also agree on this corpus (clear pairs are clear by construction)
     assert(ids(Dedup.lshHybridPairs(corpus, threshold = 0.5, margin = 1.0)) == exact)
+    // high threshold: threshold + margin > 1 leaves no estimator
+    // fast-accept, so identical texts ride the fingerprint
+    // short-circuit — (0,3) must pair, near-dups must not, and the
+    // result still matches the all-exact formulation
+    val exactHi = ids(Dedup.lshExactPairs(corpus, threshold = 0.9))
+    assert(exactHi.contains((0L, 3L)) && !exactHi.contains((0L, 1L)))
+    assert(ids(Dedup.lshHybridPairs(corpus, threshold = 0.9)) == exactHi)
   }
 
   test("signatureTable: same cache key returns the same staged artifact") {
