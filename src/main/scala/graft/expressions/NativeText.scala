@@ -89,6 +89,59 @@ object NativeText {
     else UTF8String.fromString("und")
   }
 
+  /** Single-pass whitespace token count over the RAW UTF-8 bytes — no
+    * lowercase, no regex split, no per-token allocation. Boundaries
+    * are Java-regex `\s` (ASCII 0x09–0x0D, 0x20; non-ASCII bytes are
+    * negative and never whitespace), and lowercasing cannot move them
+    * (no code point lowercases to or from whitespace), so the count is
+    * bit-identical to `size(tokensEval(str))` on any input. */
+  def tokenCountEval(str: UTF8String): Long = {
+    val n = str.numBytes
+    var i = 0
+    var cnt = 0L
+    var inTok = false
+    while (i < n) {
+      val b = str.getByte(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) inTok = false
+      else if (!inTok) { cnt += 1; inTok = true }
+      i += 1
+    }
+    cnt
+  }
+
+  /** Single-pass Σ ceil(codePoints(token)/4) directly over text bytes.
+    * ASCII fast path counts on the raw bytes (ASCII lowercase is 1:1,
+    * so counts are unchanged); the first non-ASCII byte bails to one
+    * `toLowerCase` pass, because a few code points change code-point
+    * COUNT under lowercasing (U+0130 İ → "i" + combining dot). Either
+    * way the result is bit-identical to
+    * `subwordCountEval(tokensEval(str))`. */
+  def subwordCountTextEval(str: UTF8String): Long = {
+    val fast = subwordWalk(str, bailOnNonAscii = true)
+    if (fast >= 0L) fast else subwordWalk(str.toLowerCase, bailOnNonAscii = false)
+  }
+
+  /** Byte-walk for [[subwordCountTextEval]]: whitespace closes a token
+    * (ASCII `\s` bytes only — multi-byte UTF-8 lead/continuation bytes
+    * are ≥ 0x80 and never match); code points are counted as
+    * non-continuation bytes. Returns -1 iff bailing on non-ASCII. */
+  private def subwordWalk(str: UTF8String, bailOnNonAscii: Boolean): Long = {
+    val n = str.numBytes
+    var i = 0
+    var total = 0L
+    var chars = 0L
+    while (i < n) {
+      val b = str.getByte(i)
+      if (bailOnNonAscii && b < 0) return -1L
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) {
+        if (chars > 0) { total += (chars + 3) / 4; chars = 0 }
+      } else if ((b & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars > 0) total += (chars + 3) / 4
+    total
+  }
+
   /** BPE-ish subword count: Σ ceil(len(token)/4) — matches the HOF
     * formulation it replaces (and the x09 DuckDB oracle) exactly. */
   def subwordCountEval(tokens: ArrayData): Long = {
@@ -433,6 +486,36 @@ object NativeText {
       copy(child = c)
   }
 
+  case class TokenCountExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "token_count_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(tokenCountEval(v.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.tokenCountEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): TokenCountExpr =
+      copy(child = c)
+  }
+
+  case class SubwordCountTextExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "subword_count_text_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(subwordCountTextEval(v.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.subwordCountTextEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): SubwordCountTextExpr =
+      copy(child = c)
+  }
+
   case class SubwordCountExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "subword_count_native"
@@ -545,4 +628,10 @@ object NativeText {
 
   def subwordCount(tokens: Column): Column =
     ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(tokens)))
+
+  def tokenCount(str: Column): Column =
+    ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(str)))
+
+  def subwordCountText(str: Column): Column =
+    ColumnBridge.column(SubwordCountTextExpr(ColumnBridge.expression(str)))
 }

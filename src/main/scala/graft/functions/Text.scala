@@ -21,15 +21,20 @@ object Text {
   def tokens(c: Column): Column =
     graft.expressions.NativeText.tokens(c)
 
-  /** Whitespace token count (BIGINT). */
-  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+  /** Whitespace token count (BIGINT). Fused single-pass byte counter —
+    * never materializes the token array (bit-identical to
+    * `size(tokens(c))`; see NativeText.tokenCountEval). */
+  def tokenCount(c: Column): Column =
+    graft.expressions.NativeText.tokenCount(c)
 
   /** A BPE-ish proxy token count: word-piece segments of ≤4 chars.
     * ceil(len/4) summed per word — deterministic, cheap, and a decent
     * stand-in for subword tokenizers when budgeting at corpus scale.
-    * Native expression (keeps the x09 projection in codegen). */
+    * Fused single-pass byte counter with an ASCII fast path — never
+    * materializes the token array (bit-identical to the tokens-based
+    * form; see NativeText.subwordCountTextEval). */
   def subwordCount(c: Column): Column =
-    graft.expressions.NativeText.subwordCount(tokens(c))
+    graft.expressions.NativeText.subwordCountText(c)
 
   /** Token-window document chunking (training-data prep): windows of
     * `size` whitespace tokens advancing by `size - overlap`; the last

@@ -81,12 +81,15 @@ private[graft] object FunctionGates {
           graft.expressions.NativeJson.jsonGetLong(col("props"), "k").as("k"))
         .orderBy(asc_nulls_first("event_id"))),
 
-    // Q22 [F3] date parse round-trip — paired-dialect
+    // Q22 [F3] date parse round-trip — paired-dialect; runs the
+    // engine's own native format/parse pair (ops/Quality F3), which
+    // the DuckDB strftime/strptime oracle must reproduce exactly
     "q22_date_parse" -> ((s, d) =>
       t(s, d, "orders")
         .select(
           col("o_orderkey"),
-          to_date(date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy").as("d"))
+          graft.ops.Quality.parseDateMdy(
+            graft.ops.Quality.formatDateMdy(col("o_orderdate"))).as("d"))
         .orderBy(asc_nulls_first("o_orderkey"))),
 
 

@@ -54,6 +54,58 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("fused token/subword counters equal the tokens-array formulation") {
+    // The fused byte-walk counters never materialize the token array;
+    // they must agree with size(tokens)/subwordCount(tokens) on random
+    // multi-alphabet text plus the edge shapes that stress each
+    // boundary: empty, whitespace-only, every ASCII \s char (incl
+    // vertical tab 0x0B), leading/trailing runs, surrogate pairs
+    // (1 code point, 4 UTF-8 bytes), and U+0130 İ whose lowercase is
+    // TWO code points (the case that forces the non-ASCII slow path).
+    val texts = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => randToken)
+        .mkString(Seq(" ", "  ", "\t", "\n", " \r ")(rnd.nextInt(5)))
+    } ++ Seq("", " ", " \t\n\f\r ", "  lead", "trail  ",
+      "one", "a b  c\td", "İSTANBUL İİİ mixİd", "𝕏 𝕐𝕐 emoji 🎉🎉🎉 pair",
+      "ÀÉÎ ÕÜ ßẞ", "abcd", "日本語 中文\tαβγ")
+    val df = texts.toDF("t").select(
+      graft.expressions.NativeText.tokenCount($"t").as("tc_fused"),
+      size(graft.expressions.NativeText.tokens($"t")).cast("long").as("tc_arr"),
+      graft.expressions.NativeText.subwordCountText($"t").as("sc_fused"),
+      graft.expressions.NativeText.subwordCount(
+        graft.expressions.NativeText.tokens($"t")).as("sc_arr"))
+    assert(df.where($"tc_fused" =!= $"tc_arr" || $"sc_fused" =!= $"sc_arr")
+      .count() == 0)
+  }
+
+  test("native mdy format/parse equal date_format/try_to_timestamp") {
+    // formatMdy vs date_format on random dates across 1600-2400
+    // (pre-1970 negatives, leap centuries 1600/2000, non-leap 1900);
+    // parseMdy vs try_to_timestamp on both well-formed and junk text.
+    val days = (0 until 400).map(_ => -135140 + rnd.nextInt(292194)) ++ // 1600..2399
+      Seq(0, -1, 10957, 11016, -25567) // epoch, 2000-01-01, leap edges
+    val dfF = days.toDF("ed").select(date_add(lit(java.sql.Date.valueOf("1970-01-01")), $"ed").as("dt"))
+      .select($"dt", ($"dt".cast("timestamp") + expr("INTERVAL 11 HOURS")).as("ts"))
+      .select(
+        graft.expressions.NativeDates.formatMdy($"dt").as("native"),
+        date_format($"dt", "MM/dd/yyyy").as("builtin"),
+        graft.expressions.NativeDates.formatMdy($"ts").as("native_ts"),
+        date_format($"ts", "MM/dd/yyyy").as("builtin_ts"))
+    assert(dfF.where(not($"native" <=> $"builtin") ||
+      not($"native_ts" <=> $"builtin_ts")).count() == 0)
+
+    val strs = days.map { ed =>
+      val d = java.time.LocalDate.ofEpochDay(ed.toLong)
+      s"${d.getMonthValue}/${d.getDayOfMonth}/${d.getYear}"
+    } ++ Seq("02/29/2000", "2/29/1900", "2/30/2020", "13/01/2020", "0/5/2020",
+      "1/0/2020", "12/31/9999", "1/1/0001", "-8", "", "1/2/92", "01/02/1992 ",
+      " 1/2/1992", "1//1992", "a/b/cccc", "001/2/1992", "1/002/1992")
+    val dfP = strs.toDF("s").select(
+      graft.expressions.NativeDates.parseMdy($"s").as("native"),
+      to_date(try_to_timestamp($"s", lit("M/d/yyyy"))).as("builtin"))
+    assert(dfP.where(not($"native" <=> $"builtin")).count() == 0)
+  }
+
   test("cosineSim equals the HOF dot/norm formulation on random vectors") {
     val rows = (0 until 200).map { _ =>
       val dim = 1 + rnd.nextInt(32)
