@@ -89,6 +89,110 @@ object NativeText {
     else UTF8String.fromString("und")
   }
 
+  /** Fused rolling fingerprint: [[fingerprintEval]] without the token
+    * array — lowercase once, hash-chain zero-copy token views over the
+    * lowered bytes (same chaining rule, bit-identical: XXH64 reads the
+    * same bytes whether sliced or copied). */
+  def fingerprintTextEval(str: UTF8String): Long = {
+    val lower = str.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) i += 1
+      else {
+        val start = i
+        while (i < n && {
+          val c = bytes(i); !(c == 0x20 || (c >= 0x09 && c <= 0x0D))
+        }) i += 1
+        h = XXH64.hashUTF8String(
+          UTF8String.fromBytes(bytes, start, i - start), XXH64.hashLong(h, 42L))
+      }
+    }
+    h
+  }
+
+  /** Fused SimHash-64: NativeSignatures.simhashEval without the token
+    * array — same per-token hash and bit-counter vote over zero-copy
+    * token views. */
+  def simhashTextEval(str: UTF8String): Long = {
+    val lower = str.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) i += 1
+      else {
+        val start = i
+        while (i < n && {
+          val c = bytes(i); !(c == 0x20 || (c >= 0x09 && c <= 0x0D))
+        }) i += 1
+        val h = XXH64.hashUTF8String(
+          UTF8String.fromBytes(bytes, start, i - start), 42L)
+        var bb = 0
+        while (bb < 64) {
+          if (((h >>> bb) & 1L) == 1L) counters(bb) += 1 else counters(bb) -= 1
+          bb += 1
+        }
+      }
+    }
+    var sig = 0L
+    var bb = 0
+    while (bb < 64) { if (counters(bb) > 0) sig |= (1L << bb); bb += 1 }
+    sig
+  }
+
+  /** Fused language scoring: [[langScoreEval]] without the token
+    * array — lowercase once, walk byte-boundaries, probe zero-copy
+    * token views against per-language UTF8String stopword sets,
+    * tracking DISTINCT hit words per language (same scoring and
+    * tie-break as the array form). */
+  def langScoreTextEval(str: UTF8String, langs: Array[String],
+                        sets: Array[java.util.HashSet[UTF8String]]): UTF8String = {
+    val lower = str.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    val nLangs = langs.length
+    val hits = new Array[java.util.HashSet[UTF8String]](nLangs)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) i += 1
+      else {
+        val start = i
+        while (i < n && {
+          val c = bytes(i); !(c == 0x20 || (c >= 0x09 && c <= 0x0D))
+        }) i += 1
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        var l = 0
+        while (l < nLangs) {
+          if (sets(l).contains(tok)) {
+            if (hits(l) == null) hits(l) = new java.util.HashSet[UTF8String]()
+            hits(l).add(tok)
+          }
+          l += 1
+        }
+      }
+    }
+    var best = -1
+    var bestScore = 0
+    var l = 0
+    while (l < nLangs) {
+      val s = if (hits(l) == null) 0 else hits(l).size
+      if (s > bestScore || (s == bestScore && s > 0 && best >= 0 &&
+          langs(l).compareTo(langs(best)) > 0)) {
+        best = l; bestScore = s
+      }
+      l += 1
+    }
+    if (bestScore > 0) UTF8String.fromString(langs(best))
+    else UTF8String.fromString("und")
+  }
+
   /** Single-pass whitespace token count over the RAW UTF-8 bytes — no
     * lowercase, no regex split, no per-token allocation. Boundaries
     * are Java-regex `\s` (ASCII 0x09–0x0D, 0x20; non-ASCII bytes are
@@ -160,10 +264,40 @@ object NativeText {
 
   /** Shannon entropy (bits/char) of the code-point distribution —
     * low entropy flags repetitive/boilerplate text, high entropy flags
-    * binary junk; both are standard corpus-quality filters. */
+    * binary junk; both are standard corpus-quality filters. ASCII fast
+    * path: counts land in a 128-slot array (no decode, no boxing); the
+    * first non-ASCII byte falls back to the code-point HashMap walk.
+    * Summation order differs between the paths (slot order vs bucket
+    * order) but the 4-dp rounding absorbs the reordering ulps — the
+    * same tolerance that already reconciles this signal against the
+    * DuckDB oracle's own summation order. */
   def charEntropyEval(str: UTF8String): Double = {
+    val n = str.numBytes
+    if (n == 0) return 0.0
+    val freq = new Array[Int](128)
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      val b = str.getByte(i)
+      if (b < 0) ascii = false
+      else { freq(b) += 1; i += 1 }
+    }
+    if (ascii) {
+      var h = 0.0
+      var c = 0
+      while (c < 128) {
+        if (freq(c) > 0) {
+          val p = freq(c).toDouble / n
+          h -= p * (math.log(p) / math.log(2))
+        }
+        c += 1
+      }
+      round4(h)
+    } else charEntropySlow(str)
+  }
+
+  private[graft] def charEntropySlow(str: UTF8String): Double = {
     val s = str.toString
-    if (s.isEmpty) return 0.0
     val freq = new java.util.HashMap[Integer, Integer]()
     var i = 0
     var total = 0
@@ -180,6 +314,60 @@ object NativeText {
       h -= p * (math.log(p) / math.log(2))
     }
     round4(h)
+  }
+
+  private val PunctBytes: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    ".,!?;:'\"()[]{}-".foreach(c => a(c.toInt) = true)
+    a
+  }
+
+  /** Punctuation ratio (punct chars / total chars, 4-dp, 0 for empty)
+    * in ONE byte pass — the `[.,!?;:'"()\[\]{}-]` class is pure ASCII,
+    * so membership is a byte-table probe and the char total is the
+    * non-continuation-byte count; replaces a full-string
+    * regexp_replace rewrite plus a length diff. */
+  def punctRatioEval(str: UTF8String): Double = {
+    val n = str.numBytes
+    var i = 0
+    var chars = 0L
+    var punct = 0L
+    while (i < n) {
+      val b = str.getByte(i)
+      if (b >= 0) { chars += 1; if (PunctBytes(b)) punct += 1 }
+      else if ((b & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars == 0L) 0.0 else round4(punct.toDouble / chars)
+  }
+
+  /** Stopword-hit ratio (hit tokens / tokens, 4-dp, 0 for empty) in
+    * one fused walk: lowercase once, then token slices are zero-copy
+    * UTF8String views over the lowered bytes probed against a
+    * UTF8String hash set — no token array, no per-token String
+    * decode. Token boundaries are the same ASCII `\s` bytes as
+    * [[tokenCountEval]], so hits/n match the tokens+wordHits
+    * formulation exactly. */
+  def stopwordRatioEval(str: UTF8String, set: java.util.HashSet[UTF8String]): Double = {
+    val lower = str.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    var i = 0
+    var nTok = 0L
+    var hits = 0L
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) i += 1
+      else {
+        val start = i
+        while (i < n && {
+          val c = bytes(i); !(c == 0x20 || (c >= 0x09 && c <= 0x0D))
+        }) i += 1
+        nTok += 1
+        if (set.contains(UTF8String.fromBytes(bytes, start, i - start))) hits += 1
+      }
+    }
+    if (nTok == 0L) 0.0 else round4(hits.toDouble / nTok)
   }
 
   /** Duplicate-line fraction: 1 − distinct/total over non-blank lines
@@ -486,6 +674,75 @@ object NativeText {
       copy(child = c)
   }
 
+  case class FingerprintTextExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fingerprint_text_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(fingerprintTextEval(v.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.fingerprintTextEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): FingerprintTextExpr =
+      copy(child = c)
+  }
+
+  case class SimHashTextExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_text_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(simhashTextEval(v.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.simhashTextEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): SimHashTextExpr =
+      copy(child = c)
+  }
+
+  case class PunctRatioExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "punct_ratio_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Double.valueOf(punctRatioEval(v.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.punctRatioEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): PunctRatioExpr =
+      copy(child = c)
+  }
+
+  case class StopwordRatioExpr(child: Expression, words: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "stopword_ratio_native"
+
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](words.length * 2)
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Double.valueOf(stopwordRatioEval(v.asInstanceOf[UTF8String], set))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("stopwordSet", set, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.stopwordRatioEval($c, $setRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): StopwordRatioExpr =
+      copy(child = c)
+  }
+
   case class TokenCountExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "token_count_native"
@@ -591,6 +848,35 @@ object NativeText {
       copy(child = c)
   }
 
+  case class LangScoreTextExpr(child: Expression,
+                               stopwordSets: Seq[(String, Seq[String])])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_score_text_native"
+
+    @transient private lazy val langs: Array[String] =
+      stopwordSets.map(_._1).toArray
+    @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+      stopwordSets.map { case (_, ws) =>
+        val s = new java.util.HashSet[UTF8String]()
+        ws.foreach(w => s.add(UTF8String.fromString(w)))
+        s
+      }.toArray
+
+    override def nullSafeEval(v: Any): Any =
+      langScoreTextEval(v.asInstanceOf[UTF8String], langs, sets)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val langsRef = ctx.addReferenceObj("langCodes", langs, "java.lang.String[]")
+      val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.langScoreTextEval($c, $langsRef, $setsRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): LangScoreTextExpr =
+      copy(child = c)
+  }
+
   // Column-level entry points
   def tokens(str: Column): Column =
     ColumnBridge.column(TokensExpr(ColumnBridge.expression(str)))
@@ -600,6 +886,9 @@ object NativeText {
 
   def langScore(tokens: Column, sets: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LangScoreExpr(ColumnBridge.expression(tokens), sets))
+
+  def langScoreText(str: Column, sets: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangScoreTextExpr(ColumnBridge.expression(str), sets))
 
   def charEntropy(str: Column): Column =
     ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(str)))
@@ -631,6 +920,18 @@ object NativeText {
 
   def tokenCount(str: Column): Column =
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(str)))
+
+  def punctRatio(str: Column): Column =
+    ColumnBridge.column(PunctRatioExpr(ColumnBridge.expression(str)))
+
+  def fingerprintText(str: Column): Column =
+    ColumnBridge.column(FingerprintTextExpr(ColumnBridge.expression(str)))
+
+  def simhashText(str: Column): Column =
+    ColumnBridge.column(SimHashTextExpr(ColumnBridge.expression(str)))
+
+  def stopwordRatio(str: Column, words: Seq[String]): Column =
+    ColumnBridge.column(StopwordRatioExpr(ColumnBridge.expression(str), words))
 
   def subwordCountText(str: Column): Column =
     ColumnBridge.column(SubwordCountTextExpr(ColumnBridge.expression(str)))

@@ -59,6 +59,28 @@ object Registry {
     ("graft_char_entropy",
       (es: Seq[Expression]) => NativeText.CharEntropyExpr(es.head),
       "graft_char_entropy(str) - Shannon entropy (bits/char)"),
+    ("graft_token_count",
+      (es: Seq[Expression]) => NativeText.TokenCountExpr(es.head),
+      "graft_token_count(str) - fused whitespace token count"),
+    ("graft_fingerprint_text",
+      (es: Seq[Expression]) => NativeText.FingerprintTextExpr(es.head),
+      "graft_fingerprint_text(str) - fused 64-bit rolling token fingerprint"),
+    ("graft_simhash64_text",
+      (es: Seq[Expression]) => NativeText.SimHashTextExpr(es.head),
+      "graft_simhash64_text(str) - fused 64-bit SimHash signature"),
+    ("graft_punct_ratio",
+      (es: Seq[Expression]) => NativeText.PunctRatioExpr(es.head),
+      "graft_punct_ratio(str) - punctuation chars / total chars"),
+    ("graft_lang_id",
+      (es: Seq[Expression]) =>
+        NativeText.LangScoreTextExpr(es.head, Text.stopwordSets),
+      "graft_lang_id(str) - fused best stopword-scored language code"),
+    ("graft_parse_mdy",
+      (es: Seq[Expression]) => NativeDates.ParseMdyExpr(es.head),
+      "graft_parse_mdy(str) - strict m/d/yyyy text to DATE (NULL on junk)"),
+    ("graft_format_mdy",
+      (es: Seq[Expression]) => NativeDates.FormatMdyExpr(es.head),
+      "graft_format_mdy(date) - DATE to MM/dd/yyyy text"),
     ("graft_lang_score",
       (es: Seq[Expression]) =>
         NativeText.LangScoreExpr(es.head, Text.stopwordSets),

@@ -54,23 +54,19 @@ object Text {
     graft.expressions.NativeText.chunksWithCounts(c, size, size - overlap)
   }
 
-  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
-  def punctRatio(c: Column): Column = {
-    val len = length(c).cast("double")
-    val punct = (len - length(regexp_replace(c, "[.,!?;:'\"()\\[\\]{}-]", ""))).cast("double")
-    when(len > 0, round(punct / len, 4)).otherwise(lit(0.0))
-  }
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty).
+    * Single byte-pass native expression — the regexp_replace rewrite
+    * it replaces copied the whole string per row (equivalence pinned
+    * in NativeEquivalenceSpec). */
+  def punctRatio(c: Column): Column =
+    graft.expressions.NativeText.punctRatio(c)
 
   /** Ratio of tokens that are (English) stopwords — a classic
     * fluency/quality signal. Native hit counter (one hash lookup per
     * token; the filter-isin HOF it replaces scanned the word list per
     * token, interpreted). */
-  def stopwordRatio(c: Column, stopwords: Seq[String] = enStopwords): Column = {
-    val ts = tokens(c)
-    val n = size(ts).cast("double")
-    val hits = graft.expressions.NativeText.wordHits(ts, stopwords).cast("double")
-    when(n > 0, round(hits / n, 4)).otherwise(lit(0.0))
-  }
+  def stopwordRatio(c: Column, stopwords: Seq[String] = enStopwords): Column =
+    graft.expressions.NativeText.stopwordRatio(c, stopwords)
 
   /** Mean token length. */
   def meanTokenLen(c: Column): Column = {
@@ -107,7 +103,7 @@ object Text {
     * lang code as the deterministic tie-break. */
   def langId(c: Column): Column =
     when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .otherwise(graft.expressions.NativeText.langScore(tokens(c), stopwordSets))
+      .otherwise(graft.expressions.NativeText.langScoreText(c, stopwordSets))
 
   /** 64-bit rolling fingerprint of the token stream (order-sensitive,
     * whitespace/case-normalized): h = xxhash64(h, token), i.e. a hash
@@ -116,7 +112,7 @@ object Text {
     * for shuffle-cheap exact-ish dedup (two docs differing only in
     * whitespace/casing collide — by design). */
   def fingerprint(c: Column): Column =
-    graft.expressions.NativeText.fingerprint(tokens(c))
+    graft.expressions.NativeText.fingerprintText(c)
 
   /** SimHash-64 over tokens: per bit b, sum ±1 weighted by each
     * token's xxhash64 bit, take the sign bit. Near-identical docs land
@@ -126,7 +122,7 @@ object Text {
     * 64-element array per token through the interpreter and measured
     * ~9 s over 5M tokens at sf0.1; the native loop is ~50× cheaper. */
   def simhash64(c: Column): Column =
-    graft.expressions.NativeSignatures.simhash64(tokens(c))
+    graft.expressions.NativeText.simhashText(c)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -38,7 +38,17 @@ object ExtensionsCheck {
         "SELECT graft_chunks_with_counts('a b c', 2, 2)[0].n_tok" -> "2",
         "SELECT graft_subword_count(graft_tokens('abcdefgh'))" -> "2",
         "SELECT graft_top_ngram_frac(graft_tokens('a b a b'), 2)" -> "1.0",
-        "SELECT graft_json_long('{\"k\": 7}', 'k')" -> "7")
+        "SELECT graft_json_long('{\"k\": 7}', 'k')" -> "7",
+        "SELECT graft_token_count('a b  c')" -> "3",
+        ("SELECT graft_fingerprint_text('A b C') = " +
+          "graft_fingerprint(graft_tokens('A b C'))") -> "true",
+        ("SELECT graft_simhash64_text('A b C') = " +
+          "graft_simhash64(graft_tokens('A b C'))") -> "true",
+        "SELECT graft_punct_ratio('ab.,')" -> "0.5",
+        "SELECT graft_lang_id('the cat and the dog')" -> "en",
+        "SELECT CAST(graft_parse_mdy('2/29/2000') AS STRING)" -> "2000-02-29",
+        "SELECT graft_parse_mdy('2/30/2000') IS NULL" -> "true",
+        "SELECT graft_format_mdy(DATE'1992-01-02')" -> "01/02/1992")
       var failed = 0
       probes.foreach { case (sql, want) =>
         val got = String.valueOf(spark.sql(sql).head().get(0))

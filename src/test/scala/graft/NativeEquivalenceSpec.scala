@@ -78,6 +78,90 @@ class NativeEquivalenceSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("native punct/stopword ratios equal the regexp/tokens formulations") {
+    // punctRatio vs the regexp_replace length-diff; stopwordRatio vs
+    // tokens+wordHits — across random text (multi-alphabet, so the
+    // non-ASCII char-count path is exercised), punctuation-dense
+    // strings, and stopword-heavy prose with mixed case/whitespace.
+    val sw = Text.enStopwords
+    val texts = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ =>
+        if (rnd.nextBoolean()) sw(rnd.nextInt(sw.length)) else randToken)
+        .mkString(Seq(" ", "  ", "\t", ".. ", "?! ")(rnd.nextInt(5)))
+    } ++ Seq("", ".,!?;:'\"()[]{}-", "the (quick) fox.", "THE The the",
+      "日本語、句読点。", "a-b-c {d} [e]", "   ", "'''", "the\tand\nof")
+    val oldPunct = {
+      val len = length($"t").cast("double")
+      val p = (len - length(regexp_replace($"t", "[.,!?;:'\"()\\[\\]{}-]", ""))).cast("double")
+      when(len > 0, round(p / len, 4)).otherwise(lit(0.0))
+    }
+    val oldStop = {
+      val ts = graft.expressions.NativeText.tokens($"t")
+      val n = size(ts).cast("double")
+      val hits = graft.expressions.NativeText.wordHits(ts, sw).cast("double")
+      when(n > 0, round(hits / n, 4)).otherwise(lit(0.0))
+    }
+    val df = texts.toDF("t").select(
+      graft.expressions.NativeText.punctRatio($"t").as("p_new"),
+      oldPunct.as("p_old"),
+      graft.expressions.NativeText.stopwordRatio($"t", sw).as("s_new"),
+      oldStop.as("s_old"))
+    assert(df.where($"p_new" =!= $"p_old" || $"s_new" =!= $"s_old").count() == 0)
+  }
+
+  test("fused fingerprint/simhash equal their token-array forms") {
+    // bit-identity: XXH64 reads the same bytes from a zero-copy slice
+    // as from a copied token, so chain and bit-vote results must match
+    val texts = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => randToken).mkString(" ")
+    } ++ Seq("", " ", "one", "The THE the", "a  b\tc", "日本語 中文 αβγ")
+    val df = texts.toDF("t").select(
+      graft.expressions.NativeText.fingerprintText($"t").as("fp_fused"),
+      graft.expressions.NativeText.fingerprint(
+        graft.expressions.NativeText.tokens($"t")).as("fp_arr"),
+      graft.expressions.NativeText.simhashText($"t").as("sh_fused"),
+      graft.expressions.NativeSignatures.simhash64(
+        graft.expressions.NativeText.tokens($"t")).as("sh_arr"))
+    assert(df.where($"fp_fused" =!= $"fp_arr" || $"sh_fused" =!= $"sh_arr")
+      .count() == 0)
+  }
+
+  test("fused langScoreText equals langScore over the token array") {
+    // same distinct-hit scoring and tie-break, without the token
+    // array: agreement across mixed-language prose, ties, no-hit
+    // text, case variation, and empty input
+    val sets = Text.stopwordSets
+    val words = sets.flatMap(_._2)
+    val texts = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ =>
+        if (rnd.nextBoolean()) words(rnd.nextInt(words.length)) else randToken)
+        .mkString(" ")
+    } ++ Seq("", "the and of", "le la et", "der und die", "THE Le Der",
+      "xyzzy plugh", "the le", "  the  ")
+    val df = texts.toDF("t").select(
+      graft.expressions.NativeText.langScoreText($"t", sets).as("fused"),
+      graft.expressions.NativeText.langScore(
+        graft.expressions.NativeText.tokens($"t"), sets).as("arr"))
+    assert(df.where($"fused" =!= $"arr").count() == 0)
+  }
+
+  test("ascii fast-path charEntropy equals the code-point map walk") {
+    // the ASCII path sums per-slot in code-point order vs the map's
+    // bucket order; after 4-dp rounding both must agree on any
+    // realistic input (non-ASCII strings route to the map walk anyway)
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = (0 until 2000).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => randToken).mkString(" ")
+    } ++ Seq("", "a", "aaaa", "abab", "The quick brown fox! 123.",
+      "\u03b1\u03b2 mixed ascii \u03b1\u03b2", "\u0000\u0001binary\u0002", " ")
+    texts.foreach { t =>
+      val u = UTF8String.fromString(t)
+      val fast = graft.expressions.NativeText.charEntropyEval(u)
+      val slow = graft.expressions.NativeText.charEntropySlow(u)
+      assert(fast == slow, s"entropy fast=$fast slow=$slow for ${t.take(40)}")
+    }
+  }
+
   test("native mdy format/parse equal date_format/try_to_timestamp") {
     // formatMdy vs date_format on random dates across 1600-2400
     // (pre-1970 negatives, leap centuries 1600/2000, non-leap 1900);
