@@ -153,4 +153,35 @@ class PropertySpec extends AnyFunSuite {
       assert(fps(0) == fps(1) && fps(0) == fps(2))
     }
   }
+
+  test("mdy: parse ∘ format = identity on the valid domain; junk never throws") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.NativeDates
+    // round trip: every epoch day whose year fits 4 digits formats to
+    // MM/dd/yyyy and parses back to exactly itself (driver-side evals
+    // — the same static methods codegen calls)
+    forSamples(Gen.choose(-719162, 2932896), 400) { ed => // 0001-01-01..9999-12-31
+      val s = NativeDates.formatMdyEval(ed)
+      val back = NativeDates.parseMdyEval(s)
+      assert(back != null && back.asInstanceOf[Integer].intValue() == ed,
+        s"round trip broke at epochDay=$ed ($s -> $back)")
+    }
+    // totality: arbitrary strings (incl date-like junk) never throw,
+    // and any non-null parse re-formats to a string that parses back
+    // to the same day (internal consistency on accepted inputs)
+    val junkDate = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(12)),
+      for (m <- Gen.choose(0, 19); d <- Gen.choose(0, 40);
+           y <- Gen.choose(0, 99999)) yield s"$m/$d/$y",
+      Gen.const("2/29/1900"), Gen.const("2/29/2000"), Gen.const("12/31/9999"),
+      Gen.const("-8"), Gen.const(""), Gen.const("1/1/1/1"), Gen.const("//"))
+    forSamples(junkDate, 500) { s =>
+      val r = NativeDates.parseMdyEval(UTF8String.fromString(s))
+      if (r != null) {
+        val ed = r.asInstanceOf[Integer].intValue()
+        val back = NativeDates.parseMdyEval(NativeDates.formatMdyEval(ed))
+        assert(back != null && back.asInstanceOf[Integer].intValue() == ed)
+      }
+    }
+  }
 }
