@@ -1231,17 +1231,18 @@ object Multimodal {
   }
 
   /** Synthesize a deterministic REAL-image asset table: every row is
-    * an actual PNG / JPEG / GIF / BMP (cycling on i%4 — proving
-    * multi-format dispatch across all four containers the JDK ships
-    * readers for) encoded on the executors from index-derived dims
-    * and pixels. Decoding these through [[decodeFeatures]] exercises
-    * the real `javax.imageio` path, and the dims are pure arithmetic
-    * on the index, so an oracle can replay them without seeing the
-    * bytes: width = 16 + (i%8)·4, height = 12 + (i%5)·4. (JPEG is
-    * lossy and GIF quantizes, but dimensions live in the container
-    * header, so the oracle contract is unaffected.) */
+    * an actual PNG / JPEG / GIF / BMP / TIFF (cycling on i%5 —
+    * proving multi-format dispatch across all five containers the JDK
+    * ships readers for) encoded on the executors from index-derived
+    * dims and pixels. Decoding these through [[decodeFeatures]]
+    * exercises the real `javax.imageio` path, and the dims are pure
+    * arithmetic on the index, so an oracle can replay them without
+    * seeing the bytes: width = 16 + (i%8)·4, height = 12 + (i%5)·4.
+    * (JPEG is lossy and GIF quantizes, but dimensions live in the
+    * container header, so the oracle contract is unaffected; TIFF,
+    * like PNG/BMP, round-trips pixels losslessly.) */
   def syntheticImageAssets(spark: SparkSession, n: Int): DataFrame = {
-    val formats = Seq("png", "jpeg", "gif", "bmp")
+    val formats = Seq("png", "jpeg", "gif", "bmp", "tiff")
     val rdd = spark.range(n.toLong).rdd.map { i =>
       val w = 16 + (i % 8).toInt * 4
       val h = 12 + (i % 5).toInt * 4
@@ -1256,9 +1257,9 @@ object Multimodal {
         }
         y += 1
       }
-      val format = formats((i % 4).toInt)
+      val format = formats((i % formats.length).toInt)
       Row(i, "image", ImageCodec.encode(img, format),
-        Row(s"src${i % 4}", s"image/$format"))
+        Row(s"src${i % formats.length}", s"image/$format"))
     }
     spark.createDataFrame(rdd, assetSchema)
   }

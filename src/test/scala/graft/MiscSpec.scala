@@ -435,25 +435,27 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
-  test("Multimodal: JPEG and GIF decode via imageio; resize keeps the source container") {
+  test("Multimodal: JPEG/GIF/TIFF decode via imageio; resize keeps the source container") {
     import Multimodal.ImageCodec
-    val formats = Seq("png", "jpeg", "gif", "bmp")
-    val raw = Multimodal.syntheticImageAssets(spark, 8)
+    // sniffed names per cycle slot: the JDK TIFF reader reports "tif"
+    // even though the writer is addressed as "tiff"
+    val sniffed = Seq("png", "jpeg", "gif", "bmp", "tif")
+    val raw = Multimodal.syntheticImageAssets(spark, 10)
       .select("asset_id", "bytes").as[(Long, Array[Byte])].collect()
-    assert(raw.length == 8)
+    assert(raw.length == 10)
     raw.foreach { case (i, bytes) =>
-      assert(ImageCodec.formatName(bytes).contains(formats((i % 4).toInt)),
+      assert(ImageCodec.formatName(bytes).contains(sniffed((i % 5).toInt)),
         s"asset $i container")
       assert(ImageCodec.decodeDims(bytes)
         .contains((16 + (i % 8).toInt * 4, 12 + (i % 5).toInt * 4)),
         s"asset $i header dims")
     }
     // resize must re-encode in the SOURCE container: a jpeg in is a
-    // jpeg out, a gif in is a gif out — and the new header parses
-    val resized = Multimodal.resize(Multimodal.syntheticImageAssets(spark, 8), 0.5)
+    // jpeg out, a tiff in is a tiff out — and the new header parses
+    val resized = Multimodal.resize(Multimodal.syntheticImageAssets(spark, 10), 0.5)
       .select("asset_id", "bytes").as[(Long, Array[Byte])].collect()
     resized.foreach { case (i, bytes) =>
-      assert(ImageCodec.formatName(bytes).contains(formats((i % 4).toInt)),
+      assert(ImageCodec.formatName(bytes).contains(sniffed((i % 5).toInt)),
         s"resized asset $i container")
       assert(ImageCodec.decodeDims(bytes).contains(
         (math.max(1, (16 + (i % 8).toInt * 4) / 2),
