@@ -22,6 +22,7 @@ object Session {
       .appName(appName)
     val spark = warehouseDir.foldLeft(builder0)(
       (b, dir) => b.config("spark.sql.warehouse.dir", dir))
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

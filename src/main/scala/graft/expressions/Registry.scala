@@ -130,13 +130,17 @@ object Registry {
     }
 }
 
-/** `spark.sql.extensions`-compatible injector. */
+/** `spark.sql.extensions`-compatible injector: the SQL function
+  * surface plus the graft optimizer rules
+  * ([[graft.plans.SemiAntiRightDedup]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.functions.foreach { case (name, builder, usage) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SemiAntiRightDedup)
+  }
 }

@@ -270,4 +270,33 @@ class PlanSpec extends AnyFunSuite {
     else
       assert(graft.operators.Dedup.fanOut(docs) eq docs)
   }
+
+  test("SemiAntiRightDedup: non-broadcastable anti/semi right sides dedup before the join") {
+    val p = Tables.load(spark, sfDir, "part")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def anti = p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select($"p_partkey")
+    def semi = p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+      .select($"p_partkey")
+    val threshold0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcasting disabled → every right side is "too big to
+      // broadcast" → the rule must fire: a HashAggregate keyed on the
+      // join key sits under the join's right (streamed fact) side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((df, tag) <- Seq((anti, "anti"), (semi, "semi"))) {
+        val plan = executedPlan(df)
+        assert(plan.contains("HashAggregate(keys=[l_partkey"),
+          s"$tag right side not deduped before the join:\n$plan")
+      }
+      // rewrite is semantics-preserving: same rows as with the rule
+      // guaranteed inert (tiny right side broadcasts)
+      val dedupRows = anti.orderBy($"p_partkey").as[Long].collect().toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
+      val plainPlan = executedPlan(anti)
+      assert(!plainPlan.contains("HashAggregate"),
+        s"rule should leave broadcast-able right sides alone:\n$plainPlan")
+      assert(anti.orderBy($"p_partkey").as[Long].collect().toSeq == dedupRows)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
+  }
 }
