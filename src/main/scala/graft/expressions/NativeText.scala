@@ -488,6 +488,65 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  /** Per-position 64-bit hashes of EVERY k-token window, in window
+    * order (element i = hash of tokens[i, i+n)); NOT distinct —
+    * span-level dedup needs every occurrence with its position,
+    * unlike [[wordNgramsEval]]'s distinct stream. Each token is
+    * xxhash64'd once (seed 42), then each window chains its k
+    * token-hashes through `XXH64.hashLong` — O(tokens) string
+    * hashing plus O(tokens·k) long mixes, no per-window string
+    * materialization. Positions, not gram text, ride the shuffle:
+    * 8-byte keys regardless of gram length. */
+  def wordNgramHashesEval(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      th(i) = if (tokens.isNullAt(i)) 0L
+        else XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      i += 1
+    }
+    val out = new Array[Long](cnt - n + 1)
+    i = 0
+    while (i <= cnt - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Drop the token index ranges `[starts(i), ends(i))` from the
+    * token stream and re-join the survivors with single spaces;
+    * returns `struct<kept_text string, n_removed bigint>`. Ranges
+    * must be sorted ascending and disjoint (SpanDedup's merged
+    * islands are, by construction); positions past the end of the
+    * token array are ignored. One pass, one range pointer — no
+    * per-token range scan. */
+  def removeTokenRangesEval(tokens: ArrayData, starts: ArrayData,
+      ends: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements()
+    val m = math.min(starts.numElements(), ends.numElements())
+    val sb = new java.lang.StringBuilder()
+    var removed = 0L
+    var r = 0
+    var i = 0
+    while (i < n) {
+      while (r < m && i >= ends.getInt(r)) r += 1
+      if (r < m && i >= starts.getInt(r) && i < ends.getInt(r)) removed += 1
+      else if (!tokens.isNullAt(i)) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i).toString)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), removed))
+  }
+
   /** Token-window chunking for training-data prep: whitespace tokens
     * (case preserved), windows of `size` tokens advancing by `step`
     * (= size − overlap), last window may be short, windows stop once
@@ -601,6 +660,44 @@ object NativeText {
 
     override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
       copy(child = c)
+  }
+
+  case class WordNgramHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n > 0, "n-gram size must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "word_ngram_hashes_native"
+
+    override def nullSafeEval(v: Any): Any =
+      wordNgramHashesEval(v.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.wordNgramHashesEval($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): WordNgramHashesExpr =
+      copy(child = c)
+  }
+
+  case class RemoveTokenRangesExpr(first: Expression, second: Expression,
+                                   third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("kept_text", StringType, nullable = false),
+      StructField("n_removed", LongType, nullable = false)))
+    override def prettyName: String = "remove_token_ranges_native"
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      removeTokenRangesEval(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c) =>
+        s"${ev.value} = graft.expressions.NativeText.removeTokenRangesEval($a, $b, $c);")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): RemoveTokenRangesExpr =
+      copy(first = f, second = s, third = t)
   }
 
   case class WordHitsExpr(child: Expression, words: Seq[String])
@@ -914,6 +1011,13 @@ object NativeText {
 
   def wordNgrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(tokens), n))
+
+  def wordNgramHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramHashesExpr(ColumnBridge.expression(tokens), n))
+
+  def removeTokenRanges(tokens: Column, starts: Column, ends: Column): Column =
+    ColumnBridge.column(RemoveTokenRangesExpr(ColumnBridge.expression(tokens),
+      ColumnBridge.expression(starts), ColumnBridge.expression(ends)))
 
   def subwordCount(tokens: Column): Column =
     ColumnBridge.column(SubwordCountExpr(ColumnBridge.expression(tokens)))

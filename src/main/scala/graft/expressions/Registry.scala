@@ -113,6 +113,14 @@ object Registry {
       (es: Seq[Expression]) => NativeText.TopNgramFracExpr(es.head,
         intArg(es(1), "graft_top_ngram_frac")),
       "graft_top_ngram_frac(tokens, n) - share of the most frequent n-gram"),
+    ("graft_word_ngram_hashes",
+      (es: Seq[Expression]) => NativeText.WordNgramHashesExpr(es.head,
+        intArg(es(1), "graft_word_ngram_hashes")),
+      "graft_word_ngram_hashes(tokens, k) - 64-bit hash of every k-token window, in position order"),
+    ("graft_remove_token_ranges",
+      (es: Seq[Expression]) =>
+        NativeText.RemoveTokenRangesExpr(es.head, es(1), es(2)),
+      "graft_remove_token_ranges(tokens, starts, ends) - cut sorted disjoint token ranges; struct<kept_text, n_removed>"),
     ("graft_json_long",
       (es: Seq[Expression]) => es(1) match {
         case Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>

@@ -282,6 +282,28 @@ private[graft] object DedupAnnGates {
         .select(col("doc_id"), col("n_hits").cast(LongType).as("n_hits"))
         .orderBy(asc_nulls_first("doc_id"))
     }),
+
+    // X53 ExactSubstr span dedup (Lee et al. 2022): maximal spans of
+    // ≥15 consecutive tokens whose exact sequence occurs ≥2 times in
+    // the corpus. Window identity is a 64-bit chained xxhash —
+    // collision-free at fixture scale — so the oracle's gram-string
+    // join recomputes the identical span set.
+    "x53_span_dedup" -> ((s, d) =>
+      graft.operators.SpanDedup.duplicatedSpans(t(s, d, "documents"), k = 15)
+        .select(col("doc_id"),
+          col("span_start").cast(LongType).as("span_start"),
+          col("span_end").cast(LongType).as("span_end"),
+          col("span_ntok").cast(LongType).as("span_ntok"))
+        .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("span_start"))),
+
+    // X53b the corpus rewrite: every duplicated span cut from every
+    // document carrying it; kept_text is the surviving normalized
+    // token stream (lowercase, single spaces — the x02 fingerprint
+    // normalization contract), n_removed the dropped token count.
+    "x53b_span_rewrite" -> ((s, d) =>
+      graft.operators.SpanDedup.dedupSpans(t(s, d, "documents"), k = 15)
+        .select(col("doc_id"), col("kept_text"), col("n_removed"))
+        .orderBy(asc_nulls_first("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -500,5 +522,70 @@ private[graft] object DedupAnnGates {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
          ROUND(SUM(value), 2) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    // duplicated 15-token windows by gram STRING (the engine's 64-bit
+    // window hash is collision-free at fixture scale), merged to
+    // maximal islands with the same gap rule (new island iff
+    // pos > prev + 15)
+    "x53_span_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '') AS ts
+           FROM documents),
+         w0 AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ts) - 13),
+             i -> {'pos': i - 1,
+                   'g': array_to_string(ts[CAST(i AS INT):CAST(i + 14 AS INT)], ' ')})) AS w
+           FROM tk WHERE len(ts) >= 15),
+         g AS (SELECT doc_id, w.pos AS pos, w.g AS g FROM w0),
+         dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2),
+         cov AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
+         lagged AS (
+           SELECT doc_id, pos,
+                  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM cov),
+         isl AS (
+           SELECT doc_id, pos,
+                  SUM(CASE WHEN prev IS NULL OR pos > prev + 15 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM lagged)
+         SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                CAST(MAX(pos) + 15 AS BIGINT) AS span_end,
+                CAST(MAX(pos) + 15 - MIN(pos) AS BIGINT) AS span_ntok
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST""",
+    // rewrite: anti-join token positions against the k-expanded
+    // duplicated-window cover, re-join survivors in position order
+    "x53b_span_rewrite" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '') AS ts
+           FROM documents),
+         w0 AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ts) - 13),
+             i -> {'pos': i - 1,
+                   'g': array_to_string(ts[CAST(i AS INT):CAST(i + 14 AS INT)], ' ')})) AS w
+           FROM tk WHERE len(ts) >= 15),
+         g AS (SELECT doc_id, w.pos AS pos, w.g AS g FROM w0),
+         dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2),
+         cov AS (
+           SELECT DISTINCT doc_id, pos + d AS p
+           FROM (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
+                (SELECT unnest(range(0, 15)) AS d)),
+         tp AS (
+           SELECT doc_id, u.pos AS pos, u.t AS tok
+           FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                   i -> {'pos': i - 1, 't': ts[CAST(i AS INT)]})) AS u
+                 FROM tk)),
+         res AS (
+           SELECT tp.doc_id,
+                  string_agg(CASE WHEN c.p IS NULL THEN tok END, ' '
+                             ORDER BY tp.pos) AS kept_text,
+                  SUM(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+           FROM tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.pos
+           GROUP BY tp.doc_id)
+         SELECT k.doc_id, COALESCE(r.kept_text, '') AS kept_text,
+                CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+         FROM tk k LEFT JOIN res r ON r.doc_id = k.doc_id
+         ORDER BY k.doc_id NULLS FIRST""",
   )
 }

@@ -48,7 +48,10 @@ object ExtensionsCheck {
         "SELECT graft_lang_id('the cat and the dog')" -> "en",
         "SELECT CAST(graft_parse_mdy('2/29/2000') AS STRING)" -> "2000-02-29",
         "SELECT graft_parse_mdy('2/30/2000') IS NULL" -> "true",
-        "SELECT graft_format_mdy(DATE'1992-01-02')" -> "01/02/1992")
+        "SELECT graft_format_mdy(DATE'1992-01-02')" -> "01/02/1992",
+        "SELECT size(graft_word_ngram_hashes(graft_tokens('a b c d'), 3))" -> "2",
+        ("SELECT graft_remove_token_ranges(graft_tokens('a b c d e')," +
+          " array(1), array(3)).kept_text") -> "a d e")
       var failed = 0
       probes.foreach { case (sql, want) =>
         val got = String.valueOf(spark.sql(sql).head().get(0))

@@ -271,6 +271,27 @@ class PlanSpec extends AnyFunSuite {
       assert(graft.operators.Dedup.fanOut(docs) eq docs)
   }
 
+  test("span dedup: hash-keyed window count + semi join, one doc-keyed sort — never a cartesian") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = executedPlan(
+      graft.operators.SpanDedup.duplicatedSpans(docs, k = 8))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"duplicated-window probe must stay equi-join shaped:\n$plan")
+    // duplicated-window counts reduce through a partial aggregate on
+    // the 64-bit window hash (map-side combine — NOT a raw window
+    // count, which would have no partial reduction under a hot gram)
+    assert(plan.contains("HashAggregate(keys=[gh"), plan)
+    // the window stream is a native expression over the scan — no
+    // CodegenFallback HOF chain feeding the posexplode
+    assert(plan.contains("word_ngram_hashes_native")
+      && plan.contains("tokens_native"), plan)
+    val rewrite = executedPlan(
+      graft.operators.SpanDedup.dedupSpans(docs, k = 8))
+    assert(!rewrite.contains("CartesianProduct") && !rewrite.contains("BroadcastNestedLoop"),
+      s"span rewrite join must stay equi-join shaped:\n$rewrite")
+    assert(rewrite.contains("remove_token_ranges_native"), rewrite)
+  }
+
   test("SemiAntiRightDedup: non-broadcastable anti/semi right sides dedup before the join") {
     val p = Tables.load(spark, sfDir, "part")
     val li = Tables.load(spark, sfDir, "lineitem")
