@@ -283,6 +283,56 @@ private[graft] object DedupAnnGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X54 IVF-PQ search on the clustered design case: candidates are
+    // scored from m=4 one-byte codes + a stored norm (32× smaller
+    // payload than the 16-double vectors), probing nprobe=4 of 12
+    // cells. Every query's 7 mates sit at cosine ≈ 1 within ~0.001,
+    // so WHICH 5 rank on top is a near-tie quantization legitimately
+    // reorders; the gated property is membership — exactly k results
+    // per query and zero cross-cluster neighbors (cluster separation
+    // ≫ quantization error). Both facts are engine-replayable.
+    "x54_pq_recall" -> ((s, d) => {
+      val synth = s.range(96)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            (((col("id") / 8).cast(LongType) * 31 + j * 7) % 13 - 6).cast(DoubleType)
+              + ((col("id") * 13 + j * 5) % 7 - 3).cast(DoubleType) / 1024.0)
+            .as("embedding"))
+      val idx = Ivf.indexFor("ivf-synth12", synth, k = 12, iters = 3)
+      val books = graft.functions.Pq.codebooksFor(
+        "pq-synth12", synth, m = 4, ksub = 16, iters = 3)
+      val coded = graft.functions.Pq.encodeLists(synth, idx, books)
+      val queries = synth.where(col("vec_id") < 10)
+      graft.functions.Pq.search(queries, coded, idx, books, k = 5, nprobe = 4)
+        .agg(count(lit(1)).cast(LongType).as("n_results"),
+          (count(when((col("query_id") / 8).cast(LongType) =!=
+            (col("neighbor_id") / 8).cast(LongType), 1)) === 0).as("all_mates"))
+    }),
+
+    // X54b PQ shortlist + exact rerank on the REAL embeddings fixture
+    // (random 64-dim vectors — the hard case for quantization: all
+    // cosines are weak near-ties). m=16 × ksub=256 codes (32× smaller
+    // than the raw vectors) pick a 50-candidate shortlist per query
+    // via ADC; only those rows fetch true vectors for the exact
+    // top-5. Measured: the refined search misses exactly what
+    // IVF-only misses (7/50 at sf0.01, 11/50 at sf0.1 — the probe
+    // recall is the binding constraint, quantization loses nothing),
+    // gated at x14's same maxMissed=20 bound.
+    "x54b_pq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.indexFor(s"ivf16:$d", emb, k = 16, iters = 3)
+      val books = graft.functions.Pq.codebooksFor(
+        s"pq16x256:$d", emb, m = 16, ksub = 256, iters = 3)
+      val coded = graft.functions.Pq.encodeLists(emb, idx, books)
+      val queries = emb.where(col("vec_id") < 10)
+      val pq = graft.functions.Pq.searchRefined(
+        queries, coded, emb, idx, books, k = 5, shortlist = 50, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Sim.knnBrute(queries, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      recallGate(exact, pq, maxMissed = 20L)
+    }),
+
     // X53 ExactSubstr span dedup (Lee et al. 2022): maximal spans of
     // ≥15 consecutive tokens whose exact sequence occurs ≥2 times in
     // the corpus. Window identity is a 64-bit chained xxhash —
@@ -522,6 +572,30 @@ private[graft] object DedupAnnGates {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
          ROUND(SUM(value), 2) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    // same shape as the x14 oracle: n_exact recomputed from the data,
+    // recall_ok is the pinned bound
+    "x54b_pq_rerank" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_inner_product(q.e, c.e) /
+                        (sqrt(list_inner_product(q.e, q.e)) *
+                         sqrt(list_inner_product(c.e, c.e))), 4) AS sim
+           FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         topk AS (
+           SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk FROM pairs) t
+           WHERE rnk <= 5)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+         FROM topk""",
+    // the expected result count derives from the same generator
+    // arithmetic (10 queries × k=5); all_mates is the pinned bound
+    "x54_pq_recall" ->
+      """WITH g AS (SELECT unnest(range(96)) AS id)
+         SELECT CAST((SELECT COUNT(*) FROM g WHERE id < 10) * 5 AS BIGINT)
+                  AS n_results,
+                TRUE AS all_mates""",
     // duplicated 15-token windows by gram STRING (the engine's 64-bit
     // window hash is collision-free at fixture scale), merged to
     // maximal islands with the same gap rule (new island iff

@@ -271,6 +271,27 @@ class PlanSpec extends AnyFunSuite {
       assert(graft.operators.Dedup.fanOut(docs) eq docs)
   }
 
+  test("IVF-PQ: map-only encode, broadcast probes, native ADC — never a cartesian") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val idx = Ivf.indexFor(s"plan-pq-ivf:$sfDir", emb, k = 4, iters = 1)
+    val books = graft.functions.Pq.codebooksFor(
+      s"plan-pq:$sfDir", emb, m = 4, ksub = 8, iters = 1)
+    val coded = graft.functions.Pq.encodeLists(emb, idx, books)
+    // encode is one native pass over the scan: no exchange in its plan
+    val encPlan = coded.queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"),
+      s"encodeLists must be map-only:\n$encPlan")
+    assert(encPlan.contains("pq_encode_native")
+      && encPlan.contains("nearest_centroid_native"), encPlan)
+    val res = graft.functions.Pq.search(
+      emb.where($"vec_id" < 5), coded, idx, books, k = 3, nprobe = 2)
+    val plan = executedPlan(res)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"probe join must stay equi-join shaped:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("pq_adc_sim_native"), plan)
+  }
+
   test("span dedup: hash-keyed window count + semi join, one doc-keyed sort — never a cartesian") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = executedPlan(
