@@ -71,6 +71,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Session.registerLateRules(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(name: String): Double = {

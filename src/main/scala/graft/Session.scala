@@ -31,6 +31,19 @@ object Session {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerLateRules(spark)
     spark
   }
+
+  /** The extension-injected copy of SemiAntiRightDedup runs in the
+    * operator-optimization batches and so never sees the semi/anti
+    * joins that SQL EXISTS/NOT EXISTS/IN predicates become in the
+    * late RewriteSubquery batch — the "User Provided Optimizers"
+    * batch (experimental.extraOptimizations) runs after it and does.
+    * Idempotent across both registrations (the rule skips existing
+    * aggregates), and across repeat calls on a reused session. */
+  def registerLateRules(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.SemiAntiRightDedup))
+      spark.experimental.extraOptimizations ++= Seq(graft.plans.SemiAntiRightDedup)
 }

@@ -80,8 +80,16 @@ object NativePq {
     var qn2 = 0.0
     var i = 0
     while (i < n) { val x = elem(q, i, isFloat); qn2 += x * x; i += 1 }
+    // codes from a DIFFERENT codebook set (e.g. lists encoded at one
+    // m scored against another) must fail LOUD — truncating or
+    // zero-padding would return deflated-but-plausible similarities
+    // and silently collapse recall
+    val m = books.length / 256
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"PQ code/codebook mismatch: ${codes.numElements()} codes for " +
+          s"$m-subspace codebooks — lists were encoded with different books")
     if (qn2 == 0.0 || norm == 0.0) return 0.0
-    val m = codes.numElements()
     var dot = 0.0
     var s = 0
     var off = 0

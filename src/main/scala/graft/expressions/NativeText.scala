@@ -497,14 +497,17 @@ object NativeText {
     * hashing plus O(tokens·k) long mixes, no per-window string
     * materialization. Positions, not gram text, ride the shuffle:
     * 8-byte keys regardless of gram length. */
-  def wordNgramHashesEval(tokens: ArrayData, n: Int): ArrayData = {
+  def wordNgramHashesEval(tokens: ArrayData, n: Int): ArrayData =
+    wordNgramHashesEval(tokens, n, 42L)
+
+  def wordNgramHashesEval(tokens: ArrayData, n: Int, seed: Long): ArrayData = {
     val cnt = tokens.numElements()
     if (cnt < n) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](cnt)
     var i = 0
     while (i < cnt) {
       th(i) = if (tokens.isNullAt(i)) 0L
-        else XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+        else XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
       i += 1
     }
     val out = new Array[Long](cnt - n + 1)
@@ -514,6 +517,47 @@ object NativeText {
       var j = 0
       while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
       out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[wordNgramHashesEval]] with TWO independent seed chains per
+    * window, emitted together as `array<struct<h1, h2>>` in one
+    * pass — a 128-bit window identity. One 64-bit hash is
+    * collision-free at fixture scale but not at the 100 TB design
+    * point (birthday math at 10^12-10^13 windows yields thousands of
+    * colliding pairs, each of which would mark a unique span
+    * duplicated and cut real text); two independent chains put the
+    * collision probability back below ~10^-12 corpus-wide. */
+  def wordNgramHashPairsEval(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[AnyRef])
+    val ta = new Array[Long](cnt)
+    val tb = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      if (tokens.isNullAt(i)) { ta(i) = 0L; tb(i) = 0L }
+      else {
+        val t = tokens.getUTF8String(i)
+        ta(i) = XXH64.hashUTF8String(t, 42L)
+        tb(i) = XXH64.hashUTF8String(t, 0x9E3779B97F4A7C15L)
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](cnt - n + 1)
+    i = 0
+    while (i <= cnt - n) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < n) {
+        h1 = XXH64.hashLong(ta(i + j), h1)
+        h2 = XXH64.hashLong(tb(i + j), h2)
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1, h2))
       i += 1
     }
     new GenericArrayData(out)
@@ -662,20 +706,41 @@ object NativeText {
       copy(child = c)
   }
 
-  case class WordNgramHashesExpr(child: Expression, n: Int)
+  case class WordNgramHashesExpr(child: Expression, n: Int, seed: Long = 42L)
       extends UnaryExpression {
     require(n > 0, "n-gram size must be positive")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "word_ngram_hashes_native"
 
     override def nullSafeEval(v: Any): Any =
-      wordNgramHashesEval(v.asInstanceOf[ArrayData], n)
+      wordNgramHashesEval(v.asInstanceOf[ArrayData], n, seed)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.expressions.NativeText.wordNgramHashesEval($c, $n);")
+        s"${ev.value} = graft.expressions.NativeText.wordNgramHashesEval($c, $n, ${seed}L);")
 
     override protected def withNewChildInternal(c: Expression): WordNgramHashesExpr =
+      copy(child = c)
+  }
+
+  case class WordNgramHashPairsExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n > 0, "n-gram size must be positive")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("h1", LongType, nullable = false),
+        StructField("h2", LongType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "word_ngram_hash_pairs_native"
+
+    override def nullSafeEval(v: Any): Any =
+      wordNgramHashPairsEval(v.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.wordNgramHashPairsEval($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): WordNgramHashPairsExpr =
       copy(child = c)
   }
 
@@ -1012,8 +1077,11 @@ object NativeText {
   def wordNgrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(tokens), n))
 
-  def wordNgramHashes(tokens: Column, n: Int): Column =
-    ColumnBridge.column(WordNgramHashesExpr(ColumnBridge.expression(tokens), n))
+  def wordNgramHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(WordNgramHashesExpr(ColumnBridge.expression(tokens), n, seed))
+
+  def wordNgramHashPairs(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramHashPairsExpr(ColumnBridge.expression(tokens), n))
 
   def removeTokenRanges(tokens: Column, starts: Column, ends: Column): Column =
     ColumnBridge.column(RemoveTokenRangesExpr(ColumnBridge.expression(tokens),

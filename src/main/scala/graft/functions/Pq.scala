@@ -82,7 +82,11 @@ object Pq {
         d
       }
       var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-        val subs = sample.map(_.slice(s * sd, (s + 1) * sd)).distinct
+        // content-based dedup: Array#distinct compares element arrays
+        // by REFERENCE and never collapses anything — round-trip
+        // through Vector for value equality
+        val subs = sample.map(_.slice(s * sd, (s + 1) * sd).toVector)
+          .distinct.map(_.toArray)
         if (subs.length <= ksub) {
           if (subs.length < ksub)
             System.err.println(s"[graft.Pq] subspace $s has only " +

@@ -23,9 +23,13 @@ import graft.functions.Text
   * shape replaces it with duplicated k-token windows: a token
   * position is part of a duplicated span iff some k-window covering
   * it occurs ≥ 2 times, and maximal duplicated spans are exactly the
-  * merged intervals of duplicated windows. Window identity travels as
-  * a 64-bit chained xxhash ([[NativeText.wordNgramHashesEval]]), so
-  * the shuffle key is 8 bytes no matter how long the gram text is.
+  * merged intervals of duplicated windows. Window identity travels
+  * as a PAIR of independently-seeded 64-bit chained xxhashes
+  * ([[NativeText.wordNgramHashPairsEval]]) — 16-byte shuffle keys no
+  * matter how long the gram text is, and the 128-bit width keeps
+  * false-duplicate collisions below ~10^-12 corpus-wide even at the
+  * 10^13 windows of the 100 TB design point (one 64-bit hash would
+  * collide thousands of times there, each cutting legitimate text).
   *
   * Scale shape (100 TB): the window stream is |tokens| rows per
   * document but exists only inside two map→shuffle legs — (1) a
@@ -34,7 +38,7 @@ import graft.functions.Text
   * counts at web scale are the minority, Lee et al. measure ~3% of
   * tokens), and (2) a semi join of the window stream against the
   * duplicated keys (broadcast when the duplicated set is small, hash
-  * shuffle on the 8-byte key otherwise — deliberately NOT a window
+  * shuffle on the 16-byte key otherwise — deliberately NOT a window
   * count over the raw stream, whose per-key partitions would have no
   * partial reduction and a hot boilerplate gram would pin one
   * executor). Island-merging then needs one shuffle keyed on the
@@ -43,15 +47,22 @@ import graft.functions.Text
   */
 object SpanDedup {
 
-  /** Every k-token window of every document as (idCol, pos, gh):
-    * pos = 0-based index of the window's first token, gh = 64-bit
-    * window hash. Map-only over the scan. */
+  /** Every k-token window of every document as (idCol, pos, gh1,
+    * gh2): pos = 0-based index of the window's first token, (gh1,
+    * gh2) = two independently-seeded 64-bit window hashes computed in
+    * one native pass — a 128-bit identity, because one 64-bit hash is
+    * collision-free at fixture scale but NOT at 10^12-10^13 windows
+    * (birthday math yields thousands of colliding pairs there, each
+    * falsely marking a unique span duplicated and cutting real text).
+    * Map-only over the scan. */
   private def windows(docs: DataFrame, k: Int,
                       idCol: String, textCol: String): DataFrame =
     Dedup.fanOut(docs)
       .select(col(idCol), posexplode(
-        NativeText.wordNgramHashes(Text.tokens(col(textCol)), k)))
-      .toDF(idCol, "pos", "gh")
+        NativeText.wordNgramHashPairs(Text.tokens(col(textCol)), k)))
+      .toDF(idCol, "pos", "g")
+      .select(col(idCol), col("pos"),
+        col("g.h1").as("gh1"), col("g.h2").as("gh2"))
 
   /** Maximal duplicated spans per document, in token coordinates:
     * (idCol, span_start, span_end, span_ntok) with `[span_start,
@@ -68,11 +79,11 @@ object SpanDedup {
     require(k > 0 && minOccurrences >= 2,
       "need k > 0 and minOccurrences >= 2")
     val wins = windows(docs, k, idCol, textCol)
-    val dup = wins.groupBy(col("gh"))
+    val dup = wins.groupBy(col("gh1"), col("gh2"))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minOccurrences)
-      .select(col("gh"))
-    val cov = wins.join(dup, Seq("gh"), "left_semi")
+      .select(col("gh1"), col("gh2"))
+    val cov = wins.join(dup, Seq("gh1", "gh2"), "left_semi")
       .select(col(idCol), col("pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(w)

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -26,34 +27,76 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    alone — they broadcast without any shuffle, and inserting an
   *    aggregate would ADD one (a threshold of -1 disables
   *    broadcasting, so every right side is eligible);
+  *  - the (pruned) right output must consist EXACTLY of the
+  *    condition's equi-join key attributes: if the condition also
+  *    references a non-equi right column (`r.qty > l.q`), the
+  *    aggregate would group — and hash-partition — on (key, qty),
+  *    which does not satisfy the join's clustering on the key alone,
+  *    so EnsureRequirements would add a SECOND right-side exchange;
+  *  - a right side pruned to ZERO columns is skipped: grouping by
+  *    nothing is a GLOBAL aggregate that emits one row even on empty
+  *    input, which would flip the existential for an empty right;
   *  - explicit right-side join hints are respected (a user asking
   *    for BROADCAST gets exactly that plan);
-  *  - aggregates are not re-wrapped (also the fixed-point bound) and
-  *    streaming right sides are skipped (a blind streaming aggregate
-  *    would demand watermark/output-mode changes).
+  *  - aggregates are not re-wrapped (also the idempotency bound for
+  *    running in two batches, see below) and streaming right sides
+  *    are skipped (a blind streaming aggregate would demand
+  *    watermark/output-mode changes).
   *
-  * Registered through `SparkSessionExtensions.injectOptimizerRule`
-  * ([[graft.expressions.GraftExtensions]]), which lands it in the
-  * "User Provided Optimizers" batch — after column pruning has
-  * narrowed the right side to the condition's attributes. The
-  * inserted [[Aggregate]] reuses the child's own output attributes,
-  * so the join condition's references stay bound and physical
-  * planning gives the standard partial → exchange → final hash
-  * aggregate whose key-partitioned output the join reuses without a
-  * second exchange.
+  * Registered TWICE, because Spark rewrites the two probe surfaces in
+  * different optimizer batches:
+  *  - `SparkSessionExtensions.injectOptimizerRule`
+  *    ([[graft.expressions.GraftExtensions]]) lands it in the
+  *    operator-optimization batches — this catches DataFrame-API
+  *    `left_semi`/`left_anti` joins, whose Join node exists from the
+  *    start (and after column pruning has narrowed the right side);
+  *  - `spark.experimental.extraOptimizations` (applied by
+  *    Session/Verify/Bench at session build) lands it in the "User
+  *    Provided Optimizers" batch, which runs AFTER the late
+  *    "RewriteSubquery" batch where SQL `EXISTS`/`NOT EXISTS`/`IN`
+  *    predicates become semi/anti joins (and whose trailing
+  *    ColumnPruning has already narrowed them). Extension-injected
+  *    rules alone never see those joins.
+  * The `Aggregate` guard makes the second pass a no-op over joins the
+  * first pass already rewrote.
+  *
+  * The inserted [[Aggregate]] reuses the child's own output
+  * attributes, so the join condition's references stay bound and
+  * physical planning gives the standard partial → exchange → final
+  * hash aggregate whose key-partitioned output the join reuses
+  * without a second exchange.
   */
 object SemiAntiRightDedup extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(_, right, LeftSemi | LeftAnti, Some(_), hint)
-        if hint.rightHint.isEmpty && eligible(right) =>
+    case j @ Join(_, right, LeftSemi | LeftAnti, Some(cond), hint)
+        if hint.rightHint.isEmpty && eligible(right, cond) =>
       j.copy(right = Aggregate(right.output, right.output, right))
   }
 
-  private def eligible(right: LogicalPlan): Boolean = {
+  /** Right-side attributes bound by an equi predicate to the OTHER
+    * side (plain attribute = attribute only — a cast around a key
+    * conservatively disqualifies it). */
+  private def equiRightKeys(cond: Expression,
+                            rightSet: AttributeSet): AttributeSet =
+    AttributeSet(cond.collect {
+      case EqualTo(a: Attribute, b: Attribute)
+          if rightSet.contains(a) != rightSet.contains(b) =>
+        if (rightSet.contains(a)) a else b
+      case EqualNullSafe(a: Attribute, b: Attribute)
+          if rightSet.contains(a) != rightSet.contains(b) =>
+        if (rightSet.contains(a)) a else b
+    })
+
+  private def eligible(right: LogicalPlan, cond: Expression): Boolean = {
     val threshold = conf.autoBroadcastJoinThreshold
+    lazy val rightSet = right.outputSet
+    right.output.nonEmpty &&
     !right.isStreaming &&
     !right.isInstanceOf[Aggregate] &&
-    (threshold < 0 || right.stats.sizeInBytes > threshold)
+    (threshold < 0 || right.stats.sizeInBytes > threshold) && {
+      val equi = equiRightKeys(cond, rightSet)
+      rightSet.subsetOf(equi) && equi.subsetOf(rightSet)
+    }
   }
 }

@@ -301,10 +301,10 @@ class PlanSpec extends AnyFunSuite {
     // duplicated-window counts reduce through a partial aggregate on
     // the 64-bit window hash (map-side combine — NOT a raw window
     // count, which would have no partial reduction under a hot gram)
-    assert(plan.contains("HashAggregate(keys=[gh"), plan)
+    assert(plan.contains("HashAggregate(keys=[gh1"), plan)
     // the window stream is a native expression over the scan — no
     // CodegenFallback HOF chain feeding the posexplode
-    assert(plan.contains("word_ngram_hashes_native")
+    assert(plan.contains("word_ngram_hash_pairs_native")
       && plan.contains("tokens_native"), plan)
     val rewrite = executedPlan(
       graft.operators.SpanDedup.dedupSpans(docs, k = 8))
@@ -340,5 +340,48 @@ class PlanSpec extends AnyFunSuite {
         s"rule should leave broadcast-able right sides alone:\n$plainPlan")
       assert(anti.orderBy($"p_partkey").as[Long].collect().toSeq == dedupRows)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
+  }
+
+  test("SemiAntiRightDedup: fires for SQL NOT EXISTS; skips non-equi and zero-column right sides") {
+    val p = Tables.load(spark, sfDir, "part")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    p.createOrReplaceTempView("sard_part")
+    li.createOrReplaceTempView("sard_lineitem")
+    val threshold0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // SQL NOT EXISTS becomes an anti join only in the late
+      // RewriteSubquery batch — the extraOptimizations registration
+      // (not the extension-injected copy) must catch it
+      val sqlAnti = spark.sql(
+        """SELECT p_partkey FROM sard_part p
+           WHERE NOT EXISTS (SELECT 1 FROM sard_lineitem l
+                             WHERE l.l_partkey = p.p_partkey)""")
+      assert(executedPlan(sqlAnti).contains("HashAggregate(keys=[l_partkey"),
+        s"SQL NOT EXISTS right side not deduped:\n${executedPlan(sqlAnti)}")
+      // a non-equi right column in the condition would make the
+      // aggregate partition on (key, qty) and force a SECOND right
+      // exchange — the rule must decline
+      val mixed = p.join(li,
+        p("p_partkey") === li("l_partkey") && li("l_quantity") > p("p_size"),
+        "left_semi")
+      assert(!executedPlan(mixed).contains("HashAggregate"),
+        s"non-equi right side must not be wrapped:\n${executedPlan(mixed)}")
+      // zero right columns → grouping by nothing is a GLOBAL
+      // aggregate that emits a row on empty input and flips the
+      // existential — the rule must decline, and the empty-right
+      // anti join must still return every left row
+      val emptyRight = li.where($"l_partkey" < 0)
+      val noCols = p.join(emptyRight, p("p_partkey") > 0, "left_anti")
+      assert(!executedPlan(noCols).contains("HashAggregate"),
+        s"zero-column right side must not be wrapped:\n${executedPlan(noCols)}")
+      assert(noCols.count() == p.count(),
+        "anti join against an empty right side must keep every left row")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
+      spark.catalog.dropTempView("sard_part")
+      spark.catalog.dropTempView("sard_lineitem")
+      ()
+    }
   }
 }
