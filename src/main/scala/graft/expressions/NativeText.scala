@@ -397,6 +397,40 @@ object NativeText {
     else round4(1.0 - seen.size.toDouble / total)
   }
 
+  /** The [[dupLineFracEval]] signal as a REWRITE: drop every
+    * non-blank line whose exact text already appeared earlier in the
+    * document (the Gopher repetition rule applied, not just scored),
+    * keeping blank (space-only) lines — they are structure, not
+    * repetition. Returns struct<kept_text string, n_removed bigint>;
+    * line order is preserved and the survivors re-join with '\n'.
+    * Same space-only blank rule as the signal (SQL trim strips ' '
+    * only). */
+  def dedupLinesEval(str: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    def spaceOnly(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) != ' ') return false; i += 1 }
+      true
+    }
+    val lines = str.toString.split("\n", -1)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var removed = 0L
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (!spaceOnly(l) && !seen.add(l)) removed += 1
+      else {
+        if (!first) sb.append('\n')
+        sb.append(l)
+        first = false
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), removed))
+  }
+
   /** Fraction of the token stream covered by the single most frequent
     * n-gram (the Gopher-rules repetition signal): maxCount·n / total.
     * ~1.0 for looping text, small for natural prose. */
@@ -665,6 +699,23 @@ object NativeText {
         s"${ev.value} = graft.expressions.NativeText.dupLineFracEval($c);")
 
     override protected def withNewChildInternal(c: Expression): DupLineFracExpr =
+      copy(child = c)
+  }
+
+  case class DedupLinesExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("kept_text", StringType, nullable = false),
+      StructField("n_removed", LongType, nullable = false)))
+    override def prettyName: String = "dedup_lines_native"
+
+    override def nullSafeEval(v: Any): Any =
+      dedupLinesEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.dedupLinesEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): DedupLinesExpr =
       copy(child = c)
   }
 
@@ -1067,6 +1118,9 @@ object NativeText {
 
   def dupLineFrac(str: Column): Column =
     ColumnBridge.column(DupLineFracExpr(ColumnBridge.expression(str)))
+
+  def dedupLines(str: Column): Column =
+    ColumnBridge.column(DedupLinesExpr(ColumnBridge.expression(str)))
 
   def chunksWithCounts(str: Column, size: Int, step: Int): Column =
     ColumnBridge.column(ChunksWithCountsExpr(ColumnBridge.expression(str), size, step))

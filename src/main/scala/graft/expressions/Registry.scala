@@ -113,6 +113,9 @@ object Registry {
       (es: Seq[Expression]) => NativeText.TopNgramFracExpr(es.head,
         intArg(es(1), "graft_top_ngram_frac")),
       "graft_top_ngram_frac(tokens, n) - share of the most frequent n-gram"),
+    ("graft_dedup_lines",
+      (es: Seq[Expression]) => NativeText.DedupLinesExpr(es.head),
+      "graft_dedup_lines(str) - drop repeated non-blank lines; struct<kept_text, n_removed>"),
     ("graft_word_ngram_hashes",
       (es: Seq[Expression]) => NativeText.WordNgramHashesExpr(es.head,
         intArg(es(1), "graft_word_ngram_hashes")),

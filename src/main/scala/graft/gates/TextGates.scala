@@ -99,6 +99,28 @@ private[graft] object TextGates {
           col("col.chunk").as("chunk"))
         .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
 
+    // X55 duplicate-line REMOVAL (the Gopher repetition rule applied,
+    // not just scored like dup_line_frac in x19): drop every
+    // non-blank line whose exact text appeared earlier in the
+    // document, keep blank lines as structure. The fixture text has
+    // no newlines, so the gate synthesizes deterministic multi-line
+    // docs by pure arithmetic on the row index (the x31 pattern) —
+    // 12 lines per doc, 3 distinct content values + 3 blanks, so
+    // exactly 6 lines drop from every document.
+    "x55_dedup_lines" -> ((s, d) => {
+      val line = (j: Column) => when(j % 4 === 3, lit(""))
+        .otherwise(concat(lit("line "),
+          ((col("i") * 7 + j * j) % 5).cast(StringType)))
+      s.range(200).select(col("id").as("i"))
+        .select(col("i"), concat_ws("\n",
+          transform(sequence(lit(0), lit(11)), line)).as("text"))
+        .select(col("i"),
+          graft.expressions.NativeText.dedupLines(col("text")).as("r"))
+        .select(col("i"), col("r.kept_text").as("kept_text"),
+          col("r.n_removed").as("n_removed"))
+        .orderBy(asc_nulls_first("i"))
+    }),
+
     // X31 PII scrubbing through the gate: the fixture corpus has no
     // PII, so the gate synthesizes deterministic PII-bearing text by
     // pure arithmetic on the row index (the x17 pattern) and checks
@@ -273,6 +295,27 @@ private[graft] object TextGates {
                 x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword,
          CAST(length(text) AS BIGINT) AS n_chars_calc
          FROM documents ORDER BY doc_id NULLS FIRST""",
+    // same generator arithmetic; keep = blank OR first occurrence,
+    // survivors re-joined in line order
+    "x55_dedup_lines" ->
+      """WITH lines AS (
+           SELECT CAST(g.i AS BIGINT) AS i, CAST(h.j AS BIGINT) AS j,
+                  CASE WHEN h.j % 4 = 3 THEN ''
+                       ELSE 'line ' || CAST((g.i * 7 + h.j * h.j) % 5 AS VARCHAR)
+                  END AS l
+           FROM (SELECT unnest(range(200)) AS i) g,
+                (SELECT unnest(range(12)) AS j) h),
+         marked AS (
+           SELECT i, j, l,
+                  trim(l) = '' OR
+                  ROW_NUMBER() OVER (PARTITION BY i, l ORDER BY j) = 1 AS keep
+           FROM lines)
+         SELECT i,
+                COALESCE(string_agg(CASE WHEN keep THEN l END, chr(10)
+                                    ORDER BY j), '') AS kept_text,
+                CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                  AS n_removed
+         FROM marked GROUP BY i ORDER BY i NULLS FIRST""",
     "x31_pii_scrub" -> {
       val em = graft.functions.Text.emailRe
       val ip = graft.functions.Text.ipv4Re

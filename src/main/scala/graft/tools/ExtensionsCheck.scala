@@ -50,6 +50,7 @@ object ExtensionsCheck {
         "SELECT graft_parse_mdy('2/30/2000') IS NULL" -> "true",
         "SELECT graft_format_mdy(DATE'1992-01-02')" -> "01/02/1992",
         "SELECT size(graft_word_ngram_hashes(graft_tokens('a b c d'), 3))" -> "2",
+        "SELECT graft_dedup_lines('x\ny\nx').n_removed" -> "1",
         ("SELECT graft_remove_token_ranges(graft_tokens('a b c d e')," +
           " array(1), array(3)).kept_text") -> "a d e")
       var failed = 0

@@ -145,6 +145,23 @@ class TextSpec extends AnyFunSuite {
     assert((r._2, r._3, r._4) == ((1, 1, 2)))
   }
 
+  test("dedupLines: first occurrence kept in order, blanks preserved, no-newline passthrough") {
+    import graft.expressions.NativeText
+    def run(t: String): (String, Long) = Seq(t).toDF("t")
+      .select(NativeText.dedupLines($"t").as("r"))
+      .select($"r.kept_text", $"r.n_removed").as[(String, Long)].head()
+    // repeats dropped wherever they recur; blank lines always survive
+    assert(run("a\nb\n\na\nc\nb\n \nc") == (("a\nb\n\nc\n ", 3L)))
+    // a tab-only line is CONTENT (SQL trim strips spaces only), so
+    // its repeat is removed like any other line
+    assert(run("\t\nx\n\t") == (("\t\nx", 1L)))
+    // no newlines -> identity
+    assert(run("just one line") == (("just one line", 0L)))
+    // all-blank and empty docs pass through untouched
+    assert(run("") == (("", 0L)))
+    assert(run(" \n \n ") == ((" \n \n ", 0L)))
+  }
+
   test("chunksWithCounts: chunk text parity with chunks(); counts need no re-tokenize") {
     val doc = (1 to 203).map(i => s"tok$i").mkString(" ")
     val rows = Seq(doc).toDF("t")
