@@ -111,6 +111,20 @@ private[graft] object GateSupport {
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
+  /** Stream-half of the documents table (doc_id ≥ 300 — the same
+    * split as the x50 batch-incremental gate, so the two share the
+    * corpus signature artifact) staged once per dataset dir as the
+    * x56 readStream source. */
+  val stagedStreamDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def stageStreamDocs(s: SparkSession, d: String): String =
+    stagedStreamDocsCache.computeIfAbsent(d, _ => {
+      val p = sessionTempDir("graft_docs_stage")
+      t(s, d, "documents").where(col("doc_id") >= 300)
+        .coalesce(2).write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** Fresh checkpoint dir per streaming-query invocation (a reused
     * AvailableNow checkpoint would treat the staged files as already
     * processed and emit nothing on re-run), deleted afterwards. The

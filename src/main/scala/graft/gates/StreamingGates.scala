@@ -108,6 +108,40 @@ private[graft] object StreamingGates {
     // with key cardinality, not stream length). The emitted set is
     // deterministic regardless of arrival order, so the batch
     // DISTINCT oracle applies.
+    // X56 [ST+] STREAMING near-dup admission vs a static corpus: docs
+    // arrive on a stream (doc_id ≥ 300, the x50 split) and check for
+    // near-duplicates in the existing corpus (doc_id < 300) through
+    // two stateless stream-static joins — LSH band-key equi join
+    // against the staged corpus signature artifact (shared with x50's
+    // batch path via the same cache key), then the corpus text for
+    // EXACT char-5-gram Jaccard verification. No state store, no
+    // watermark: each doc is decided within its own micro-batch. A
+    // pair seen in several bands emits once per band; the batch tail
+    // distincts after the sink. Oracle = all cross pairs at exact
+    // Jaccard ≥ 0.5, grouped per stream doc.
+    "x56_stream_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val staged = stageStreamDocs(s, d)
+      val corpus = docs.where(col("doc_id") < 300)
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
+        val stream = s.readStream.schema(docs.schema).parquet(staged)
+        val matches = graft.streaming.StreamNearDup.vsCorpus(
+          stream, corpus, threshold = 0.5,
+          corpusCacheKey = Some(s"inc_corpus:$d"))
+        withCheckpoint { ckpt =>
+          val q = matches.writeStream.outputMode("append").format("memory")
+            .queryName("x56_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      s.table("x56_out")
+        .select(col("doc_id"), col("corpus_id")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_matches"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     "x28_stream_dedup" -> ((s, d) => {
       val staged = stageEvents(s, d)
       withStreamPartitions(s, streamPartitionsFor(staged)) {
@@ -274,6 +308,22 @@ private[graft] object StreamingGates {
          WHERE session_last + INTERVAL 10 MINUTE <
                (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
          ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""",
+    // exact cross-pair reference: every stream-half doc paired with
+    // every corpus-half doc at exact 5-gram Jaccard ≥ 0.5 (rounded 4dp
+    // like the engine's verify stage), counted per stream doc
+    "x56_stream_neardup" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3),
+             i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+           FROM documents WHERE length(text) >= 5),
+         pairs AS (
+           SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id
+           FROM sh b, sh c
+           WHERE b.doc_id >= 300 AND c.doc_id < 300
+             AND ROUND(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+                       len(list_distinct(list_concat(b.s, c.s))), 4) >= 0.5)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+         FROM pairs GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
     "x28_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",

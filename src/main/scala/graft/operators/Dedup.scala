@@ -175,7 +175,7 @@ object Dedup {
 
   /** (id, band, bucket) view of a signature table: each signature
     * sliced into `bands` row groups, each hashed to a bucket key. */
-  private def bandedView(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[graft] def bandedView(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))

@@ -411,4 +411,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.contains((1L, ts(1))), s"within-delay dup must drop: $got")
     assert(byKey(1L) <= 2)
   }
+
+  test("streaming near-dup vs corpus equals the identical batch formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.where($"doc_id" < 30)
+    val streamHalf = docs.where($"doc_id" >= 30)
+    val dir = Files.createTempDirectory("docs_stream").toString
+    streamHalf.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = graft.streaming.StreamNearDup.vsCorpus(
+      stream, corpus, threshold = 0.5,
+      corpusCacheKey = Some("spec-neardup-corpus"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("neardup_out")
+      .select($"doc_id", $"corpus_id", $"jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    // batch reference: exact-Jaccard LSH pairs over the SAME split —
+    // cross pairs only, same shingle/banding parameters
+    val want = graft.operators.Dedup.lshExactPairs(docs, threshold = 0.5)
+      .where(($"id_a" < 30) =!= ($"id_b" < 30))
+      .select(
+        when($"id_a" >= 30, $"id_a").otherwise($"id_b").as("doc_id"),
+        when($"id_a" < 30, $"id_a").otherwise($"id_b").as("corpus_id"),
+        $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size}\n" +
+      s"onlyStream=${got -- want}\nonlyBatch=${want -- got}")
+    assert(got.nonEmpty, "fixture must contain cross near-dups")
+  }
 }
