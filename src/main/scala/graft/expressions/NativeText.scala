@@ -556,6 +556,25 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  /** Every ADJACENT token pair in order, WITH multiplicity —
+    * `array<struct<a, b>>` of the document's bigram transitions (the
+    * n-gram LM counting/scoring stream; [[wordNgramsEval]] is
+    * distinct-per-doc and unusable for counts). */
+  def wordBigramsEval(tokens: ArrayData): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](cnt - 1)
+    var i = 0
+    while (i < cnt - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i),
+          if (tokens.isNullAt(i + 1)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[wordNgramHashesEval]] with TWO independent seed chains per
     * window, emitted together as `array<struct<h1, h2>>` in one
     * pass — a 128-bit window identity. One 64-bit hash is
@@ -771,6 +790,25 @@ object NativeText {
         s"${ev.value} = graft.expressions.NativeText.wordNgramHashesEval($c, $n, ${seed}L);")
 
     override protected def withNewChildInternal(c: Expression): WordNgramHashesExpr =
+      copy(child = c)
+  }
+
+  case class WordBigramsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("a", StringType, nullable = false),
+        StructField("b", StringType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "word_bigrams_native"
+
+    override def nullSafeEval(v: Any): Any =
+      wordBigramsEval(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.wordBigramsEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): WordBigramsExpr =
       copy(child = c)
   }
 
@@ -1136,6 +1174,9 @@ object NativeText {
 
   def wordNgramHashPairs(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgramHashPairsExpr(ColumnBridge.expression(tokens), n))
+
+  def wordBigrams(tokens: Column): Column =
+    ColumnBridge.column(WordBigramsExpr(ColumnBridge.expression(tokens)))
 
   def removeTokenRanges(tokens: Column, starts: Column, ends: Column): Column =
     ColumnBridge.column(RemoveTokenRangesExpr(ColumnBridge.expression(tokens),

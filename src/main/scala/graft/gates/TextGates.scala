@@ -99,6 +99,25 @@ private[graft] object TextGates {
           col("col.chunk").as("chunk"))
         .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
 
+    // X57 statistical LM quality scoring (the CCNet perplexity-filter
+    // shape): a bigram LM with add-one smoothing trains on the corpus
+    // half (doc_id < 300, the x50/x56 split) and scores the other
+    // half. Per-transition cost is quantized to a LONG before the
+    // per-document sum (floor(−log2 P · 10⁴ + 0.5)) so the aggregate
+    // is an integer — immune to cross-engine float-accumulation-order
+    // differences a ROUND(AVG(…)) would be exposed to. The oracle
+    // replays training and scoring in full.
+    "x57_lm_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.LmScore.lmFor(s"bigram_lm:$d",
+        docs.where(col("doc_id") < 300))
+      graft.operators.LmScore.scoreBits(
+        docs.where(col("doc_id") >= 300), lm)
+        .select(col("doc_id"), col("nll_e4").cast(LongType).as("nll_e4"),
+          col("n_bigrams").cast(LongType).as("n_bigrams"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X55 duplicate-line REMOVAL (the Gopher repetition rule applied,
     // not just scored like dup_line_frac in x19): drop every
     // non-blank line whose exact text appeared earlier in the
@@ -295,6 +314,40 @@ private[graft] object TextGates {
                 x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword,
          CAST(length(text) AS BIGINT) AS n_chars_calc
          FROM documents ORDER BY doc_id NULLS FIRST""",
+    // full training + scoring replay: bigram counts with multiplicity
+    // from the train half, context totals as the bigram-table
+    // reaggregation, V = distinct train tokens, then the identical
+    // smoothed -log2 quantized per transition and integer-summed
+    "x57_lm_perplexity" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '') AS ts
+           FROM documents),
+         trg AS (
+           SELECT w.a AS a, w.b AS b FROM (
+             SELECT unnest(list_transform(range(1, len(ts)),
+               i -> {'a': ts[CAST(i AS INT)], 'b': ts[CAST(i AS INT) + 1]})) AS w
+             FROM tk WHERE doc_id < 300 AND len(ts) >= 2)),
+         big AS (SELECT a, b, COUNT(*) AS c_big FROM trg GROUP BY a, b),
+         ctx AS (SELECT a, SUM(c_big) AS c_ctx FROM big GROUP BY a),
+         v AS (SELECT COUNT(DISTINCT u) AS v FROM (
+                 SELECT unnest(ts) AS u FROM tk WHERE doc_id < 300)),
+         g AS (
+           SELECT doc_id, w.a AS a, w.b AS b FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+               i -> {'a': ts[CAST(i AS INT)], 'b': ts[CAST(i AS INT) + 1]})) AS w
+             FROM tk WHERE doc_id >= 300 AND len(ts) >= 2)),
+         sc AS (
+           SELECT g.doc_id,
+                  CAST(floor(-ln((COALESCE(bc.c_big, 0) + 1.0) /
+                                 (COALESCE(cc.c_ctx, 0) + v.v)) / ln(2.0)
+                             * 10000 + 0.5) AS BIGINT) AS e4
+           FROM g LEFT JOIN big bc ON bc.a = g.a AND bc.b = g.b
+                  LEFT JOIN ctx cc ON cc.a = g.a
+                  CROSS JOIN v)
+         SELECT doc_id, CAST(SUM(e4) AS BIGINT) AS nll_e4,
+                CAST(COUNT(*) AS BIGINT) AS n_bigrams
+         FROM sc GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
     // same generator arithmetic; keep = blank OR first occurrence,
     // survivors re-joined in line order
     "x55_dedup_lines" ->

@@ -271,6 +271,21 @@ class PlanSpec extends AnyFunSuite {
       assert(graft.operators.Dedup.fanOut(docs) eq docs)
   }
 
+  test("LM scoring: native bigram stream, pair-keyed count, no cartesian") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val lm = graft.operators.LmScore.lmFor(s"plan-lm:$sfDir",
+      docs.where($"doc_id" < 30))
+    val plan = executedPlan(
+      graft.operators.LmScore.scoreBits(docs.where($"doc_id" >= 30), lm))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"LM joins must stay equi-join shaped:\n$plan")
+    assert(plan.contains("word_bigrams_native"), plan)
+    val trainPlan = lm.big.queryExecution.executedPlan.toString
+    assert(trainPlan.contains("HashAggregate(keys=[a") ||
+      trainPlan.contains("InMemory"), // persisted artifact may show as cached scan
+      s"bigram counts must partial-aggregate on the pair key:\n$trainPlan")
+  }
+
   test("IVF-PQ: map-only encode, broadcast probes, native ADC — never a cartesian") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val idx = Ivf.indexFor(s"plan-pq-ivf:$sfDir", emb, k = 4, iters = 1)
