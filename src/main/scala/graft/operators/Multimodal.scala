@@ -1241,6 +1241,106 @@ object Multimodal {
     * (JPEG is lossy and GIF quantizes, but dimensions live in the
     * container header, so the oracle contract is unaffected; TIFF,
     * like PNG/BMP, round-trips pixels losslessly.) */
+  /** 64-bit difference hash (dHash) of the DECODED pixels — the
+    * standard perceptual image fingerprint: 9×8 grayscale grid
+    * (nearest-neighbor point sampling, explicit integer arithmetic —
+    * no platform-dependent interpolation), one bit per horizontal
+    * gradient sign. Container-invariant by construction: any lossless
+    * re-encode (PNG/BMP/TIFF) of the same pixels hashes identically,
+    * and lossy re-encodes (JPEG) land within a small Hamming
+    * distance — which is what makes Hamming-bucketed image dedup
+    * work. None when the bytes decode to no image. */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    ImageCodec.decode(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val g = new Array[Int](72) // 9 cols × 8 rows, row-major
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val rgb = img.getRGB(math.min(w - 1, x * w / 9),
+            math.min(h - 1, y * h / 8))
+          g(y * 9 + x) = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var bit = 0
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << bit
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+
+  /** (id, sig) perceptual-hash table of an asset frame — the image
+    * analog of [[Dedup.signatureTable]], ready for
+    * [[Dedup.hammingPairs]]. Partition-local decode (the mapPartitions
+    * codec boundary, like [[decodeFeatures]]); undecodable rows drop. */
+  def imageDHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
+      dHash64(r.getAs[Array[Byte]]("bytes"))
+        .map(s => org.apache.spark.sql.Row(r.getLong(0), s))
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+  }
+
+  /** Near-duplicate image pairs at Hamming ≤ maxHamming over the
+    * dHash signatures — pigeonhole-bucketed ([[Dedup.hammingPairs]]),
+    * never all-pairs: exhaustive for maxHamming < chunks. */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(imageDHashes(assets), maxHamming)
+
+  /** [[syntheticImageAssets]] variant for the dedup gate: pixel
+    * content depends only on the GROUP id (i % 16) while the
+    * container cycles through the lossless trio (PNG/BMP/TIFF), so
+    * each group is the same image stored three ways — the oracle
+    * derives the full expected pair inventory (all within-group
+    * pairs at Hamming 0) from the index arithmetic alone. JPEG/GIF
+    * are deliberately absent here: JPEG decode is lossy and GIF
+    * palette-quantizes, so their copies land NEAR zero, not at it
+    * (that robustness is spec-asserted, not oracle-pinned). */
+  def syntheticImageDupAssets(spark: SparkSession, n: Int): DataFrame = {
+    val formats = Seq("png", "bmp", "tiff")
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val g = (i % 16).toInt
+      val w = 16 + (g % 4) * 4
+      val h = 12 + (g % 3) * 4
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // per-pixel MIXED color (not a smooth gradient): a gradient
+          // makes every row's brightness monotone, which collapses
+          // all dHashes toward the same bit pattern and would create
+          // false cross-group Hamming-0 pairs
+          img.setRGB(x, y, (((g * 2654435761L +
+            (y * 31L + x) * 2246822519L) >> 8) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val format = formats((i % formats.length).toInt)
+      Row(i, "image", ImageCodec.encode(img, format),
+        Row(s"grp$g", s"image/$format"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
   def syntheticImageAssets(spark: SparkSession, n: Int): DataFrame = {
     val formats = Seq("png", "jpeg", "gif", "bmp", "tiff")
     val rdd = spark.range(n.toLong).rdd.map { i =>

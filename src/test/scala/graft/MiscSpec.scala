@@ -464,6 +464,35 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: dHash is container-invariant lossless, near-invariant lossy, separated across content") {
+    import Multimodal.ImageCodec
+    def img(seed: Int, w: Int = 24, h: Int = 20) = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, (((seed * 2654435761L +
+          (y * 31L + x) * 2246822519L) >> 8) & 0xffffff).toInt)
+      im
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = img(7)
+    val png = Multimodal.dHash64(ImageCodec.encode(base, "png")).get
+    val bmp = Multimodal.dHash64(ImageCodec.encode(base, "bmp")).get
+    val tif = Multimodal.dHash64(ImageCodec.encode(base, "tiff")).get
+    assert(png == bmp && bmp == tif, "lossless re-encodes must hash identically")
+    // a JPEG of the SAME pixels is perceptually the same image: near
+    // zero, never far (the property that makes the hash 'perceptual')
+    val jpg = Multimodal.dHash64(ImageCodec.encode(base, "jpeg")).get
+    assert(ham(png, jpg) <= 16, s"jpeg drifted ${ham(png, jpg)} bits")
+    // distinct content separates far beyond the pairing threshold
+    val others = (0 until 16).filter(_ != 7)
+      .map(s => Multimodal.dHash64(ImageCodec.encode(img(s), "png")).get)
+    assert(others.forall(o => ham(png, o) > 3),
+      s"cross-content hashes inside the dedup threshold")
+    // undecodable bytes -> None, never a throw
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("Messages: re-publishing identical payloads yields fresh ids (no silent loss)") {
     val req = Seq(Messages.TransferRequest("sftp://a/1", "gs://b/1",
       remove_file = false, "2024-01-01")).toDS()
