@@ -509,7 +509,9 @@ object NativeText {
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i + j).toString)
+        // null slots degrade to "" like the sibling evals' guards —
+        // tokens_native never emits them, but SQL-built arrays can
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
         j += 1
       }
       seen.add(sb.toString)

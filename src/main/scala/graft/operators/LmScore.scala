@@ -68,13 +68,25 @@ object LmScore {
     BigramLm(big, ctx, v)
   }
 
-  /** Session-lifetime model cache (an artifact, like Ivf/Pq). */
+  /** Session-lifetime model cache (an artifact, like Ivf/Pq). The
+    * column names fold into the cache key (the signatureTable
+    * precedent) so the same caller key with different columns cannot
+    * silently return the wrong model; corpus identity remains the
+    * caller's contract, as with every artifact cache here. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, BigramLm]()
 
   def lmFor(key: String, corpus: => DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): BigramLm =
-    cache.computeIfAbsent(key, _ => train(corpus, idCol, textCol))
+    cache.computeIfAbsent(s"$key|$idCol|$textCol",
+      _ => train(corpus, idCol, textCol))
+
+  /** Release every cached model's persisted bigram table (tests /
+    * long-lived sessions swapping corpora). */
+  def clearLmCache(): Unit = {
+    cache.values.forEach(lm => { lm.big.unpersist(); () })
+    cache.clear()
+  }
 
   /** (idCol, nll_e4, n_bigrams) per document with ≥ 1 bigram:
     * nll_e4 = Σ over transitions of floor(−log2 P(b|a) · 10⁴ + 0.5)
@@ -93,14 +105,19 @@ object LmScore {
         count(lit(1)).as("n_bigrams"))
   }
 
-  /** The filter itself: documents whose bits-per-token is at or
-    * under `maxBitsPerToken` (CCNet keeps the low-perplexity side). */
+  /** The filter itself: documents whose bits-per-token EXCEEDS
+    * `maxBitsPerToken` are dropped (CCNet keeps the low-perplexity
+    * side). Anti-join on the offenders, not semi-join on the
+    * passers: a document with fewer than two tokens has no bigram,
+    * hence no score row and no evidence of disfluency — it passes
+    * through (a semi-join would silently delete every short
+    * title/caption regardless of the threshold). */
   def filterFluent(docs: DataFrame, lm: BigramLm, maxBitsPerToken: Double,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val scores = scoreBits(docs, lm, idCol, textCol)
-      .where(col("nll_e4") <= col("n_bigrams") * lit(maxBitsPerToken * 10000))
+    val offenders = scoreBits(docs, lm, idCol, textCol)
+      .where(col("nll_e4") > col("n_bigrams") * lit(maxBitsPerToken * 10000))
       .select(col(idCol))
-    docs.join(scores, Seq(idCol), "left_semi")
+    docs.join(offenders, Seq(idCol), "left_anti")
   }
 }

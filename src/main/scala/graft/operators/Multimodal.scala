@@ -354,6 +354,11 @@ object Multimodal {
     private def cc(b: Array[Byte], i: Int): String =
       if (i + 4 > b.length) ""
       else new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** RIFF magic sniff — lets callers distinguish "real container
+      * that failed its resizer" from stub-header fixtures. */
+    def isRiff(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 4 && cc(bytes, 0) == "RIFF"
     private def putU32(b: Array[Byte], i: Int, v: Int): Unit = {
       b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
       b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
@@ -373,15 +378,23 @@ object Multimodal {
       * length` overflows for sizes near 2^31, wrapping the cursor
       * negative and crashing the walk. Malformed sizes stop the scan
       * — never throw. */
-    private def scanRiff(bytes: Array[Byte], from: Long, to: Long)
+    private def scanRiff(bytes: Array[Byte], from: Long, to: Long,
+                         depth: Int = 0)
                         (f: (String, Int, Int) => Unit): Unit = {
+      // depth bound: LISTs nest by self-recursion on untrusted sizes,
+      // and a crafted payload of ~80k 12-byte LIST-in-LIST chunks
+      // would otherwise StackOverflowError (an Error no catch sees)
+      // straight through the never-throw contract. Real AVI trees are
+      // 3-4 deep; 32 is generous, beyond it the walk just stops.
+      if (depth > 32) return
       val end = math.min(to, bytes.length.toLong)
       var off = from
       while (off + 8 <= end) {
         val id = cc(bytes, off.toInt)
         val size = u32(bytes, off.toInt + 4).toLong & 0xffffffffL
         if (off + 8 + size > end) return
-        if (id == "LIST" && size >= 4) scanRiff(bytes, off + 12, off + 8 + size)(f)
+        if (id == "LIST" && size >= 4)
+          scanRiff(bytes, off + 12, off + 8 + size, depth + 1)(f)
         else f(id, (off + 8).toInt, size.toInt)
         off += 8 + size + (size & 1) // RIFF chunks are word-aligned
       }
@@ -725,12 +738,14 @@ object Multimodal {
             // overflow-safe ms: a hostile 64-bit duration (possibly
             // with bit 63 set → negative Long) must not wrap the
             // ×1000. Split whole/remainder (rem < ts ≤ 2^32 →
-            // rem*1000 < 2^42) and saturate the absurd tail: whole ≤
-            // MaxValue/1000 keeps whole*1000 + <1000 below MaxValue.
+            // rem*1000 < 2^42) and saturate the absurd tail. The
+            // bound is STRICTLY-below MaxValue/1000: at whole ==
+            // MaxValue/1000 exactly, whole·1000 + a 3-digit remainder
+            // already exceeds MaxValue (…775000 + 999 > …775807).
             if (ts > 0 && dur >= 0) {
               val whole = dur / ts
               durMs =
-                if (whole > Long.MaxValue / 1000L) Long.MaxValue
+                if (whole >= Long.MaxValue / 1000L) Long.MaxValue
                 else whole * 1000L + (dur % ts) * 1000L / ts
             }
           } else if (t2 == "trak") {
@@ -757,7 +772,10 @@ object Multimodal {
                       if (u32be(bytes, s6.toInt + 4) >= 1)
                         tCodec = cc(bytes, s6.toInt + 12)
                     } else if (t6 == "stsz" && e6 - s6 >= 12 && tFrames == 0)
-                      tFrames = u32be(bytes, s6.toInt + 8).toInt
+                      // saturate like mp3Meta/flacMeta: a hostile
+                      // sample_count ≥ 2^31 must not wrap negative
+                      tFrames = math.min(u32be(bytes, s6.toInt + 8),
+                        Int.MaxValue.toLong).toInt
                   }
                 }
               }
@@ -1002,8 +1020,12 @@ object Multimodal {
                   tc = new String(bytes, s4.toInt, (e4 - s4).toInt,
                     java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
                 else if (id4 == VideoElId) walkEbml(bytes, s4, e4) { (id5, s5, e5) =>
-                  if (id5 == PixelWidthId) tw = ebmlUint(bytes, s5, e5).toInt
-                  else if (id5 == PixelHeightId) th = ebmlUint(bytes, s5, e5).toInt
+                  // saturate: an 8-byte hostile PixelWidth like
+                  // 0x100000010 would .toInt-wrap to a plausible 16
+                  if (id5 == PixelWidthId)
+                    tw = math.min(ebmlUint(bytes, s5, e5), Int.MaxValue.toLong).toInt
+                  else if (id5 == PixelHeightId)
+                    th = math.min(ebmlUint(bytes, s5, e5), Int.MaxValue.toLong).toInt
                 }
               }
               if (isVideo && w == 0 && tw > 0 && th > 0) {
@@ -1205,7 +1227,13 @@ object Multimodal {
           // stub-header video fixtures → header arithmetic
           VideoCodec.resizeAvi(bytes, factor)
             .orElse(VideoCodec.resizeMjpeg(bytes, factor)).getOrElse {
-            if (VideoCodec.mp4Meta(bytes).isDefined ||
+            // REAL containers that failed their resizer (truncated
+            // MJPEG frame, avih/chunk-count mismatch, MP4/WebM codec
+            // frames) pass through byte-identical — falling into the
+            // stub branch would reinterpret 'RIFF'+size as fake dims
+            // and rewrite them, corrupting the payload
+            if (VideoCodec.isRiff(bytes) ||
+                VideoCodec.mp4Meta(bytes).isDefined ||
                 VideoCodec.webmMeta(bytes).isDefined) bytes
             else {
               val (w, h, f) = StubCodec.decodeHeader(bytes)
@@ -1230,17 +1258,6 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Synthesize a deterministic REAL-image asset table: every row is
-    * an actual PNG / JPEG / GIF / BMP / TIFF (cycling on i%5 —
-    * proving multi-format dispatch across all five containers the JDK
-    * ships readers for) encoded on the executors from index-derived
-    * dims and pixels. Decoding these through [[decodeFeatures]]
-    * exercises the real `javax.imageio` path, and the dims are pure
-    * arithmetic on the index, so an oracle can replay them without
-    * seeing the bytes: width = 16 + (i%8)·4, height = 12 + (i%5)·4.
-    * (JPEG is lossy and GIF quantizes, but dimensions live in the
-    * container header, so the oracle contract is unaffected; TIFF,
-    * like PNG/BMP, round-trips pixels losslessly.) */
   /** 64-bit difference hash (dHash) of the DECODED pixels — the
     * standard perceptual image fingerprint: 9×8 grayscale grid
     * (nearest-neighbor point sampling, explicit integer arithmetic —
@@ -1341,6 +1358,17 @@ object Multimodal {
     spark.createDataFrame(rdd, assetSchema)
   }
 
+  /** Synthesize a deterministic REAL-image asset table: every row is
+    * an actual PNG / JPEG / GIF / BMP / TIFF (cycling on i%5 —
+    * proving multi-format dispatch across all five containers the JDK
+    * ships readers for) encoded on the executors from index-derived
+    * dims and pixels. Decoding these through [[decodeFeatures]]
+    * exercises the real `javax.imageio` path, and the dims are pure
+    * arithmetic on the index, so an oracle can replay them without
+    * seeing the bytes: width = 16 + (i%8)·4, height = 12 + (i%5)·4.
+    * (JPEG is lossy and GIF quantizes, but dimensions live in the
+    * container header, so the oracle contract is unaffected; TIFF,
+    * like PNG/BMP, round-trips pixels losslessly.) */
   def syntheticImageAssets(spark: SparkSession, n: Int): DataFrame = {
     val formats = Seq("png", "jpeg", "gif", "bmp", "tiff")
     val rdd = spark.range(n.toLong).rdd.map { i =>

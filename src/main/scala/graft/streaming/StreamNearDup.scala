@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{NativeSignatures, NativeText}
+import graft.expressions.NativeSignatures
+import graft.functions.Text
 import graft.operators.Dedup
 
 /** STREAMING near-duplicate detection against a static corpus — the
@@ -47,8 +48,22 @@ object StreamNearDup {
                corpusCacheKey: Option[String] = None): DataFrame = {
     require(streamDocs.isStreaming, "streamDocs must be a streaming DataFrame")
     val nh = bands * rowsPerBand
-    val corpusSig = Dedup.signatureTable(corpusDocs, nh, shingleSize,
-      idCol, textCol, corpusCacheKey)
+    // the static side of a stream-static join is re-evaluated per
+    // micro-batch — an unpersisted signature table would re-shingle
+    // and re-MinHash the whole corpus on every batch. The cached path
+    // persists inside signatureTable; the uncached path persists here
+    // (lifetime = the streaming query's; long-lived streams should
+    // pass a cache key so the artifact is shared and releasable).
+    val corpusSig = corpusCacheKey match {
+      case Some(_) => Dedup.signatureTable(corpusDocs, nh, shingleSize,
+        idCol, textCol, corpusCacheKey)
+      case None =>
+        val sig = Dedup.signatureTable(corpusDocs, nh, shingleSize,
+          idCol, textCol, None)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sig.count() // materialize once, before the first batch
+        sig
+    }
     val corpusBands = Dedup.bandedView(corpusSig, bands, rowsPerBand)
       .withColumnRenamed("id", "corpus_id")
     val corpusText = corpusDocs
@@ -70,10 +85,9 @@ object StreamNearDup {
       .select(col("doc_id"), col("stream_text"), col("corpus_id"))
     val sa = NativeSignatures.charShingles(col("stream_text"), shingleSize)
     val sb = NativeSignatures.charShingles(col("corpus_text"), shingleSize)
-    val inter = NativeText.intersectCount(sa, sb).cast("double")
     cand.join(corpusText, Seq("corpus_id"))
       .select(col("doc_id"), col("corpus_id"),
-        round(inter / (size(sa) + size(sb) - inter), 4).as("jaccard"))
+        Text.jaccard(sa, sb).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

@@ -40,11 +40,14 @@ class LmScoreSpec extends AnyFunSuite {
   }
 
   test("filterFluent keeps documents at or under the bits-per-token cap") {
-    val docs = Seq(10L -> "the cat sat", 11L -> "dog ate qux zap")
+    val docs = Seq(10L -> "the cat sat", 11L -> "dog ate qux zap",
+      12L -> "hello", 13L -> "")
       .toDF("doc_id", "text")
     val kept = LmScore.filterFluent(docs, lm, maxBitsPerToken = 1.5)
       .select($"doc_id").as[Long].collect().toSet
-    // 10: 25850 <= 2*15000; 11: three OOV transitions at 20000 > 15000
-    assert(kept == Set(10L))
+    // 10: 25850 <= 2*15000; 11: three OOV transitions at 20000 > 15000;
+    // 12/13: zero bigrams = zero evidence of disfluency -> pass
+    // through (a semi-join on scored docs would wrongly delete them)
+    assert(kept == Set(10L, 12L, 13L))
   }
 }

@@ -464,6 +464,33 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: LIST-bomb RIFF stops the walk (no StackOverflow); failed-RIFF resize passes through") {
+    // ~6000 nested LIST chunks: self-recursion without a depth bound
+    // would StackOverflowError (an Error no catch sees) in the walk
+    val levels = 6000
+    val bomb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    bomb.write("RIFF".getBytes); bomb.write(le32(4 + levels * 8 + 4))
+    bomb.write("AVI ".getBytes)
+    for (i <- 0 until levels) {
+      bomb.write("LIST".getBytes)
+      bomb.write(le32((levels - i - 1) * 8 + 8)) // 4cc + nested payload
+      bomb.write("list".getBytes)
+    }
+    bomb.write(Array[Byte](0, 0, 0, 0))
+    val bytes = bomb.toByteArray
+    assert(Multimodal.VideoCodec.decodeMeta(bytes).isEmpty) // and no throw
+    // a real-but-unresizable RIFF must come through resize UNCHANGED —
+    // not reinterpreted by the stub as fake header arithmetic
+    val row = Multimodal.resize(
+      Seq((1L, "video", bytes, ("s", "video/avi")))
+        .toDF("asset_id", "modality", "bytes", "meta"), 0.5)
+      .select("bytes").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(row, bytes),
+      "failed-resizer RIFF payload must pass through byte-identical")
+  }
+
   test("Multimodal: dHash is container-invariant lossless, near-invariant lossy, separated across content") {
     import Multimodal.ImageCodec
     def img(seed: Int, w: Int = 24, h: Int = 20) = {

@@ -184,4 +184,55 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("span dedup ≡ brute-force duplicated-window reference on random corpora") {
+    // tiny alphabet forces plenty of duplicated windows; the reference
+    // recomputes spans from first principles (count every k-window by
+    // its token sequence, cover, merge with the pos > prev + k rule)
+    val corpusGen: Gen[List[String]] = for {
+      nDocs <- Gen.choose(3, 8)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 12)
+        ts <- Gen.listOfN(len, Gen.oneOf("ga", "bu", "zo", "meu"))
+      } yield ts.mkString(" "))
+    } yield docs
+    def refSpans(docs: Seq[(Long, String)], k: Int): Set[(Long, Int, Int, Int)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      val counts = scala.collection.mutable.Map[Seq[String], Int]().withDefaultValue(0)
+      for ((_, ts) <- toks; i <- 0 to ts.length - k) counts(ts.slice(i, i + k)) += 1
+      toks.flatMap { case (id, ts) =>
+        val cov = (0 to ts.length - k).filter(i => counts(ts.slice(i, i + k)) >= 2)
+        val islands = cov.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p <= e => (s, p + k) :: rest
+          case (acc, p) => (p, p + k) :: acc
+        }.reverse
+        islands.map { case (s, e) => (id, s, e, e - s) }
+      }.toSet
+    }
+    var tested = 0
+    forSamples(corpusGen, 25) { docs =>
+      val ids = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = ids.toDF("doc_id", "text")
+      for (k <- Seq(2, 3)) {
+        val got = graft.operators.SpanDedup.duplicatedSpans(df, k)
+          .as[(Long, Int, Int, Int)].collect().toSet
+        val want = refSpans(ids, k)
+        assert(got == want,
+          s"k=$k corpus=$ids\nonlyGot=${got -- want}\nonlyWant=${want -- got}")
+        if (want.nonEmpty) tested += 1
+        // rewrite parity: cut the reference spans by hand
+        val kept = graft.operators.SpanDedup.dedupSpans(df, k)
+          .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        ids.foreach { case (id, t) =>
+          val ts = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          val covered = want.collect { case (`id`, s, e, _) => (s, e) }
+          val keep = ts.indices.filterNot(i => covered.exists { case (s, e) => i >= s && i < e })
+          assert(kept(id) == ((keep.map(ts).mkString(" "),
+            (ts.length - keep.length).toLong)), s"rewrite broke for doc $id k=$k in $ids")
+        }
+      }
+    }
+    assert(tested >= 10, s"generator produced too few duplicated corpora ($tested)")
+  }
 }
