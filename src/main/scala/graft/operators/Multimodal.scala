@@ -193,6 +193,69 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Encode the SAME index-derived 16-bit PCM samples into any of
+      * the three javax lossless containers (WAVE little-endian, AIFF
+      * and AU big-endian — the byte order lives in the container, the
+      * sample VALUES are identical), so cross-container dedup has
+      * real ground truth. Mono; sample j = (seed·31 + j·7) % 1000 −
+      * 500. */
+    def encodePcm(sampleRate: Int, nFrames: Int, seed: Long,
+                  container: String): Array[Byte] = {
+      val big = container != "wav"
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, big)
+      val data = new Array[Byte](nFrames * 2)
+      var j = 0
+      while (j < nFrames) {
+        val s = ((seed * 31 + j * 7) % 1000 - 500).toShort
+        if (big) { data(2 * j) = (s >> 8).toByte; data(2 * j + 1) = s.toByte }
+        else { data(2 * j) = s.toByte; data(2 * j + 1) = (s >> 8).toByte }
+        j += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val typ = container match {
+        case "wav" => javax.sound.sampled.AudioFileFormat.Type.WAVE
+        case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+        case "au" => javax.sound.sampled.AudioFileFormat.Type.AU
+        case other => throw new IllegalArgumentException(s"container $other")
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, typ, bos)
+      bos.toByteArray
+    }
+
+    /** Full 16-bit PCM decode through javax (WAV/AIFF/AU): sample
+      * VALUES in container-independent form — endianness is resolved
+      * from the stored format, so the same samples read back equal
+      * regardless of container. None when unreadable or not 16-bit
+      * PCM. */
+    def decodePcm(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            return None
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Short](n)
+          val big = fmt.isBigEndian
+          var j = 0
+          while (j < n) {
+            out(j) =
+              if (big) (((raw(2 * j) & 0xff) << 8) | (raw(2 * j + 1) & 0xff)).toShort
+              else (((raw(2 * j + 1) & 0xff) << 8) | (raw(2 * j) & 0xff)).toShort
+            j += 1
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }
+
     // ---- MPEG audio (MP3) frame-header metadata --------------------
     // javax.sound has no MP3 decoder, but the FRAME STREAM is plain
     // header arithmetic (MPEG-1 Layer III): 4-byte headers carrying
@@ -1298,6 +1361,75 @@ object Multimodal {
       }
       hash
     }
+
+  /** 64-bit energy-profile fingerprint of REALLY-decoded PCM — the
+    * audio analog of [[dHash64]]: the sample stream splits into 65
+    * equal windows, each window's energy is an INTEGER
+    * sum-of-squares (Long — no float anywhere, so the hash is
+    * bit-deterministic), one bit per adjacent-window energy
+    * gradient. Container-invariant by construction: WAV/AIFF/AU of
+    * the same samples decode to identical values (endianness lives
+    * in the container), so re-encodes hash identically. None when
+    * the bytes don't decode to ≥ 65 16-bit PCM samples. */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    AudioCodec.decodePcm(bytes).collect {
+      case (_, _, samples) if samples.length >= 65 =>
+        val n = samples.length
+        val e = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          val from = w * n / 65
+          val until = (w + 1) * n / 65
+          var acc = 0L
+          var j = from
+          while (j < until) {
+            acc += samples(j).toLong * samples(j); j += 1
+          }
+          e(w) = acc
+          w += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (e(b + 1) > e(b)) hash |= 1L << b
+          b += 1
+        }
+        hash
+    }
+
+  /** (id, sig) audio-fingerprint table, ready for
+    * [[Dedup.hammingPairs]] — same shape as [[imageDHashes]]. */
+  def audioFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
+      audioFingerprint64(r.getAs[Array[Byte]]("bytes"))
+        .map(s => org.apache.spark.sql.Row(r.getLong(0), s))
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+  }
+
+  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(audioFingerprints(assets), maxHamming)
+
+  /** [[syntheticImageDupAssets]] for the audio modality: PCM content
+    * depends only on the GROUP id (i % 16) while the container
+    * cycles WAV/AIFF/AU — each group is the same audio stored three
+    * ways, so the oracle derives the full expected pair inventory
+    * (all within-group pairs at Hamming 0) from index arithmetic. */
+  def syntheticAudioDupAssets(spark: SparkSession, n: Int): DataFrame = {
+    val containers = Seq("wav", "aiff", "au")
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val g = (i % 16).toInt
+      val container = containers((i % containers.length).toInt)
+      Row(i, "audio",
+        AudioCodec.encodePcm(8000 + (g % 2) * 8000,
+          400 + (g % 5) * 100, seed = g * 17L + 3L, container),
+        Row(s"grp$g", s"audio/$container"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
 
   /** (id, sig) perceptual-hash table of an asset frame — the image
     * analog of [[Dedup.signatureTable]], ready for

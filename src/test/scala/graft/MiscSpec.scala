@@ -520,6 +520,27 @@ class MiscSpec extends AnyFunSuite {
     assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("Multimodal: audio fingerprint container-invariant across WAV/AIFF/AU; content separates") {
+    import Multimodal.AudioCodec
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val wav = Multimodal.audioFingerprint64(
+      AudioCodec.encodePcm(8000, 600, seed = 120L, "wav")).get
+    val aiff = Multimodal.audioFingerprint64(
+      AudioCodec.encodePcm(8000, 600, seed = 120L, "aiff")).get
+    val au = Multimodal.audioFingerprint64(
+      AudioCodec.encodePcm(8000, 600, seed = 120L, "au")).get
+    assert(wav == aiff && aiff == au,
+      "lossless containers of identical PCM must fingerprint identically")
+    // distinct content (other seeds/lengths) separates past threshold
+    val others = (0 until 16).map(g => Multimodal.audioFingerprint64(
+      AudioCodec.encodePcm(8000, 400 + (g % 5) * 100, g * 17L + 3L, "wav")).get)
+    others.foreach(o => assert(ham(wav, o) > 3, s"inside dedup threshold vs $o"))
+    // too short for 65 windows, or undecodable -> None, never a throw
+    assert(Multimodal.audioFingerprint64(
+      AudioCodec.encodePcm(8000, 64, 1L, "wav")).isEmpty)
+    assert(Multimodal.audioFingerprint64(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("Messages: re-publishing identical payloads yields fresh ids (no silent loss)") {
     val req = Seq(Messages.TransferRequest("sftp://a/1", "gs://b/1",
       remove_file = false, "2024-01-01")).toDS()
