@@ -732,6 +732,63 @@ object Multimodal {
         (f, x, y) => scaled(f).getRGB(x, y) & 0xffffff))
     }
 
+    /** Per-frame dHashes of the DECODED frame pixels, in stream
+      * order: raw bottom-up DIB rows for '00db' streams (the
+      * resizeAvi bounds applied — header claims are untrusted),
+      * ImageIO-decoded JPEGs for '00dc' (MJPEG). None when the bytes
+      * are not an AVI whose every frame decodes. */
+    def frameDHashes(bytes: Array[Byte]): Option[Seq[Long]] = {
+      decodeMeta(bytes) match {
+        case Some((w, h, frames))
+            if w > 0 && h > 0 && frames > 0 && frames <= bytes.length / 8 &&
+              w.toLong * h <= bytes.length.toLong / 3 =>
+          val offs = new scala.collection.mutable.ArrayBuffer[Int]()
+          scanRiff(bytes, 12L, bytes.length.toLong) { (id, off, _) =>
+            if (id == "00db") offs += off
+          }
+          val rb = rowBytes(w)
+          val frameLen = rb.toLong * h
+          if (offs.size == frames &&
+              offs.forall(_.toLong + frameLen <= bytes.length))
+            return Some(offs.map { o =>
+              Multimodal.dHashFromPixels(w, h, (x, y) => {
+                val row = o + (h - 1 - y) * rb
+                ((bytes(row + x * 3 + 2) & 0xff) << 16) |
+                  ((bytes(row + x * 3 + 1) & 0xff) << 8) |
+                  (bytes(row + x * 3) & 0xff)
+              })
+            }.toSeq)
+        case _ => ()
+      }
+      if (bytes == null || bytes.length < 24 ||
+          cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
+      val chunks = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      scanRiff(bytes, 12L, bytes.length.toLong) { (id, off, size) =>
+        if (id == "00dc") chunks += ((off, size))
+      }
+      if (chunks.isEmpty) return None
+      val imgs = chunks.map { case (o, s) =>
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes, o, s))
+        catch { case _: Exception => null }
+      }
+      if (imgs.exists(_ == null)) None
+      else Some(imgs.map(img => Multimodal.dHashFromPixels(
+        img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y))).toSeq)
+    }
+
+    /** Append a spec-legal JUNK chunk (ignored by every RIFF reader)
+      * and patch the RIFF size — a byte-level layout variant of the
+      * same content, the video analog of re-encoding an image in a
+      * different lossless container. */
+    def appendJunk(avi: Array[Byte], n: Int): Array[Byte] = {
+      require(n >= 0 && (n & 1) == 0, "JUNK payload must be even (word-aligned)")
+      val out = java.util.Arrays.copyOf(avi, avi.length + 8 + n)
+      putCC(out, avi.length, "JUNK")
+      putU32(out, avi.length + 4, n)
+      putU32(out, 4, u32(avi, 4) + 8 + n)
+      out
+    }
+
     // ---- ISO-BMFF (MP4) container metadata ------------------------
     // H.264/H.265/VP9 sample data has no pure-JDK decoder, but the
     // CONTAINER is plain big-endian box arithmetic (ISO/IEC 14496-12),
@@ -1330,37 +1387,41 @@ object Multimodal {
     * and lossy re-encodes (JPEG) land within a small Hamming
     * distance — which is what makes Hamming-bucketed image dedup
     * work. None when the bytes decode to no image. */
-  def dHash64(bytes: Array[Byte]): Option[Long] =
-    ImageCodec.decode(bytes).map { img =>
-      val w = img.getWidth
-      val h = img.getHeight
-      val g = new Array[Int](72) // 9 cols × 8 rows, row-major
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 9) {
-          val rgb = img.getRGB(math.min(w - 1, x * w / 9),
-            math.min(h - 1, y * h / 8))
-          g(y * 9 + x) = (((rgb >> 16) & 0xff) * 299 +
-            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-          x += 1
-        }
-        y += 1
+  /** dHash core over any pixel accessor — shared by the image path
+    * (BufferedImage.getRGB) and the per-frame video path (raw DIB
+    * rows / decoded MJPEG frames). */
+  private[graft] def dHashFromPixels(w: Int, h: Int,
+                                     rgb: (Int, Int) => Int): Long = {
+    val g = new Array[Int](72) // 9 cols × 8 rows, row-major
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val p = rgb(math.min(w - 1, x * w / 9), math.min(h - 1, y * h / 8))
+        g(y * 9 + x) = (((p >> 16) & 0xff) * 299 +
+          ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        x += 1
       }
-      var hash = 0L
-      var bit = 0
-      y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << bit
-          bit += 1
-          x += 1
-        }
-        y += 1
-      }
-      hash
+      y += 1
     }
+    var hash = 0L
+    var bit = 0
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    ImageCodec.decode(bytes).map(img =>
+      dHashFromPixels(img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y)))
 
   /** 64-bit energy-profile fingerprint of REALLY-decoded PCM — the
     * audio analog of [[dHash64]]: the sample stream splits into 65
@@ -1412,6 +1473,54 @@ object Multimodal {
 
   def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs(audioFingerprints(assets), maxHamming)
+
+  /** Layout-invariant video CONTENT hash: FNV-style chain of the
+    * per-frame dHashes ([[VideoCodec.frameDHashes]]) — two AVIs with
+    * byte-different container layout (chunk order, JUNK padding) but
+    * identical decoded frames hash identically; any frame edit
+    * changes it. Chain, not set: frame ORDER is content. */
+  def videoContentHash64(bytes: Array[Byte]): Option[Long] =
+    VideoCodec.frameDHashes(bytes).map(
+      _.foldLeft(0xcbf29ce484222325L)((h, d) => (h ^ d) * 0x100000001b3L))
+
+  /** (id, sig) video content-hash table + exact content-dup pairs
+    * (Hamming 0 through the same pigeonhole machinery — identical
+    * chains share every chunk). */
+  def videoContentHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
+      videoContentHash64(r.getAs[Array[Byte]]("bytes"))
+        .map(s => org.apache.spark.sql.Row(r.getLong(0), s))
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+  }
+
+  def videoDupPairs(assets: DataFrame): DataFrame =
+    Dedup.hammingPairs(videoContentHashes(assets), maxHamming = 0)
+
+  /** [[syntheticImageDupAssets]] for video: frame content depends
+    * only on the GROUP id (i % 16); the three variants per group are
+    * byte-DIFFERENT layouts of the same DIB AVI content (plain, +64B
+    * JUNK, +256B JUNK), so content-hash dedup must pair them while
+    * byte-level dedup cannot. */
+  def syntheticVideoDupAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rdd = spark.range(n.toLong).rdd.map { i =>
+      val g = (i % 16).toInt
+      val base = VideoCodec.encodeAvi(16 + (g % 3) * 8, 12 + (g % 2) * 8,
+        3 + (g % 3), (f, x, y) =>
+          (((g * 2654435761L + f * 40503L +
+            (y * 31L + x) * 2246822519L) >> 8) & 0xffffff).toInt)
+      val bytes = (i % 3).toInt match {
+        case 0 => base
+        case 1 => VideoCodec.appendJunk(base, 64)
+        case _ => VideoCodec.appendJunk(base, 256)
+      }
+      Row(i, "video", bytes, Row(s"grp$g", "video/avi"))
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
 
   /** [[syntheticImageDupAssets]] for the audio modality: PCM content
     * depends only on the GROUP id (i % 16) while the container

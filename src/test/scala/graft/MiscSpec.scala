@@ -541,6 +541,37 @@ class MiscSpec extends AnyFunSuite {
     assert(Multimodal.audioFingerprint64(Array[Byte](9, 9, 9)).isEmpty)
   }
 
+  test("Multimodal: video content hash is layout-invariant, order- and content-sensitive") {
+    import Multimodal.VideoCodec
+    def px(g: Int)(f: Int, x: Int, y: Int): Int =
+      (((g * 2654435761L + f * 40503L +
+        (y * 31L + x) * 2246822519L) >> 8) & 0xffffff).toInt
+    val base = VideoCodec.encodeAvi(24, 20, 4, px(5))
+    val junk = VideoCodec.appendJunk(base, 64)
+    assert(!java.util.Arrays.equals(base, junk))
+    // the layout variant still parses as the same container...
+    assert(VideoCodec.decodeMeta(junk).contains((24, 20, 4)))
+    // ...and content-hashes identically
+    val h0 = Multimodal.videoContentHash64(base).get
+    assert(Multimodal.videoContentHash64(junk).contains(h0))
+    // one changed frame changes the hash; frame ORDER is content too
+    val edited = VideoCodec.encodeAvi(24, 20, 4,
+      (f, x, y) => if (f == 2) px(9)(f, x, y) else px(5)(f, x, y))
+    assert(!Multimodal.videoContentHash64(edited).contains(h0))
+    val reversed = VideoCodec.encodeAvi(24, 20, 4,
+      (f, x, y) => px(5)(3 - f, x, y))
+    assert(!Multimodal.videoContentHash64(reversed).contains(h0))
+    // an MJPEG of the SAME frames: per-frame dHashes near the DIB's
+    // (lossy decode drifts bits, the perceptual property), count equal
+    val mj = VideoCodec.encodeMjpegAvi(24, 20, 4, px(5))
+    val (dibF, mjF) = (VideoCodec.frameDHashes(base).get,
+      VideoCodec.frameDHashes(mj).get)
+    assert(mjF.size == dibF.size)
+    dibF.zip(mjF).foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 16,
+        s"MJPEG frame drifted ${java.lang.Long.bitCount(a ^ b)} bits") }
+  }
+
   test("Messages: re-publishing identical payloads yields fresh ids (no silent loss)") {
     val req = Seq(Messages.TransferRequest("sftp://a/1", "gs://b/1",
       remove_file = false, "2024-01-01")).toDS()
