@@ -99,6 +99,48 @@ private[graft] object TextGates {
           col("col.chunk").as("chunk"))
         .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))),
 
+    // X61 REAL byte-pair encoding (Sennrich et al. 2016, not the
+    // length/4 estimate): merges trained on the corpus half (one
+    // distributed word-count shuffle + vocabulary-bounded driver
+    // merge learning, the subword-nmt split), applied to the other
+    // half by a map-only native expression. BPE merge ranks are not
+    // SQL-replayable → rows-only here; x61b pins the algebraic
+    // contract with a full oracle.
+    "x61_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.functions.Bpe.modelFor(s"bpe:$d",
+        docs.where(col("doc_id") < 300), numMerges = 200)
+      docs.where(col("doc_id") >= 300)
+        .select(col("doc_id"),
+          graft.functions.Bpe.subwordCount(col("text"), model)
+            .cast(LongType).as("n_bpe"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
+    // X61b the oracle-gated BPE audit (the x26/x34 backstop pattern):
+    // reconstruction (concatenated subwords == concatenated tokens,
+    // marker-free merges never cross a word), the per-doc lower bound
+    // (>= 1 subword per token), and genuine compression (in-domain
+    // merges make strictly fewer symbols than characters). Verdicts
+    // computed distributed; the oracle recomputes the doc count and
+    // pins every bound.
+    "x61b_bpe_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.functions.Bpe.modelFor(s"bpe:$d",
+        docs.where(col("doc_id") < 300), numMerges = 200)
+      docs.where(col("doc_id") >= 300)
+        .select(col("doc_id"),
+          graft.functions.Bpe.subwords(col("text"), model).as("sw"),
+          graft.functions.Text.tokens(col("text")).as("ts"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          (count(when(concat_ws("", col("sw")) =!= concat_ws("", col("ts")), 1))
+            === 0).as("recon_ok"),
+          (count(when(size(col("sw")) < size(col("ts")), 1)) === 0)
+            .as("lower_bound_ok"),
+          (sum(size(col("sw"))) < sum(length(concat_ws("", col("ts")))))
+            .as("compresses"))
+    }),
+
     // X57 statistical LM quality scoring (the CCNet perplexity-filter
     // shape): a bigram LM with add-one smoothing trains on the corpus
     // half (doc_id < 300, the x50/x56 split) and scores the other
@@ -314,6 +356,13 @@ private[graft] object TextGates {
                 x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword,
          CAST(length(text) AS BIGINT) AS n_chars_calc
          FROM documents ORDER BY doc_id NULLS FIRST""",
+    // doc count recomputed from the data; the three algebraic bounds
+    // pinned TRUE (merge ranks themselves are not SQL-replayable —
+    // x61 is rows-only by declared design, this is its backstop)
+    "x61b_bpe_audit" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS recon_ok,
+                TRUE AS lower_bound_ok, TRUE AS compresses
+         FROM documents WHERE doc_id >= 300""",
     // full training + scoring replay: bigram counts with multiplicity
     // from the train half, context totals as the bigram-table
     // reaggregation, V = distinct train tokens, then the identical
