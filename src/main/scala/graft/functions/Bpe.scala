@@ -105,6 +105,8 @@ object Bpe {
   def subwords(str: Column, model: BpeModel): Column =
     NativeBpe.subwords(str, model.merges)
 
+  /** Subword count without materializing the array — fused native
+    * counter (the x61 scoring hot path). */
   def subwordCount(str: Column, model: BpeModel): Column =
-    size(subwords(str, model))
+    NativeBpe.subwordCount(str, model.merges)
 }

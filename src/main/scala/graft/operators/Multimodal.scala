@@ -1378,15 +1378,6 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** 64-bit difference hash (dHash) of the DECODED pixels — the
-    * standard perceptual image fingerprint: 9×8 grayscale grid
-    * (nearest-neighbor point sampling, explicit integer arithmetic —
-    * no platform-dependent interpolation), one bit per horizontal
-    * gradient sign. Container-invariant by construction: any lossless
-    * re-encode (PNG/BMP/TIFF) of the same pixels hashes identically,
-    * and lossy re-encodes (JPEG) land within a small Hamming
-    * distance — which is what makes Hamming-bucketed image dedup
-    * work. None when the bytes decode to no image. */
   /** dHash core over any pixel accessor — shared by the image path
     * (BufferedImage.getRGB) and the per-frame video path (raw DIB
     * rows / decoded MJPEG frames). */
@@ -1419,9 +1410,35 @@ object Multimodal {
     hash
   }
 
+  /** 64-bit difference hash (dHash) of the DECODED pixels — the
+    * standard perceptual image fingerprint: 9×8 grayscale grid
+    * (nearest-neighbor point sampling, explicit integer arithmetic —
+    * no platform-dependent interpolation), one bit per horizontal
+    * gradient sign. Container-invariant by construction: any lossless
+    * re-encode (PNG/BMP/TIFF) of the same pixels hashes identically,
+    * and lossy re-encodes (JPEG) land within a small Hamming
+    * distance — which is what makes Hamming-bucketed image dedup
+    * work. None when the bytes decode to no image. */
   def dHash64(bytes: Array[Byte]): Option[Long] =
     ImageCodec.decode(bytes).map(img =>
       dHashFromPixels(img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y)))
+
+  /** (id, sig) table from a per-asset 64-bit fingerprint, ready for
+    * [[Dedup.hammingPairs]] — the shared shape of the image/audio/
+    * video signature paths. Partition-local decode (the mapPartitions
+    * codec boundary, like [[decodeFeatures]]); unfingerprintable rows
+    * drop. */
+  private def sigTable(assets: DataFrame,
+                       fingerprint: Array[Byte] => Option[Long]): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
+      fingerprint(r.getAs[Array[Byte]]("bytes"))
+        .map(s => org.apache.spark.sql.Row(r.getLong(0), s))
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+  }
 
   /** 64-bit energy-profile fingerprint of REALLY-decoded PCM — the
     * audio analog of [[dHash64]]: the sample stream splits into 65
@@ -1460,16 +1477,8 @@ object Multimodal {
 
   /** (id, sig) audio-fingerprint table, ready for
     * [[Dedup.hammingPairs]] — same shape as [[imageDHashes]]. */
-  def audioFingerprints(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
-      audioFingerprint64(r.getAs[Array[Byte]]("bytes"))
-        .map(s => org.apache.spark.sql.Row(r.getLong(0), s))
-    })
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("sig", LongType, nullable = false))))
-  }
+  def audioFingerprints(assets: DataFrame): DataFrame =
+    sigTable(assets, audioFingerprint64)
 
   def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs(audioFingerprints(assets), maxHamming)
@@ -1486,16 +1495,8 @@ object Multimodal {
   /** (id, sig) video content-hash table + exact content-dup pairs
     * (Hamming 0 through the same pigeonhole machinery — identical
     * chains share every chunk). */
-  def videoContentHashes(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
-      videoContentHash64(r.getAs[Array[Byte]]("bytes"))
-        .map(s => org.apache.spark.sql.Row(r.getLong(0), s))
-    })
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("sig", LongType, nullable = false))))
-  }
+  def videoContentHashes(assets: DataFrame): DataFrame =
+    sigTable(assets, videoContentHash64)
 
   def videoDupPairs(assets: DataFrame): DataFrame =
     Dedup.hammingPairs(videoContentHashes(assets), maxHamming = 0)
@@ -1544,16 +1545,8 @@ object Multimodal {
     * analog of [[Dedup.signatureTable]], ready for
     * [[Dedup.hammingPairs]]. Partition-local decode (the mapPartitions
     * codec boundary, like [[decodeFeatures]]); undecodable rows drop. */
-  def imageDHashes(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    val rdd = assets.select("asset_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
-      dHash64(r.getAs[Array[Byte]]("bytes"))
-        .map(s => org.apache.spark.sql.Row(r.getLong(0), s))
-    })
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("sig", LongType, nullable = false))))
-  }
+  def imageDHashes(assets: DataFrame): DataFrame =
+    sigTable(assets, dHash64)
 
   /** Near-duplicate image pairs at Hamming ≤ maxHamming over the
     * dHash signatures — pigeonhole-bucketed ([[Dedup.hammingPairs]]),

@@ -535,6 +535,15 @@ class MiscSpec extends AnyFunSuite {
     val others = (0 until 16).map(g => Multimodal.audioFingerprint64(
       AudioCodec.encodePcm(8000, 400 + (g % 5) * 100, g * 17L + 3L, "wav")).get)
     others.foreach(o => assert(ham(wav, o) > 3, s"inside dedup threshold vs $o"))
+    // the property the x59 oracle depends on: the 16 gate-group
+    // fingerprints must ALSO separate pairwise (equal-length groups
+    // are periodic phase shifts of each other — if any two landed
+    // within Hamming 3, the gate would emit a cross-group pair)
+    others.zipWithIndex.combinations(2).foreach {
+      case Seq((a, ga), (b, gb)) =>
+        assert(ham(a, b) > 3, s"groups $ga and $gb inside dedup threshold")
+      case _ =>
+    }
     // too short for 65 windows, or undecodable -> None, never a throw
     assert(Multimodal.audioFingerprint64(
       AudioCodec.encodePcm(8000, 64, 1L, "wav")).isEmpty)
