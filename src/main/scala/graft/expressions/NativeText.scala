@@ -456,6 +456,66 @@ object NativeText {
     round4(math.min(1.0, maxC.toDouble * n / total))
   }
 
+  /** Fraction of token CHARACTERS covered by DUPLICATED n-grams —
+    * the other Gopher repetition family (Rae et al. 2021, "fraction
+    * of characters in duplicate n-grams", n ∈ 5..10; small n works
+    * too): a token position is covered when ANY n-token window
+    * containing it occurs ≥ 2 times in the document, and a covered
+    * character counts ONCE no matter how many duplicated windows
+    * overlap it (coverage union, not occurrence sum — the property
+    * that keeps the signal ≤ 1 on looping text). Denominator = total
+    * characters of all tokens (separators excluded — the same token
+    * view the numerator sees), so the signal is whitespace-run
+    * invariant like every other token signal here. */
+  def dupNgramCharFracEval(tokens: ArrayData, n: Int): Double = {
+    val total = tokens.numElements()
+    if (total < n || total == 0) return 0.0
+    val lens = new Array[Int](total)
+    var totalChars = 0L
+    var i = 0
+    while (i < total) {
+      if (!tokens.isNullAt(i)) lens(i) = tokens.getUTF8String(i).numChars()
+      totalChars += lens(i)
+      i += 1
+    }
+    if (totalChars == 0L) return 0.0
+    // materialize each window's gram once (space-joined, the same key
+    // shape as topNgramFracEval), count occurrences, then union the
+    // covered positions of every duplicated window
+    val grams = new Array[String](total - n + 1)
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i <= total - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      grams(i) = sb.toString
+      counts.merge(grams(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val covered = new Array[Boolean](total)
+    i = 0
+    while (i <= total - n) {
+      if (counts.get(grams(i)) >= 2) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var cov = 0L
+    i = 0
+    while (i < total) {
+      if (covered(i)) cov += lens(i)
+      i += 1
+    }
+    round4(cov.toDouble / totalChars)
+  }
+
   /** |a ∩ b| for two string arrays via one hash set — O(n+m) versus
     * the quadratic-ish generic `array_intersect` path over large
     * shingle arrays, and a single static call so the verify projection
@@ -1072,6 +1132,22 @@ object NativeText {
       copy(child = c)
   }
 
+  case class DupNgramFracExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, "n-gram size must be positive")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dup_ngram_frac_native"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Double.valueOf(dupNgramCharFracEval(v.asInstanceOf[ArrayData], n))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.dupNgramCharFracEval($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): DupNgramFracExpr =
+      copy(child = c)
+  }
+
   case class LangScoreExpr(child: Expression,
                            stopwordSets: Seq[(String, Seq[String])])
       extends UnaryExpression {
@@ -1148,6 +1224,9 @@ object NativeText {
 
   def topNgramFrac(tokens: Column, n: Int): Column =
     ColumnBridge.column(TopNgramFracExpr(ColumnBridge.expression(tokens), n))
+
+  def dupNgramFrac(tokens: Column, n: Int): Column =
+    ColumnBridge.column(DupNgramFracExpr(ColumnBridge.expression(tokens), n))
 
   def intersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(

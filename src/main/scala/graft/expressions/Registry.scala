@@ -113,6 +113,10 @@ object Registry {
       (es: Seq[Expression]) => NativeText.TopNgramFracExpr(es.head,
         intArg(es(1), "graft_top_ngram_frac")),
       "graft_top_ngram_frac(tokens, n) - share of the most frequent n-gram"),
+    ("graft_dup_ngram_frac",
+      (es: Seq[Expression]) => NativeText.DupNgramFracExpr(es.head,
+        intArg(es(1), "graft_dup_ngram_frac")),
+      "graft_dup_ngram_frac(tokens, n) - char fraction covered by duplicated n-grams"),
     ("graft_dedup_lines",
       (es: Seq[Expression]) => NativeText.DedupLinesExpr(es.head),
       "graft_dedup_lines(str) - drop repeated non-blank lines; struct<kept_text, n_removed>"),

@@ -68,6 +68,15 @@ object Text {
   def stopwordRatio(c: Column, stopwords: Seq[String] = enStopwords): Column =
     graft.expressions.NativeText.stopwordRatio(c, stopwords)
 
+  /** Fraction of token characters covered by DUPLICATED n-grams —
+    * the Gopher dup-n-gram repetition signal (coverage union: a
+    * character counts once however many duplicated windows overlap
+    * it). Complements [[graft.expressions.NativeText.topNgramFrac]]
+    * (most-frequent-gram share): top catches one dominating loop,
+    * dup catches diffuse boilerplate repetition. */
+  def dupNgramCharFrac(c: Column, n: Int): Column =
+    graft.expressions.NativeText.dupNgramFrac(tokens(c), n)
+
   /** Mean token length. */
   def meanTokenLen(c: Column): Column = {
     val ts = tokens(c)

@@ -230,6 +230,21 @@ private[graft] object TextGates {
           col("col.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
         .orderBy(asc_nulls_first("query_id"), asc_nulls_first("rnk"))
     }),
+
+    // X62 Gopher duplicate-n-gram repetition signals (Rae et al.
+    // 2021): fraction of token CHARACTERS covered by n-grams that
+    // occur ≥2× in the document — coverage UNION, so a character
+    // counts once however many duplicated windows overlap it.
+    // Complements x19's top-bigram share (one dominating loop) with
+    // the diffuse-boilerplate signal. Map-only native expression;
+    // FULL-value oracle (window n-grams, duplicate detection, and
+    // the position-coverage union all replayed in SQL).
+    "x62_dup_ngrams" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.dupNgramCharFrac(col("text"), 2).as("dup2_frac"),
+          Text.dupNgramCharFrac(col("text"), 3).as("dup3_frac"))
+        .orderBy(asc_nulls_first("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -441,5 +456,52 @@ private[graft] object TextGates {
              '$em', '', 'g'), '$ip', '', 'g'), '$ph')) AS BIGINT) AS phones
          FROM r ORDER BY i NULLS FIRST"""
     },
+
+    // Full replay of the dup-n-gram coverage semantics: window
+    // string_agg builds every n-token gram, a per-(doc, gram) window
+    // count finds the duplicated ones, and DISTINCT(doc, pos) is the
+    // coverage UNION before characters are summed. floor(x*1e4+0.5)/1e4
+    // is the exact round4 formula (same IEEE ops as the native expr).
+    "x62_dup_ngrams" ->
+      s"""WITH $tokCte,
+         t AS (SELECT doc_id, unnest(ts) AS tk,
+                      generate_subscripts(ts, 1) AS pos FROM tok),
+         chars AS (SELECT doc_id, sum(length(tk)) AS tot FROM t GROUP BY doc_id),
+         g2 AS (SELECT doc_id, pos AS s, string_agg(tk, ' ') OVER w AS gram,
+                       count(*) OVER w AS wn
+                FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)),
+         dup2 AS (SELECT doc_id, s FROM (
+                    SELECT doc_id, s,
+                           count(*) OVER (PARTITION BY doc_id, gram) AS c
+                    FROM g2 WHERE wn = 2) WHERE c >= 2),
+         cov2 AS (SELECT doc_id, sum(l) AS cv FROM (
+                    SELECT DISTINCT t.doc_id, t.pos, length(t.tk) AS l
+                    FROM t JOIN dup2 d ON t.doc_id = d.doc_id
+                      AND t.pos >= d.s AND t.pos <= d.s + 1) GROUP BY doc_id),
+         g3 AS (SELECT doc_id, pos AS s, string_agg(tk, ' ') OVER w AS gram,
+                       count(*) OVER w AS wn
+                FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)),
+         dup3 AS (SELECT doc_id, s FROM (
+                    SELECT doc_id, s,
+                           count(*) OVER (PARTITION BY doc_id, gram) AS c
+                    FROM g3 WHERE wn = 3) WHERE c >= 2),
+         cov3 AS (SELECT doc_id, sum(l) AS cv FROM (
+                    SELECT DISTINCT t.doc_id, t.pos, length(t.tk) AS l
+                    FROM t JOIN dup3 d ON t.doc_id = d.doc_id
+                      AND t.pos >= d.s AND t.pos <= d.s + 2) GROUP BY doc_id)
+         SELECT k.doc_id,
+           CASE WHEN coalesce(c2.cv, 0) = 0 OR coalesce(ch.tot, 0) = 0 THEN 0.0
+                ELSE floor(CAST(c2.cv AS DOUBLE) / ch.tot * 10000 + 0.5) / 10000
+           END AS dup2_frac,
+           CASE WHEN coalesce(c3.cv, 0) = 0 OR coalesce(ch.tot, 0) = 0 THEN 0.0
+                ELSE floor(CAST(c3.cv AS DOUBLE) / ch.tot * 10000 + 0.5) / 10000
+           END AS dup3_frac
+         FROM tok k
+           LEFT JOIN chars ch USING (doc_id)
+           LEFT JOIN cov2 c2 USING (doc_id)
+           LEFT JOIN cov3 c3 USING (doc_id)
+         ORDER BY doc_id NULLS FIRST""",
   )
 }

@@ -97,12 +97,15 @@ class EngineSpec extends AnyFunSuite {
       """SELECT graft_fingerprint(graft_tokens(t)) AS fp,
                 graft_simhash64(graft_tokens(t)) AS sh,
                 size(graft_char_shingles(t, 3)) AS nsh,
-                graft_lang_score(graft_tokens(t)) AS lang
+                graft_lang_score(graft_tokens(t)) AS lang,
+                graft_dup_ngram_frac(graft_tokens(t), 1) AS dup1
          FROM reg_t""").head()
     assert(r.getLong(0) != 0L)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) > 10)
     assert(r.getString(3) == "en")
+    // 'the' appears twice: its 6 chars of the 22 token chars covered
+    assert(r.getDouble(4) == 0.2727)
     val r2 = spark.sql(
       """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
                 graft_intersect_count(array('a','b'), array('b','c')) AS ic,

@@ -85,6 +85,20 @@ class PlanSpec extends AnyFunSuite {
       s"projection not codegen'd:\n$plan")
   }
 
+  test("dup-ngram repetition signal is native and codegen'd (x62 shape)") {
+    val df = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        graft.functions.Text.dupNgramCharFrac($"text", 2).as("dup2"),
+        graft.functions.Text.dupNgramCharFrac($"text", 3).as("dup3"))
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dup_ngram_frac_native"), plan)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"dup-ngram projection not codegen'd:\n$plan")
+    // map-only: no exchange anywhere in the per-doc signal scan
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("curation signals are fully native: single WSCG stage, no CodegenFallback HOFs") {
     val docs = Tables.load(spark, sfDir, "documents")
     val annotated = graft.operators.Curation.annotate(docs)

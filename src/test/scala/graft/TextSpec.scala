@@ -61,6 +61,29 @@ class TextSpec extends AnyFunSuite {
     assert(r(1) < 0.3)
   }
 
+  test("dupNgramCharFrac: coverage union, char weighting, Gopher n=5") {
+    def f(n: Int, texts: String*): Seq[Double] =
+      texts.toDF("t").select(Text.dupNgramCharFrac($"t", n).as("f"))
+        .as[Double].collect().toSeq
+    // "a b a b": the duplicated bigram "a b" covers every position
+    assert(f(2, "a b a b") == Seq(1.0))
+    // unique prefix token stays uncovered: 4 of 5 chars
+    assert(f(2, "x a b a b") == Seq(0.8))
+    // character weighting: the uncovered token is 2 chars of 6
+    assert(f(2, "xx a b a b") == Seq(0.6667))
+    // coverage UNION: 5 overlapping duplicated windows still cap at 1
+    assert(f(2, "a a a a a a") == Seq(1.0))
+    // the Gopher n=5 case: a 6-token phrase repeated twice is fully
+    // covered by its duplicated 5-grams; clean prose has none
+    assert(f(5, "one two three four five six one two three four five six",
+      "the quick brown fox jumps over a lazy dog near the river") ==
+      Seq(1.0, 0.0))
+    // fewer tokens than n, and empty text → 0.0
+    assert(f(5, "a b c d", "") == Seq(0.0, 0.0))
+    // whitespace-run and case invariance (token view both sides)
+    assert(f(2, "A  b\ta B") == f(2, "a b a b"))
+  }
+
   test("Curation: clean doc kept, degenerate docs dropped with reasons") {
     import graft.operators.Curation
     val docs = Seq(
