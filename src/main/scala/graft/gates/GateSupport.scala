@@ -295,14 +295,39 @@ private[graft] object GateSupport {
          FROM (SELECT doc_id,
                       list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
                FROM documents)),
+       tl AS (
+         SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos,
+                unnest(list_transform(range(1, len(ts) + 1),
+                       i -> length(ts[CAST(i AS INT)]))) AS l
+         FROM tok WHERE len(ts) > 0),
+       tcc AS (SELECT doc_id, SUM(l) AS tot FROM tl GROUP BY 1),
+       d3 AS (
+         SELECT doc_id, unnest(range(1, len(ts) - 1)) AS s,
+                unnest(list_transform(range(1, len(ts) - 1),
+                       i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] ||
+                            ' ' || ts[CAST(i AS INT) + 2])) AS g
+         FROM tok WHERE len(ts) >= 3),
+       dd3 AS (SELECT doc_id, s FROM (
+                 SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+                 FROM d3) WHERE c >= 2),
+       cv3 AS (SELECT doc_id, SUM(l) AS cv FROM (
+                 SELECT DISTINCT tl.doc_id, tl.pos, tl.l
+                 FROM tl JOIN dd3 d ON tl.doc_id = d.doc_id
+                   AND tl.pos >= d.s AND tl.pos <= d.s + 2) GROUP BY 1),
+       dg AS (
+         SELECT tok.doc_id,
+                CASE WHEN COALESCE(cv, 0) = 0 OR COALESCE(tot, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(cv AS DOUBLE) / tot * 10000 + 0.5) / 10000
+                END AS dup_ngram_frac
+         FROM tok LEFT JOIN tcc USING (doc_id) LEFT JOIN cv3 USING (doc_id)),
        sig AS (
          SELECT tok.doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
                 COALESCE(ent.entropy, 0.0) AS entropy,
                 COALESCE(tb.top_bigram_frac, 0.0) AS top_bigram_frac,
-                dl.dup_line_frac, pr.punct_ratio
+                dg.dup_ngram_frac, dl.dup_line_frac, pr.punct_ratio
          FROM tok
          LEFT JOIN ent USING (doc_id) LEFT JOIN tb USING (doc_id)
-         JOIN dl USING (doc_id) JOIN pr USING (doc_id)),
+         JOIN dg USING (doc_id) JOIN dl USING (doc_id) JOIN pr USING (doc_id)),
        rs AS (
          SELECT *,
                 list_filter([
@@ -310,6 +335,7 @@ private[graft] object GateSupport {
                   CASE WHEN n_tok > 100000 THEN 'too_long' END,
                   CASE WHEN entropy < 1.5 THEN 'low_entropy' END,
                   CASE WHEN top_bigram_frac > 0.2 THEN 'repetitive_ngrams' END,
+                  CASE WHEN dup_ngram_frac > 0.15 THEN 'duplicate_ngrams' END,
                   CASE WHEN dup_line_frac > 0.3 THEN 'duplicate_lines' END,
                   CASE WHEN punct_ratio > 0.25 THEN 'punct_noise' END],
                   x -> x IS NOT NULL) AS reasons

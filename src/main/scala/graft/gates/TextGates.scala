@@ -54,7 +54,7 @@ private[graft] object TextGates {
     "x19_curation" -> ((s, d) =>
       graft.operators.Curation.annotate(t(s, d, "documents"))
         .select(col("doc_id"), col("n_tok"), col("entropy"),
-          col("top_bigram_frac"), col("dup_line_frac"),
+          col("top_bigram_frac"), col("dup_ngram_frac"), col("dup_line_frac"),
           to_json(col("drop_reasons")).as("drop_reasons"), col("keep"))
         .orderBy(asc_nulls_first("doc_id"))),
 
@@ -301,7 +301,8 @@ private[graft] object TextGates {
          $entCte,
          $punctCte,
          $curationRulesCte
-         SELECT doc_id, n_tok, entropy, top_bigram_frac, dup_line_frac,
+         SELECT doc_id, n_tok, entropy, top_bigram_frac, dup_ngram_frac,
+                dup_line_frac,
                 CAST(to_json(reasons) AS VARCHAR) AS drop_reasons,
                 len(reasons) = 0 AS keep
          FROM rs ORDER BY doc_id NULLS FIRST""",

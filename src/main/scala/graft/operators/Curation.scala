@@ -21,8 +21,10 @@ object Curation {
       maxTokens: Long = 100000,
       minEntropy: Double = 1.5,
       maxTopBigramFrac: Double = 0.2,
+      maxDupNgramFrac: Double = 0.15,
       maxDupLineFrac: Double = 0.3,
-      maxPunctRatio: Double = 0.25)
+      maxPunctRatio: Double = 0.25,
+      dupNgramN: Int = 3)
 
   /** Fraction of duplicate lines (1 - distinct/total) over non-blank
     * lines — native single-pass expression (the split/filter/
@@ -43,6 +45,11 @@ object Curation {
       .withColumn("entropy", Text.charEntropy(col(textCol)))
       .withColumn("top_bigram_frac",
         graft.expressions.NativeText.topNgramFrac(ts, 2))
+      // the OTHER Gopher repetition family: characters covered by
+      // DUPLICATED n-grams (coverage union) — top-bigram catches one
+      // dominating loop, this catches diffuse boilerplate repetition
+      .withColumn("dup_ngram_frac",
+        graft.expressions.NativeText.dupNgramFrac(ts, t.dupNgramN))
       .withColumn("dup_line_frac", dupLineFrac(col(textCol)))
       .withColumn("punct_ratio", Text.punctRatio(col(textCol)))
     val rules: Seq[(String, Column)] = Seq(
@@ -50,6 +57,7 @@ object Curation {
       "too_long" -> (col("n_tok") > t.maxTokens),
       "low_entropy" -> (col("entropy") < t.minEntropy),
       "repetitive_ngrams" -> (col("top_bigram_frac") > t.maxTopBigramFrac),
+      "duplicate_ngrams" -> (col("dup_ngram_frac") > t.maxDupNgramFrac),
       "duplicate_lines" -> (col("dup_line_frac") > t.maxDupLineFrac),
       "punct_noise" -> (col("punct_ratio") > t.maxPunctRatio))
     val reasons = filter(

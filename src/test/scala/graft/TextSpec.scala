@@ -91,7 +91,14 @@ class TextSpec extends AnyFunSuite {
         "sets slowly behind the mountains and the river runs to the sea."),
       (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
       (3L, "ab"),
-      (4L, "line one\nline one\nline one\nline one\nline two with more words here"))
+      (4L, "line one\nline one\nline one\nline one\nline two with more words here"),
+      // a 6-token phrase repeated verbatim amid unique filler: the
+      // duplicated-3-gram coverage fires while top-bigram (max count
+      // 2 of 29 bigrams) stays under its threshold
+      (5L, "alpha beta gamma delta epsilon zeta " +
+        "alpha beta gamma delta epsilon zeta " +
+        "every remaining word appears exactly once keeping entropy high " +
+        "and the tail diverse enough for all other quality rules"))
       .toDF("doc_id", "text")
     val r = Curation.annotate(docs)
       .select($"doc_id", $"keep", $"drop_reasons")
@@ -100,6 +107,7 @@ class TextSpec extends AnyFunSuite {
     assert(!r(2L)._2 && r(2L)._3.contains("repetitive_ngrams"))
     assert(!r(3L)._2 && r(3L)._3.contains("too_short"))
     assert(!r(4L)._2 && r(4L)._3.contains("duplicate_lines"))
+    assert(r(5L)._3 == Seq("duplicate_ngrams"), r(5L)._3.toString)
   }
 
   test("fingerprint: whitespace/case-insensitive identity, order-sensitive") {
