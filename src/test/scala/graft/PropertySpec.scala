@@ -235,4 +235,39 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(tested >= 10, s"generator produced too few duplicated corpora ($tested)")
   }
+
+  test("dupNgramCharFrac ≡ naive all-window reference (coverage union)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.NativeText
+    // tiny mixed-length vocabulary: duplicates are common AND token
+    // lengths differ, so both the union and the char weighting are
+    // exercised on every sample
+    val toksGen: Gen[List[String]] = Gen.choose(0, 30).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "bc", "def", "gh", "i", "jklm")))
+    var nonzero = 0
+    forSamples(toksGen, 60) { toks =>
+      for (n <- Seq(1, 2, 3, 5)) {
+        val arr = new GenericArrayData(
+          toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+        val got = NativeText.dupNgramCharFracEval(arr, n)
+        val total = toks.length
+        val want =
+          if (total < n || total == 0) 0.0
+          else {
+            val grams = (0 to total - n).map(i => toks.slice(i, i + n).mkString(" "))
+            val covered = grams.zipWithIndex
+              .collect { case (g, i) if grams.count(_ == g) >= 2 => i }
+              .flatMap(s => s until s + n).toSet
+            val totalChars = toks.map(_.length).sum
+            if (totalChars == 0) 0.0
+            else math.floor(covered.toSeq.map(toks(_).length).sum.toDouble /
+              totalChars * 10000 + 0.5) / 10000
+          }
+        assert(got == want, s"n=$n toks=$toks got=$got want=$want")
+        if (want > 0) nonzero += 1
+      }
+    }
+    assert(nonzero >= 40, s"generator produced too few duplicated samples ($nonzero)")
+  }
 }
