@@ -283,6 +283,27 @@ private[graft] object DedupAnnGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X63 SEMANTIC decontamination: the embedding-space complement of
+    // x35 — corpus vectors within cosine 0.9 of any benchmark vector
+    // are contamination (n-grams miss paraphrased leaks). The gate's
+    // benchmark is a deterministic "leak": every 25th corpus vector,
+    // element-perturbed in DOUBLE arithmetic both engines replay
+    // exactly; perturbed sources score ≈ 0.987-0.99 while the fixture
+    // background tops out near 0.5, so the flagged set must be
+    // EXACTLY the leaked sources with their known best match.
+    "x63_semantic_decon" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val bench = emb.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x.cast(DoubleType) + ((j % 7).cast(DoubleType) - 3.0) / 100.0)
+            .as("embedding"))
+      graft.operators.Decontaminate.semantic(corpus, bench, threshold = 0.9)
+        .orderBy(asc_nulls_first("vec_id"))
+    }),
+
     // X54 IVF-PQ search on the clustered design case: candidates are
     // scored from m=4 one-byte codes + a stored norm (32× smaller
     // payload than the 16-double vectors), probing nprobe=4 of 12
@@ -568,6 +589,27 @@ private[graft] object DedupAnnGates {
          FROM g WHERE split = 'test' AND gram IN (SELECT gram FROM tr)
          GROUP BY doc_id ORDER BY doc_id NULLS FIRST"""
     },
+    // exact replay of the semantic screen: same DOUBLE perturbation,
+    // all-pairs cosine, threshold filter, best match by
+    // (sim DESC, bench_id ASC) — the TopKAgg ordering
+    "x63_semantic_decon" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (SELECT vec_id + 100000 AS bench_id,
+                      list_transform(range(64), j -> e[CAST(j AS INT) + 1] +
+                        (CAST(j % 7 AS DOUBLE) - 3) / 100.0) AS e
+               FROM v WHERE vec_id % 25 = 0),
+         scored AS (
+           SELECT v.vec_id, b.bench_id,
+                  ROUND(list_inner_product(v.e, b.e) /
+                        (sqrt(list_inner_product(v.e, v.e)) *
+                         sqrt(list_inner_product(b.e, b.e))), 4) AS sim
+           FROM v, b),
+         hits AS (SELECT * FROM scored WHERE sim >= 0.9),
+         best AS (SELECT vec_id, bench_id, sim, ROW_NUMBER() OVER
+                    (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+                  FROM hits)
+         SELECT vec_id, bench_id, sim FROM best WHERE rn = 1
+         ORDER BY vec_id NULLS FIRST""",
     "x29_salted_agg" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
          ROUND(SUM(value), 2) AS sum_value

@@ -37,4 +37,33 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits")) // grams are distinct per doc
   }
+
+  /** SEMANTIC decontamination: corpus rows whose embedding lands
+    * within `threshold` cosine of ANY benchmark embedding — the
+    * embedding-space complement of [[ngramOverlap]] (n-grams miss
+    * paraphrased leaks; cosine catches them). Returns one row per
+    * contaminated corpus doc: (idCol, bench_id, sim) with its BEST
+    * benchmark match (sim desc, bench_id asc — deterministic).
+    *
+    * Scale design: benchmark/eval sets are small by definition, so
+    * the bench side is BROADCAST and the corpus streams through a
+    * single nested-loop scan (the x05 brute-kNN shape, but with the
+    * BIG side streaming); the threshold filter runs before any
+    * aggregation, so only contaminated rows — a tiny fraction — ever
+    * reach the top-1 shuffle, and that aggregation is the bounded-heap
+    * [[graft.functions.TopKAgg]] with map-side partials. No corpus
+    * shuffle at any point: at 100 TB this is one scan. */
+  def semantic(corpus: DataFrame, bench: DataFrame, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = Dedup.fanOut(corpus)
+      .select(col(idCol), col(vecCol).as("_cv"))
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("_bv"))
+    val scored = c.crossJoin(broadcast(b))
+      .select(col(idCol), col("bench_id"),
+        round(graft.expressions.NativeVector.cosineSim(col("_cv"), col("_bv")), 4)
+          .as("sim"))
+      .where(col("sim") >= threshold)
+    graft.functions.Sim.topKPerGroup(scored, idCol, "bench_id", "sim", 1)
+      .drop("rnk")
+  }
 }

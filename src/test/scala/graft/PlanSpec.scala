@@ -99,6 +99,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("semantic decontamination: bench broadcast, corpus never shuffled before the filter") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", transform($"embedding",
+        x => x.cast("double")).as("embedding"))
+    val bench = emb.where($"vec_id" < 10)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val df = graft.operators.Decontaminate.semantic(emb, bench, threshold = 0.9)
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the bench side must arrive via broadcast (nested-loop by design:
+    // the scan streams the big corpus once against the in-memory bench)
+    assert(plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), s"shuffled cartesian:\n$plan")
+    // the threshold predicate is FUSED into the join condition, so
+    // non-contaminated pairs die inside the nested-loop scan and only
+    // contaminated rows ever reach the (partial-aggregated) top-1
+    assert("BroadcastNestedLoopJoin BuildRight, Cross, \\(round\\(cosine_sim_native".r
+      .findFirstIn(plan).isDefined,
+      s"threshold not fused into the join condition:\n$plan")
+    assert(plan.contains("partial_topkbyscore"),
+      s"top-1 must partial-aggregate before the exchange:\n$plan")
+  }
+
   test("curation signals are fully native: single WSCG stage, no CodegenFallback HOFs") {
     val docs = Tables.load(spark, sfDir, "documents")
     val annotated = graft.operators.Curation.annotate(docs)
