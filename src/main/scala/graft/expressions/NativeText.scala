@@ -431,6 +431,40 @@ object NativeText {
       Array[Any](UTF8String.fromString(sb.toString), removed))
   }
 
+  /** Cross-document boilerplate REMOVAL (the CCNet/RefinedWeb step
+    * that [[dedupLinesEval]]'s within-doc rule can't reach): drop
+    * every non-blank line whose exact text is in the corpus-frequent
+    * set, keeping blank (space-only) lines as structure. Same line
+    * conventions as [[dedupLinesEval]]: untrimmed exact-text match,
+    * split('\n', -1), survivors re-join with '\n', occurrences (not
+    * distinct lines) counted in n_removed. The frequent set rides the
+    * expression as a reference object, so the rewrite is map-only. */
+  def removeLinesEval(str: UTF8String,
+                      drop: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    def spaceOnly(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) != ' ') return false; i += 1 }
+      true
+    }
+    val lines = str.toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder()
+    var removed = 0L
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (!spaceOnly(l) && drop.contains(l)) removed += 1
+      else {
+        if (!first) sb.append('\n')
+        sb.append(l)
+        first = false
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), removed))
+  }
+
   /** Fraction of the token stream covered by the single most frequent
     * n-gram (the Gopher-rules repetition signal): maxCount·n / total.
     * ~1.0 for looping text, small for natural prose. */
@@ -797,6 +831,32 @@ object NativeText {
         s"${ev.value} = graft.expressions.NativeText.dedupLinesEval($c);")
 
     override protected def withNewChildInternal(c: Expression): DedupLinesExpr =
+      copy(child = c)
+  }
+
+  case class RemoveLinesExpr(child: Expression, lines: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("kept_text", StringType, nullable = false),
+      StructField("n_removed", LongType, nullable = false)))
+    override def prettyName: String = "remove_lines_native"
+
+    @transient private lazy val dropSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](lines.size * 2)
+      lines.foreach(s.add)
+      s
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      removeLinesEval(v.asInstanceOf[UTF8String], dropSet)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dropLines", dropSet, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.removeLinesEval($c, $ref);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): RemoveLinesExpr =
       copy(child = c)
   }
 
@@ -1240,6 +1300,9 @@ object NativeText {
 
   def dedupLines(str: Column): Column =
     ColumnBridge.column(DedupLinesExpr(ColumnBridge.expression(str)))
+
+  def removeLines(str: Column, lines: Seq[String]): Column =
+    ColumnBridge.column(RemoveLinesExpr(ColumnBridge.expression(str), lines))
 
   def chunksWithCounts(str: Column, size: Int, step: Int): Column =
     ColumnBridge.column(ChunksWithCountsExpr(ColumnBridge.expression(str), size, step))

@@ -245,6 +245,30 @@ private[graft] object TextGates {
           Text.dupNgramCharFrac(col("text"), 2).as("dup2_frac"),
           Text.dupNgramCharFrac(col("text"), 3).as("dup3_frac"))
         .orderBy(asc_nulls_first("doc_id"))),
+
+    // X64 CROSS-document boilerplate removal (CCNet/RefinedWeb):
+    // lines verbatim-repeated across ≥ minDocs docs are stripped
+    // corpus-wide — the step x55's within-doc rule can't reach. The
+    // fixture docs are single-line with no cross-doc repeats, so the
+    // gate synthesizes a deterministic newsletter corpus by index
+    // arithmetic (the x31/x55 pattern): per-group header and footer
+    // lines repeat across 20 docs each (frequent), body lines are
+    // unique (kept), a space-only line checks blank preservation.
+    // FULL-value oracle: document frequency, the frequent set, and
+    // the per-occurrence rewrite all replayed in SQL.
+    "x64_boilerplate" -> ((s, d) => {
+      val docs = s.range(120).select(col("id").as("i"),
+        concat(
+          lit("=== newsletter header "), col("id") % 6, lit(" ===\n"),
+          lit("body "), col("id"), lit(" first unique line\n"),
+          lit("  \n"),
+          lit("body "), col("id"), lit(" second unique line\n"),
+          lit("unsubscribe at list "), col("id") % 6, lit(" dot example"))
+          .as("text"))
+      graft.operators.Boilerplate.stripFrequentLines(docs, minDocs = 5,
+          idCol = "i")
+        .orderBy(asc_nulls_first("i"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -504,5 +528,38 @@ private[graft] object TextGates {
            LEFT JOIN cov2 c2 USING (doc_id)
            LEFT JOIN cov3 c3 USING (doc_id)
          ORDER BY doc_id NULLS FIRST""",
+
+    // Full replay of the cross-doc boilerplate strip: per-doc DISTINCT
+    // lines → document frequency → frequent set (df >= 5) → rewrite
+    // keeping blank lines and non-frequent occurrences, order kept.
+    "x64_boilerplate" ->
+      """WITH g AS (SELECT unnest(range(120)) AS i),
+         d AS (SELECT i,
+                 '=== newsletter header ' || (i % 6) || ' ===' || chr(10) ||
+                 'body ' || i || ' first unique line' || chr(10) ||
+                 '  ' || chr(10) ||
+                 'body ' || i || ' second unique line' || chr(10) ||
+                 'unsubscribe at list ' || (i % 6) || ' dot example' AS text
+               FROM g),
+         dl AS (SELECT i, unnest(list_distinct(string_split(text, chr(10)))) AS line
+                FROM d),
+         freq AS (SELECT line FROM (
+                    SELECT line, COUNT(*) AS c FROM dl
+                    WHERE trim(line, ' ') <> '' GROUP BY 1)
+                  WHERE c >= 5),
+         lp AS (SELECT i, unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                FROM d),
+         kept AS (SELECT i, line, pos FROM lp
+                  WHERE trim(line, ' ') = ''
+                     OR line NOT IN (SELECT line FROM freq)),
+         r AS (SELECT i, string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+                      COUNT(*) AS nk
+               FROM kept GROUP BY i),
+         tot AS (SELECT i, len(string_split(text, chr(10))) AS nl FROM d)
+         SELECT CAST(d.i AS BIGINT) AS i, r.kept_text,
+                CAST(tot.nl - r.nk AS BIGINT) AS n_removed
+         FROM d JOIN r USING (i) JOIN tot USING (i)
+         ORDER BY i NULLS FIRST""",
   )
 }

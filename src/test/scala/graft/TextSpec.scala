@@ -110,6 +110,31 @@ class TextSpec extends AnyFunSuite {
     assert(r(5L)._3 == Seq("duplicate_ngrams"), r(5L)._3.toString)
   }
 
+  test("Boilerplate: cross-doc frequent lines stripped; blanks, unique lines, untrimmed match") {
+    import graft.operators.Boilerplate
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"shared header\nunique body $i\n  \n shared header\ntail $i"))
+      .toDF("doc_id", "text")
+    // exact-text (untrimmed) matching: the leading-space variant is a
+    // DIFFERENT frequent line, counted separately
+    val freq = Boilerplate.frequentLines(docs, minDocs = 5)
+      .as[(String, Long)].collect().toMap
+    assert(freq == Map("shared header" -> 8L, " shared header" -> 8L))
+    val r = Boilerplate.stripFrequentLines(docs, minDocs = 5)
+      .as[(Long, String, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(3L) == (("unique body 3\n  \ntail 3", 2L)))
+    // below the document-frequency bar: nothing stripped
+    val r2 = Boilerplate.stripFrequentLines(docs, minDocs = 9)
+      .as[(Long, String, Long)].collect()
+    assert(r2.forall(_._3 == 0L))
+    // every within-doc OCCURRENCE of a frequent line is removed
+    val docs3 = (0 until 6).map(i => (i.toLong, s"x\nx\nbody $i"))
+      .toDF("doc_id", "text")
+    val r3 = Boilerplate.stripFrequentLines(docs3, minDocs = 6)
+      .as[(Long, String, Long)].collect().head
+    assert(r3._2.startsWith("body") && r3._3 == 2L)
+  }
+
   test("fingerprint: whitespace/case-insensitive identity, order-sensitive") {
     val fps = Seq("Hello  World", "hello world", "world hello")
       .toDF("t").select(Text.fingerprint($"t").as("r")).as[Long].collect()
