@@ -405,21 +405,27 @@ object NativeText {
     * line order is preserved and the survivors re-join with '\n'.
     * Same space-only blank rule as the signal (SQL trim strips ' '
     * only). */
-  def dedupLinesEval(str: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    def spaceOnly(s: String): Boolean = {
-      var i = 0
-      while (i < s.length) { if (s.charAt(i) != ' ') return false; i += 1 }
-      true
-    }
+  private def spaceOnly(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) != ' ') return false; i += 1 }
+    true
+  }
+
+  /** Shared line-rewrite core for the x55/x64 family: split('\n', -1),
+    * drop every non-blank line `dropLine` says to (blank = space-only
+    * lines are structure, always kept), preserve order, re-join with
+    * '\n', count OCCURRENCES removed. A single definition so the two
+    * rewrites can never diverge on line conventions. */
+  private def rewriteLines(str: UTF8String, dropLine: String => Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
     val lines = str.toString.split("\n", -1)
-    val seen = new java.util.HashSet[String]()
     val sb = new java.lang.StringBuilder()
     var removed = 0L
     var first = true
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
-      if (!spaceOnly(l) && !seen.add(l)) removed += 1
+      if (!spaceOnly(l) && dropLine(l)) removed += 1
       else {
         if (!first) sb.append('\n')
         sb.append(l)
@@ -431,6 +437,11 @@ object NativeText {
       Array[Any](UTF8String.fromString(sb.toString), removed))
   }
 
+  def dedupLinesEval(str: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val seen = new java.util.HashSet[String]()
+    rewriteLines(str, l => !seen.add(l))
+  }
+
   /** Cross-document boilerplate REMOVAL (the CCNet/RefinedWeb step
     * that [[dedupLinesEval]]'s within-doc rule can't reach): drop
     * every non-blank line whose exact text is in the corpus-frequent
@@ -440,30 +451,8 @@ object NativeText {
     * distinct lines) counted in n_removed. The frequent set rides the
     * expression as a reference object, so the rewrite is map-only. */
   def removeLinesEval(str: UTF8String,
-                      drop: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
-    def spaceOnly(s: String): Boolean = {
-      var i = 0
-      while (i < s.length) { if (s.charAt(i) != ' ') return false; i += 1 }
-      true
-    }
-    val lines = str.toString.split("\n", -1)
-    val sb = new java.lang.StringBuilder()
-    var removed = 0L
-    var first = true
-    var i = 0
-    while (i < lines.length) {
-      val l = lines(i)
-      if (!spaceOnly(l) && drop.contains(l)) removed += 1
-      else {
-        if (!first) sb.append('\n')
-        sb.append(l)
-        first = false
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](UTF8String.fromString(sb.toString), removed))
-  }
+                      drop: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow =
+    rewriteLines(str, drop.contains)
 
   /** Fraction of the token stream covered by the single most frequent
     * n-gram (the Gopher-rules repetition signal): maxCount·n / total.

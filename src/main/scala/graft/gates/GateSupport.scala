@@ -275,8 +275,50 @@ private[graft] object GateSupport {
   /** Shared oracle CTE chain: the Gopher-style curation signal and
     * rule evaluation (bigrams → repetition, duplicate lines, composite
     * `rs` with reason list). Used by x19 and the x25 pipeline. */
+  /** Positions + per-token char totals for the dup-n-gram coverage
+    * replay (requires the `tok` CTE). Emitted once; pair with one
+    * [[dupNgramChainCte]] per n. */
+  val dupNgramBaseCte: String =
+    """tl AS (
+         SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos,
+                unnest(list_transform(range(1, len(ts) + 1),
+                       i -> length(ts[CAST(i AS INT)]))) AS l
+         FROM tok WHERE len(ts) > 0),
+       tcc AS (SELECT doc_id, SUM(l) AS tot FROM tl GROUP BY 1)"""
+
+  /** Dup-n-gram coverage chain for one n, ending in CTE `f<n>` with
+    * column `dup<n>_frac` (0.0 for short/empty docs): window grams →
+    * ≥2 duplicate detection → DISTINCT position coverage union →
+    * char-weighted fraction, round4 formula. ONE definition serves
+    * x19/x25 (n=3, aliased dup_ngram_frac) and the x62 oracle
+    * (n=2, 3) — the engine-side semantics live in
+    * [[graft.expressions.NativeText.dupNgramCharFracEval]]. */
+  def dupNgramChainCte(n: Int): String = {
+    val gram = (0 until n).map(k =>
+      if (k == 0) "ts[CAST(i AS INT)]" else s"ts[CAST(i AS INT) + $k]")
+      .mkString(" || ' ' || ")
+    s"""d$n AS (
+         SELECT doc_id, unnest(range(1, len(ts) - ${n - 2})) AS s,
+                unnest(list_transform(range(1, len(ts) - ${n - 2}),
+                       i -> $gram)) AS g
+         FROM tok WHERE len(ts) >= $n),
+       dd$n AS (SELECT doc_id, s FROM (
+                 SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+                 FROM d$n) WHERE c >= 2),
+       cv$n AS (SELECT doc_id, SUM(l) AS cv FROM (
+                 SELECT DISTINCT tl.doc_id, tl.pos, tl.l
+                 FROM tl JOIN dd$n d ON tl.doc_id = d.doc_id
+                   AND tl.pos >= d.s AND tl.pos <= d.s + ${n - 1}) GROUP BY 1),
+       f$n AS (
+         SELECT tok.doc_id,
+                CASE WHEN COALESCE(cv, 0) = 0 OR COALESCE(tot, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(cv AS DOUBLE) / tot * 10000 + 0.5) / 10000
+                END AS dup${n}_frac
+         FROM tok LEFT JOIN tcc USING (doc_id) LEFT JOIN cv$n USING (doc_id))"""
+  }
+
   val curationRulesCte =
-    """bg AS (
+    s"""bg AS (
          SELECT doc_id, len(ts) AS total,
                 unnest(list_transform(range(1, len(ts)),
                        i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS b
@@ -295,39 +337,16 @@ private[graft] object GateSupport {
          FROM (SELECT doc_id,
                       list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
                FROM documents)),
-       tl AS (
-         SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos,
-                unnest(list_transform(range(1, len(ts) + 1),
-                       i -> length(ts[CAST(i AS INT)]))) AS l
-         FROM tok WHERE len(ts) > 0),
-       tcc AS (SELECT doc_id, SUM(l) AS tot FROM tl GROUP BY 1),
-       d3 AS (
-         SELECT doc_id, unnest(range(1, len(ts) - 1)) AS s,
-                unnest(list_transform(range(1, len(ts) - 1),
-                       i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] ||
-                            ' ' || ts[CAST(i AS INT) + 2])) AS g
-         FROM tok WHERE len(ts) >= 3),
-       dd3 AS (SELECT doc_id, s FROM (
-                 SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id, g) AS c
-                 FROM d3) WHERE c >= 2),
-       cv3 AS (SELECT doc_id, SUM(l) AS cv FROM (
-                 SELECT DISTINCT tl.doc_id, tl.pos, tl.l
-                 FROM tl JOIN dd3 d ON tl.doc_id = d.doc_id
-                   AND tl.pos >= d.s AND tl.pos <= d.s + 2) GROUP BY 1),
-       dg AS (
-         SELECT tok.doc_id,
-                CASE WHEN COALESCE(cv, 0) = 0 OR COALESCE(tot, 0) = 0 THEN 0.0
-                     ELSE floor(CAST(cv AS DOUBLE) / tot * 10000 + 0.5) / 10000
-                END AS dup_ngram_frac
-         FROM tok LEFT JOIN tcc USING (doc_id) LEFT JOIN cv3 USING (doc_id)),
+       $dupNgramBaseCte,
+       ${dupNgramChainCte(3)},
        sig AS (
          SELECT tok.doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
                 COALESCE(ent.entropy, 0.0) AS entropy,
                 COALESCE(tb.top_bigram_frac, 0.0) AS top_bigram_frac,
-                dg.dup_ngram_frac, dl.dup_line_frac, pr.punct_ratio
+                f3.dup3_frac AS dup_ngram_frac, dl.dup_line_frac, pr.punct_ratio
          FROM tok
          LEFT JOIN ent USING (doc_id) LEFT JOIN tb USING (doc_id)
-         JOIN dg USING (doc_id) JOIN dl USING (doc_id) JOIN pr USING (doc_id)),
+         JOIN f3 USING (doc_id) JOIN dl USING (doc_id) JOIN pr USING (doc_id)),
        rs AS (
          SELECT *,
                 list_filter([

@@ -482,51 +482,19 @@ private[graft] object TextGates {
          FROM r ORDER BY i NULLS FIRST"""
     },
 
-    // Full replay of the dup-n-gram coverage semantics: window
-    // string_agg builds every n-token gram, a per-(doc, gram) window
-    // count finds the duplicated ones, and DISTINCT(doc, pos) is the
-    // coverage UNION before characters are summed. floor(x*1e4+0.5)/1e4
-    // is the exact round4 formula (same IEEE ops as the native expr).
+    // Full replay of the dup-n-gram coverage semantics via the shared
+    // chain builder (ONE SQL definition with x19/x25 — see
+    // GateSupport.dupNgramChainCte): window grams, ≥2 duplicate
+    // detection, DISTINCT position coverage union, round4 formula.
     "x62_dup_ngrams" ->
       s"""WITH $tokCte,
-         t AS (SELECT doc_id, unnest(ts) AS tk,
-                      generate_subscripts(ts, 1) AS pos FROM tok),
-         chars AS (SELECT doc_id, sum(length(tk)) AS tot FROM t GROUP BY doc_id),
-         g2 AS (SELECT doc_id, pos AS s, string_agg(tk, ' ') OVER w AS gram,
-                       count(*) OVER w AS wn
-                FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)),
-         dup2 AS (SELECT doc_id, s FROM (
-                    SELECT doc_id, s,
-                           count(*) OVER (PARTITION BY doc_id, gram) AS c
-                    FROM g2 WHERE wn = 2) WHERE c >= 2),
-         cov2 AS (SELECT doc_id, sum(l) AS cv FROM (
-                    SELECT DISTINCT t.doc_id, t.pos, length(t.tk) AS l
-                    FROM t JOIN dup2 d ON t.doc_id = d.doc_id
-                      AND t.pos >= d.s AND t.pos <= d.s + 1) GROUP BY doc_id),
-         g3 AS (SELECT doc_id, pos AS s, string_agg(tk, ' ') OVER w AS gram,
-                       count(*) OVER w AS wn
-                FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)),
-         dup3 AS (SELECT doc_id, s FROM (
-                    SELECT doc_id, s,
-                           count(*) OVER (PARTITION BY doc_id, gram) AS c
-                    FROM g3 WHERE wn = 3) WHERE c >= 2),
-         cov3 AS (SELECT doc_id, sum(l) AS cv FROM (
-                    SELECT DISTINCT t.doc_id, t.pos, length(t.tk) AS l
-                    FROM t JOIN dup3 d ON t.doc_id = d.doc_id
-                      AND t.pos >= d.s AND t.pos <= d.s + 2) GROUP BY doc_id)
-         SELECT k.doc_id,
-           CASE WHEN coalesce(c2.cv, 0) = 0 OR coalesce(ch.tot, 0) = 0 THEN 0.0
-                ELSE floor(CAST(c2.cv AS DOUBLE) / ch.tot * 10000 + 0.5) / 10000
-           END AS dup2_frac,
-           CASE WHEN coalesce(c3.cv, 0) = 0 OR coalesce(ch.tot, 0) = 0 THEN 0.0
-                ELSE floor(CAST(c3.cv AS DOUBLE) / ch.tot * 10000 + 0.5) / 10000
-           END AS dup3_frac
+         $dupNgramBaseCte,
+         ${dupNgramChainCte(2)},
+         ${dupNgramChainCte(3)}
+         SELECT k.doc_id, f2.dup2_frac, f3.dup3_frac
          FROM tok k
-           LEFT JOIN chars ch USING (doc_id)
-           LEFT JOIN cov2 c2 USING (doc_id)
-           LEFT JOIN cov3 c3 USING (doc_id)
+           JOIN f2 USING (doc_id)
+           JOIN f3 USING (doc_id)
          ORDER BY doc_id NULLS FIRST""",
 
     // Full replay of the cross-doc boilerplate strip: per-doc DISTINCT
@@ -557,9 +525,10 @@ private[graft] object TextGates {
                       COUNT(*) AS nk
                FROM kept GROUP BY i),
          tot AS (SELECT i, len(string_split(text, chr(10))) AS nl FROM d)
-         SELECT CAST(d.i AS BIGINT) AS i, r.kept_text,
-                CAST(tot.nl - r.nk AS BIGINT) AS n_removed
-         FROM d JOIN r USING (i) JOIN tot USING (i)
+         SELECT CAST(d.i AS BIGINT) AS i,
+                COALESCE(r.kept_text, '') AS kept_text,
+                CAST(tot.nl - COALESCE(r.nk, 0) AS BIGINT) AS n_removed
+         FROM d LEFT JOIN r USING (i) JOIN tot USING (i)
          ORDER BY i NULLS FIRST""",
   )
 }

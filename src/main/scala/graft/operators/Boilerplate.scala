@@ -42,10 +42,13 @@ object Boilerplate {
   def stripFrequentLines(docs: DataFrame, minDocs: Long,
                          idCol: String = "doc_id", textCol: String = "text",
                          maxSet: Int = 1000000): DataFrame = {
+    // cap BEFORE the collect (the Dedup driver-cap convention): the
+    // limit travels to the executors, so a runaway frequent set can
+    // never reach the driver
     val freq = frequentLines(docs, minDocs, textCol)
-      .select(col("line")).collect().map(_.getString(0)).toSeq
+      .select(col("line")).limit(maxSet + 1).collect().map(_.getString(0)).toSeq
     require(freq.length <= maxSet,
-      s"frequent-line set ${freq.length} exceeds maxSet=$maxSet — " +
+      s"frequent-line set exceeds maxSet=$maxSet — " +
         "raise minDocs or rewrite via the join formulation")
     docs.withColumn("_r",
         graft.expressions.NativeText.removeLines(col(textCol), freq))

@@ -16,14 +16,16 @@ import graft.functions.Text
   */
 object Curation {
 
+  // new fields appended (not inserted) so pre-existing positional
+  // construction keeps its meaning
   case class Thresholds(
       minTokens: Long = 10,
       maxTokens: Long = 100000,
       minEntropy: Double = 1.5,
       maxTopBigramFrac: Double = 0.2,
-      maxDupNgramFrac: Double = 0.15,
       maxDupLineFrac: Double = 0.3,
       maxPunctRatio: Double = 0.25,
+      maxDupNgramFrac: Double = 0.15,
       dupNgramN: Int = 3)
 
   /** Fraction of duplicate lines (1 - distinct/total) over non-blank
