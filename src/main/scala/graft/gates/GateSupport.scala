@@ -120,8 +120,12 @@ private[graft] object GateSupport {
   def stageStreamDocs(s: SparkSession, d: String): String =
     stagedStreamDocsCache.computeIfAbsent(d, _ => {
       val p = sessionTempDir("graft_docs_stage")
+      // 8 files, not coalesce(2): the staged dir IS the stream source,
+      // and FileStreamSource parallelism follows the file layout — a
+      // 2-file stage serialized the whole sf1 micro-batch onto 2 cores
+      // (a production stream source arrives already partitioned)
       t(s, d, "documents").where(col("doc_id") >= 300)
-        .coalesce(2).write.mode("overwrite").parquet(p)
+        .repartition(8).write.mode("overwrite").parquet(p)
       p
     })
 
@@ -142,12 +146,17 @@ private[graft] object GateSupport {
     * normally would hand the caller a partially-populated sink to
     * compare against the oracle. */
   def awaitGate(q: org.apache.spark.sql.streaming.StreamingQuery,
-                        timeoutMs: Long = 120000): Unit =
-    if (!q.awaitTermination(timeoutMs)) {
+                        timeoutMs: Long = 120000): Unit = {
+    // scale-up runs (sf1 fixtures are 10-100× the gate-design size)
+    // may legitimately need more than the default 2-minute budget
+    val t = sys.env.get("SPARK_GRAFT_STREAM_GATE_TIMEOUT_MS")
+      .map(_.toLong).getOrElse(timeoutMs)
+    if (!q.awaitTermination(t)) {
       q.stop()
       throw new IllegalStateException(
-        s"streaming gate query did not finish within ${timeoutMs} ms")
+        s"streaming gate query did not finish within ${t} ms")
     }
+  }
 
   /** IVF inverted lists staged once per dataset dir (hive-partitioned
     * by centroid id — see [[Ivf.writeLists]]). Like the trained

@@ -54,6 +54,25 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("fused jaccardText equals jaccard over char-shingle arrays") {
+    // the fused two-string form must be value-identical (after the
+    // same round(·,4)) to the composed array formulation it replaces
+    // in join-condition verify predicates — including multibyte text,
+    // mixed case, short/empty strings, and identical inputs
+    val rows = (0 until 200).map { _ =>
+      def txt = (0 until rnd.nextInt(12)).map(_ => randToken).mkString(" ")
+      (txt, if (rnd.nextBoolean()) txt else txt.reverse)
+    } :+ (("", "")) :+ (("abcd", "")) :+ (("ab", "ab"))
+    for (n <- Seq(3, 5)) {
+      val df = rows.toDF("a", "b").select(
+        round(graft.expressions.NativeSignatures.jaccardText($"a", $"b", n), 4)
+          .as("fused"),
+        round(Text.jaccard(Text.charShingles($"a", n),
+          Text.charShingles($"b", n)), 4).as("composed"))
+      assert(df.where($"fused" =!= $"composed").count() == 0, s"n=$n")
+    }
+  }
+
   test("fused token/subword counters equal the tokens-array formulation") {
     // The fused byte-walk counters never materialize the token array;
     // they must agree with size(tokens)/subwordCount(tokens) on random
