@@ -539,6 +539,19 @@ object NativeText {
     round4(cov.toDouble / totalChars)
   }
 
+  /** Fused Jaccard over two distinct-element string arrays: one
+    * intersect pass + inclusion-exclusion union in a single
+    * evaluation. The composed round(inter/union) column tree
+    * references intersectCount up to 3× per site — and join-condition
+    * trees (where verify thresholds get pushed) evaluate WITHOUT
+    * whole-stage-codegen subexpression elimination, paying all three.
+    * Unrounded; callers apply round(·, 4). */
+  def jaccardArraysEval(a: ArrayData, b: ArrayData): Double = {
+    val inter = intersectCountEval(a, b).toDouble
+    val union = a.numElements() + b.numElements() - inter
+    if (union > 0) inter / union else 0.0
+  }
+
   /** |a ∩ b| for two string arrays via one hash set — O(n+m) versus
     * the quadratic-ish generic `array_intersect` path over large
     * shingle arrays, and a single static call so the verify projection
@@ -989,6 +1002,23 @@ object NativeText {
       copy(child = c)
   }
 
+  case class JaccardArraysExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_arrays_native"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Double.valueOf(
+        jaccardArraysEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.NativeText.jaccardArraysEval($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardArraysExpr =
+      copy(left = l, right = r)
+  }
+
   case class IntersectCountExpr(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = LongType
@@ -1280,6 +1310,10 @@ object NativeText {
   def intersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       IntersectCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaccardArrays(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaccardArraysExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def chunks(str: Column, size: Int, step: Int): Column =
     ColumnBridge.column(ChunksExpr(ColumnBridge.expression(str), size, step))

@@ -147,14 +147,14 @@ object Text {
   def wordShingles(c: Column, n: Int): Column =
     graft.expressions.NativeText.wordNgrams(tokens(c), n)
 
-  /** Jaccard similarity of two (distinct-element) arrays. Intersection
-    * counting is a native O(n+m) hash-set pass; |a ∪ b| follows by
-    * inclusion-exclusion, so no array materialization at all. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = graft.expressions.NativeText.intersectCount(a, b).cast("double")
-    val union = (size(a) + size(b)).cast("double") - inter
-    when(union > 0, round(inter / union, 4)).otherwise(lit(0.0))
-  }
+  /** Jaccard similarity of two (distinct-element) arrays — ONE fused
+    * native evaluation (intersect pass + inclusion-exclusion union;
+    * the previous composed form referenced intersectCount up to 3×
+    * per site, all three paid inside join-condition trees where WSCG
+    * subexpression elimination doesn't apply). coalesce preserves the
+    * old 0.0-on-null-input behavior. */
+  def jaccard(a: Column, b: Column): Column =
+    coalesce(round(graft.expressions.NativeText.jaccardArrays(a, b), 4), lit(0.0))
 
   // --- PII scrubbing (training-data curation) ---
   // Patterns are RE2-compatible (no lookarounds/backrefs) so the same

@@ -73,6 +73,21 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("fused jaccardArrays equals the composed intersect/union form") {
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(randToken).distinct
+      val b = Seq.fill(rnd.nextInt(30))(randToken).distinct
+      (a, b)
+    } :+ ((Seq.empty[String], Seq.empty[String])) :+
+      ((Seq("x"), Seq.empty[String])) :+ ((Seq("x", "y"), Seq("y", "x")))
+    val inter = graft.expressions.NativeText.intersectCount($"a", $"b").cast("double")
+    val union = (size($"a") + size($"b")).cast("double") - inter
+    val df = rows.toDF("a", "b").select(
+      Text.jaccard($"a", $"b").as("fused"),
+      when(union > 0, round(inter / union, 4)).otherwise(lit(0.0)).as("composed"))
+    assert(df.where($"fused" =!= $"composed").count() == 0)
+  }
+
   test("fused token/subword counters equal the tokens-array formulation") {
     // The fused byte-walk counters never materialize the token array;
     // they must agree with size(tokens)/subwordCount(tokens) on random
