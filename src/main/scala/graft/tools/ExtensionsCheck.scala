@@ -38,6 +38,7 @@ object ExtensionsCheck {
         "SELECT graft_chunks_with_counts('a b c', 2, 2)[0].n_tok" -> "2",
         "SELECT graft_subword_count(graft_tokens('abcdefgh'))" -> "2",
         "SELECT graft_top_ngram_frac(graft_tokens('a b a b'), 2)" -> "1.0",
+        "SELECT graft_dup_ngram_frac(graft_tokens('a b a b'), 2)" -> "1.0",
         "SELECT graft_json_long('{\"k\": 7}', 'k')" -> "7",
         "SELECT graft_token_count('a b  c')" -> "3",
         ("SELECT graft_fingerprint_text('A b C') = " +
