@@ -647,11 +647,39 @@ object Dedup {
                     idCol: String = "doc_id", textCol: String = "text",
                     cacheKey: Option[String] = None,
                     ccDriverCap: Int = 100000): DataFrame = {
-    val pairs = lshHybridPairs(df, threshold, idCol, textCol, cacheKey = cacheKey)
+    // EXACT-COPY PRE-COLLAPSE: replica-heavy corpora (the realistic
+    // web profile; the sf1/sf5 scale fixtures are 10-50× exact
+    // replicas) would otherwise pay signatures, banding, and CC once
+    // per copy. Equal raw-text fingerprint ⇒ Jaccard exactly 1 ⇒ in
+    // the all-exact formulation every exact group clusters with its
+    // min-id member — so running LSH + CC over ONE representative
+    // per distinct text (the group min) and dropping every
+    // non-representative is OUTPUT-IDENTICAL: a component's min over
+    // reps equals its min over all members (each rep IS its group's
+    // min), and texts shorter than the shingle size never pair in
+    // either formulation (they bypass the collapse and survive).
+    // Same 2^-64 fp-collision assumption hybridVerify documents.
+    val shingleSize = 5 // lshHybridPairs default = pairing eligibility
+    val eligible = fanOut(df)
+      .where(length(col(textCol)) >= shingleSize)
+      .select(col(idCol).as("_id"), col(textCol).as("_text"),
+        xxhash64(col(textCol)).as("_fp"))
+    val groups = eligible.groupBy(col("_fp"))
+      .agg(min(col("_id")).as("_rep"), min_by(col("_text"), col("_id")).as("_rtext"))
+    val reps = groups.select(col("_rep").as(idCol), col("_rtext").as(textCol))
+    val exactLosers = eligible
+      .join(groups.select(col("_fp"), col("_rep")), Seq("_fp"))
+      .where(col("_id") =!= col("_rep"))
+      .select(col("_id").as(idCol))
+    // distinct-text reps get their own staged-signature key — the
+    // unsuffixed key may already hold the full-corpus artifact for
+    // other operators sharing it (dedupIncremental, StreamNearDup)
+    val pairs = lshHybridPairs(reps, threshold, idCol, textCol,
+      cacheKey = cacheKey.map(_ + "#reps"))
     val comps = connectedComponentsAdaptive(pairs, ccDriverCap)
-    val losers = comps.where(col("id") =!= col("component"))
+    val repLosers = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    df.join(repLosers.union(exactLosers), Seq(idCol), "left_anti")
   }
 
   /** INCREMENTAL near-dup dedup: admit the rows of `batch` that are
