@@ -153,21 +153,42 @@ object NativeSignatures {
     * jaccard(charShingles(a), charShingles(b)) re-shingles both
     * texts for every sub-reference there (measured 154 s → 5 s on
     * the x56 sf1 verify). Unrounded; callers apply round(·, 4). */
+  /** Visit every n-char window of the lowercased string as a
+    * zero-copy UTF8String view over the backing bytes — the same
+    * incremental UTF-8 byte walk as [[minhashTextEval]], O(len)
+    * total (char-indexed substring would re-walk from byte 0 per
+    * window, O(len²) on production-sized documents). */
+  private def eachShingle(s0: UTF8String, n: Int)(f: UTF8String => Unit): Unit = {
+    val s = s0.toLowerCase
+    val bytes = s.getBytes
+    val total = bytes.length
+    var end = 0
+    var chars = 0
+    while (chars < n && end < total) {
+      end += UTF8String.numBytesForFirstByte(bytes(end))
+      chars += 1
+    }
+    if (chars == n && end <= total) {
+      var start = 0
+      var more = true
+      while (more) {
+        f(UTF8String.fromBytes(bytes, start, end - start))
+        if (end >= total) more = false
+        else {
+          start += UTF8String.numBytesForFirstByte(bytes(start))
+          end += UTF8String.numBytesForFirstByte(bytes(end))
+        }
+      }
+    }
+  }
+
   def jaccardTextEval(a: UTF8String, b: UTF8String, n: Int): Double = {
-    val sa = a.toLowerCase
-    val sb = b.toLowerCase
-    val la = sa.numChars()
-    val lb = sb.numChars()
     val setA = new java.util.HashSet[UTF8String]()
-    var i = 0
-    while (i <= la - n) { setA.add(sa.substring(i, i + n)); i += 1 }
+    eachShingle(a, n)(sh => { setA.add(sh); () })
     val setB = new java.util.HashSet[UTF8String]()
     var inter = 0L
-    i = 0
-    while (i <= lb - n) {
-      val sh = sb.substring(i, i + n)
+    eachShingle(b, n) { sh =>
       if (setB.add(sh) && setA.contains(sh)) inter += 1
-      i += 1
     }
     val union = setA.size.toDouble + setB.size.toDouble - inter
     if (union > 0) inter / union else 0.0

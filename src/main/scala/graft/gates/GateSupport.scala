@@ -148,9 +148,13 @@ private[graft] object GateSupport {
   def awaitGate(q: org.apache.spark.sql.streaming.StreamingQuery,
                         timeoutMs: Long = 120000): Unit = {
     // scale-up runs (sf1 fixtures are 10-100× the gate-design size)
-    // may legitimately need more than the default 2-minute budget
+    // may legitimately need more than the default 2-minute budget.
+    // Parse defensively BEFORE awaitTermination: a malformed value
+    // must not throw past the q.stop() below and let the caller
+    // delete the checkpoint dir under a live micro-batch.
     val t = sys.env.get("SPARK_GRAFT_STREAM_GATE_TIMEOUT_MS")
-      .map(_.toLong).getOrElse(timeoutMs)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(timeoutMs)
     if (!q.awaitTermination(t)) {
       q.stop()
       throw new IllegalStateException(

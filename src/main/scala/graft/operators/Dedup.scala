@@ -646,7 +646,8 @@ object Dedup {
   def dedupNearDups(df: DataFrame, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text",
                     cacheKey: Option[String] = None,
-                    ccDriverCap: Int = 100000): DataFrame = {
+                    ccDriverCap: Int = 100000,
+                    shingleSize: Int = 5): DataFrame = {
     // EXACT-COPY PRE-COLLAPSE: replica-heavy corpora (the realistic
     // web profile; the sf1/sf5 scale fixtures are 10-50× exact
     // replicas) would otherwise pay signatures, banding, and CC once
@@ -656,26 +657,42 @@ object Dedup {
     // per distinct text (the group min) and dropping every
     // non-representative is OUTPUT-IDENTICAL: a component's min over
     // reps equals its min over all members (each rep IS its group's
-    // min), and texts shorter than the shingle size never pair in
-    // either formulation (they bypass the collapse and survive).
-    // Same 2^-64 fp-collision assumption hybridVerify documents.
-    val shingleSize = 5 // lshHybridPairs default = pairing eligibility
-    val eligible = fanOut(df)
+    // min), and texts shorter than `shingleSize` never pair in
+    // either formulation (they bypass the collapse and survive;
+    // the SAME size is passed to lshHybridPairs below, so the two
+    // eligibility cutoffs cannot drift). Same 2^-64 fp-collision
+    // assumption hybridVerify documents.
+    //
+    // Shuffle shape: text NEVER rides an exchange here. (_id, _fp) is
+    // one projected text scan (ids-only thereafter, 16 bytes/doc,
+    // checkpointed because two branches read it); the group-min agg
+    // and losers join are ids-only; rep ROWS come from a second
+    // corpus scan semi-joined to the rep ids (scanning again is
+    // strictly cheaper than shipping one document per distinct
+    // fingerprint through the aggregation exchange, and when the rep
+    // set is small — the replica-heavy case — AQE broadcasts it and
+    // the fetch is map-only).
+    val idFp = fanOut(df)
       .where(length(col(textCol)) >= shingleSize)
-      .select(col(idCol).as("_id"), col(textCol).as("_text"),
-        xxhash64(col(textCol)).as("_fp"))
-    val groups = eligible.groupBy(col("_fp"))
-      .agg(min(col("_id")).as("_rep"), min_by(col("_text"), col("_id")).as("_rtext"))
-    val reps = groups.select(col("_rep").as(idCol), col("_rtext").as(textCol))
-    val exactLosers = eligible
-      .join(groups.select(col("_fp"), col("_rep")), Seq("_fp"))
+      .select(col(idCol).as("_id"), xxhash64(col(textCol)).as("_fp"))
+    // idFp is deliberately NOT checkpointed: its two readers cost one
+    // extra projected scan each, cheaper than an eager ids
+    // materialization at fixture scale and scan-bandwidth-bound at
+    // 100 TB. groups IS checkpointed — two longs per distinct text,
+    // read by both the rep fetch and the losers join.
+    val groups = idFp.groupBy(col("_fp")).agg(min(col("_id")).as("_rep"))
+      .localCheckpoint()
+    val reps = df
+      .join(groups.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+    val exactLosers = idFp.join(groups, Seq("_fp"))
       .where(col("_id") =!= col("_rep"))
       .select(col("_id").as(idCol))
     // distinct-text reps get their own staged-signature key — the
     // unsuffixed key may already hold the full-corpus artifact for
     // other operators sharing it (dedupIncremental, StreamNearDup)
     val pairs = lshHybridPairs(reps, threshold, idCol, textCol,
-      cacheKey = cacheKey.map(_ + "#reps"))
+      shingleSize = shingleSize, cacheKey = cacheKey.map(_ + "#reps"))
     val comps = connectedComponentsAdaptive(pairs, ccDriverCap)
     val repLosers = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))

@@ -30,8 +30,8 @@ object ProfileX56 {
     val nh = bands * rowsPerBand
     println(s"stream=${stream.count()} corpus=${corpus.count()}")
 
-    (1 to 1).foreach { round =>
-      println(s"--- round $round")
+    locally {
+
       val corpusSig = time("corpus signatureTable")(
         graft.operators.Dedup.signatureTable(corpus, nh, 5, "doc_id", "text",
           Some(s"profile56:$dir")))

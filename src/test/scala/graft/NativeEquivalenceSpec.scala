@@ -60,8 +60,10 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     // in join-condition verify predicates — including multibyte text,
     // mixed case, short/empty strings, and identical inputs
     val rows = (0 until 200).map { _ =>
-      def txt = (0 until rnd.nextInt(12)).map(_ => randToken).mkString(" ")
-      (txt, if (rnd.nextBoolean()) txt else txt.reverse)
+      val t1 = (0 until rnd.nextInt(12)).map(_ => randToken).mkString(" ")
+      // half the rows are IDENTICAL pairs (jaccard exactly 1 — the
+      // threshold-admission region), half reversed near/far pairs
+      (t1, if (rnd.nextBoolean()) t1 else t1.reverse)
     } :+ (("", "")) :+ (("abcd", "")) :+ (("ab", "ab"))
     for (n <- Seq(3, 5)) {
       val df = rows.toDF("a", "b").select(
