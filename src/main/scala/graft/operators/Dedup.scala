@@ -672,7 +672,11 @@ object Dedup {
     // fingerprint through the aggregation exchange, and when the rep
     // set is small — the replica-heavy case — AQE broadcasts it and
     // the fetch is map-only).
-    val idFp = fanOut(df)
+    // no fanOut here: one xxhash64 per row is scan-cheap, and the
+    // fan-out repartition would shuffle the full text rows it exists
+    // to avoid (the heavy signature math fans out inside
+    // signatureTable, over the already-collapsed reps)
+    val idFp = df
       .where(length(col(textCol)) >= shingleSize)
       .select(col(idCol).as("_id"), xxhash64(col(textCol)).as("_fp"))
     // idFp is deliberately NOT checkpointed: its two readers cost one
@@ -680,8 +684,10 @@ object Dedup {
     // materialization at fixture scale and scan-bandwidth-bound at
     // 100 TB. groups IS checkpointed — two longs per distinct text,
     // read by both the rep fetch and the losers join.
+    // groups is deliberately lazy: its two readers re-run an ids-only
+    // aggregation, cheaper than an eager checkpoint job at any scale
+    // where the input is bounded (and it is — see the scan note)
     val groups = idFp.groupBy(col("_fp")).agg(min(col("_id")).as("_rep"))
-      .localCheckpoint()
     val reps = df
       .join(groups.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol), col(textCol))
@@ -732,13 +738,36 @@ object Dedup {
                        corpusCacheKey: Option[String] = None,
                        ccDriverCap: Int = 100000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Batch-side EXACT-COPY PRE-COLLAPSE — the dedupNearDups argument
+    // carried over to the bipartite shape (re-crawled batches are the
+    // replica-heavy profile this operator exists for). A non-rep
+    // member m with rep r (its group's min id) always drops: if r is
+    // a corpus dup then m is too (identical text ⇒ identical Jaccard
+    // vs every corpus doc — group verdicts are atomic), else m
+    // clusters with r intra-batch at Jaccard exactly 1 and can never
+    // be its component's canonical (m > r ≥ component min). So the
+    // full pipeline runs over one representative per distinct text,
+    // and dropping every non-representative is OUTPUT-IDENTICAL.
+    // Sub-shingle-length texts bypass on both sides (no signature ⇒
+    // never pair ⇒ always admitted, pre and post).
+    val idFp = batch
+      .where(length(col(textCol)) >= shingleSize)
+      .select(col(idCol).as("_id"), xxhash64(col(textCol)).as("_fp"))
+    // lazy for the same reason as dedupNearDups' groups: two ids-only
+    // re-aggregations beat one eager checkpoint job
+    val fpGroups = idFp.groupBy(col("_fp")).agg(min(col("_id")).as("_rep"))
+    val batchReps = batch
+      .join(fpGroups.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+    val exactLosers = idFp.join(fpGroups, Seq("_fp"))
+      .where(col("_id") =!= col("_rep"))
+      .select(col("_id").as(idCol))
     val numHashes = bands * rowsPerBand
     val corpusCached = corpusCacheKey.isDefined
     val cSig0 = signatureTable(corpus, numHashes, shingleSize, idCol, textCol, corpusCacheKey)
     val cSig = if (corpusCached) cSig0 else cSig0.persist(StorageLevel.MEMORY_AND_DISK)
     // the batch signature table feeds the cross band join, both sides
     // of the intra-batch band join, and both verify stages
-    val bSig = signatureTable(batch, numHashes, shingleSize, idCol, textCol, None)
+    val bSig = signatureTable(batchReps, numHashes, shingleSize, idCol, textCol, None)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       bSig.count() // materialize once before concurrent readers
@@ -758,7 +787,7 @@ object Dedup {
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         val corpusDupsF = Future {
           hybridVerify(crossBandCandidates(bSig, cSig, bands, rowsPerBand),
-            bSig, cSig, batch, corpus,
+            bSig, cSig, batchReps, corpus,
             threshold, margin, numHashes, shingleSize, idCol, textCol,
             eager = false)
             .select(col("id_a").as("id")).distinct()
@@ -766,7 +795,7 @@ object Dedup {
         }
         val intraAllF = Future {
           hybridVerify(bandCandidates(bSig, bands, rowsPerBand),
-            bSig, bSig, batch, batch,
+            bSig, bSig, batchReps, batchReps,
             threshold, margin, numHashes, shingleSize, idCol, textCol)
         }
         val corpusDups = Await.result(corpusDupsF,
@@ -778,6 +807,7 @@ object Dedup {
         val nonCanonical = connectedComponentsAdaptive(intraPairs, ccDriverCap)
           .where(col("component") < col("id")).select(col("id"))
         val dropIds = corpusDups.union(nonCanonical).select(col("id").as(idCol))
+          .union(exactLosers)
         batch.join(dropIds, Seq(idCol), "left_anti")
       } finally { pool.shutdown(); () }
     } finally { bSig.unpersist(); if (!corpusCached) cSig.unpersist(); () }
