@@ -442,6 +442,65 @@ object NativeText {
     rewriteLines(str, l => !seen.add(l))
   }
 
+  /** NFC Unicode normalization (canonical composition — the form
+    * every downstream exact/fingerprint dedup assumes, so that
+    * `Cafe` + U+0301 and `Café` hash identically). ASCII fast path:
+    * a string with no byte ≥ 0x80 is NFC by construction and is
+    * returned as-is without materializing a java String; non-ASCII
+    * already-normalized strings return the original UTF8String too
+    * (isNormalized is a cheap quick-check pass). */
+  def nfcEval(str: UTF8String): UTF8String = {
+    val n = str.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((str.getByte(i) & 0x80) != 0) {
+        val s = str.toString
+        return if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) str
+        else UTF8String.fromString(
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    str
+  }
+
+  /** Full text cleanup for ingest normalization, one walk after NFC:
+    * drop C0 control chars except `\n` and `\t` (so `\r` goes — CRLF
+    * becomes LF) and DEL (0x7F); collapse every maximal run of
+    * spaces/tabs to ONE space (newlines survive as structure, the
+    * x55/x64 line conventions); trim leading/trailing SPACES only
+    * (the SQL `trim` default — a leading `\n` is structure, not
+    * padding). Exactly equivalent to the regex pipeline
+    * `trim(regexp_replace(regexp_replace(nfc(s),
+    * '[\x00-\x08\x0B-\x1F\x7F]', ''), '[ \t]+', ' '))`: a dropped
+    * control char between two space runs merges them, which the
+    * single `pendingSpace` walk reproduces. */
+  def cleanTextEval(str: UTF8String): UTF8String = {
+    val s0 = nfcEval(str).toString
+    val n = s0.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = s0.charAt(i)
+      val drop = (c < 0x20 && c != '\n' && c != '\t') || c == 0x7f
+      if (!drop) {
+        if (c == ' ' || c == '\t') pendingSpace = true
+        else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+      }
+      i += 1
+    }
+    if (pendingSpace) sb.append(' ')
+    var a = 0
+    var b = sb.length
+    while (a < b && sb.charAt(a) == ' ') a += 1
+    while (b > a && sb.charAt(b - 1) == ' ') b -= 1
+    UTF8String.fromString(sb.substring(a, b))
+  }
+
   /** Cross-document boilerplate REMOVAL (the CCNet/RefinedWeb step
     * that [[dedupLinesEval]]'s within-doc rule can't reach): drop
     * every non-blank line whose exact text is in the corpus-frequent
@@ -1096,6 +1155,34 @@ object NativeText {
       copy(child = c)
   }
 
+  case class NfcExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_native"
+
+    override def nullSafeEval(v: Any): Any = nfcEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.nfcEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): NfcExpr =
+      copy(child = c)
+  }
+
+  case class CleanTextExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "clean_text_native"
+
+    override def nullSafeEval(v: Any): Any = cleanTextEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.cleanTextEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): CleanTextExpr =
+      copy(child = c)
+  }
+
   case class PunctRatioExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "punct_ratio_native"
@@ -1323,6 +1410,12 @@ object NativeText {
 
   def dedupLines(str: Column): Column =
     ColumnBridge.column(DedupLinesExpr(ColumnBridge.expression(str)))
+
+  def nfc(str: Column): Column =
+    ColumnBridge.column(NfcExpr(ColumnBridge.expression(str)))
+
+  def cleanText(str: Column): Column =
+    ColumnBridge.column(CleanTextExpr(ColumnBridge.expression(str)))
 
   def removeLines(str: Column, lines: Seq[String]): Column =
     ColumnBridge.column(RemoveLinesExpr(ColumnBridge.expression(str), lines))

@@ -120,6 +120,12 @@ object Registry {
     ("graft_dedup_lines",
       (es: Seq[Expression]) => NativeText.DedupLinesExpr(es.head),
       "graft_dedup_lines(str) - drop repeated non-blank lines; struct<kept_text, n_removed>"),
+    ("graft_nfc",
+      (es: Seq[Expression]) => NativeText.NfcExpr(es.head),
+      "graft_nfc(str) - NFC Unicode normalization (canonical composition)"),
+    ("graft_clean_text",
+      (es: Seq[Expression]) => NativeText.CleanTextExpr(es.head),
+      "graft_clean_text(str) - NFC + strip C0/DEL controls (keep \\n \\t) + collapse space/tab runs + trim edge spaces"),
     ("graft_word_ngram_hashes",
       (es: Seq[Expression]) => NativeText.WordNgramHashesExpr(es.head,
         intArg(es(1), "graft_word_ngram_hashes")),

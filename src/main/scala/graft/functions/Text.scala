@@ -54,6 +54,24 @@ object Text {
     graft.expressions.NativeText.chunksWithCounts(c, size, size - overlap)
   }
 
+  /** NFC Unicode normalization (canonical composition). Run this
+    * BEFORE any exact/fingerprint dedup or n-gram signal: `Cafe` +
+    * U+0301 and `Café` are the same text and must hash identically.
+    * Map-only native expression with an ASCII fast path (no java
+    * String materialized when the bytes are 7-bit). */
+  def nfc(c: Column): Column =
+    graft.expressions.NativeText.nfc(c)
+
+  /** Ingest text normalization, one native pass: NFC compose, drop C0
+    * control chars except newline/tab (CRLF → LF) and DEL, collapse
+    * space/tab runs to one space (newlines survive as structure —
+    * the x55/x64 line conventions), trim edge spaces. Equivalent to
+    * `trim(regexp_replace(regexp_replace(nfc(s),
+    * '[\\x00-\\x08\\x0B-\\x1F\\x7F]', ''), '[ \\t]+', ' '))` without
+    * the three intermediate string copies. */
+  def normalizeText(c: Column): Column =
+    graft.expressions.NativeText.cleanText(c)
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty).
     * Single byte-pass native expression — the regexp_replace rewrite
     * it replaces copied the whole string per row (equivalence pinned

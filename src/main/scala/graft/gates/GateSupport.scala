@@ -234,6 +234,32 @@ private[graft] object GateSupport {
   def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB STRING EXPRESSION from an arbitrary Scala string: runs of
+    * printable ASCII become quoted literals, every other code point
+    * becomes `chr(n)`, concatenated with `||`. Keeps combining marks
+    * and control characters out of the SQL text itself (raw control
+    * bytes in a literal are parser roulette; `chr()` is exact), so
+    * Unicode fixtures stay single-source-of-truth between the Spark
+    * `lit(...)` and the oracle. */
+  def sqlStr(s: String): String = {
+    if (s.isEmpty) return "''"
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val run = new java.lang.StringBuilder()
+    def flush(): Unit = if (run.length > 0) {
+      parts += "'" + run.toString.replace("'", "''") + "'"
+      run.setLength(0)
+    }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 0x20 && cp < 0x7f) run.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+      i += Character.charCount(cp)
+    }
+    flush()
+    parts.mkString(" || ")
+  }
+
   /** Shared oracle CTE: lowercased whitespace tokens per document
     * (mirrors [[Text.tokens]]). */
   val tokCte =

@@ -269,7 +269,43 @@ private[graft] object TextGates {
           idCol = "i")
         .orderBy(asc_nulls_first("i"))
     }),
+
+    // X65 Unicode/text ingest normalization: NFC canonical composition
+    // (decomposed `e`+U+0301 must equal `é` before any fingerprint or
+    // n-gram signal sees the text) plus the cleanup walk (strip C0/DEL
+    // controls keeping \n \t, CRLF → LF, collapse space/tab runs,
+    // trim edge spaces). The fixture text is ASCII, so the gate
+    // decorates it with deterministic Unicode suffixes keyed by
+    // doc_id % 6 (the x31 pattern); the oracle rebuilds the identical
+    // raw string via chr() arithmetic and replays NFC with DuckDB's
+    // own nfc_normalize and the cleanup as the equivalent regex
+    // pipeline — FULL-value oracle on both output strings.
+    "x65_nfc_normalize" -> ((s, d) => {
+      val deco = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          element_at(array(nfcVariants.map(lit): _*),
+            (col("doc_id") % 6).cast("int") + 1)).as("raw"))
+      deco.select(col("doc_id"),
+          Text.nfc(col("raw")).as("nfc"),
+          length(Text.nfc(col("raw"))).cast(LongType).as("n_nfc"),
+          Text.normalizeText(col("raw")).as("clean"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
   )
+
+  /** x65 fixture decorations: deterministic Unicode suffixes keyed by
+    * doc_id % 6 — decomposed Latin (NFC must compose), a C0 control
+    * char, precomposed accents (NFC identity), tab/space runs, CRLF,
+    * and non-Latin NFC-invariant text. Single source of truth for the
+    * Spark side (`lit`) and the oracle ([[GateSupport.sqlStr]] renders
+    * non-ASCII as chr() concatenation). */
+  private val nfcVariants: Seq[String] = Seq(
+    "Cafe\u0301 du  Monde",                    // e + combining acute -> e-acute
+    "u\u0308ber\tU\u0308BER done",             // decomposed umlauts + tab
+    "A\u030Angstro\u0308m \u0001 unit",        // decomposed Aring/odiaeresis + C0 control
+    "caf\u00e9 d\u00e9j\u00e0 vu ",            // precomposed - NFC identity
+    "\u0645\u0631\u062d\u0628\u0627  hello",   // Arabic - NFC-invariant
+    "line1\r\nline2  end")
 
   def oracleSql: Map[String, String] = Map(
     "x15_word_counts" ->
@@ -530,5 +566,28 @@ private[graft] object TextGates {
                 CAST(tot.nl - COALESCE(r.nk, 0) AS BIGINT) AS n_removed
          FROM d LEFT JOIN r USING (i) JOIN tot USING (i)
          ORDER BY i NULLS FIRST""",
+
+    // Full replay of the Unicode normalization: the identical raw
+    // string rebuilt via chr() arithmetic (sqlStr keeps combining
+    // marks and the control char out of the SQL text), NFC via
+    // DuckDB's own nfc_normalize (independent implementation — Java
+    // Normalizer vs utf8proc must agree), cleanup as the equivalent
+    // strip-controls → collapse-space/tab-runs → trim-spaces regex
+    // pipeline the native walk is specified against.
+    "x65_nfc_normalize" -> {
+      val cases = nfcVariants.zipWithIndex.map { case (v, i) =>
+        s"WHEN $i THEN ${sqlStr(v)}"
+      }.mkString("\n             ")
+      s"""WITH deco AS (
+           SELECT doc_id, text || ' ' || CASE CAST(doc_id % 6 AS INT)
+             $cases END AS raw
+           FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS nfc,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+           trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+                '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+                '[ \\t]+', ' ', 'g')) AS clean
+         FROM deco ORDER BY doc_id NULLS FIRST"""
+    },
   )
 }

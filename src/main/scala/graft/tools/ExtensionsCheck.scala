@@ -17,7 +17,7 @@ object ExtensionsCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      // every registered function, called through pure SQL — no
+      // every registered function, called through pure SQL \u2014 no
       // Registry.register fallback on this session
       val probes = Seq(
         "SELECT size(graft_tokens('a b c'))" -> "3",
@@ -53,7 +53,9 @@ object ExtensionsCheck {
         "SELECT size(graft_word_ngram_hashes(graft_tokens('a b c d'), 3))" -> "2",
         "SELECT graft_dedup_lines('x\ny\nx').n_removed" -> "1",
         ("SELECT graft_remove_token_ranges(graft_tokens('a b c d e')," +
-          " array(1), array(3)).kept_text") -> "a d e")
+          " array(1), array(3)).kept_text") -> "a d e",
+        "SELECT length(graft_nfc('Cafe\u0301'))" -> "4",
+        "SELECT graft_clean_text(' a\u0001b  c\t ')" -> "ab c")
       var failed = 0
       probes.foreach { case (sql, want) =>
         val got = String.valueOf(spark.sql(sql).head().get(0))

@@ -235,4 +235,59 @@ class TextSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.size(
         Text.chunksWithCounts($"t", 80, 20)).as("n")).as[Int].head() == 0)
   }
+
+  test("nfc: composes decomposed sequences; identity on composed and ASCII") {
+    val rows = Seq(
+      "Cafe\u0301",          // e + combining acute
+      "A\u030a",             // A + combining ring
+      "caf\u00e9",           // already composed
+      "plain ascii",
+      "\u0645\u0631\u062d")  // Arabic, NFC-invariant
+      .toDF("t").select(Text.nfc($"t").as("r")).as[String].collect().toSeq
+    assert(rows(0) == "Caf\u00e9")
+    assert(rows(1) == "\u00c5")
+    assert(rows(2) == "caf\u00e9")
+    assert(rows(3) == "plain ascii")
+    assert(rows(4) == "\u0645\u0631\u062d")
+    // composes to FEWER codepoints
+    assert("Cafe\u0301".length == 5 && rows(0).length == 4)
+  }
+
+  test("normalizeText: controls stripped (keep \\n \\t->space), runs collapse, edge spaces trim") {
+    val got = Seq(
+      " a\u0001b  c\td ",       // control dropped, runs collapse, edges trim
+      "line1\r\nline2",          // CRLF -> LF
+      "a \n b",                  // single spaces around newline survive
+      "\n padded \n",            // newline is structure: NOT trimmed
+      "\t\t",                    // collapses to one space, then trims to empty
+      "Cafe\u0301  x")           // NFC applies before cleanup
+      .toDF("t").select(Text.normalizeText($"t").as("r")).as[String].collect().toSeq
+    assert(got(0) == "ab c d")
+    assert(got(1) == "line1\nline2")
+    assert(got(2) == "a \n b")
+    assert(got(3) == "\n padded \n")
+    assert(got(4) == "")
+    assert(got(5) == "Caf\u00e9 x")
+  }
+
+  test("normalizeText equals the regex-pipeline specification on generated inputs") {
+    // the spec the native walk must match: strip -> collapse -> trim(' ')
+    def spec(s: String): String = {
+      val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val stripped = n.replaceAll("[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+      val collapsed = stripped.replaceAll("[ \\t]+", " ")
+      collapsed.replaceAll("\\A +| +\\z", "")
+    }
+    val alphabet = Array(' ', '\t', '\n', '\r', '\u0001', '\u007f', 'a', 'b',
+      '\u0301', '\u00e9', '\u0645')
+    val rnd = new scala.util.Random(42)
+    val inputs = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val got = inputs.toDF("t")
+      .select(Text.normalizeText($"t").as("r")).as[String].collect().toSeq
+    inputs.zip(got).foreach { case (in, g) =>
+      assert(g == spec(in), s"input=${in.map(_.toInt.toHexString).mkString(",")}")
+    }
+  }
 }
