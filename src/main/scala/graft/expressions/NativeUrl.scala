@@ -1,0 +1,213 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native URL expressions for web-corpus curation — the first step of
+  * every crawl pipeline (CCNet/RefinedWeb/Dolma all filter and dedup
+  * by URL before touching the text). Map-only one-pass string walks;
+  * the normalization is SPECIFIED as the regex/list pipeline the x66
+  * oracle replays, so the two stay provably in sync:
+  *
+  *  - scheme and host lowercased; userinfo not handled (crawl URLs);
+  *  - default ports stripped (http:80, https:443), others kept;
+  *  - fragment dropped;
+  *  - query params with tracking NAMES dropped (`utm_` prefix,
+  *    `fbclid`, `gclid`, `msclkid`, `ref` — matched as `name=`),
+  *    the rest sorted lexicographically and rejoined, empty query
+  *    dropped entirely;
+  *  - trailing `/` runs stripped from the path, empty path → `/`.
+  *
+  * Percent-encoding and IDN/punycode are passed through untouched —
+  * at corpus scale a conservative normalizer that never rewrites
+  * encodings beats an aggressive one that merges distinct resources.
+  * Malformed input (no `scheme://`, empty host, non-numeric port)
+  * returns NULL so junk never aliases a real URL.
+  */
+object NativeUrl {
+
+  /** Multi-part public suffixes the registrable-domain heuristic
+    * recognizes (the full public-suffix list is a runtime data file;
+    * these cover the common ccTLD second-level registries and the
+    * fixture set — swap in the full PSL as a reference object for
+    * production crawls). */
+  val multiPartTlds: Set[String] =
+    Set("co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp",
+      "com.br", "co.in", "co.nz", "com.mx", "com.cn", "com.sg")
+
+  private val trackingNames: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("fbclid", "gclid", "msclkid", "ref").foreach(s.add)
+    s
+  }
+
+  private def isTracking(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    val name = if (eq < 0) param else param.substring(0, eq)
+    name.startsWith("utm_") || trackingNames.contains(name)
+  }
+
+  private def validScheme(s: String): Boolean = {
+    if (s.isEmpty) return false
+    val c0 = s.charAt(0)
+    if (c0 < 'a' || c0 > 'z') return false
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '+' || c == '.' || c == '-'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** (scheme, host, port, path, query) or null when malformed.
+    * port == -1 means none. */
+  private def parse(s: String): (String, String, Int, String, String) = {
+    val sep = s.indexOf("://")
+    if (sep <= 0) return null
+    val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    if (!validScheme(scheme)) return null
+    val rest = s.substring(sep + 3)
+    var i = 0
+    while (i < rest.length && rest.charAt(i) != '/' && rest.charAt(i) != '?' &&
+      rest.charAt(i) != '#') i += 1
+    val authority = rest.substring(0, i)
+    if (authority.isEmpty) return null
+    val colon = authority.lastIndexOf(':')
+    var host = authority
+    var port = -1
+    if (colon >= 0) {
+      val p = authority.substring(colon + 1)
+      if (p.isEmpty || !p.forall(c => c >= '0' && c <= '9')) return null
+      host = authority.substring(0, colon)
+      port = p.toInt
+    }
+    if (host.isEmpty) return null
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    // path = up to '?' or '#'; query = between '?' and '#'
+    var j = i
+    while (j < rest.length && rest.charAt(j) != '?' && rest.charAt(j) != '#') j += 1
+    val path = rest.substring(i, j)
+    var query = ""
+    if (j < rest.length && rest.charAt(j) == '?') {
+      var k = j + 1
+      while (k < rest.length && rest.charAt(k) != '#') k += 1
+      query = rest.substring(j + 1, k)
+    }
+    (scheme, host, port, path, query)
+  }
+
+  def normalizeUrlEval(str: UTF8String): UTF8String = {
+    val p = parse(str.toString)
+    if (p == null) return null
+    val (scheme, host, port, path, query) = p
+    val sb = new java.lang.StringBuilder(str.numBytes())
+    sb.append(scheme).append("://").append(host)
+    val default = (scheme == "http" && port == 80) ||
+      (scheme == "https" && port == 443)
+    if (port >= 0 && !default) sb.append(':').append(port)
+    var pe = path.length
+    while (pe > 0 && path.charAt(pe - 1) == '/') pe -= 1
+    if (pe == 0) sb.append('/') else sb.append(path, 0, pe)
+    if (query.nonEmpty) {
+      val kept = new java.util.ArrayList[String]()
+      query.split("&", -1).foreach { q =>
+        if (q.nonEmpty && !isTracking(q)) kept.add(q)
+      }
+      if (!kept.isEmpty) {
+        java.util.Collections.sort(kept)
+        sb.append('?')
+        var i = 0
+        while (i < kept.size()) {
+          if (i > 0) sb.append('&')
+          sb.append(kept.get(i))
+          i += 1
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def urlHostEval(str: UTF8String): UTF8String = {
+    val p = parse(str.toString)
+    if (p == null) null else UTF8String.fromString(p._2)
+  }
+
+  /** Registrable domain of a HOST: last two labels, or last three
+    * when the two-label suffix is a recognized multi-part public
+    * suffix; single-label hosts return themselves. */
+  def registrableDomainEval(host: UTF8String): UTF8String = {
+    val h = host.toString.toLowerCase(java.util.Locale.ROOT)
+    val parts = h.split("\\.", -1)
+    val n = parts.length
+    if (n < 2) return UTF8String.fromString(h)
+    val last2 = parts(n - 2) + "." + parts(n - 1)
+    val d =
+      if (n >= 3 && multiPartTlds.contains(last2)) parts(n - 3) + "." + last2
+      else last2
+    UTF8String.fromString(d)
+  }
+
+  case class NormalizeUrlExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "normalize_url_native"
+
+    override def nullSafeEval(v: Any): Any =
+      normalizeUrlEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.expressions.NativeUrl.normalizeUrlEval($c);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): NormalizeUrlExpr =
+      copy(child = c)
+  }
+
+  case class UrlHostExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "url_host_native"
+
+    override def nullSafeEval(v: Any): Any = urlHostEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.expressions.NativeUrl.urlHostEval($c);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): UrlHostExpr =
+      copy(child = c)
+  }
+
+  case class RegistrableDomainExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "registrable_domain_native"
+
+    override def nullSafeEval(v: Any): Any =
+      registrableDomainEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeUrl.registrableDomainEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): RegistrableDomainExpr =
+      copy(child = c)
+  }
+
+  def normalizeUrl(url: Column): Column =
+    ColumnBridge.column(NormalizeUrlExpr(ColumnBridge.expression(url)))
+
+  def urlHost(url: Column): Column =
+    ColumnBridge.column(UrlHostExpr(ColumnBridge.expression(url)))
+
+  def registrableDomain(host: Column): Column =
+    ColumnBridge.column(RegistrableDomainExpr(ColumnBridge.expression(host)))
+}

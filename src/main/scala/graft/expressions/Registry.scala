@@ -134,6 +134,15 @@ object Registry {
       (es: Seq[Expression]) =>
         NativeText.RemoveTokenRangesExpr(es.head, es(1), es(2)),
       "graft_remove_token_ranges(tokens, starts, ends) - cut sorted disjoint token ranges; struct<kept_text, n_removed>"),
+    ("graft_normalize_url",
+      (es: Seq[Expression]) => NativeUrl.NormalizeUrlExpr(es.head),
+      "graft_normalize_url(str) - canonical URL: lowercase scheme/host, strip default port/fragment/tracking params, sort query, trim path slashes; NULL on malformed"),
+    ("graft_url_host",
+      (es: Seq[Expression]) => NativeUrl.UrlHostExpr(es.head),
+      "graft_url_host(str) - lowercased URL host (port stripped); NULL on malformed"),
+    ("graft_registrable_domain",
+      (es: Seq[Expression]) => NativeUrl.RegistrableDomainExpr(es.head),
+      "graft_registrable_domain(host) - last 2 labels (3 over multi-part public suffixes)"),
     ("graft_json_long",
       (es: Seq[Expression]) => es(1) match {
         case Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>

@@ -270,6 +270,41 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("i"))
     }),
 
+    // X66 URL curation (the first step of every crawl pipeline):
+    // canonical URL (lowercase scheme/host, default ports stripped,
+    // fragment dropped, tracking params removed, query sorted, path
+    // slashes trimmed), registrable domain (multi-part public-suffix
+    // aware), and a blocklist verdict. The fixture synthesizes URLs
+    // by doc_id arithmetic covering mixed case, default/explicit
+    // ports, tracking params, fragments, a multi-part TLD, and a
+    // malformed variant (NULL on both sides); the oracle replays the
+    // full normalization spec as a regex/list pipeline.
+    "x66_url_curation" -> ((s, d) => {
+      val id = col("doc_id")
+      val built = concat(
+        when(id % 2 === 0, "http").otherwise("HTTPS"), lit("://"),
+        when(id % 3 === 0, "WWW.").when(id % 3 === 1, "").otherwise("blog."),
+        lit("Site"), (id % 7).cast("string"), lit(".Example."),
+        when(id % 4 === 0, "COM").when(id % 4 === 1, "org")
+          .when(id % 4 === 2, "co.uk").otherwise("net"),
+        when(id % 5 === 0, ":443").when(id % 5 === 1, ":8080")
+          .when(id % 5 === 2, ":80").otherwise(""),
+        lit("/Articles/Item"), id.cast("string"),
+        when(id % 3 === 0, "/").otherwise(""),
+        when(id % 4 === 0, concat(lit("?utm_source=feed&b=2&a="), (id % 3).cast("string")))
+          .when(id % 4 === 1, "?z=9&gclid=abc&a=1")
+          .when(id % 4 === 2, "?ref=tw").otherwise(""),
+        when(id % 6 === 0, "#section-2").otherwise(""))
+      val raw = when(id % 7 === 6, concat(lit("junk:"), id.cast("string")))
+        .otherwise(built)
+      graft.functions.Url.curate(
+          t(s, d, "documents").select(id, raw.as("url")), "url",
+          blockedDomains = Seq("example.net"))
+        .select(col("doc_id"), col("url_norm"), col("host"),
+          col("domain"), col("keep"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X65 Unicode/text ingest normalization: NFC canonical composition
     // (decomposed `e`+U+0301 must equal `é` before any fingerprint or
     // n-gram signal sees the text) plus the cleanup walk (strip C0/DEL
@@ -588,6 +623,88 @@ private[graft] object TextGates {
                 '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
                 '[ \\t]+', ' ', 'g')) AS clean
          FROM deco ORDER BY doc_id NULLS FIRST"""
+    },
+
+    // Full replay of the URL normalization spec as a regex/list
+    // pipeline: parse scheme/authority/path/query with RE2 extracts,
+    // strip default ports by integer compare (':080' ≡ ':80', the
+    // Scala toInt), drop tracking params by NAME (regexp — LIKE's _
+    // wildcard would over-match 'utm='), sort + rejoin the rest,
+    // trim trailing path slashes, registrable domain over the same
+    // multi-part suffix set, blocklist verdict with malformed → false.
+    "x66_url_curation" -> {
+      val tldList = graft.expressions.NativeUrl.multiPartTlds.toSeq.sorted
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH raw AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 6 THEN 'junk:' || doc_id ELSE
+               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://' ||
+               (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.' WHEN 1 THEN '' ELSE 'blog.' END) ||
+               'Site' || (doc_id % 7) || '.Example.' ||
+               (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'COM' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' ELSE 'net' END) ||
+               (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':443' WHEN 1 THEN ':8080' WHEN 2 THEN ':80' ELSE '' END) ||
+               '/Articles/Item' || doc_id ||
+               (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+               (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '?utm_source=feed&b=2&a=' || (doc_id % 3)
+                     WHEN 1 THEN '?z=9&gclid=abc&a=1'
+                     WHEN 2 THEN '?ref=tw' ELSE '' END) ||
+               (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+             END AS url
+           FROM documents),
+         parsed AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
+           FROM raw),
+         np AS (
+           SELECT doc_id, scheme, auth, path, query,
+             (scheme <> '' AND auth <> '') AS ok,
+             CASE WHEN regexp_matches(auth, ':[0-9]+$$')
+                  THEN lower(regexp_extract(auth, '^(.*):[0-9]+$$', 1))
+                  ELSE lower(auth) END AS host,
+             regexp_extract(auth, ':([0-9]+)$$', 1) AS port
+           FROM parsed),
+         built AS (
+           SELECT doc_id, ok, scheme,
+             CASE WHEN host = '' THEN NULL ELSE host END AS host,
+             scheme || '://' || host ||
+             (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND CAST(port AS BIGINT) = 80)
+                                         OR (scheme = 'https' AND CAST(port AS BIGINT) = 443))
+                   THEN ':' || CAST(port AS BIGINT) ELSE '' END) ||
+             (CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+                   ELSE regexp_replace(path, '/+$$', '') END) ||
+             (CASE WHEN len(list_sort(list_filter(string_split(query, '&'),
+                     x -> x <> '' AND NOT regexp_matches(x, '^utm_')
+                       AND NOT regexp_matches(x, '^(fbclid|gclid|msclkid|ref)(=|$$)')))) > 0
+                   THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+                     x -> x <> '' AND NOT regexp_matches(x, '^utm_')
+                       AND NOT regexp_matches(x, '^(fbclid|gclid|msclkid|ref)(=|$$)'))), '&')
+                   ELSE '' END) AS norm
+           FROM np),
+         dom AS (
+           SELECT doc_id, ok, scheme, host, norm,
+             CASE WHEN host IS NULL THEN NULL
+                  WHEN len(string_split(host, '.')) >= 3
+                       AND (string_split(host, '.')[len(string_split(host, '.')) - 1]
+                            || '.' || string_split(host, '.')[len(string_split(host, '.'))])
+                           IN ($tldList)
+                  THEN string_split(host, '.')[len(string_split(host, '.')) - 2] || '.' ||
+                       string_split(host, '.')[len(string_split(host, '.')) - 1] || '.' ||
+                       string_split(host, '.')[len(string_split(host, '.'))]
+                  WHEN len(string_split(host, '.')) >= 2
+                  THEN string_split(host, '.')[len(string_split(host, '.')) - 1]
+                       || '.' || string_split(host, '.')[len(string_split(host, '.'))]
+                  ELSE host END AS domain
+           FROM built)
+         SELECT doc_id,
+           CASE WHEN ok THEN norm ELSE NULL END AS url_norm,
+           CASE WHEN ok THEN host ELSE NULL END AS host,
+           CASE WHEN ok THEN domain ELSE NULL END AS domain,
+           CASE WHEN NOT ok THEN FALSE
+                ELSE (scheme IN ('http', 'https') AND domain <> 'example.net') END AS keep
+         FROM dom ORDER BY doc_id NULLS FIRST"""
     },
   )
 }

@@ -55,7 +55,11 @@ object ExtensionsCheck {
         ("SELECT graft_remove_token_ranges(graft_tokens('a b c d e')," +
           " array(1), array(3)).kept_text") -> "a d e",
         "SELECT length(graft_nfc('Cafe\u0301'))" -> "4",
-        "SELECT graft_clean_text(' a\u0001b  c\t ')" -> "ab c")
+        "SELECT graft_clean_text(' a\u0001b  c\t ')" -> "ab c",
+        ("SELECT graft_normalize_url(" +
+          "'HTTP://Ex.COM:80/a/?b=2&a=1&utm_s=x#f')") -> "http://ex.com/a?a=1&b=2",
+        "SELECT graft_url_host('https://WWW.Ex.org:8443/p')" -> "www.ex.org",
+        "SELECT graft_registrable_domain('a.b.example.co.uk')" -> "example.co.uk")
       var failed = 0
       probes.foreach { case (sql, want) =>
         val got = String.valueOf(spark.sql(sql).head().get(0))

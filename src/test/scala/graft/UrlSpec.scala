@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Url
+
+class UrlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def norm(u: String): Option[String] =
+    Seq(u).toDF("u").select(Url.normalizeUrl($"u").as("r"))
+      .collect().map(r => Option(r.getString(0))).head
+
+  test("normalizeUrl: lowercase scheme/host, default ports, fragment, tracking, sort, slashes") {
+    assert(norm("HTTP://WWW.Example.COM:80/A/b/?b=2&a=1#frag")
+      == Some("http://www.example.com/A/b?a=1&b=2"))
+    assert(norm("https://site.org:443/x") == Some("https://site.org/x"))
+    // non-default ports kept; :080 is the default port 80
+    assert(norm("http://h.io:8080/x") == Some("http://h.io:8080/x"))
+    assert(norm("http://h.io:080/x") == Some("http://h.io/x"))
+    assert(norm("https://h.io:80/x") == Some("https://h.io:80/x"))
+    // tracking params dropped by NAME; utmx= and buref= are NOT tracking
+    assert(norm("http://h.io/p?utm_source=a&utm_campaign=b&z=1&fbclid=x&gclid=y&msclkid=z&ref=t")
+      == Some("http://h.io/p?z=1"))
+    assert(norm("http://h.io/p?utmx=1&buref=2") == Some("http://h.io/p?buref=2&utmx=1"))
+    // all params tracking -> no '?' at all
+    assert(norm("http://h.io/p?utm_a=1") == Some("http://h.io/p"))
+    // empty path -> '/', root stays '/'
+    assert(norm("http://h.io") == Some("http://h.io/"))
+    assert(norm("http://h.io/") == Some("http://h.io/"))
+    assert(norm("http://h.io///") == Some("http://h.io/"))
+    // path case is PRESERVED (only scheme/host fold)
+    assert(norm("http://H.IO/CaseSensitive") == Some("http://h.io/CaseSensitive"))
+  }
+
+  test("normalizeUrl: malformed -> NULL, never an aliased value") {
+    assert(norm("junk") == None)
+    assert(norm("no-scheme.example.com/path") == None)
+    assert(norm("http://") == None)
+    assert(norm("http://:8080/x") == None)
+    assert(norm("http://h.io:port/x") == None)
+    assert(norm("1http://h.io/") == None)
+  }
+
+  test("host and registrableDomain: multi-part public suffixes") {
+    val rows = Seq(
+      "http://WWW.Blog.Example.CO.UK:8080/x",
+      "https://a.b.site.com/y",
+      "http://localhost/z")
+      .toDF("u")
+      .select(Url.host($"u").as("h"),
+        Url.registrableDomain(Url.host($"u")).as("d"))
+      .as[(String, String)].collect().toSeq
+    assert(rows(0) == (("www.blog.example.co.uk", "example.co.uk")))
+    assert(rows(1) == (("a.b.site.com", "site.com")))
+    assert(rows(2) == (("localhost", "localhost")))
+  }
+
+  test("curate: keep verdict composes scheme, blocklist, and malformed") {
+    val df = Seq(
+      (1L, "http://good.example.com/a"),
+      (2L, "http://spam.example.net/b"),
+      (3L, "ftp://files.example.com/c"),
+      (4L, "not a url"))
+      .toDF("doc_id", "url")
+    val r = Url.curate(df, "url", Seq("example.net"))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("normalization is idempotent and dedup-ready") {
+    val variants = Seq(
+      "HTTP://Example.COM:80/a?b=2&a=1#x",
+      "http://example.com/a/?a=1&b=2",
+      "http://example.com/a?utm_source=t&a=1&b=2")
+    val normed = variants.toDF("u")
+      .select(Url.normalizeUrl($"u").as("r")).as[String].collect().toSeq
+    assert(normed.distinct.size == 1)
+    val again = normed.toDF("u")
+      .select(Url.normalizeUrl($"u").as("r")).as[String].collect().toSeq
+    assert(again == normed)
+  }
+}
