@@ -68,6 +68,40 @@ object Sim {
         col("col.score").as(scoreCol), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Centroid-outlier detection over a labeled embedding corpus (the
+    * CLIP-score-filter / noisy-label-screen shape: vectors that do not
+    * point the way their class points are mislabeled or junk).
+    *
+    * Per label, the centroid DIRECTION is the element-wise SUM of the
+    * label's vectors ([[VectorSum]] — same direction as the mean under
+    * cosine, but integer-valued inputs stay exactly representable, so
+    * the scores are bit-deterministic across engines and summation
+    * orders). Each vector is scored `cos(v, sum(label))` and flagged
+    * `is_outlier = sim < minCos`.
+    *
+    * Scale shape: one partial-agg shuffle whose map side reduces every
+    * partition to ONE row per label (dim doubles + a count), then the
+    * per-label sums — |labels| rows, tiny by definition — broadcast
+    * back over the corpus for a map-only score. The corpus itself is
+    * never shuffled. Caveat: the flagged vector CONTRIBUTES to its own
+    * label sum (the standard one-pass formulation; at corpus scale one
+    * vector's contribution to a class sum is noise, and the oracle
+    * replays the same formulation).
+    */
+  def centroidOutliers(df: DataFrame, minCos: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val vecs = df.select(col(idCol), col(labelCol),
+      asDouble(col(vecCol)).as("_v"))
+    val sums = vecs.groupBy(col(labelCol))
+      .agg(VectorAgg.sumVec(col("_v")).as("_c"))
+    vecs.join(broadcast(sums), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(graft.expressions.NativeVector.cosineSim(col("_v"), col("_c")), 4)
+          .as("sim"))
+      .withColumn("is_outlier", col("sim") < minCos)
+  }
+
   /** Symmetric per-vector int8 quantization scale: max|x| / 127.
     * Quantized embeddings cost 1 byte/dim instead of 4-8 — at 100 TB
     * of vectors that is the difference between an ANN index that fits

@@ -49,11 +49,30 @@ class VectorMean extends Aggregator[Seq[Double], VecBuf, Seq[Double]] {
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
 
+/** Element-wise SUM pooling (no final divide): under cosine the sum
+  * vector is the same DIRECTION as the mean, and for integer-valued
+  * inputs every element stays an exactly-representable integer —
+  * which makes downstream cosine comparisons bit-deterministic across
+  * engines and summation orders (integer adds < 2^53 are exact in any
+  * order; the mean's divide would reintroduce per-element rounding).
+  * Same one-row-per-group map-side partial shape as [[VectorMean]]. */
+class VectorSum extends VectorMean {
+  override def finish(r: VecBuf): Seq[Double] =
+    if (r.n == 0L) Seq.empty else r.sums
+}
+
 object VectorAgg {
   /** Column form: `meanVec(col("embedding_as_double"))` →
     * array<double> mean vector. */
   val meanVec: Column => Column = {
     val fn = udaf(new VectorMean, ExpressionEncoder[Seq[Double]]())
+    (v: Column) => fn(v)
+  }
+
+  /** Column form: element-wise sum vector (the centroid DIRECTION —
+    * see [[VectorSum]]). */
+  val sumVec: Column => Column = {
+    val fn = udaf(new VectorSum, ExpressionEncoder[Seq[Double]]())
     (v: Column) => fn(v)
   }
 }

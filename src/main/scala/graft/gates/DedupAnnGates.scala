@@ -304,6 +304,30 @@ private[graft] object DedupAnnGates {
         .orderBy(asc_nulls_first("vec_id"))
     }),
 
+    // X67 centroid-outlier filtering (the CLIP-score / noisy-label
+    // screen): vectors whose cosine to their label's centroid
+    // direction is below threshold are flagged. The fixture vectors
+    // are INTEGER-VALUED doubles built by vec_id arithmetic — dots,
+    // norms² and per-label sums all stay exactly-representable
+    // integers, so the scores are bit-deterministic across engines
+    // and summation orders (the reason centroidOutliers aggregates
+    // the SUM direction, not the mean). Every 10th vector points at
+    // another label's base direction: inliers score ≥ 0.96, planted
+    // outliers ≤ -0.17, threshold 0.7 sits in the gap. FULL-value
+    // oracle: vector synthesis, per-label element-wise sums, and the
+    // cosine all replayed in SQL.
+    "x67_centroid_outliers" -> ((s, d) => {
+      val id = col("vec_id")
+      val src = when(id % 10 === 7, (id % 4 + 2) % 4).otherwise(id % 4)
+      val synth = t(s, d, "embeddings").select(id,
+        (id % 4).as("label"),
+        transform(sequence(lit(0), lit(15)), j =>
+          ((((src * 37 + j * 11) % 17) - 8) * 8
+            + ((id * 13 + j * 7) % 5) - 2).cast(DoubleType)).as("embedding"))
+      graft.functions.Sim.centroidOutliers(synth, minCos = 0.7)
+        .orderBy(asc_nulls_first("vec_id"))
+    }),
+
     // X54 IVF-PQ search on the clustered design case: candidates are
     // scored from m=4 one-byte codes + a stored norm (32× smaller
     // payload than the 16-double vectors), probing nprobe=4 of 12
@@ -589,6 +613,32 @@ private[graft] object DedupAnnGates {
          FROM g WHERE split = 'test' AND gram IN (SELECT gram FROM tr)
          GROUP BY doc_id ORDER BY doc_id NULLS FIRST"""
     },
+    // exact replay of the outlier screen: same integer-valued vector
+    // synthesis, per-label element-wise sums via (label, dim)
+    // aggregation (exact — integer doubles sum exactly in any order),
+    // cosine against the sum direction, threshold verdict
+    "x67_centroid_outliers" ->
+      """WITH v AS (
+           SELECT vec_id, vec_id % 4 AS label,
+             list_transform(range(16), j -> CAST(
+               8 * (((CASE WHEN vec_id % 10 = 7 THEN (vec_id % 4 + 2) % 4
+                           ELSE vec_id % 4 END) * 37 + j * 11) % 17 - 8)
+               + ((vec_id * 13 + j * 7) % 5) - 2 AS DOUBLE)) AS e
+           FROM embeddings),
+         d AS (SELECT unnest(range(16)) AS j),
+         c AS (SELECT label, j, SUM(e[CAST(j AS INT) + 1]) AS s
+               FROM v, d GROUP BY label, j),
+         cent AS (SELECT label, list(s ORDER BY j) AS ce FROM c GROUP BY label)
+         SELECT v.vec_id, v.label,
+           ROUND(list_inner_product(v.e, cent.ce) /
+                 (sqrt(list_inner_product(v.e, v.e)) *
+                  sqrt(list_inner_product(cent.ce, cent.ce))), 4) AS sim,
+           (ROUND(list_inner_product(v.e, cent.ce) /
+                 (sqrt(list_inner_product(v.e, v.e)) *
+                  sqrt(list_inner_product(cent.ce, cent.ce))), 4) < 0.7) AS is_outlier
+         FROM v JOIN cent USING (label)
+         ORDER BY vec_id NULLS FIRST""",
+
     // exact replay of the semantic screen: same DOUBLE perturbation,
     // all-pairs cosine, threshold filter, best match by
     // (sim DESC, bench_id ASC) — the TopKAgg ordering

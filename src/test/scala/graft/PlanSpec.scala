@@ -294,6 +294,22 @@ class PlanSpec extends AnyFunSuite {
       s"token-level/doc-level hash shuffle in BM25 score ($hashExchanges):\n$plan")
   }
 
+  test("centroidOutliers: one label agg with map-side partials, sums broadcast, corpus never shuffled") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), (col("vec_id") % 4).as("label"), col("embedding"))
+    val df = graft.functions.Sim.centroidOutliers(emb, minCos = 0.7)
+    val plan = executedPlan(df)
+    // per-label sums come back as a broadcast; the corpus side must
+    // only be exchanged once — for the label aggregation itself,
+    // which partial-aggregates to one row per label per partition
+    assert(plan.contains("BroadcastExchange"), s"label sums not broadcast:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"corpus-side shuffle beyond the label agg ($hashExchanges):\n$plan")
+    assert("partial_vectorsum|ObjectHashAggregate".r.findFirstIn(plan).isDefined,
+      s"no partial aggregation before the label shuffle:\n$plan")
+  }
+
   test("fanOut is identity when the input already has enough partitions") {
     val target = spark.sparkContext.defaultParallelism
     val docs = Tables.load(spark, sfDir, "documents")

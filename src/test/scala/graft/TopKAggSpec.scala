@@ -79,4 +79,35 @@ class TopKAggSpec extends AnyFunSuite {
       bad.groupBy("g").agg(graft.functions.VectorAgg.meanVec(col("v"))).collect()
     }
   }
+
+  test("VectorSum: exact integer element-wise sums, n·mean identity") {
+    val rows = for (g <- 0 until 3; i <- 0 until 50)
+      yield (g, Seq.tabulate(6)(j => ((g * 31 + i * 7 + j * 13) % 19 - 9).toDouble))
+    val df = rows.toDF("g", "v")
+    val sums = df.groupBy("g")
+      .agg(graft.functions.VectorAgg.sumVec(col("v")).as("sv"))
+      .as[(Int, Seq[Double])].collect().toMap
+    val expected = rows.groupBy(_._1).view.mapValues(
+      _.map(_._2).reduce((a, b) => a.zip(b).map { case (x, y) => x + y })).toMap
+    (0 until 3).foreach(g => assert(sums(g) == expected(g), s"g=$g"))
+    // exact: every element is an integer-valued double
+    sums.values.flatten.foreach(x => assert(x == math.rint(x)))
+  }
+
+  test("centroidOutliers: off-direction vectors flagged, per-label isolation") {
+    // label 0: three vectors near +x, one anti-aligned; label 1: near +y
+    val rows = Seq(
+      (0L, 0L, Seq(10.0, 1.0, 0.0)),
+      (1L, 0L, Seq(9.0, -1.0, 0.0)),
+      (2L, 0L, Seq(11.0, 0.0, 1.0)),
+      (3L, 0L, Seq(-10.0, 0.0, 0.0)),   // outlier for label 0
+      (4L, 1L, Seq(0.0, 8.0, 1.0)),
+      (5L, 1L, Seq(0.0, 9.0, -1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val r = graft.functions.Sim.centroidOutliers(rows, minCos = 0.5)
+      .select(col("vec_id"), col("is_outlier"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(r == Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> true, 4L -> false, 5L -> false))
+  }
 }
