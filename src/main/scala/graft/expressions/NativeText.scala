@@ -1155,6 +1155,135 @@ object NativeText {
       copy(child = c)
   }
 
+  // --- HTML extraction (the ingest step before every text signal) ---
+
+  /** Remove every matched `open`…`close` block (replaced by one
+    * space); an opener with no closer is left verbatim, mirroring the
+    * regex `open.*?close` which simply fails to match there. */
+  private def removeBlocks(s: String, open: String, close: String): String = {
+    var from = s.indexOf(open)
+    if (from < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    while (from >= 0) {
+      val end = s.indexOf(close, from + open.length)
+      if (end < 0) { sb.append(s, pos, s.length); return sb.toString }
+      sb.append(s, pos, from).append(' ')
+      pos = end + close.length
+      from = s.indexOf(open, pos)
+    }
+    sb.append(s, pos, s.length)
+    sb.toString
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Remove `<name ...> … </name>` elements INCLUDING content
+    * (script/style — their bodies are code, not text), replaced by one
+    * space. Case-insensitive; the opener needs a word boundary after
+    * the name and a closing `>` ( mirroring
+    * `(?is)<name\b[^>]*>.*?</name>` ), the closer is the first
+    * `</name>` after it; if either half is missing the regex fails to
+    * match and everything is left for the generic tag strip. */
+  private def removeElement(s: String, name: String): String = {
+    val open = "<" + name
+    val close = "</" + name + ">"
+    val sb = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    var i = 0
+    while (i >= 0 && i <= s.length - open.length) {
+      i = indexOfIgnoreCase(s, open, i)
+      if (i >= 0) {
+        val after = i + open.length
+        val boundaryOk = after >= s.length || !isWordChar(s.charAt(after))
+        val gt = if (boundaryOk) s.indexOf('>', after) else -1
+        // [^>]* forbids a '<' restart? no — [^>] allows '<'; the first
+        // '>' after the opener closes it, exactly like the scan
+        val closeAt = if (gt < 0) -1 else indexOfIgnoreCase(s, close, gt + 1)
+        if (gt >= 0 && closeAt >= 0) {
+          sb.append(s, pos, i).append(' ')
+          pos = closeAt + close.length
+          i = pos
+        } else if (gt >= 0 && closeAt < 0) {
+          // no closer anywhere to the right: no later opener can match
+          i = -1
+        } else {
+          i = i + 1
+        }
+      }
+    }
+    if (pos == 0) s else { sb.append(s, pos, s.length); sb.toString }
+  }
+
+  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    val n = s.length - target.length
+    var i = math.max(from, 0)
+    while (i <= n) {
+      if (s.regionMatches(true, i, target, 0, target.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `<[^>]*>` → one space; a `<` with no following `>` stays. */
+  private def stripTags(s: String): String = {
+    var lt = s.indexOf('<')
+    if (lt < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    while (lt >= 0) {
+      val gt = s.indexOf('>', lt + 1)
+      if (gt < 0) { sb.append(s, pos, s.length); return sb.toString }
+      sb.append(s, pos, lt).append(' ')
+      pos = gt + 1
+      lt = s.indexOf('<', pos)
+    }
+    sb.append(s, pos, s.length)
+    sb.toString
+  }
+
+  /** The five XML entities + nbsp, decoded as a SEQUENTIAL replace
+    * chain with `&amp;` LAST (so `&amp;lt;` renders the literal text
+    * `&lt;` — the standard double-escape behavior, and exactly the
+    * oracle's nested replace() order). */
+  private def decodeEntities(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&apos;", "'").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
+
+  /** HTML → text extraction, specified as the regex pipeline the x68
+    * oracle replays: strip comments, script/style elements (with
+    * content), all remaining tags (each → one space so words never
+    * fuse), decode the XML entities (&amp; last), then the
+    * [[cleanTextEval]] normalization (NFC + controls + whitespace).
+    * Not a browser — no nesting/CDATA/conditional-comment handling —
+    * but deterministic, one allocation per pass, and exactly
+    * reproducible in SQL, which a real extractor dependency is not. */
+  def htmlExtractEval(str: UTF8String): UTF8String = {
+    val s1 = removeBlocks(str.toString, "<!--", "-->")
+    val s2 = removeElement(s1, "script")
+    val s3 = removeElement(s2, "style")
+    val s4 = stripTags(s3)
+    cleanTextEval(UTF8String.fromString(decodeEntities(s4)))
+  }
+
+  case class HtmlExtractExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "html_extract_native"
+
+    override def nullSafeEval(v: Any): Any =
+      htmlExtractEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.htmlExtractEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): HtmlExtractExpr =
+      copy(child = c)
+  }
+
   case class NfcExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "nfc_native"
@@ -1413,6 +1542,9 @@ object NativeText {
 
   def nfc(str: Column): Column =
     ColumnBridge.column(NfcExpr(ColumnBridge.expression(str)))
+
+  def htmlExtract(str: Column): Column =
+    ColumnBridge.column(HtmlExtractExpr(ColumnBridge.expression(str)))
 
   def cleanText(str: Column): Column =
     ColumnBridge.column(CleanTextExpr(ColumnBridge.expression(str)))

@@ -120,6 +120,9 @@ object Registry {
     ("graft_dedup_lines",
       (es: Seq[Expression]) => NativeText.DedupLinesExpr(es.head),
       "graft_dedup_lines(str) - drop repeated non-blank lines; struct<kept_text, n_removed>"),
+    ("graft_html_extract",
+      (es: Seq[Expression]) => NativeText.HtmlExtractExpr(es.head),
+      "graft_html_extract(str) - HTML to text: strip comments/script/style/tags, decode XML entities, normalize whitespace"),
     ("graft_nfc",
       (es: Seq[Expression]) => NativeText.NfcExpr(es.head),
       "graft_nfc(str) - NFC Unicode normalization (canonical composition)"),

@@ -72,6 +72,17 @@ object Text {
   def normalizeText(c: Column): Column =
     graft.expressions.NativeText.cleanText(c)
 
+  /** HTML → text extraction (the ingest step before any text signal
+    * on a web corpus): strip comments, script/style elements with
+    * their content, every remaining tag (each becomes one space so
+    * words never fuse), decode the XML entities (&amp; last — the
+    * standard double-escape order), then [[normalizeText]]'s NFC +
+    * control/whitespace cleanup. Deterministic and SQL-replayable by
+    * construction; see NativeText.htmlExtractEval for the exact
+    * regex-pipeline specification. */
+  def htmlExtract(c: Column): Column =
+    graft.expressions.NativeText.htmlExtract(c)
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty).
     * Single byte-pass native expression — the regexp_replace rewrite
     * it replaces copied the whole string per row (equivalence pinned

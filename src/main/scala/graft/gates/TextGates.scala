@@ -305,6 +305,38 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X68 HTML → text extraction (before any text signal runs on a
+    // web corpus): comments and script/style ELEMENTS (content too)
+    // removed, remaining tags each become one space, XML entities
+    // decoded (&amp; last), then the x65 cleanup. The fixture wraps
+    // the documents text in deterministic HTML by doc_id arithmetic —
+    // title/style/script/comment/entities variants; FULL-value oracle
+    // replays the exact regex pipeline the native walk is specified
+    // against (script bodies contain < and > to prove element removal
+    // happens before tag stripping).
+    "x68_html_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), id.cast("string"),
+        lit("</title>"),
+        when(id % 3 === 0,
+          "<style type=\"text/css\">body { color: red; }</style>")
+          .otherwise(""),
+        lit("</head><body>"),
+        when(id % 4 === 0, "<script>var x = 1 < 2 && 2 > 1;</script>")
+          .otherwise(""),
+        lit("<!-- comment "), id.cast("string"), lit(" -->"),
+        lit("<h1>Title &amp; "), (id % 9).cast("string"), lit("</h1><p>"),
+        col("text"), lit("</p>"),
+        when(id % 5 === 0,
+          "<p>A &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end</p>")
+          .otherwise(""),
+        lit("</body></html>"))
+      t(s, d, "documents").select(id, html.as("html"))
+        .select(id, Text.htmlExtract(col("html")).as("extracted"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X65 Unicode/text ingest normalization: NFC canonical composition
     // (decomposed `e`+U+0301 must equal `é` before any fingerprint or
     // n-gram signal sees the text) plus the cleanup walk (strip C0/DEL
@@ -624,6 +656,43 @@ private[graft] object TextGates {
                 '[ \\t]+', ' ', 'g')) AS clean
          FROM deco ORDER BY doc_id NULLS FIRST"""
     },
+
+    // Full replay of the HTML extraction as the regex pipeline the
+    // native walk is specified against: comments, script/style
+    // elements (RE2 (?is) + \b boundary + non-greedy body), generic
+    // tags, the entity replace chain with &amp; LAST, then the x65
+    // cleanup pipeline.
+    "x68_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>' ||
+             (CASE WHEN doc_id % 3 = 0
+                   THEN '<style type="text/css">body { color: red; }</style>'
+                   ELSE '' END) ||
+             '</head><body>' ||
+             (CASE WHEN doc_id % 4 = 0
+                   THEN '<script>var x = 1 < 2 && 2 > 1;</script>'
+                   ELSE '' END) ||
+             '<!-- comment ' || doc_id || ' -->' ||
+             '<h1>Title &amp; ' || (doc_id % 9) || '</h1><p>' || text || '</p>' ||
+             (CASE WHEN doc_id % 5 = 0
+                   THEN '<p>A &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end</p>'
+                   ELSE '' END) ||
+             '</body></html>' AS html
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             nfc_normalize(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')),
+             '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS extracted
+         FROM h ORDER BY doc_id NULLS FIRST""",
 
     // Full replay of the URL normalization spec as a regex/list
     // pipeline: parse scheme/authority/path/query with RE2 extracts,

@@ -59,7 +59,9 @@ object ExtensionsCheck {
         ("SELECT graft_normalize_url(" +
           "'HTTP://Ex.COM:80/a/?b=2&a=1&utm_s=x#f')") -> "http://ex.com/a?a=1&b=2",
         "SELECT graft_url_host('https://WWW.Ex.org:8443/p')" -> "www.ex.org",
-        "SELECT graft_registrable_domain('a.b.example.co.uk')" -> "example.co.uk")
+        "SELECT graft_registrable_domain('a.b.example.co.uk')" -> "example.co.uk",
+        ("SELECT graft_html_extract(" +
+          "'<p>A &amp; <b>B</b></p><script>1<2</script>')") -> "A & B")
       var failed = 0
       probes.foreach { case (sql, want) =>
         val got = String.valueOf(spark.sql(sql).head().get(0))

@@ -270,6 +270,66 @@ class TextSpec extends AnyFunSuite {
     assert(got(5) == "Caf\u00e9 x")
   }
 
+  test("htmlExtract: elements with content, comments, tags, entities, cleanup") {
+    val html = "<!DOCTYPE html><head><style a=\"b\">h1 {x}</style>" +
+      "<script>if (a<b && c>d) {}</script></head>" +
+      "<body><!-- hi --><h1>A &amp; B</h1><p>text&nbsp;here</p>" +
+      "<p>5 &lt; 6</p>unclosed <tag"
+    val got = Seq(html).toDF("t")
+      .select(Text.htmlExtract($"t").as("r")).as[String].head()
+    assert(got == "A & B text here 5 < 6 unclosed <tag")
+    // case-insensitive element removal; attributes on the opener
+    val got2 = Seq("<SCRIPT type=\"x\">alert(1)</SCRIPT>keep").toDF("t")
+      .select(Text.htmlExtract($"t").as("r")).as[String].head()
+    assert(got2 == "keep")
+    // unclosed script: regex fails to match, generic strip takes the
+    // tags, the BODY survives (never silently swallow to EOF)
+    val got3 = Seq("<script>var a = 1;").toDF("t")
+      .select(Text.htmlExtract($"t").as("r")).as[String].head()
+    assert(got3 == "var a = 1;")
+    // double-escaped entity renders the literal entity text
+    val got4 = Seq("x &amp;lt; y").toDF("t")
+      .select(Text.htmlExtract($"t").as("r")).as[String].head()
+    assert(got4 == "x &lt; y")
+    // scriptx is NOT a script element (word boundary)
+    val got5 = Seq("<scriptx>body</scriptx>").toDF("t")
+      .select(Text.htmlExtract($"t").as("r")).as[String].head()
+    assert(got5 == "body")
+  }
+
+  test("htmlExtract equals the regex-pipeline specification on generated inputs") {
+    import java.util.regex.Pattern
+    def rr(in: String, p: String): String =
+      Pattern.compile(p).matcher(in).replaceAll(" ")
+    def cleanSpec(s: String): String = {
+      val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      n.replaceAll("[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+        .replaceAll("[ \\t]+", " ").replaceAll("\\A +| +\\z", "")
+    }
+    def spec(s: String): String = {
+      val a = rr(s, "(?s)<!--.*?-->")
+      val b = rr(a, "(?is)<script\\b[^>]*>.*?</script>")
+      val c = rr(b, "(?is)<style\\b[^>]*>.*?</style>")
+      val d = rr(c, "<[^>]*>")
+      cleanSpec(d.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
+        .replace("&nbsp;", " ").replace("&amp;", "&"))
+    }
+    val snippets = Array("<", ">", "a", "b ", " ", "<script>", "</script>",
+      "<SCRIPT t='x'>", "</SCRIPT>", "<style>", "</style>", "<!--", "-->",
+      "<p>", "</p>", "&amp;", "&lt;", "&amp;lt;", "x<y", "x>y", "<scripty>",
+      "\t", "\n", "<script", "script>")
+    val rnd = new scala.util.Random(7)
+    val inputs = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => snippets(rnd.nextInt(snippets.length))).mkString
+    }
+    val got = inputs.toDF("t")
+      .select(Text.htmlExtract($"t").as("r")).as[String].collect().toSeq
+    inputs.zip(got).foreach { case (in, g) =>
+      assert(g == spec(in), s"input=<<$in>>")
+    }
+  }
+
   test("normalizeText equals the regex-pipeline specification on generated inputs") {
     // the spec the native walk must match: strip -> collapse -> trim(' ')
     def spec(s: String): String = {
