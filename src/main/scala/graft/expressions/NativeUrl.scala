@@ -25,8 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Percent-encoding and IDN/punycode are passed through untouched —
   * at corpus scale a conservative normalizer that never rewrites
   * encodings beats an aggressive one that merges distinct resources.
-  * Malformed input (no `scheme://`, empty host, non-numeric port)
-  * returns NULL so junk never aliases a real URL.
+  * Malformed input (no `scheme://`, empty host, non-numeric or
+  * out-of-range port) returns NULL so junk never aliases a real URL.
+  * Userinfo (`user@host`) and bracketed IPv6 literals are not
+  * special-cased: the former rides inside the host string (distinct
+  * resources stay distinct); IPv6 with an explicit port keeps its
+  * bracketed host verbatim, while a portless `[::1]` reads its inner
+  * colon as a non-numeric port and returns NULL — conservative
+  * failure modes both ways.
   */
 object NativeUrl {
 
@@ -85,8 +91,15 @@ object NativeUrl {
     if (colon >= 0) {
       val p = authority.substring(colon + 1)
       if (p.isEmpty || !p.forall(c => c >= '0' && c <= '9')) return null
+      // bounds-checked parse: a silly-long digit run must map to
+      // "malformed", not a NumberFormatException in the executor;
+      // valid TCP ports are <= 65535
+      var v = 0L
+      var i = 0
+      while (i < p.length && v <= 65535L) { v = v * 10 + (p.charAt(i) - '0'); i += 1 }
+      if (v > 65535L) return null
       host = authority.substring(0, colon)
-      port = p.toInt
+      port = v.toInt
     }
     if (host.isEmpty) return null
     host = host.toLowerCase(java.util.Locale.ROOT)

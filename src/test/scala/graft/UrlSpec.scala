@@ -42,6 +42,15 @@ class UrlSpec extends AnyFunSuite {
     assert(norm("http://:8080/x") == None)
     assert(norm("http://h.io:port/x") == None)
     assert(norm("1http://h.io/") == None)
+    // out-of-range / overflow-length ports are malformed, not a crash
+    assert(norm("http://h.io:65536/x") == None)
+    assert(norm("http://h.io:99999999999999999999/x") == None)
+    assert(norm("http://h.io:65535/x") == Some("http://h.io:65535/x"))
+    // bracketed IPv6: with an explicit port the bracketed host rides
+    // through untouched; without one the inner colon reads as a
+    // non-numeric port -> conservative NULL
+    assert(norm("http://[::1]:8080/x") == Some("http://[::1]:8080/x"))
+    assert(norm("http://[::1]/x") == None)
   }
 
   test("host and registrableDomain: multi-part public suffixes") {
