@@ -328,6 +328,30 @@ private[graft] object DedupAnnGates {
         .orderBy(asc_nulls_first("vec_id"))
     }),
 
+    // X69 integer PageRank (domain-authority curation signal, Page
+    // et al. 1999): 5 rounds over a deterministic link graph built by
+    // doc_id arithmetic (every doc links once, every 3rd doc twice,
+    // every 10th doc into the hub node 42 — parallel edges and
+    // self-loops included as ordinary multiset edges). Ranks are
+    // integer micro-units with floor division (damping = 17/20), so
+    // the whole fixpoint iteration is exact integer arithmetic —
+    // bit-identical across engines, summation orders, partitionings.
+    // FULL-value oracle: the same iteration unrolled as chained CTEs
+    // by Graph.pageRankSql (one source of truth for the spec).
+    "x69_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 13) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"), ((col("doc_id") * 31 + 5) % 500).as("dst"))
+      val e3 = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("src"), lit(42L).as("dst"))
+      graft.operators.Graph.pageRank(e1.union(e2).union(e3), iters = 5)
+        .select(col("node").cast(LongType).as("node"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(asc_nulls_first("node"))
+    }),
+
     // X54 IVF-PQ search on the clustered design case: candidates are
     // scored from m=4 one-byte codes + a stored norm (32× smaller
     // payload than the 16-double vectors), probing nprobe=4 of 12
@@ -613,6 +637,15 @@ private[graft] object DedupAnnGates {
          FROM g WHERE split = 'test' AND gram IN (SELECT gram FROM tr)
          GROUP BY doc_id ORDER BY doc_id NULLS FIRST"""
     },
+    // the same integer iteration unrolled as chained CTEs — generated
+    // by the operator's own pageRankSql so spec and oracle can't drift
+    "x69_pagerank" -> graft.operators.Graph.pageRankSql(
+      """SELECT doc_id AS src, (doc_id * 7 + 13) % 500 AS dst FROM documents
+         UNION ALL
+         SELECT doc_id, (doc_id * 31 + 5) % 500 FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, 42 FROM documents WHERE doc_id % 10 = 0""", iters = 5),
+
     // exact replay of the outlier screen: same integer-valued vector
     // synthesis, per-label element-wise sums via (label, dim)
     // aggregation (exact — integer doubles sum exactly in any order),

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Iterative link-graph ranking for corpus curation — the domain-
+  * authority signal web-scale pipelines weight documents by (the
+  * Common-Crawl-era practice of ranking hosts by centrality before
+  * sampling). Public formulation: Page et al. 1999.
+  *
+  * The twist here is DETERMINISM: ranks are integer micro-units
+  * (1.0 → 1,000,000) and every step is integer arithmetic —
+  * `contrib = (rank * 17 div 20) div outdeg` (damping 0.85 as the
+  * exact rational 17/20, floor division) and
+  * `rank' = 150,000 + Σ contrib` — so the fixpoint iteration is
+  * bit-identical in any engine, any summation order, any partitioning
+  * (Long sums of bounded positives cannot lose precision the way a
+  * float PageRank does). The price is floor-truncation mass leakage,
+  * which a RANKING signal does not care about.
+  *
+  * Semantics: edges form a multiset (parallel edges count twice in
+  * both outdeg and contribution); self-loops are ordinary edges;
+  * dangling nodes (no out-edges) leak their mass; nodes with no
+  * in-edges settle at the 150,000 teleport floor.
+  *
+  * Scale shape: the per-iteration work is ONE hash join of edges
+  * against the (node, rank) frame plus one `groupBy(dst)` partial
+  * aggregation — the canonical Pregel/GraphX message shape without
+  * the framework. Ranks are localCheckpoint'ed each iteration so the
+  * plan stays flat (no exponential lineage), and at 100 TB the edge
+  * table would be bucketed by `src` once so every iteration's join
+  * is shuffle-free on the edge side; the rank side is nodes-sized,
+  * orders of magnitude smaller than edges for web graphs.
+  */
+object Graph {
+
+  /** `iters` rounds of integer PageRank over `edges(srcCol, dstCol)`.
+    * Returns (node BIGINT, rank BIGINT) for every node appearing as a
+    * source or destination. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    var i = 0
+    while (i < iters) {
+      // per-source emitted contribution (node-sized, not edge-sized)
+      val perSrc = ranks.join(outdeg, col("node") === col("src"))
+        .selectExpr("src", "(rank * 17 div 20) div outdeg AS c")
+      val inflow = e.join(perSrc, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** The x69 oracle's SQL replay of [[pageRank]]: the same integer
+    * iteration unrolled as chained CTEs (one `cK`/`rK` pair per
+    * round) over an `e(src, dst)` CTE the caller provides. Kept next
+    * to the operator so the two specifications cannot drift. */
+  def pageRankSql(edgesCte: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS ($edgesCte),
+       nodes AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)""")
+    for (k <- 1 to iters) {
+      sb.append(s""",
+       c$k AS (SELECT e.dst AS node,
+                      SUM((r.rank * 17 // 20) // od.outdeg) AS inflow
+               FROM e JOIN r${k - 1} r ON r.node = e.src
+                      JOIN od ON od.src = e.src
+               GROUP BY e.dst),
+       r$k AS (SELECT n.node,
+                      CAST(150000 + COALESCE(c.inflow, 0) AS BIGINT) AS rank
+               FROM nodes n LEFT JOIN c$k c USING (node))""")
+    }
+    sb.append(s"""
+       SELECT node, rank FROM r$iters ORDER BY node NULLS FIRST""")
+    sb.toString
+  }
+}
