@@ -455,14 +455,19 @@ object NativeText {
     while (i < n) {
       if ((str.getByte(i) & 0x80) != 0) {
         val s = str.toString
-        return if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) str
-        else UTF8String.fromString(
-          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+        val normalized = nfcString(s)
+        return if (normalized eq s) str else UTF8String.fromString(normalized)
       }
       i += 1
     }
     str
   }
+
+  /** String-level NFC (returns the SAME instance when already
+    * normalized, so callers can skip re-encoding). */
+  private def nfcString(s: String): String =
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 
   /** Full text cleanup for ingest normalization, one walk after NFC:
     * drop C0 control chars except `\n` and `\t` (so `\r` goes — CRLF
@@ -475,8 +480,14 @@ object NativeText {
     * '[\x00-\x08\x0B-\x1F\x7F]', ''), '[ \t]+', ' '))`: a dropped
     * control char between two space runs merges them, which the
     * single `pendingSpace` walk reproduces. */
-  def cleanTextEval(str: UTF8String): UTF8String = {
-    val s0 = nfcEval(str).toString
+  def cleanTextEval(str: UTF8String): UTF8String =
+    UTF8String.fromString(cleanTextCore(str.toString))
+
+  /** String-level core of [[cleanTextEval]], shared with
+    * [[htmlExtractEval]] so the ingest hot path never round-trips
+    * String → UTF8String → String between passes. */
+  def cleanTextCore(s: String): String = {
+    val s0 = nfcString(s)
     val n = s0.length
     val sb = new java.lang.StringBuilder(n)
     var pendingSpace = false
@@ -498,7 +509,7 @@ object NativeText {
     var b = sb.length
     while (a < b && sb.charAt(a) == ' ') a += 1
     while (b > a && sb.charAt(b - 1) == ' ') b -= 1
-    UTF8String.fromString(sb.substring(a, b))
+    sb.substring(a, b)
   }
 
   /** Cross-document boilerplate REMOVAL (the CCNet/RefinedWeb step
@@ -1266,7 +1277,7 @@ object NativeText {
     val s2 = removeElement(s1, "script")
     val s3 = removeElement(s2, "style")
     val s4 = stripTags(s3)
-    cleanTextEval(UTF8String.fromString(decodeEntities(s4)))
+    UTF8String.fromString(cleanTextCore(decodeEntities(s4)))
   }
 
   case class HtmlExtractExpr(child: Expression) extends UnaryExpression {

@@ -27,12 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * encodings beats an aggressive one that merges distinct resources.
   * Malformed input (no `scheme://`, empty host, non-numeric or
   * out-of-range port) returns NULL so junk never aliases a real URL.
-  * Userinfo (`user@host`) and bracketed IPv6 literals are not
-  * special-cased: the former rides inside the host string (distinct
-  * resources stay distinct); IPv6 with an explicit port keeps its
-  * bracketed host verbatim, while a portless `[::1]` reads its inner
-  * colon as a non-numeric port and returns NULL — conservative
-  * failure modes both ways.
+  * Userinfo (`user[:pass]@host`) is split off at the last `@` before
+  * any port parsing (so a `:` inside credentials is never mistaken
+  * for a port) and preserved VERBATIM in the normalized form — RFC
+  * 3986 userinfo is case-sensitive, only scheme and host case-fold.
+  * Bracketed IPv6 with an explicit port keeps its host verbatim; a
+  * portless `[::1]` reads its inner colon as a non-numeric port and
+  * returns NULL — a conservative failure mode. Registrable-domain
+  * extraction strips DNS absolute-form trailing dots first
+  * (`example.net.` IS example.net — a blocklist must not be
+  * bypassable by one appended dot) and refuses to invent a domain
+  * from hosts with empty interior labels.
   */
 object NativeUrl {
 
@@ -72,9 +77,14 @@ object NativeUrl {
     true
   }
 
-  /** (scheme, host, port, path, query) or null when malformed.
-    * port == -1 means none. */
-  private def parse(s: String): (String, String, Int, String, String) = {
+  /** Parsed URL parts; `userinfo` is "" when absent (it is preserved
+    * VERBATIM — RFC 3986 userinfo is case-sensitive, so lowercasing
+    * it would merge distinct resources); `port == -1` means none. */
+  private final case class Parsed(scheme: String, userinfo: String,
+                                  host: String, port: Int,
+                                  path: String, query: String)
+
+  private def parse(s: String): Parsed = {
     val sep = s.indexOf("://")
     if (sep <= 0) return null
     val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
@@ -85,20 +95,25 @@ object NativeUrl {
       rest.charAt(i) != '#') i += 1
     val authority = rest.substring(0, i)
     if (authority.isEmpty) return null
-    val colon = authority.lastIndexOf(':')
-    var host = authority
+    // userinfo@host:port — userinfo split FIRST (at the last '@'), so
+    // a ':' inside user:pass is never mistaken for a port separator
+    val at = authority.lastIndexOf('@')
+    val userinfo = if (at >= 0) authority.substring(0, at) else ""
+    val hostport = authority.substring(at + 1)
+    val colon = hostport.lastIndexOf(':')
+    var host = hostport
     var port = -1
     if (colon >= 0) {
-      val p = authority.substring(colon + 1)
+      val p = hostport.substring(colon + 1)
       if (p.isEmpty || !p.forall(c => c >= '0' && c <= '9')) return null
       // bounds-checked parse: a silly-long digit run must map to
       // "malformed", not a NumberFormatException in the executor;
       // valid TCP ports are <= 65535
       var v = 0L
-      var i = 0
-      while (i < p.length && v <= 65535L) { v = v * 10 + (p.charAt(i) - '0'); i += 1 }
+      var k = 0
+      while (k < p.length && v <= 65535L) { v = v * 10 + (p.charAt(k) - '0'); k += 1 }
       if (v > 65535L) return null
-      host = authority.substring(0, colon)
+      host = hostport.substring(0, colon)
       port = v.toInt
     }
     if (host.isEmpty) return null
@@ -113,15 +128,17 @@ object NativeUrl {
       while (k < rest.length && rest.charAt(k) != '#') k += 1
       query = rest.substring(j + 1, k)
     }
-    (scheme, host, port, path, query)
+    Parsed(scheme, userinfo, host, port, path, query)
   }
 
   def normalizeUrlEval(str: UTF8String): UTF8String = {
     val p = parse(str.toString)
     if (p == null) return null
-    val (scheme, host, port, path, query) = p
+    val Parsed(scheme, userinfo, host, port, path, query) = p
     val sb = new java.lang.StringBuilder(str.numBytes())
-    sb.append(scheme).append("://").append(host)
+    sb.append(scheme).append("://")
+    if (userinfo.nonEmpty) sb.append(userinfo).append('@')
+    sb.append(host)
     val default = (scheme == "http" && port == 80) ||
       (scheme == "https" && port == 443)
     if (port >= 0 && !default) sb.append(':').append(port)
@@ -149,16 +166,28 @@ object NativeUrl {
 
   def urlHostEval(str: UTF8String): UTF8String = {
     val p = parse(str.toString)
-    if (p == null) null else UTF8String.fromString(p._2)
+    if (p == null) null else UTF8String.fromString(p.host)
   }
 
   /** Registrable domain of a HOST: last two labels, or last three
     * when the two-label suffix is a recognized multi-part public
     * suffix; single-label hosts return themselves. */
   def registrableDomainEval(host: UTF8String): UTF8String = {
-    val h = host.toString.toLowerCase(java.util.Locale.ROOT)
+    var h = host.toString.toLowerCase(java.util.Locale.ROOT)
+    // DNS absolute form: 'example.net.' IS example.net — trailing
+    // dots must strip BEFORE label extraction or the registrable
+    // domain comes out as the bogus 'net.' and a blocklisted domain
+    // sails through Url.curate
+    var e = h.length
+    while (e > 0 && h.charAt(e - 1) == '.') e -= 1
+    if (e < h.length) h = h.substring(0, e)
+    if (h.isEmpty) return UTF8String.fromString(host.toString.toLowerCase(java.util.Locale.ROOT))
     val parts = h.split("\\.", -1)
     val n = parts.length
+    // an interior empty label ('a..com') is not a valid DNS name —
+    // return the (dot-stripped) host itself rather than inventing a
+    // registrable domain from garbage
+    if (parts.exists(_.isEmpty)) return UTF8String.fromString(h)
     if (n < 2) return UTF8String.fromString(h)
     val last2 = parts(n - 2) + "." + parts(n - 1)
     val d =

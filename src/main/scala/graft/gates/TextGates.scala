@@ -287,7 +287,8 @@ private[graft] object TextGates {
         lit("Site"), (id % 7).cast("string"), lit(".Example."),
         when(id % 4 === 0, "COM").when(id % 4 === 1, "org")
           .when(id % 4 === 2, "co.uk").otherwise("net"),
-        when(id % 5 === 0, ":443").when(id % 5 === 1, ":8080")
+        when(id % 7 === 5, ":70000")  // out-of-range port -> NULL path
+          .when(id % 5 === 0, ":443").when(id % 5 === 1, ":8080")
           .when(id % 5 === 2, ":80").otherwise(""),
         lit("/Articles/Item"), id.cast("string"),
         when(id % 3 === 0, "/").otherwise(""),
@@ -711,7 +712,8 @@ private[graft] object TextGates {
                (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.' WHEN 1 THEN '' ELSE 'blog.' END) ||
                'Site' || (doc_id % 7) || '.Example.' ||
                (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'COM' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' ELSE 'net' END) ||
-               (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':443' WHEN 1 THEN ':8080' WHEN 2 THEN ':80' ELSE '' END) ||
+               (CASE WHEN doc_id % 7 = 5 THEN ':70000'
+                     ELSE (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':443' WHEN 1 THEN ':8080' WHEN 2 THEN ':80' ELSE '' END) END) ||
                '/Articles/Item' || doc_id ||
                (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
                (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '?utm_source=feed&b=2&a=' || (doc_id % 3)
@@ -729,7 +731,9 @@ private[graft] object TextGates {
            FROM raw),
          np AS (
            SELECT doc_id, scheme, auth, path, query,
-             (scheme <> '' AND auth <> '') AS ok,
+             (scheme <> '' AND auth <> ''
+              AND (regexp_extract(auth, ':([0-9]+)$$', 1) = ''
+                   OR TRY_CAST(regexp_extract(auth, ':([0-9]+)$$', 1) AS BIGINT) <= 65535)) AS ok,
              CASE WHEN regexp_matches(auth, ':[0-9]+$$')
                   THEN lower(regexp_extract(auth, '^(.*):[0-9]+$$', 1))
                   ELSE lower(auth) END AS host,
@@ -739,9 +743,9 @@ private[graft] object TextGates {
            SELECT doc_id, ok, scheme,
              CASE WHEN host = '' THEN NULL ELSE host END AS host,
              scheme || '://' || host ||
-             (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND CAST(port AS BIGINT) = 80)
-                                         OR (scheme = 'https' AND CAST(port AS BIGINT) = 443))
-                   THEN ':' || CAST(port AS BIGINT) ELSE '' END) ||
+             (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND TRY_CAST(port AS BIGINT) = 80)
+                                         OR (scheme = 'https' AND TRY_CAST(port AS BIGINT) = 443))
+                   THEN ':' || TRY_CAST(port AS BIGINT) ELSE '' END) ||
              (CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
                    ELSE regexp_replace(path, '/+$$', '') END) ||
              (CASE WHEN len(list_sort(list_filter(string_split(query, '&'),

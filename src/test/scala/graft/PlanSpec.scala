@@ -306,7 +306,9 @@ class PlanSpec extends AnyFunSuite {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashExchanges == 1,
       s"corpus-side shuffle beyond the label agg ($hashExchanges):\n$plan")
-    assert("partial_vectorsum|ObjectHashAggregate".r.findFirstIn(plan).isDefined,
+    // the partial marker specifically — a bare ObjectHashAggregate
+    // also appears in complete-mode plans, so it proves nothing
+    assert(plan.contains("partial_vectorsum"),
       s"no partial aggregation before the label shuffle:\n$plan")
   }
 
