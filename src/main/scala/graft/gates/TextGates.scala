@@ -280,26 +280,9 @@ private[graft] object TextGates {
     // malformed variant (NULL on both sides); the oracle replays the
     // full normalization spec as a regex/list pipeline.
     "x66_url_curation" -> ((s, d) => {
-      val id = col("doc_id")
-      val built = concat(
-        when(id % 2 === 0, "http").otherwise("HTTPS"), lit("://"),
-        when(id % 3 === 0, "WWW.").when(id % 3 === 1, "").otherwise("blog."),
-        lit("Site"), (id % 7).cast("string"), lit(".Example."),
-        when(id % 4 === 0, "COM").when(id % 4 === 1, "org")
-          .when(id % 4 === 2, "co.uk").otherwise("net"),
-        when(id % 7 === 5, ":70000")  // out-of-range port -> NULL path
-          .when(id % 5 === 0, ":443").when(id % 5 === 1, ":8080")
-          .when(id % 5 === 2, ":80").otherwise(""),
-        lit("/Articles/Item"), id.cast("string"),
-        when(id % 3 === 0, "/").otherwise(""),
-        when(id % 4 === 0, concat(lit("?utm_source=feed&b=2&a="), (id % 3).cast("string")))
-          .when(id % 4 === 1, "?z=9&gclid=abc&a=1")
-          .when(id % 4 === 2, "?ref=tw").otherwise(""),
-        when(id % 6 === 0, "#section-2").otherwise(""))
-      val raw = when(id % 7 === 6, concat(lit("junk:"), id.cast("string")))
-        .otherwise(built)
       graft.functions.Url.curate(
-          t(s, d, "documents").select(id, raw.as("url")), "url",
+          t(s, d, "documents").select(col("doc_id"),
+            urlFixture(col("doc_id")).as("url")), "url",
           blockedDomains = Seq("example.net"))
         .select(col("doc_id"), col("url_norm"), col("host"),
           col("domain"), col("keep"))
@@ -315,26 +298,33 @@ private[graft] object TextGates {
     // replays the exact regex pipeline the native walk is specified
     // against (script bodies contain < and > to prove element removal
     // happens before tag stripping).
-    "x68_html_extract" -> ((s, d) => {
-      val id = col("doc_id")
-      val html = concat(
-        lit("<!DOCTYPE html><html><head><title>Doc "), id.cast("string"),
-        lit("</title>"),
-        when(id % 3 === 0,
-          "<style type=\"text/css\">body { color: red; }</style>")
-          .otherwise(""),
-        lit("</head><body>"),
-        when(id % 4 === 0, "<script>var x = 1 < 2 && 2 > 1;</script>")
-          .otherwise(""),
-        lit("<!-- comment "), id.cast("string"), lit(" -->"),
-        lit("<h1>Title &amp; "), (id % 9).cast("string"), lit("</h1><p>"),
-        col("text"), lit("</p>"),
-        when(id % 5 === 0,
-          "<p>A &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end</p>")
-          .otherwise(""),
-        lit("</body></html>"))
-      t(s, d, "documents").select(id, html.as("html"))
-        .select(id, Text.htmlExtract(col("html")).as("extracted"))
+    "x68_html_extract" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          htmlFixture(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"), Text.htmlExtract(col("html")).as("extracted"))
+        .orderBy(asc_nulls_first("doc_id"))),
+
+    // X70 the composed WEB-INGEST pipeline (the x25 pattern for the
+    // ingest layer): per document, the x66 URL and x68 HTML fixtures
+    // feed Url.curate + htmlExtract + tokenCount in ONE plan, and the
+    // admission verdict conjoins the URL keep with a minimum-length
+    // gate on the EXTRACTED text — the linkage (n_tok counted on the
+    // post-extraction text, not the raw html) is what the composition
+    // proves. Everything stays map-only; the oracle composes the x66
+    // and x68 oracle texts verbatim as subqueries (single source of
+    // truth, nothing re-specified).
+    "x70_web_ingest" -> ((s, d) => {
+      val df = t(s, d, "documents").select(col("doc_id"),
+        urlFixture(col("doc_id")).as("url"),
+        htmlFixture(col("doc_id"), col("text")).as("html"))
+      graft.functions.Url.curate(df, "url", blockedDomains = Seq("example.net"))
+        .select(col("doc_id"), col("url_norm"), col("domain"),
+          Text.tokenCount(Text.htmlExtract(col("html")))
+            .cast(LongType).as("n_tok"),
+          col("keep").as("keep_url"))
+        .select(col("doc_id"), col("url_norm"), col("domain"), col("n_tok"),
+          (col("keep_url") && col("n_tok") >= 10).as("keep"))
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
@@ -361,6 +351,47 @@ private[graft] object TextGates {
     }),
   )
 
+  /** x66/x70 URL fixture by doc_id arithmetic: mixed case,
+    * default/explicit/out-of-range ports, tracking params, fragments,
+    * a co.uk multi-part TLD, and junk/malformed variants. The x66
+    * oracle replays the identical CASE arithmetic in SQL. */
+  private def urlFixture(id: Column): Column = {
+    val built = concat(
+      when(id % 2 === 0, "http").otherwise("HTTPS"), lit("://"),
+      when(id % 3 === 0, "WWW.").when(id % 3 === 1, "").otherwise("blog."),
+      lit("Site"), (id % 7).cast("string"), lit(".Example."),
+      when(id % 4 === 0, "COM").when(id % 4 === 1, "org")
+        .when(id % 4 === 2, "co.uk").otherwise("net"),
+      when(id % 7 === 5, ":70000") // out-of-range port -> NULL path
+        .when(id % 5 === 0, ":443").when(id % 5 === 1, ":8080")
+        .when(id % 5 === 2, ":80").otherwise(""),
+      lit("/Articles/Item"), id.cast("string"),
+      when(id % 3 === 0, "/").otherwise(""),
+      when(id % 4 === 0, concat(lit("?utm_source=feed&b=2&a="), (id % 3).cast("string")))
+        .when(id % 4 === 1, "?z=9&gclid=abc&a=1")
+        .when(id % 4 === 2, "?ref=tw").otherwise(""),
+      when(id % 6 === 0, "#section-2").otherwise(""))
+    when(id % 7 === 6, concat(lit("junk:"), id.cast("string"))).otherwise(built)
+  }
+
+  /** x68/x70 HTML fixture wrapping the document text: title/style/
+    * script/comment/entity variants by doc_id arithmetic; script
+    * bodies contain < and > so element removal must precede tag
+    * stripping. The x68 oracle replays the identical concat. */
+  private def htmlFixture(id: Column, text: Column): Column = concat(
+    lit("<!DOCTYPE html><html><head><title>Doc "), id.cast("string"),
+    lit("</title>"),
+    when(id % 3 === 0,
+      "<style type=\"text/css\">body { color: red; }</style>").otherwise(""),
+    lit("</head><body>"),
+    when(id % 4 === 0, "<script>var x = 1 < 2 && 2 > 1;</script>").otherwise(""),
+    lit("<!-- comment "), id.cast("string"), lit(" -->"),
+    lit("<h1>Title &amp; "), (id % 9).cast("string"), lit("</h1><p>"),
+    text, lit("</p>"),
+    when(id % 5 === 0,
+      "<p>A &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end</p>").otherwise(""),
+    lit("</body></html>"))
+
   /** x65 fixture decorations: deterministic Unicode suffixes keyed by
     * doc_id % 6 — decomposed Latin (NFC must compose), a C0 control
     * char, precomposed accents (NFC identity), tab/space runs, CRLF,
@@ -374,6 +405,116 @@ private[graft] object TextGates {
     "caf\u00e9 d\u00e9j\u00e0 vu ",            // precomposed - NFC identity
     "\u0645\u0631\u062d\u0628\u0627  hello",   // Arabic - NFC-invariant
     "line1\r\nline2  end")
+
+  private lazy val x68Oracle: String =
+    """WITH h AS (
+           SELECT doc_id,
+             '<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>' ||
+             (CASE WHEN doc_id % 3 = 0
+                   THEN '<style type="text/css">body { color: red; }</style>'
+                   ELSE '' END) ||
+             '</head><body>' ||
+             (CASE WHEN doc_id % 4 = 0
+                   THEN '<script>var x = 1 < 2 && 2 > 1;</script>'
+                   ELSE '' END) ||
+             '<!-- comment ' || doc_id || ' -->' ||
+             '<h1>Title &amp; ' || (doc_id % 9) || '</h1><p>' || text || '</p>' ||
+             (CASE WHEN doc_id % 5 = 0
+                   THEN '<p>A &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end</p>'
+                   ELSE '' END) ||
+             '</body></html>' AS html
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             nfc_normalize(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')),
+             '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS extracted
+         FROM h ORDER BY doc_id NULLS FIRST"""
+
+  private lazy val x66Oracle: String = {
+      val tldList = graft.expressions.NativeUrl.multiPartTlds.toSeq.sorted
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH raw AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 6 THEN 'junk:' || doc_id ELSE
+               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://' ||
+               (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.' WHEN 1 THEN '' ELSE 'blog.' END) ||
+               'Site' || (doc_id % 7) || '.Example.' ||
+               (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'COM' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' ELSE 'net' END) ||
+               (CASE WHEN doc_id % 7 = 5 THEN ':70000'
+                     ELSE (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':443' WHEN 1 THEN ':8080' WHEN 2 THEN ':80' ELSE '' END) END) ||
+               '/Articles/Item' || doc_id ||
+               (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+               (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '?utm_source=feed&b=2&a=' || (doc_id % 3)
+                     WHEN 1 THEN '?z=9&gclid=abc&a=1'
+                     WHEN 2 THEN '?ref=tw' ELSE '' END) ||
+               (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+             END AS url
+           FROM documents),
+         parsed AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
+           FROM raw),
+         np AS (
+           SELECT doc_id, scheme, auth, path, query,
+             (scheme <> '' AND auth <> ''
+              AND (regexp_extract(auth, ':([0-9]+)$$', 1) = ''
+                   OR TRY_CAST(regexp_extract(auth, ':([0-9]+)$$', 1) AS BIGINT) <= 65535)) AS ok,
+             CASE WHEN regexp_matches(auth, ':[0-9]+$$')
+                  THEN lower(regexp_extract(auth, '^(.*):[0-9]+$$', 1))
+                  ELSE lower(auth) END AS host,
+             regexp_extract(auth, ':([0-9]+)$$', 1) AS port
+           FROM parsed),
+         built AS (
+           SELECT doc_id, ok, scheme,
+             CASE WHEN host = '' THEN NULL ELSE host END AS host,
+             scheme || '://' || host ||
+             (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND TRY_CAST(port AS BIGINT) = 80)
+                                         OR (scheme = 'https' AND TRY_CAST(port AS BIGINT) = 443))
+                   THEN ':' || TRY_CAST(port AS BIGINT) ELSE '' END) ||
+             (CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+                   ELSE regexp_replace(path, '/+$$', '') END) ||
+             (CASE WHEN len(list_sort(list_filter(string_split(query, '&'),
+                     x -> x <> '' AND NOT regexp_matches(x, '^utm_')
+                       AND NOT regexp_matches(x, '^(fbclid|gclid|msclkid|ref)(=|$$)')))) > 0
+                   THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+                     x -> x <> '' AND NOT regexp_matches(x, '^utm_')
+                       AND NOT regexp_matches(x, '^(fbclid|gclid|msclkid|ref)(=|$$)'))), '&')
+                   ELSE '' END) AS norm
+           FROM np),
+         dom AS (
+           SELECT doc_id, ok, scheme, host, norm,
+             CASE WHEN host IS NULL THEN NULL
+                  WHEN len(string_split(host, '.')) >= 3
+                       AND (string_split(host, '.')[len(string_split(host, '.')) - 1]
+                            || '.' || string_split(host, '.')[len(string_split(host, '.'))])
+                           IN ($tldList)
+                  THEN string_split(host, '.')[len(string_split(host, '.')) - 2] || '.' ||
+                       string_split(host, '.')[len(string_split(host, '.')) - 1] || '.' ||
+                       string_split(host, '.')[len(string_split(host, '.'))]
+                  WHEN len(string_split(host, '.')) >= 2
+                  THEN string_split(host, '.')[len(string_split(host, '.')) - 1]
+                       || '.' || string_split(host, '.')[len(string_split(host, '.'))]
+                  ELSE host END AS domain
+           FROM built)
+         SELECT doc_id,
+           CASE WHEN ok THEN norm ELSE NULL END AS url_norm,
+           CASE WHEN ok THEN host ELSE NULL END AS host,
+           CASE WHEN ok THEN domain ELSE NULL END AS domain,
+           CASE WHEN NOT ok THEN FALSE
+                ELSE (scheme IN ('http', 'https') AND domain <> 'example.net') END AS keep
+         FROM dom ORDER BY doc_id NULLS FIRST"""
+    }
 
   def oracleSql: Map[String, String] = Map(
     "x15_word_counts" ->
@@ -663,37 +804,7 @@ private[graft] object TextGates {
     // elements (RE2 (?is) + \b boundary + non-greedy body), generic
     // tags, the entity replace chain with &amp; LAST, then the x65
     // cleanup pipeline.
-    "x68_html_extract" ->
-      """WITH h AS (
-           SELECT doc_id,
-             '<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>' ||
-             (CASE WHEN doc_id % 3 = 0
-                   THEN '<style type="text/css">body { color: red; }</style>'
-                   ELSE '' END) ||
-             '</head><body>' ||
-             (CASE WHEN doc_id % 4 = 0
-                   THEN '<script>var x = 1 < 2 && 2 > 1;</script>'
-                   ELSE '' END) ||
-             '<!-- comment ' || doc_id || ' -->' ||
-             '<h1>Title &amp; ' || (doc_id % 9) || '</h1><p>' || text || '</p>' ||
-             (CASE WHEN doc_id % 5 = 0
-                   THEN '<p>A &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end</p>'
-                   ELSE '' END) ||
-             '</body></html>' AS html
-           FROM documents)
-         SELECT doc_id,
-           trim(regexp_replace(regexp_replace(
-             nfc_normalize(
-               replace(replace(replace(replace(replace(replace(replace(
-                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-                   '(?s)<!--.*?-->', ' ', 'g'),
-                   '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-                 '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')),
-             '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS extracted
-         FROM h ORDER BY doc_id NULLS FIRST""",
+    "x68_html_extract" -> x68Oracle,
 
     // Full replay of the URL normalization spec as a regex/list
     // pipeline: parse scheme/authority/path/query with RE2 extracts,
@@ -702,82 +813,21 @@ private[graft] object TextGates {
     // wildcard would over-match 'utm='), sort + rejoin the rest,
     // trim trailing path slashes, registrable domain over the same
     // multi-part suffix set, blocklist verdict with malformed → false.
-    "x66_url_curation" -> {
-      val tldList = graft.expressions.NativeUrl.multiPartTlds.toSeq.sorted
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH raw AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 7 = 6 THEN 'junk:' || doc_id ELSE
-               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://' ||
-               (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.' WHEN 1 THEN '' ELSE 'blog.' END) ||
-               'Site' || (doc_id % 7) || '.Example.' ||
-               (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'COM' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' ELSE 'net' END) ||
-               (CASE WHEN doc_id % 7 = 5 THEN ':70000'
-                     ELSE (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':443' WHEN 1 THEN ':8080' WHEN 2 THEN ':80' ELSE '' END) END) ||
-               '/Articles/Item' || doc_id ||
-               (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
-               (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '?utm_source=feed&b=2&a=' || (doc_id % 3)
-                     WHEN 1 THEN '?z=9&gclid=abc&a=1'
-                     WHEN 2 THEN '?ref=tw' ELSE '' END) ||
-               (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
-             END AS url
-           FROM documents),
-         parsed AS (
-           SELECT doc_id, url,
-             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-             regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
-           FROM raw),
-         np AS (
-           SELECT doc_id, scheme, auth, path, query,
-             (scheme <> '' AND auth <> ''
-              AND (regexp_extract(auth, ':([0-9]+)$$', 1) = ''
-                   OR TRY_CAST(regexp_extract(auth, ':([0-9]+)$$', 1) AS BIGINT) <= 65535)) AS ok,
-             CASE WHEN regexp_matches(auth, ':[0-9]+$$')
-                  THEN lower(regexp_extract(auth, '^(.*):[0-9]+$$', 1))
-                  ELSE lower(auth) END AS host,
-             regexp_extract(auth, ':([0-9]+)$$', 1) AS port
-           FROM parsed),
-         built AS (
-           SELECT doc_id, ok, scheme,
-             CASE WHEN host = '' THEN NULL ELSE host END AS host,
-             scheme || '://' || host ||
-             (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND TRY_CAST(port AS BIGINT) = 80)
-                                         OR (scheme = 'https' AND TRY_CAST(port AS BIGINT) = 443))
-                   THEN ':' || TRY_CAST(port AS BIGINT) ELSE '' END) ||
-             (CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
-                   ELSE regexp_replace(path, '/+$$', '') END) ||
-             (CASE WHEN len(list_sort(list_filter(string_split(query, '&'),
-                     x -> x <> '' AND NOT regexp_matches(x, '^utm_')
-                       AND NOT regexp_matches(x, '^(fbclid|gclid|msclkid|ref)(=|$$)')))) > 0
-                   THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
-                     x -> x <> '' AND NOT regexp_matches(x, '^utm_')
-                       AND NOT regexp_matches(x, '^(fbclid|gclid|msclkid|ref)(=|$$)'))), '&')
-                   ELSE '' END) AS norm
-           FROM np),
-         dom AS (
-           SELECT doc_id, ok, scheme, host, norm,
-             CASE WHEN host IS NULL THEN NULL
-                  WHEN len(string_split(host, '.')) >= 3
-                       AND (string_split(host, '.')[len(string_split(host, '.')) - 1]
-                            || '.' || string_split(host, '.')[len(string_split(host, '.'))])
-                           IN ($tldList)
-                  THEN string_split(host, '.')[len(string_split(host, '.')) - 2] || '.' ||
-                       string_split(host, '.')[len(string_split(host, '.')) - 1] || '.' ||
-                       string_split(host, '.')[len(string_split(host, '.'))]
-                  WHEN len(string_split(host, '.')) >= 2
-                  THEN string_split(host, '.')[len(string_split(host, '.')) - 1]
-                       || '.' || string_split(host, '.')[len(string_split(host, '.'))]
-                  ELSE host END AS domain
-           FROM built)
-         SELECT doc_id,
-           CASE WHEN ok THEN norm ELSE NULL END AS url_norm,
-           CASE WHEN ok THEN host ELSE NULL END AS host,
-           CASE WHEN ok THEN domain ELSE NULL END AS domain,
-           CASE WHEN NOT ok THEN FALSE
-                ELSE (scheme IN ('http', 'https') AND domain <> 'example.net') END AS keep
-         FROM dom ORDER BY doc_id NULLS FIRST"""
-    },
+    "x66_url_curation" -> x66Oracle,
+
+    // The composed ingest pipeline, with the x66 and x68 oracle
+    // texts embedded VERBATIM as subqueries (DuckDB ignores their
+    // inner ORDER BY) — the composition re-specifies nothing; only
+    // the token count on the extracted text and the conjoined
+    // verdict are new.
+    "x70_web_ingest" ->
+      s"""SELECT u.doc_id, u.url_norm, u.domain, e.n_tok,
+           (COALESCE(u.keep, FALSE) AND e.n_tok >= 10) AS keep
+         FROM ($x66Oracle) u
+         JOIN (SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(extracted, '\\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_tok
+               FROM ($x68Oracle)) e USING (doc_id)
+         ORDER BY u.doc_id NULLS FIRST""",
   )
 }
