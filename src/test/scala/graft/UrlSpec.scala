@@ -105,6 +105,27 @@ class UrlSpec extends AnyFunSuite {
     assert(r == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
 
+  test("fuzz: hostile inputs never throw; non-null normalizations are idempotent") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab:/?#&=.@%\u0000\u0301\ud83d\ude00<>[]" + "0987654321"
+    val inputs = (0 until 400).map { _ =>
+      (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("http://" + "9" * 1000, "http://h.io:" + "9" * 400 + "/x",
+      "://", "a://@", "http://@/", "http://h.io/" + "/" * 300)
+    val out = inputs.toDF("u")
+      .select(Url.normalizeUrl($"u").as("n"),
+        Url.host($"u").as("h"),
+        Url.registrableDomain(coalesce(Url.host($"u"), $"u")).as("d"))
+      .collect()
+    // no exceptions above is the main assertion; idempotence next:
+    val normed = out.flatMap(r => Option(r.getString(0))).toSeq
+    if (normed.nonEmpty) {
+      val again = normed.toDF("u")
+        .select(Url.normalizeUrl($"u").as("n")).as[String].collect().toSeq
+      assert(again == normed)
+    }
+  }
+
   test("normalization is idempotent and dedup-ready") {
     val variants = Seq(
       "HTTP://Example.COM:80/a?b=2&a=1#x",
