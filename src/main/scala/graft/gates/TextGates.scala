@@ -328,6 +328,30 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X71 WARC crawl-archive ingest: the staged fixture packs every
+    // document's x68 HTML into a per-record-gzip-member `.warc.gz`
+    // corpus (request records interleaved for id%5==0 — the reader
+    // must skip them; status 404 for id%11==0), then the gate runs the
+    // REAL archive path end-to-end: concatenated-member gunzip → WARC
+    // framing → HTTP status/header/body split → htmlExtract — so the
+    // oracle checks record framing, type filtering, date parse, and
+    // payload fidelity in FULL values. The WARC roundtrip is the
+    // system under test; the oracle recomputes the logical content
+    // (URI/epoch/status by doc_id arithmetic, text via the x68
+    // subquery) without ever seeing the archive bytes.
+    "x71_warc_ingest" -> ((s, d) => {
+      val p = stageWarc(s, d)
+      graft.sources.Warc.readResponses(s, p)
+        .select(
+          regexp_extract(col("target_uri"), "item([0-9]+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("target_uri"),
+          col("warc_date").cast(LongType).as("fetch_epoch"),
+          col("http_status"),
+          Text.htmlExtract(decode(col("body"), "UTF-8")).as("extracted"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X65 Unicode/text ingest normalization: NFC canonical composition
     // (decomposed `e`+U+0301 must equal `é` before any fingerprint or
     // n-gram signal sees the text) plus the cleanup walk (strip C0/DEL
@@ -350,6 +374,51 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
   )
+
+  /** x71 staging: the documents table serialized as a WARC corpus —
+    * 8 `.warc.gz` files of concatenated per-record gzip members (the
+    * public Common Crawl layout), each response carrying the x68 HTML
+    * as an HTTP/1.1 message. Staged once per dataset dir (the copy is
+    * setup, not the operator) on disk tmp for the same reason as
+    * [[GateSupport.stageEvents]]. */
+  private val stagedWarcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageWarc(s: SparkSession, d: String): String =
+    stagedWarcCache.computeIfAbsent(d, _ => {
+      val p = sessionTempDir("graft_warc_stage")
+      t(s, d, "documents")
+        .select(col("doc_id"), htmlFixture(col("doc_id"), col("text")).as("html"))
+        .repartition(8)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          import graft.sources.Warc
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.File(p, f"part-$pid%05d.warc.gz")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f), 1 << 16)
+          try it.foreach { r =>
+            val id = r.getLong(0)
+            val uri = s"https://site${id % 7}.example.com/item$id"
+            val date = java.time.Instant.ofEpochSecond(1700000000L + id).toString
+            if (id % 5 == 0)
+              out.write(Warc.gzipMember(Warc.writeRecord(
+                Seq("WARC-Type" -> "request", "WARC-Target-URI" -> uri,
+                  "WARC-Date" -> date,
+                  "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-4000-8000-req$id%09d>",
+                  "Content-Type" -> "application/http; msgtype=request"),
+                Warc.httpRequestBytes("GET", s"/item$id", s"site${id % 7}.example.com"))))
+            val status = if (id % 11 == 0) 404 else 200
+            out.write(Warc.gzipMember(Warc.writeRecord(
+              Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+                "WARC-Date" -> date,
+                "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-4000-8000-rsp$id%09d>",
+                "Content-Type" -> "application/http; msgtype=response"),
+              Warc.httpResponseBytes(status, if (status == 200) "OK" else "Not Found",
+                "text/html; charset=utf-8",
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+          } finally out.close()
+        }
+      p
+    })
 
   /** x66/x70 URL fixture by doc_id arithmetic: mixed case,
     * default/explicit/out-of-range ports, tracking params, fragments,
@@ -829,5 +898,22 @@ private[graft] object TextGates {
                           x -> x <> '')) AS BIGINT) AS n_tok
                FROM ($x68Oracle)) e USING (doc_id)
          ORDER BY u.doc_id NULLS FIRST""",
+
+    // The WARC ingest roundtrip: the oracle never sees the archive —
+    // it recomputes the logical record content by the same doc_id
+    // arithmetic the staging used (URI, fetch epoch, status) and
+    // takes the extracted text from the x68 oracle verbatim. Any
+    // framing, gunzip, type-filter, date-parse, or payload defect in
+    // the reader shows up as a value mismatch here.
+    "x71_warc_ingest" ->
+      s"""SELECT d.doc_id,
+           'https://site' || (d.doc_id % 7) || '.example.com/item' || d.doc_id
+             AS target_uri,
+           CAST(1700000000 + d.doc_id AS BIGINT) AS fetch_epoch,
+           CAST(CASE WHEN d.doc_id % 11 = 0 THEN 404 ELSE 200 END AS INTEGER)
+             AS http_status,
+           e.extracted
+         FROM documents d JOIN ($x68Oracle) e USING (doc_id)
+         ORDER BY d.doc_id NULLS FIRST""",
   )
 }

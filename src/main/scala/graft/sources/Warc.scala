@@ -1,0 +1,375 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, PushbackInputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) ingest source — the container format
+  * web crawls ship in (SURVEY.md §2.1 ingest layer; the reference's
+  * HTTP-ingest stage `transfer_sercom_files.py:87-113` fetches files
+  * one URL at a time — a crawl-scale pipeline ingests the same
+  * payloads batched into WARC archives instead).
+  *
+  * Layout and scale model (the public Common Crawl convention):
+  * a corpus is tens of thousands of ~1 GiB `.warc.gz` files, each a
+  * CONCATENATION of per-record gzip members. Members are not
+  * splittable without an external index, so the parallel unit is the
+  * FILE: one task per file, records streamed off the open stream with
+  * O(record) memory — the 100 TB shape is 64k files → 64k tasks, not
+  * 64k whole-file byte arrays on executor heaps (which is what a
+  * `binaryFile` scan would materialize). Payloads above
+  * `maxPayloadBytes` are kept but cut at the cap and flagged
+  * `truncated` (the crawl convention) rather than silently dropped.
+  *
+  * Untrusted-input contract (same as the [[graft.operators.Multimodal]]
+  * container walkers): a malformed byte is DATA, not an exception — a
+  * record that fails framing stops the walk of that file (everything
+  * already parsed is kept) and never throws, because one crafted
+  * archive must not kill a 64k-file job. WarcSpec fuzzes this with
+  * random and truncated inputs.
+  *
+  * Records whose block is `application/http` are additionally split
+  * into status line / headers / body inline during the same streamed
+  * pass (`http_status`, `http_content_type`, `body`) — a second pass
+  * over multi-MiB payload binaries would double the ingest IO.
+  */
+object Warc {
+
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rec_no", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", TimestampType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("truncated", BooleanType, nullable = false),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true)))
+
+  /** One parsed record. `body` is the HTTP message body when the
+    * block is `application/http`, else the whole block. */
+  final case class Rec(
+      recNo: Long, warcType: String, targetUri: String,
+      dateEpochMicros: Option[Long], recordId: String, contentType: String,
+      contentLength: Long, truncated: Boolean,
+      httpStatus: Option[Int], httpContentType: Option[String],
+      body: Array[Byte])
+
+  // ------------------------------------------------------------------
+  // distributed reader
+  // ------------------------------------------------------------------
+
+  /** Scan a directory (or glob) of `.warc` / `.warc.gz` files.
+    *
+    * One task per file; each task streams records through the pull
+    * parser. Works against any Hadoop filesystem — the driver's
+    * Configuration is shipped as key/value pairs (the Configuration
+    * object itself is not serializable) and rebuilt per partition.
+    */
+  def read(spark: SparkSession, path: String,
+           maxPayloadBytes: Int = 1 << 20): DataFrame = {
+    val sc = spark.sparkContext
+    val hconf = sc.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files: Seq[String] = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath.toString)
+      else Array(st.getPath.toString)
+    }.filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
+      .sorted.toSeq
+    val confKv: Array[(String, String)] =
+      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val cap = maxPayloadBytes
+
+    val rdd = sc.parallelize(files, math.max(1, files.size))
+      .mapPartitions { it =>
+        val conf = new Configuration(false)
+        confKv.foreach { case (k, v) => conf.set(k, v) }
+        it.flatMap { file =>
+          val fp = new Path(file)
+          val in = fp.getFileSystem(conf).open(fp)
+          closing(in, records(maybeGunzip(new BufferedInputStream(in, 1 << 16)), cap))
+            .map { r =>
+              Row(file, r.recNo, r.warcType, r.targetUri,
+                r.dateEpochMicros.map(us =>
+                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(us, 1000000L),
+                    Math.floorMod(us, 1000000L) * 1000L))).orNull,
+                r.recordId, r.contentType, r.contentLength, r.truncated,
+                r.httpStatus.map(Int.box).orNull,
+                r.httpContentType.orNull, r.body)
+            }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** The crawl-ingest projection: `response` records only, HTTP
+    * fields exposed, payload decoded per the declared charset's
+    * common case (UTF-8). */
+  def readResponses(spark: SparkSession, path: String,
+                    maxPayloadBytes: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, path, maxPayloadBytes)
+      .where(col("warc_type") === "response")
+      .select(col("file"), col("rec_no"), col("target_uri"),
+        col("warc_date"), col("record_id"), col("http_status"),
+        col("http_content_type"), col("truncated"), col("body"))
+  }
+
+  // ------------------------------------------------------------------
+  // streaming pull parser (never throws on malformed input)
+  // ------------------------------------------------------------------
+
+  /** Stream records off `in`. Malformed framing ends the iterator;
+    * records already parsed are yielded. The caller owns the stream. */
+  def records(in: InputStream, maxPayloadBytes: Int): Iterator[Rec] =
+    new Iterator[Rec] {
+      private var recNo = 0L
+      private var nextRec: Rec = _
+      private var done = false
+      private def advance(): Unit = {
+        if (done || nextRec != null) return
+        nextRec = try parseOne(in, recNo, maxPayloadBytes).orNull
+        catch { case _: Exception => null } // malformed = stop, never throw
+        if (nextRec == null) done = true else recNo += 1
+      }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): Rec = {
+        advance()
+        if (done) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  /** Parse one record, or None at clean EOF / malformed framing. */
+  private def parseOne(in: InputStream, recNo: Long,
+                       cap: Int): Option[Rec] = {
+    // skip inter-record CRLF padding, find the version line
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null || !line.startsWith("WARC/")) return None
+
+    // named headers; continuation lines (SP/HT) fold into the previous
+    val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var lastKey: String = null
+    var h = readLine(in)
+    while (h != null && h.nonEmpty) {
+      if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null) {
+        headers(lastKey) = headers(lastKey) + " " + h.trim
+      } else {
+        val colon = h.indexOf(':')
+        if (colon <= 0) return None // malformed header line
+        lastKey = h.substring(0, colon).trim.toLowerCase
+        headers(lastKey) = h.substring(colon + 1).trim
+      }
+      h = readLine(in)
+    }
+    if (h == null) return None // EOF inside the header block
+
+    val len = headers.get("content-length").flatMap(v =>
+      try Some(v.toLong) catch { case _: NumberFormatException => None })
+      .getOrElse(-1L)
+    if (len < 0) return None // Content-Length is mandatory (ISO 28500 §5.3)
+
+    val keep = math.min(len, cap.toLong).toInt
+    val block = new Array[Byte](keep)
+    if (!readFully(in, block, keep)) return None // stream died mid-block
+    var over = len - keep
+    val truncated = over > 0
+    while (over > 0) {
+      val skipped = in.skip(over)
+      if (skipped > 0) over -= skipped
+      else if (in.read() >= 0) over -= 1
+      else return Some(finish(recNo, headers, len, block, truncated = true))
+    }
+    Some(finish(recNo, headers, len, block, truncated))
+  }
+
+  private def finish(recNo: Long, headers: collection.Map[String, String],
+                     len: Long, block: Array[Byte],
+                     truncated: Boolean): Rec = {
+    val ctype = headers.get("content-type").orNull
+    val isHttp = ctype != null &&
+      ctype.toLowerCase.startsWith("application/http")
+    val (status, httpCt, body) =
+      if (isHttp) splitHttp(block) else (None, None, block)
+    Rec(
+      recNo,
+      warcType = headers.get("warc-type").orNull,
+      targetUri = headers.get("warc-target-uri")
+        .map(u => u.stripPrefix("<").stripSuffix(">")).orNull,
+      dateEpochMicros = headers.get("warc-date").flatMap(parseDate),
+      recordId = headers.get("warc-record-id").orNull,
+      contentType = ctype, contentLength = len, truncated = truncated,
+      httpStatus = status, httpContentType = httpCt, body = body)
+  }
+
+  /** WARC-Date is ISO 8601 UTC (`2023-11-14T22:13:20Z`); sub-second
+    * digits allowed in 1.1. Malformed → None (data, not an error). */
+  private[sources] def parseDate(s: String): Option[Long] =
+    try {
+      val inst = java.time.Instant.parse(s.trim)
+      Some(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+        inst.getNano / 1000L))
+    } catch { case _: Exception => None }
+
+  /** Split an `application/http` block into (status, content-type,
+    * body). Requests have no status; a block with no header/body
+    * separator is all headers and yields an empty body. */
+  private[sources] def splitHttp(
+      block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+    val sep = findHeaderEnd(block)
+    val headEnd = if (sep < 0) block.length else sep
+    val head = new String(block, 0, headEnd, UTF_8)
+    val body =
+      if (sep < 0) Array.empty[Byte]
+      else java.util.Arrays.copyOfRange(block, bodyStart(block, sep), block.length)
+    val lines = head.split("\r?\n")
+    val status =
+      if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+        val parts = lines(0).split(" +")
+        if (parts.length >= 2)
+          try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
+        else None
+      } else None
+    val ct = lines.drop(1).collectFirst {
+      case l if l.regionMatches(true, 0, "content-type:", 0, 13) =>
+        l.substring(13).trim
+    }
+    (status, ct, body)
+  }
+
+  /** First `\r\n\r\n` or `\n\n` boundary (index of its first byte). */
+  private def findHeaderEnd(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < b.length - 1) {
+      if (b(i) == '\n' &&
+          (b(i + 1) == '\n' ||
+           (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n')))
+        return i - (if (i > 0 && b(i - 1) == '\r') 1 else 0)
+      i += 1
+    }
+    -1
+  }
+  private def bodyStart(b: Array[Byte], sep: Int): Int = {
+    var i = sep
+    // skip exactly one blank line's worth of CR/LF after the headers
+    var newlines = 0
+    while (i < b.length && newlines < 2 &&
+           (b(i) == '\r' || b(i) == '\n')) {
+      if (b(i) == '\n') newlines += 1
+      i += 1
+    }
+    i
+  }
+
+  /** Read a CRLF (or bare-LF) line as ISO-latin bytes → UTF-8 string;
+    * null at EOF before any byte. Header lines are short; cap guards
+    * a crafted no-newline stream from buffering unboundedly. */
+  private def readLine(in: InputStream): String = {
+    val buf = new ByteArrayOutputStream(80)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n' && buf.size < 65536) {
+      buf.write(c)
+      c = in.read()
+    }
+    if (c != '\n' && buf.size >= 65536) return null // unframed garbage
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, UTF_8)
+  }
+
+  private def readFully(in: InputStream, dst: Array[Byte], n: Int): Boolean = {
+    var off = 0
+    while (off < n) {
+      val r = in.read(dst, off, n - off)
+      if (r < 0) return false
+      off += r
+    }
+    true
+  }
+
+  /** Gzip-sniff by magic bytes (1f 8b); JDK GZIPInputStream reads
+    * concatenated members natively, which is exactly the per-record-
+    * member `.warc.gz` layout. */
+  private[sources] def maybeGunzip(in: InputStream): InputStream = {
+    val pb = new PushbackInputStream(in, 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b) {
+      // magic can match on garbage; a header the constructor rejects is
+      // malformed DATA → zero records, not an exception
+      try new GZIPInputStream(pb, 1 << 16)
+      catch { case _: Exception =>
+        new ByteArrayInputStream(Array.emptyByteArray) }
+    } else pb
+  }
+
+  private def closing[A](in: InputStream, it: Iterator[A]): Iterator[A] =
+    new Iterator[A] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = try it.hasNext catch { case _: EOFException => false }
+        if (!h && !closed) { closed = true; try in.close() catch { case _: Exception => } }
+        h
+      }
+      override def next(): A = it.next()
+    }
+
+  // ------------------------------------------------------------------
+  // writer (fixture/test synthesis; also the mirror spec of the parser)
+  // ------------------------------------------------------------------
+
+  /** Serialize one record (version line, headers, CRLF, block,
+    * CRLF CRLF trailer) per ISO 28500 §4. */
+  def writeRecord(headers: Seq[(String, String)],
+                  payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 256)
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    out.write(sb.toString.getBytes(UTF_8))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** One gzip member per record — the concatenable `.warc.gz` unit. */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new GZIPOutputStream(out)
+    gz.write(record); gz.finish(); gz.close()
+    out.toByteArray
+  }
+
+  def httpResponseBytes(status: Int, reason: String, contentType: String,
+                        body: Array[Byte]): Array[Byte] = {
+    val head = s"HTTP/1.1 $status $reason\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    head.getBytes(UTF_8) ++ body
+  }
+
+  def httpRequestBytes(method: String, path: String, host: String): Array[Byte] =
+    s"$method $path HTTP/1.1\r\nHost: $host\r\nUser-Agent: graft\r\n\r\n".getBytes(UTF_8)
+
+  /** Convenience: parse a standalone byte array (tests). */
+  def parseAll(bytes: Array[Byte], maxPayloadBytes: Int = 1 << 20): Seq[Rec] =
+    records(maybeGunzip(new BufferedInputStream(
+      new ByteArrayInputStream(bytes))), maxPayloadBytes).toList
+}
