@@ -380,7 +380,11 @@ private[graft] object TextGates {
     * public Common Crawl layout), each response carrying the x68 HTML
     * as an HTTP/1.1 message. Staged once per dataset dir (the copy is
     * setup, not the operator) on disk tmp for the same reason as
-    * [[GateSupport.stageEvents]]. */
+    * [[GateSupport.stageEvents]]. The raw java.io writes assume the
+    * harness's single-host executors (unlike the Spark-writer stage
+    * helpers) — WARC member bytes have no DataFrame writer; writes go
+    * through an attempt-unique temp file + rename so task retries
+    * cannot corrupt a member stream. */
   private val stagedWarcCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stageWarc(s: SparkSession, d: String): String =
@@ -391,10 +395,17 @@ private[graft] object TextGates {
         .repartition(8)
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           import graft.sources.Warc
+          val tc = org.apache.spark.TaskContext.get()
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val f = new java.io.File(p, f"part-$pid%05d.warc.gz")
+          // attempt-unique temp + rename: a retried/speculative task
+          // must never interleave bytes into the final file (the
+          // never-throw parser would read the corrupt prefix as a
+          // short file, not an error)
+          val tmp = new java.io.File(p,
+            f".part-$pid%05d.${if (tc == null) 0L else tc.taskAttemptId()}%d.tmp")
           val out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(f), 1 << 16)
+            new java.io.FileOutputStream(tmp), 1 << 16)
           try it.foreach { r =>
             val id = r.getLong(0)
             val uri = s"https://site${id % 7}.example.com/item$id"
@@ -416,6 +427,11 @@ private[graft] object TextGates {
                 "text/html; charset=utf-8",
                 r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
           } finally out.close()
+          if (!tmp.renameTo(f)) {
+            if (f.exists()) tmp.delete() // lost to another attempt — fine
+            else throw new java.io.IOException(s"rename $tmp -> $f failed")
+          }
+          ()
         }
       p
     })

@@ -42,6 +42,11 @@ import org.apache.spark.sql.types._
   */
 object Warc {
 
+  /** Bounds on one record's header block — past these it is unframed
+    * garbage and the walk stops (a crafted member must not OOM). */
+  private val MaxHeaderBlockBytes = 1L << 20
+  private val MaxHeaderCount = 256
+
   val schema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("rec_no", LongType, nullable = false),
@@ -100,6 +105,13 @@ object Warc {
         it.flatMap { file =>
           val fp = new Path(file)
           val in = fp.getFileSystem(conf).open(fp)
+          // closing() fires only when the iterator drains; a limit()/
+          // failure that abandons it mid-file must still release the
+          // filesystem stream — at the 64k-file design point leaked
+          // FSDataInputStreams exhaust connection pools and ulimits
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ =>
+              try in.close() catch { case _: Exception => } })
           closing(in, records(maybeGunzip(new BufferedInputStream(in, 1 << 16)), cap))
             .map { r =>
               Row(file, r.recNo, r.warcType, r.targetUri,
@@ -162,24 +174,35 @@ object Warc {
     while (line != null && line.isEmpty) line = readLine(in)
     if (line == null || !line.startsWith("WARC/")) return None
 
-    // named headers; continuation lines (SP/HT) fold into the previous
-    val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Named headers; continuation lines (SP/HT) fold into the previous.
+    // The whole block is bounded (total bytes + header count) and folds
+    // append to a StringBuilder — a crafted member with millions of
+    // header lines must degrade to "stop the walk", not OOM or go
+    // quadratic on an executor (never-kill untrusted-input contract).
+    val headers =
+      scala.collection.mutable.LinkedHashMap.empty[String, StringBuilder]
     var lastKey: String = null
+    var blockBytes = 0L
     var h = readLine(in)
     while (h != null && h.nonEmpty) {
+      blockBytes += h.length + 2
+      if (blockBytes > MaxHeaderBlockBytes || headers.size > MaxHeaderCount)
+        return None // unframed garbage, not headers
       if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null) {
-        headers(lastKey) = headers(lastKey) + " " + h.trim
+        headers(lastKey).append(' ').append(h.trim)
       } else {
         val colon = h.indexOf(':')
         if (colon <= 0) return None // malformed header line
         lastKey = h.substring(0, colon).trim.toLowerCase
-        headers(lastKey) = h.substring(colon + 1).trim
+        headers(lastKey) = new StringBuilder(h.substring(colon + 1).trim)
       }
       h = readLine(in)
     }
     if (h == null) return None // EOF inside the header block
 
-    val len = headers.get("content-length").flatMap(v =>
+    val hm: collection.Map[String, String] =
+      headers.map { case (k, v) => (k, v.toString) }
+    val len = hm.get("content-length").flatMap(v =>
       try Some(v.toLong) catch { case _: NumberFormatException => None })
       .getOrElse(-1L)
     if (len < 0) return None // Content-Length is mandatory (ISO 28500 §5.3)
@@ -193,9 +216,9 @@ object Warc {
       val skipped = in.skip(over)
       if (skipped > 0) over -= skipped
       else if (in.read() >= 0) over -= 1
-      else return Some(finish(recNo, headers, len, block, truncated = true))
+      else return Some(finish(recNo, hm, len, block, truncated = true))
     }
-    Some(finish(recNo, headers, len, block, truncated))
+    Some(finish(recNo, hm, len, block, truncated))
   }
 
   private def finish(recNo: Long, headers: collection.Map[String, String],
@@ -306,9 +329,23 @@ object Warc {
 
   /** Gzip-sniff by magic bytes (1f 8b); JDK GZIPInputStream reads
     * concatenated members natively, which is exactly the per-record-
-    * member `.warc.gz` layout. */
-  private[sources] def maybeGunzip(in: InputStream): InputStream = {
-    val pb = new PushbackInputStream(in, 2)
+    * member `.warc.gz` layout.
+    *
+    * One JDK pitfall defended against: at a member boundary
+    * GZIPInputStream only looks for the next member if the underlying
+    * stream's `available() > 0` (or >26 bytes are already inflater-
+    * buffered) — a remote-FS stream reporting 0 at exactly a boundary
+    * would silently drop every remaining record. [[NonZeroAvailable]]
+    * reports 1 until true EOF; at real EOF the next-header probe hits
+    * EOFException, which readTrailer catches as clean end-of-stream. */
+  private final class NonZeroAvailable(in: InputStream)
+      extends java.io.FilterInputStream(in) {
+    override def available(): Int = {
+      val a = super.available(); if (a > 0) a else 1
+    }
+  }
+  private[graft] def maybeGunzip(in: InputStream): InputStream = {
+    val pb = new PushbackInputStream(new NonZeroAvailable(in), 2)
     val b0 = pb.read(); val b1 = pb.read()
     if (b1 >= 0) pb.unread(b1)
     if (b0 >= 0) pb.unread(b0)

@@ -140,6 +140,42 @@ class WarcSpec extends AnyFunSuite {
     assert(r.forall(_.truncated))
   }
 
+  test("header bombs degrade to stop-the-walk, bounded memory") {
+    // more distinct header lines than the cap → record dropped, no OOM
+    val manyHeaders = new StringBuilder("WARC/1.0\r\n")
+    for (i <- 1 to 1000) manyHeaders.append(s"X-H$i: v\r\n")
+    manyHeaders.append("Content-Length: 0\r\n\r\n\r\n\r\n")
+    assert(Warc.parseAll(manyHeaders.toString.getBytes(UTF_8)).isEmpty)
+    // a continuation-line flood folds linearly and is size-bounded
+    val fold = new StringBuilder("WARC/1.0\r\nX-A: start\r\n")
+    for (_ <- 1 to 300000) fold.append(" c\r\n")
+    fold.append("Content-Length: 0\r\n\r\n\r\n\r\n")
+    assert(Warc.parseAll(fold.toString.getBytes(UTF_8)).isEmpty) // > 1 MiB block
+    // under the caps, folding still works
+    val ok = ("WARC/1.0\r\nWARC-Type: x\r\n\tfolded\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes(UTF_8)
+    assert(Warc.parseAll(ok).head.warcType == "x folded")
+  }
+
+  test("multi-member gzip survives an underlying stream with available()==0") {
+    // GZIPInputStream's member-boundary probe consults available();
+    // NonZeroAvailable must keep it walking even when the raw stream
+    // reports 0 (remote-FS behavior), and still terminate at true EOF
+    val rnd = new scala.util.Random(7)
+    val bigBody = new String(Array.fill(200000)(('a' + rnd.nextInt(26)).toChar))
+    val bytes = Warc.gzipMember(respRecord(1, bigBody)) ++
+      Warc.gzipMember(respRecord(2, "tail"))
+    val zeroAvail = new java.io.InputStream {
+      val b = new java.io.ByteArrayInputStream(bytes)
+      def read(): Int = b.read()
+      override def read(a: Array[Byte], o: Int, l: Int): Int = b.read(a, o, l)
+      override def available(): Int = 0
+    }
+    val recs = Warc.records(Warc.maybeGunzip(zeroAvail), 1 << 20).toList
+    assert(recs.size == 2)
+    assert(new String(recs(1).body, UTF_8) == "tail")
+  }
+
   test("distributed read: one task per file, schema, response projection") {
     val dir = Files.createTempDirectory("graft_warc_spec")
     Files.write(dir.resolve("a.warc.gz"),
