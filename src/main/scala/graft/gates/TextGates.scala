@@ -352,6 +352,36 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X72 CDX-style WARC index + ranged fetch: the selective-access
+    // path a 100 TB archive corpus is actually queried through. One
+    // full scan builds a columnar member index (file, offset, length +
+    // CDX metadata); every later query filters the SMALL index — here
+    // "200-OK responses whose doc_id % 3 = 0" — and fetchAt seek-reads
+    // exactly those compressed members, never touching the rest of the
+    // archives. The oracle recomputes the expected record set and
+    // extracted text purely from documents-table arithmetic (the x71
+    // pattern), so index construction, offset arithmetic, ranged
+    // reads, and the HTTP split must all be exact for the values to
+    // match.
+    "x72_warc_index" -> ((s, d) => {
+      val p = stageWarc(s, d)
+      val idx = graft.sources.Warc.buildIndex(s, p)
+      val wanted = idx
+        .where(col("warc_type") === "response" && col("http_status") === 200)
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "item([0-9]+)$", 1).cast(LongType))
+        .where(col("doc_id") % 3 === 0)
+      graft.sources.Warc.fetchAt(s, wanted)
+        .select(
+          regexp_extract(col("target_uri"), "item([0-9]+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("target_uri"),
+          col("warc_date").cast(LongType).as("fetch_epoch"),
+          col("http_status"),
+          Text.htmlExtract(decode(col("body"), "UTF-8")).as("extracted"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X65 Unicode/text ingest normalization: NFC canonical composition
     // (decomposed `e`+U+0301 must equal `é` before any fingerprint or
     // n-gram signal sees the text) plus the cleanup walk (strip C0/DEL
@@ -930,6 +960,17 @@ private[graft] object TextGates {
              AS http_status,
            e.extracted
          FROM documents d JOIN ($x68Oracle) e USING (doc_id)
+         ORDER BY d.doc_id NULLS FIRST""",
+
+    "x72_warc_index" ->
+      s"""SELECT d.doc_id,
+           'https://site' || (d.doc_id % 7) || '.example.com/item' || d.doc_id
+             AS target_uri,
+           CAST(1700000000 + d.doc_id AS BIGINT) AS fetch_epoch,
+           CAST(200 AS INTEGER) AS http_status,
+           e.extracted
+         FROM documents d JOIN ($x68Oracle) e USING (doc_id)
+         WHERE d.doc_id % 3 = 0 AND d.doc_id % 11 <> 0
          ORDER BY d.doc_id NULLS FIRST""",
   )
 }

@@ -358,6 +358,273 @@ object Warc {
     } else pb
   }
 
+  // ------------------------------------------------------------------
+  // CDX-style member index + ranged fetch (the selective-access path)
+  // ------------------------------------------------------------------
+
+  /** Index schema — one row per gzip member / WARC record. `offset` /
+    * `length` delimit the COMPRESSED member inside the archive, so a
+    * consumer can seek-read exactly one record. The metadata columns
+    * are what crawl indexes (the public CDX(J) convention) carry:
+    * enough to select records by URI / type / status / date without
+    * touching the archives. */
+  val indexSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("rec_no", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", TimestampType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("content_length", LongType, nullable = false)))
+
+  /** Build the member index for a directory/glob of `.warc.gz` files.
+    *
+    * This is how a 100 TB corpus is accessed selectively: ONE full
+    * scan builds a columnar index (persist the result as parquet);
+    * every later query filters the small index — predicate pushdown
+    * and column pruning apply, the archives are never opened — and
+    * [[fetchAt]] seek-reads only the matching members. Without this,
+    * every "give me the 200-OK HTML of host X" query re-reads 100 TB.
+    *
+    * One task per file (members are only discoverable sequentially);
+    * member boundaries are recovered exactly by walking each gzip
+    * header by hand and inflating with a raw `Inflater`, whose
+    * `getRemaining` tells how far the compressed data actually
+    * reached — `GZIPInputStream` hides this. Malformed bytes stop the
+    * file's walk (records already indexed are kept, never throws). */
+  def buildIndex(spark: SparkSession, path: String): DataFrame = {
+    val sc = spark.sparkContext
+    val hconf = sc.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files: Seq[String] = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath.toString)
+      else Array(st.getPath.toString)
+    }.filter(_.endsWith(".warc.gz")).sorted.toSeq
+    val confKv: Array[(String, String)] =
+      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+
+    val rdd = sc.parallelize(files, math.max(1, files.size))
+      .mapPartitions { it =>
+        val conf = new Configuration(false)
+        confKv.foreach { case (k, v) => conf.set(k, v) }
+        it.flatMap { file =>
+          val fp = new Path(file)
+          val in = fp.getFileSystem(conf).open(fp)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ =>
+              try in.close() catch { case _: Exception => } })
+          var recNo = 0L
+          closing(in, gzipMembers(in)).flatMap { case (off, clen, head) =>
+            // parse just the record's headers + the block prefix (the
+            // HTTP status line sits at block start); the body is not
+            // index payload, so a small inner cap suffices
+            val rec = try parseOne(new ByteArrayInputStream(head), recNo, 4096)
+            catch { case _: Exception => None }
+            rec.map { r =>
+              val n = recNo; recNo += 1
+              Row(file, off, clen, n, r.warcType, r.targetUri,
+                r.dateEpochMicros.map(us =>
+                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(us, 1000000L),
+                    Math.floorMod(us, 1000000L) * 1000L))).orNull,
+                r.httpStatus.map(Int.box).orNull, r.contentLength)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, indexSchema)
+  }
+
+  /** Fetched-record schema: the index coordinates that located the
+    * member plus the full record fields of [[schema]]. */
+  val fetchSchema: StructType = StructType(
+    StructField("file", StringType, nullable = false) +:
+    StructField("offset", LongType, nullable = false) +:
+    schema.fields.toSeq.filter(f => f.name != "file" && f.name != "rec_no"))
+
+  /** Ranged fetch: read exactly the members named by `index` rows
+    * (columns `file`, `offset`, `length` — e.g. a filtered
+    * [[buildIndex]] result) and parse each as one WARC record.
+    *
+    * Scale shape: rows are repartitioned by file and sorted by offset
+    * within each partition, so each archive is opened once per task
+    * and reads proceed in file order (sequential-friendly seeks; on
+    * object stores these become ranged GETs). A member that fails to
+    * read or parse is dropped, never thrown — the index may be stale
+    * relative to a rewritten archive. */
+  def fetchAt(spark: SparkSession, index: DataFrame,
+              maxPayloadBytes: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val sc = spark.sparkContext
+    val confKv: Array[(String, String)] =
+      sc.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    val cap = maxPayloadBytes
+    val rows = index.select(col("file"), col("offset"), col("length"))
+      .repartition(col("file"))
+      .sortWithinPartitions(col("file"), col("offset"))
+      .rdd
+    val out = rows.mapPartitions { it =>
+      val conf = new Configuration(false)
+      confKv.foreach { case (k, v) => conf.set(k, v) }
+      var curPath: String = null
+      var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+      def closeCur(): Unit =
+        if (curIn != null) { try curIn.close() catch { case _: Exception => }; curIn = null }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => closeCur()))
+      it.flatMap { r =>
+        val file = r.getString(0); val off = r.getLong(1); val len = r.getLong(2)
+        try {
+          if (file != curPath) {
+            closeCur()
+            val fp = new Path(file)
+            curIn = fp.getFileSystem(conf).open(fp)
+            curPath = file
+          }
+          if (len <= 0 || len > Int.MaxValue) None
+          else {
+            curIn.seek(off)
+            val bytes = new Array[Byte](len.toInt)
+            if (!readFully(curIn, bytes, len.toInt)) None
+            else parseAll(bytes, cap).headOption.map { rec =>
+              Row(file, off, rec.warcType, rec.targetUri,
+                rec.dateEpochMicros.map(us =>
+                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(us, 1000000L),
+                    Math.floorMod(us, 1000000L) * 1000L))).orNull,
+                rec.recordId, rec.contentType, rec.contentLength,
+                rec.truncated, rec.httpStatus.map(Int.box).orNull,
+                rec.httpContentType.orNull, rec.body)
+            }
+          }
+        } catch { case _: Exception =>
+          // a failed seek/read poisons the stream state; reopen lazily
+          closeCur(); curPath = null; None
+        }
+      }
+    }
+    spark.createDataFrame(out, fetchSchema)
+  }
+
+  /** Walk the gzip members of a concatenated `.warc.gz` stream,
+    * yielding `(offset, compressedLength, decompressedPrefix)` per
+    * member. The prefix is capped (header block + status line is all
+    * the indexer needs) while inflation continues to the member's true
+    * end, so a multi-GiB payload costs no heap. Malformed framing ends
+    * the iterator — bytes are data, not exceptions. */
+  private[sources] def gzipMembers(
+      in: InputStream,
+      prefixCap: Int = (MaxHeaderBlockBytes + 8192).toInt)
+      : Iterator[(Long, Long, Array[Byte])] =
+    new Iterator[(Long, Long, Array[Byte])] {
+      private val r = new CountingReader(in)
+      private var nextM: (Long, Long, Array[Byte]) = _
+      private var done = false
+      private def advance(): Unit = {
+        if (done || nextM != null) return
+        nextM = try readMember(r, prefixCap).orNull
+        catch { case _: Exception => null }
+        if (nextM == null) done = true
+      }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): (Long, Long, Array[Byte]) = {
+        advance()
+        if (done) throw new NoSuchElementException
+        val m = nextM; nextM = null; m
+      }
+    }
+
+  /** Buffered reader that knows its absolute offset and can expose the
+    * unconsumed tail of its buffer to an `Inflater` (then take back
+    * what the inflater did not use). */
+  private final class CountingReader(in: InputStream) {
+    private val buf = new Array[Byte](1 << 16)
+    private var len = 0
+    private var pos = 0
+    private var base = 0L
+    def offset: Long = base + pos
+    private def ensure(): Boolean = {
+      while (pos >= len) {
+        base += len; pos = 0
+        len = in.read(buf)
+        if (len < 0) { len = 0; return false }
+      }
+      true
+    }
+    def read(): Int =
+      if (!ensure()) -1 else { val b = buf(pos) & 0xff; pos += 1; b }
+    /** Expose the buffered unconsumed bytes (refilling if drained);
+      * (array, start, count), count == 0 at EOF. */
+    def chunk(): (Array[Byte], Int, Int) =
+      if (!ensure()) (buf, 0, 0) else (buf, pos, len - pos)
+    def consume(n: Int): Unit = pos += n
+    def unconsume(n: Int): Unit = pos -= n
+  }
+
+  /** Read one gzip member: hand-parsed header (RFC 1952), raw-inflate
+    * to find the exact deflate end via `Inflater.getRemaining`, 8-byte
+    * trailer. Returns (startOffset, memberLength, decompressedPrefix)
+    * or None at EOF / malformed bytes. */
+  private def readMember(r: CountingReader,
+                         prefixCap: Int): Option[(Long, Long, Array[Byte])] = {
+    val start = r.offset
+    val b0 = r.read()
+    if (b0 < 0) return None // clean EOF
+    val b1 = r.read()
+    if (b0 != 0x1f || b1 != 0x8b) return None
+    if (r.read() != 8) return None // CM must be deflate
+    val flg = r.read()
+    if (flg < 0) return None
+    var i = 0
+    while (i < 6) { if (r.read() < 0) return None; i += 1 } // MTIME XFL OS
+    if ((flg & 4) != 0) { // FEXTRA
+      val l0 = r.read(); val l1 = r.read()
+      if (l0 < 0 || l1 < 0) return None
+      var n = l0 | (l1 << 8)
+      while (n > 0) { if (r.read() < 0) return None; n -= 1 }
+    }
+    if ((flg & 8) != 0) { // FNAME, NUL-terminated
+      var c = r.read()
+      while (c > 0) c = r.read()
+      if (c < 0) return None
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      var c = r.read()
+      while (c > 0) c = r.read()
+      if (c < 0) return None
+    }
+    if ((flg & 2) != 0) { if (r.read() < 0 || r.read() < 0) return None } // FHCRC
+
+    val inf = new java.util.zip.Inflater(true)
+    val prefix = new ByteArrayOutputStream(math.min(prefixCap, 1 << 16))
+    val tmp = new Array[Byte](1 << 16)
+    try {
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          val (b, p, l) = r.chunk()
+          if (l <= 0) return None // EOF mid-deflate
+          inf.setInput(b, p, l)
+          r.consume(l)
+        }
+        val n = inf.inflate(tmp)
+        if (n > 0 && prefix.size < prefixCap)
+          prefix.write(tmp, 0, math.min(n, prefixCap - prefix.size))
+        else if (n == 0 && inf.needsDictionary()) return None
+      }
+      r.unconsume(inf.getRemaining) // bytes past the deflate end
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    i = 0
+    while (i < 8) { if (r.read() < 0) return None; i += 1 } // CRC32 + ISIZE
+    Some((start, r.offset - start, prefix.toByteArray))
+  }
+
   private def closing[A](in: InputStream, it: Iterator[A]): Iterator[A] =
     new Iterator[A] {
       private var closed = false

@@ -176,6 +176,145 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(recs(1).body, UTF_8) == "tail")
   }
 
+  test("member index: exact offsets/lengths, tiles the file, metadata") {
+    val members = Seq(
+      Warc.gzipMember(reqRecord(1)),
+      Warc.gzipMember(respRecord(1, "<b>A</b>")),
+      Warc.gzipMember(respRecord(2, "B" * 50000, status = 404)),
+      Warc.gzipMember(respRecord(3, "C")))
+    val bytes = members.reduce(_ ++ _)
+    val dir = Files.createTempDirectory("graft_warc_idx")
+    Files.write(dir.resolve("a.warc.gz"), bytes)
+
+    val idx = Warc.buildIndex(spark, dir.toString)
+      .orderBy("offset").collect()
+    assert(idx.length == 4)
+    // offsets/lengths tile the file exactly: each member starts where
+    // the previous ended, the last ends at EOF
+    val expOff = members.scanLeft(0L)(_ + _.length)
+    assert(idx.map(_.getAs[Long]("offset")).toSeq == expOff.dropRight(1))
+    assert(idx.map(_.getAs[Long]("length")).toSeq == members.map(_.length.toLong))
+    assert(idx.map(_.getAs[Long]("rec_no")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(idx.map(_.getAs[String]("warc_type")).toSeq ==
+      Seq("request", "response", "response", "response"))
+    assert(idx(2).getAs[Int]("http_status") == 404)
+    assert(idx(1).getAs[String]("target_uri") == "https://example.org/item1")
+    assert(idx(1).getAs[java.sql.Timestamp]("warc_date") != null)
+    // the indexer caps what it keeps decompressed, but content_length
+    // is still the record's declared length
+    assert(idx(2).getAs[Long]("content_length") > 50000L)
+  }
+
+  test("ranged fetch reads ONLY the named members; bytes outside may be garbage") {
+    val m1 = Warc.gzipMember(respRecord(1, "first"))
+    val m2 = Warc.gzipMember(respRecord(2, "second"))
+    val m3 = Warc.gzipMember(respRecord(3, "third"))
+    val dir = Files.createTempDirectory("graft_warc_fetch")
+    val f = dir.resolve("a.warc.gz")
+    Files.write(f, m1 ++ m2 ++ m3)
+    // materialize the index BEFORE corrupting (a DataFrame is lazy —
+    // the point is fetching against a snapshot index)
+    import spark.implicits._
+    val idxRows = Warc.buildIndex(spark, dir.toString)
+      .select("file", "offset", "length", "rec_no").as[(String, Long, Long, Long)]
+      .collect().toSeq
+    val idx = idxRows.toDF("file", "offset", "length", "rec_no")
+
+    // corrupt every byte of members 1 and 3 on disk; a true ranged
+    // fetch of member 2 must not notice
+    val all = Files.readAllBytes(f)
+    java.util.Arrays.fill(all, 0, m1.length, 0x5a.toByte)
+    java.util.Arrays.fill(all, m1.length + m2.length, all.length, 0x5a.toByte)
+    Files.write(f, all)
+
+    val want = idx.where("rec_no = 1")
+    val got = Warc.fetchAt(spark, want).collect()
+    assert(got.length == 1)
+    assert(new String(got(0).getAs[Array[Byte]]("body"), UTF_8) == "second")
+    assert(got(0).getAs[Long]("offset") == m1.length.toLong)
+    assert(got(0).getAs[Int]("http_status") == 200)
+
+    // fetching the corrupted members drops them (stale index ≠ crash)
+    assert(Warc.fetchAt(spark, idx.where("rec_no <> 1")).count() == 0)
+    // offset past EOF / zero length: dropped, never thrown
+    val bogus = Seq((f.toString, all.length + 10L, 64L),
+      (f.toString, 0L, 0L)).toDF("file", "offset", "length")
+    assert(Warc.fetchAt(spark, bogus).count() == 0)
+  }
+
+  test("fetchAt equals full-scan read on every field, across files") {
+    val dir = Files.createTempDirectory("graft_warc_eq")
+    val rnd = new scala.util.Random(11)
+    for (fno <- 0 until 3) {
+      val ms = (0 until 5).map { i =>
+        val id = fno * 5 + i
+        Warc.gzipMember(
+          if (id % 4 == 0) reqRecord(id)
+          else respRecord(id, s"body-$id-" + ("z" * rnd.nextInt(2000)),
+            status = if (id % 3 == 0) 404 else 200))
+      }
+      Files.write(dir.resolve(f"f$fno%02d.warc.gz"), ms.reduce(_ ++ _))
+    }
+    val full = Warc.read(spark, dir.toString)
+      .drop("rec_no").orderBy("target_uri").collect()
+    val fetched = Warc.fetchAt(spark, Warc.buildIndex(spark, dir.toString))
+      .drop("offset").orderBy("target_uri").collect()
+    assert(fetched.length == full.length && full.length == 15)
+    full.zip(fetched).foreach { case (a, b) =>
+      assert(a.getAs[String]("target_uri") == b.getAs[String]("target_uri"))
+      assert(a.getAs[String]("warc_type") == b.getAs[String]("warc_type"))
+      assert(a.getAs[Long]("content_length") == b.getAs[Long]("content_length"))
+      assert(a.getAs[Integer]("http_status") == b.getAs[Integer]("http_status"))
+      assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]]("body"), b.getAs[Array[Byte]]("body")))
+    }
+  }
+
+  test("indexer: gzip header variants (FNAME/FEXTRA/FCOMMENT/FHCRC) and malformed members") {
+    // hand-build a member with FNAME + FEXTRA + FCOMMENT + FHCRC set
+    val rec = respRecord(9, "opt-fields")
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(rec); deflater.finish()
+    val dbuf = new Array[Byte](rec.length * 2 + 64)
+    val dlen = deflater.deflate(dbuf); deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(rec)
+    val out = new java.io.ByteArrayOutputStream()
+    // header: magic, CM=8, FLG = FHCRC|FEXTRA|FNAME|FCOMMENT (0x1e)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0x1e, 0, 0, 0, 0, 0, 0))
+    out.write(Array[Byte](3, 0)); out.write(Array[Byte](1, 2, 3)) // FEXTRA len=3
+    out.write("name.warc".getBytes(UTF_8)); out.write(0) // FNAME
+    out.write("a comment".getBytes(UTF_8)); out.write(0) // FCOMMENT
+    out.write(Array[Byte](0, 0)) // FHCRC (unchecked)
+    out.write(dbuf, 0, dlen)
+    val tail = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).putInt(rec.length)
+    out.write(tail.array())
+    val fancy = out.toByteArray
+    val plain = Warc.gzipMember(respRecord(10, "tail"))
+
+    val dir = Files.createTempDirectory("graft_warc_hdr")
+    Files.write(dir.resolve("a.warc.gz"), fancy ++ plain)
+    val idx = Warc.buildIndex(spark, dir.toString).orderBy("offset").collect()
+    assert(idx.length == 2)
+    assert(idx(0).getAs[Long]("length") == fancy.length.toLong)
+    assert(idx(1).getAs[Long]("offset") == fancy.length.toLong)
+
+    // malformed member stops the walk, keeps the parsed prefix, no throw
+    val cut = plain ++ fancy.dropRight(5)
+    Files.write(dir.resolve("a.warc.gz"), cut)
+    val idx2 = Warc.buildIndex(spark, dir.toString).collect()
+    assert(idx2.length == 1 && idx2(0).getAs[Long]("length") == plain.length.toLong)
+    // fuzz: random bytes never throw and index nothing real
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 50) {
+      Files.write(dir.resolve("a.warc.gz"),
+        Array.fill[Byte](rnd.nextInt(400))(rnd.nextInt.toByte))
+      Warc.buildIndex(spark, dir.toString).count() // must not throw
+    }
+  }
+
   test("distributed read: one task per file, schema, response projection") {
     val dir = Files.createTempDirectory("graft_warc_spec")
     Files.write(dir.resolve("a.warc.gz"),
