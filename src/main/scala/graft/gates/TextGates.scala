@@ -352,6 +352,27 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X73 supervised quality classification (multinomial Naive Bayes
+    // with add-one smoothing — the model-based quality-filter shape;
+    // the unsupervised complement is the x57 perplexity screen). The
+    // fixture labels even-doc_id training docs by doc_id % 3; odd docs
+    // are scored. Every per-token / prior cost is quantized to LONG
+    // before any sum (the x57 convention) and the argmin tie-breaks on
+    // (nll, label), so the oracle can replay training AND scoring in
+    // full: counts, totals, V, N, smoothed -log2 terms, argmin.
+    "x73_nb_classifier" -> ((s, d) => {
+      val lab = when(col("doc_id") % 3 === 0, "ref")
+        .when(col("doc_id") % 3 === 1, "web").otherwise("junk")
+      val m = graft.operators.TextClassifier.modelFor(s"nb:$d",
+        t(s, d, "documents").where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), lab.as("label"), col("text")))
+      graft.operators.TextClassifier.classify(
+          t(s, d, "documents").where(col("doc_id") % 2 === 1), m)
+        .select(col("doc_id"), col("pred_label"),
+          col("nll_e4").cast(LongType).as("nll_e4"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X72 CDX-style WARC index + ranged fetch: the selective-access
     // path a 100 TB archive corpus is actually queried through. One
     // full scan builds a columnar member index (file, offset, length +
@@ -961,6 +982,51 @@ private[graft] object TextGates {
            e.extracted
          FROM documents d JOIN ($x68Oracle) e USING (doc_id)
          ORDER BY d.doc_id NULLS FIRST""",
+
+    // full NB replay: per-label token counts, totals, V, N, the
+    // identical quantized smoothed -log2 per token + prior, integer
+    // sums, argmin with the (nll, label) tie-break
+    "x73_nb_classifier" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '') AS ts
+           FROM documents),
+         tr AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'ref'
+                       WHEN doc_id % 3 = 1 THEN 'web'
+                       ELSE 'junk' END AS label, ts
+           FROM tk WHERE doc_id % 2 = 0),
+         ttok AS (SELECT label, unnest(ts) AS tok FROM tr),
+         tokc AS (SELECT label, tok, COUNT(*) AS c_tok FROM ttok
+                  GROUP BY label, tok),
+         labtot AS (SELECT label, SUM(c_tok) AS n_tokens FROM tokc
+                    GROUP BY label),
+         labdoc AS (SELECT label, COUNT(*) AS n_docs FROM tr GROUP BY label),
+         v AS (SELECT COUNT(DISTINCT tok) AS v FROM ttok),
+         n AS (SELECT COUNT(*) AS n FROM tr),
+         sc AS (SELECT doc_id, unnest(ts) AS tok FROM tk
+                WHERE doc_id % 2 = 1 AND len(ts) >= 1),
+         pl AS (
+           SELECT s.doc_id, ld.label,
+                  CAST(floor(-ln((COALESCE(tc.c_tok, 0) + 1.0) /
+                                 (lt.n_tokens + v.v)) / ln(2.0)
+                             * 10000 + 0.5) AS BIGINT) AS e4,
+                  CAST(floor(-ln(ld.n_docs / CAST(n.n AS DOUBLE)) / ln(2.0)
+                             * 10000 + 0.5) AS BIGINT) AS prior_e4
+           FROM sc s
+           CROSS JOIN labdoc ld
+           JOIN labtot lt ON lt.label = ld.label
+           LEFT JOIN tokc tc ON tc.label = ld.label AND tc.tok = s.tok
+           CROSS JOIN v CROSS JOIN n),
+         agg AS (SELECT doc_id, label,
+                        SUM(e4) + MIN(prior_e4) AS nll_e4
+                 FROM pl GROUP BY doc_id, label)
+         SELECT doc_id, label AS pred_label, CAST(nll_e4 AS BIGINT) AS nll_e4
+         FROM agg
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY nll_e4, label) = 1
+         ORDER BY doc_id NULLS FIRST""",
 
     "x72_warc_index" ->
       s"""SELECT d.doc_id,
