@@ -169,6 +169,18 @@ object NativeUrl {
     if (p == null) null else UTF8String.fromString(p.host)
   }
 
+  /** Path + query of a URL (`/a/b?q=1`), fragment excluded, empty
+    * path → `/`. This is the string robots.txt rules match against
+    * (RFC 9309 §2.2.2: the path and, if present, the query). NULL on
+    * malformed — an unparseable URL gets no politeness verdict. */
+  def urlPathQueryEval(str: UTF8String): UTF8String = {
+    val p = parse(str.toString)
+    if (p == null) return null
+    val path = if (p.path.isEmpty) "/" else p.path
+    UTF8String.fromString(
+      if (p.query.isEmpty) path else path + "?" + p.query)
+  }
+
   /** Registrable domain of a HOST: last two labels, or last three
     * when the two-label suffix is a recognized multi-part public
     * suffix; single-label hosts return themselves. */
@@ -244,8 +256,28 @@ object NativeUrl {
       copy(child = c)
   }
 
+  case class UrlPathQueryExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "url_path_query_native"
+
+    override def nullSafeEval(v: Any): Any =
+      urlPathQueryEval(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.expressions.NativeUrl.urlPathQueryEval($c);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): UrlPathQueryExpr =
+      copy(child = c)
+  }
+
   def normalizeUrl(url: Column): Column =
     ColumnBridge.column(NormalizeUrlExpr(ColumnBridge.expression(url)))
+
+  def urlPathQuery(url: Column): Column =
+    ColumnBridge.column(UrlPathQueryExpr(ColumnBridge.expression(url)))
 
   def urlHost(url: Column): Column =
     ColumnBridge.column(UrlHostExpr(ColumnBridge.expression(url)))

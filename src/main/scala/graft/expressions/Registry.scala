@@ -146,6 +146,12 @@ object Registry {
     ("graft_registrable_domain",
       (es: Seq[Expression]) => NativeUrl.RegistrableDomainExpr(es.head),
       "graft_registrable_domain(host) - last 2 labels (3 over multi-part public suffixes)"),
+    ("graft_url_path_query",
+      (es: Seq[Expression]) => NativeUrl.UrlPathQueryExpr(es.head),
+      "graft_url_path_query(str) - path + query ('/a?q=1', fragment dropped, empty path -> '/'); NULL on malformed"),
+    ("graft_robots_match",
+      (es: Seq[Expression]) => NativeRobots.RobotsMatchExpr(es.head, es(1)),
+      "graft_robots_match(pathq, pattern) - RFC 9309 rule match: prefix semantics, '*' wildcard, trailing '$' anchor"),
     ("graft_json_long",
       (es: Seq[Expression]) => es(1) match {
         case Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>

@@ -61,7 +61,10 @@ object ExtensionsCheck {
         "SELECT graft_url_host('https://WWW.Ex.org:8443/p')" -> "www.ex.org",
         "SELECT graft_registrable_domain('a.b.example.co.uk')" -> "example.co.uk",
         ("SELECT graft_html_extract(" +
-          "'<p>A &amp; <b>B</b></p><script>1<2</script>')") -> "A & B")
+          "'<p>A &amp; <b>B</b></p><script>1<2</script>')") -> "A & B",
+        "SELECT graft_url_path_query('https://ex.com/a/b?q=1#f')" -> "/a/b?q=1",
+        "SELECT graft_robots_match('/a/b', '/a*b$')" -> "true",
+        "SELECT graft_robots_match('/a/bc', '/a*b$')" -> "false")
       var failed = 0
       probes.foreach { case (sql, want) =>
         val got = String.valueOf(spark.sql(sql).head().get(0))

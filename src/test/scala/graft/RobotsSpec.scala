@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.NativeRobots.robotsMatchEval
+import graft.expressions.NativeUrl
+import graft.operators.Robots
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 9309 robots matching + the verdict operator: wildcard/anchor
+  * semantics, longest-match, allow-wins-ties, rule-less hosts,
+  * malformed URLs. */
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def m(path: String, pat: String): Boolean =
+    robotsMatchEval(UTF8String.fromString(path), UTF8String.fromString(pat))
+
+  test("pattern matching: prefix, wildcard, anchor, literal $") {
+    assert(m("/a/b/c", "/a/"))          // plain prefix
+    assert(!m("/x/a/", "/a/"))          // prefix means FROM THE START
+    assert(m("/a/b", ""))               // empty pattern = empty prefix
+    assert(m("/fish/salmon.html", "/fish"))
+    assert(m("/a/b.php?x=1", "/*.php")) // wildcard spans segments
+    assert(!m("/a/b.phx", "/*.php"))
+    assert(m("/a/b.php", "/*.php$"))    // anchored: must END there
+    assert(!m("/a/b.php?x=1", "/*.php$"))
+    assert(m("/p/item20", "/p/item*0$"))
+    assert(!m("/p/item20/", "/p/item*0$"))
+    assert(m("/a**b", "/a*b"))          // * matches literal stars too
+    assert(m("/ab", "/a*b"))            // and the empty sequence
+    assert(m("/a$b/c", "/a$b"))         // mid-pattern $ is a literal
+    assert(!m("/axb/c", "/a$b"))
+    assert(m("/a/b/x/y/z", "/a/*/x/*z"))// multi-star backtracking
+    assert(!m("/a/b/x/y/w", "/a/*/x/*z$"))
+    assert(m("", "$"))                  // bare anchor = empty path only
+    assert(!m("/", "$"))
+  }
+
+  test("verdicts: longest wins, allow wins ties, no rule = allowed, malformed = NULL") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://h1.com/private/item9"),   // disallow /private/ wins
+      (2L, "https://h1.com/private/item22"),  // longer allow wins
+      (3L, "https://h1.com/public/x"),        // no matching rule
+      (4L, "https://h2.com/any"),             // tie at equal length -> allow
+      (5L, "https://h3.com/whatever"),        // host with no rules
+      (6L, "not a url")                       // malformed -> NULL
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("h1.com", "disallow", "/private/"),
+      ("h1.com", "allow", "/private/item2"),
+      ("h2.com", "disallow", "/any"),
+      ("h2.com", "allow", "/an*"), // same length (4), allow wins
+      ("h2.com", "disallow", "/x")
+    ).toDF("host", "directive", "pattern")
+
+    val got = Robots.verdicts(urls, rules)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Boolean])).toMap
+    assert(got == Map(
+      1L -> Some(false), 2L -> Some(true), 3L -> Some(true),
+      4L -> Some(true), 5L -> Some(true), 6L -> None))
+
+    val kept = Robots.filterAllowed(urls, rules)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L, 5L)) // denied and malformed drop
+  }
+
+  test("query string participates in matching; fragment does not") {
+    val pq = NativeUrl.urlPathQueryEval(
+      UTF8String.fromString("https://h.com/a/b?q=1&r=2#frag"))
+    assert(pq.toString == "/a/b?q=1&r=2")
+    assert(m(pq.toString, "/a/b?q=*"))
+    assert(!m(pq.toString, "/a/b#"))
+    // empty path reads as '/'
+    assert(NativeUrl.urlPathQueryEval(
+      UTF8String.fromString("https://h.com")).toString == "/")
+    assert(NativeUrl.urlPathQueryEval(
+      UTF8String.fromString("https://h.com?x=1")).toString == "/?x=1")
+  }
+}
