@@ -352,6 +352,29 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X75 malformed-tolerant JSONL ingest (the interchange format LLM
+    // corpora actually ship in — Dolma, RedPajama, FineWeb are all
+    // jsonl.gz): documents staged as gzip JSON-lines with a
+    // deterministically-injected malformed line per doc_id % 17 = 0,
+    // read back PERMISSIVE with an explicit schema + corrupt-record
+    // quarantine column — bad lines must surface as data (the raw
+    // line, FULL value) rather than kill or silently vanish from a
+    // 100 TB load. The oracle rebuilds both populations by arithmetic.
+    "x75_jsonl_ingest" -> ((s, d) => {
+      val p = stageJsonl(s, d)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+        .select(col("doc_id"),
+          col("_corrupt_record").isNotNull.as("corrupt"),
+          coalesce(col("_corrupt_record"), col("text")).as("payload"))
+        .orderBy(asc_nulls_first("doc_id"), col("payload"))
+    }),
+
     // X74 robots.txt crawl politeness (RFC 9309): per-URL allow/deny
     // against a parsed per-host rule table — longest matching pattern
     // wins, allow wins length ties, no matching rule = allowed,
@@ -473,6 +496,24 @@ private[graft] object TextGates {
     * helpers) — WARC member bytes have no DataFrame writer; writes go
     * through an attempt-unique temp file + rename so task retries
     * cannot corrupt a member stream. */
+  /** x75 staging: documents as a gzip JSON-lines corpus, with one
+    * deterministically malformed line per doc_id % 17 = 0 (the
+    * quarantine population the gate must surface verbatim). Spark
+    * text writer — the staging itself is distributed. */
+  private val stagedJsonlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageJsonl(s: SparkSession, d: String): String =
+    stagedJsonlCache.computeIfAbsent(d, _ => {
+      val p = sessionTempDir("graft_jsonl_stage")
+      t(s, d, "documents")
+        .select(when(col("doc_id") % 17 === 0,
+            concat(lit("{bad json line "), col("doc_id"), lit("}")))
+          .otherwise(to_json(struct(col("doc_id"), col("text")))).as("value"))
+        .repartition(8)
+        .write.mode("overwrite").option("compression", "gzip").text(p)
+      p
+    })
+
   private val stagedWarcCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stageWarc(s: SparkSession, d: String): String =
@@ -1019,6 +1060,18 @@ private[graft] object TextGates {
            e.extracted
          FROM documents d JOIN ($x68Oracle) e USING (doc_id)
          ORDER BY d.doc_id NULLS FIRST""",
+
+    // both populations rebuilt by arithmetic: clean docs carry their
+    // text verbatim through the JSON roundtrip, corrupt lines surface
+    // as the exact raw line
+    "x75_jsonl_ingest" ->
+      """SELECT doc_id, FALSE AS corrupt, text AS payload
+         FROM documents WHERE doc_id % 17 <> 0
+         UNION ALL
+         SELECT CAST(NULL AS BIGINT) AS doc_id, TRUE AS corrupt,
+                '{bad json line ' || doc_id || '}' AS payload
+         FROM documents WHERE doc_id % 17 = 0
+         ORDER BY doc_id NULLS FIRST, payload""",
 
     // rule patterns replayed as anchored regexes; longest-then-allow
     // via ROW_NUMBER; pathq arithmetic mirrors the gate's CASE
