@@ -308,6 +308,20 @@ private[graft] object CoreGates {
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
         .orderBy(asc_nulls_first("k"))
     }),
+
+    // X76 one-pass table profiling (the per-ingest data-quality
+    // monitor: row/null/distinct counts + typed extrema per column,
+    // all as ONE aggregation over ONE scan). A derived column with
+    // arithmetic NULLs makes the null counts non-vacuous; exact
+    // distinct counts so the oracle can replay value-for-value (the
+    // at-scale default is HLL++, spec'd separately).
+    "x76_profile" -> ((s, d) => {
+      val v = t(s, d, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        when(col("c_nationkey") % 7 === 0, lit(null).cast(StringType))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      graft.operators.Profile.profile(v, exact = true)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -477,5 +491,36 @@ private[graft] object CoreGates {
                           FROM supplier GROUP BY s_nationkey) s
            ON n.n_nationkey = s.s_nationkey
          ORDER BY k NULLS FIRST""",
+    // per-column stats replayed one UNION ALL branch per column
+    "x76_profile" ->
+      """WITH v AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           CASE WHEN c_nationkey % 7 = 0 THEN NULL
+                ELSE c_mktsegment END AS seg FROM customer)
+         SELECT 'c_acctbal' AS "column", COUNT(*) AS n_rows,
+                COUNT(*) - COUNT(c_acctbal) AS n_null,
+                CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+                CAST(MIN(c_acctbal) AS DOUBLE) AS min_num,
+                CAST(MAX(c_acctbal) AS DOUBLE) AS max_num,
+                CAST(NULL AS VARCHAR) AS min_str,
+                CAST(NULL AS VARCHAR) AS max_str FROM v
+         UNION ALL
+         SELECT 'c_custkey', COUNT(*), COUNT(*) - COUNT(c_custkey),
+                CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+                CAST(MIN(c_custkey) AS DOUBLE), CAST(MAX(c_custkey) AS DOUBLE),
+                NULL, NULL FROM v
+         UNION ALL
+         SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+                CAST(COUNT(DISTINCT c_name) AS BIGINT),
+                NULL, NULL, MIN(c_name), MAX(c_name) FROM v
+         UNION ALL
+         SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+                CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+                CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE),
+                NULL, NULL FROM v
+         UNION ALL
+         SELECT 'seg', COUNT(*), COUNT(*) - COUNT(seg),
+                CAST(COUNT(DISTINCT seg) AS BIGINT),
+                NULL, NULL, MIN(seg), MAX(seg) FROM v
+         ORDER BY "column"""",
   )
 }
