@@ -343,9 +343,44 @@ private[graft] object CatalogGates {
           .toDF("source", "n", "id_sum", "files_shrank")
       } finally rmTree(fragRoot.toFile)
     }),
+
+    // X77 Z-order clustering (the Delta/Iceberg OPTIMIZE ZORDER layout
+    // technique, Morton 1966): bucket two key columns into 16-bit
+    // ranks and interleave the bits — contiguous z-ranges are small
+    // (x, y) rectangles, so range-partitioned files prune on EITHER
+    // dimension. The gate pins the z arithmetic value-for-value (the
+    // layout/pruning property itself is ZOrderSpec's locality test);
+    // the oracle replays bucket + 16-term interleave with the same
+    // fixed multiply-then-divide IEEE order.
+    "x77_zorder" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.catalog.ZOrder.zValue(li, "l_partkey", "l_suppkey", 16)
+            .as("zval"))
+        .orderBy(asc_nulls_first("l_orderkey"),
+          asc_nulls_first("l_linenumber"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // bucket + Morton interleave replayed term-for-term
+    "x77_zorder" -> {
+      val terms = (0 until 16).map(k =>
+        s"((bx >> $k) & 1) * ${1L << (2 * k)} + " +
+          s"((by >> $k) & 1) * ${1L << (2 * k + 1)}").mkString(" + ")
+      s"""WITH b AS (SELECT MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp,
+                            MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
+                     FROM lineitem),
+         z AS (SELECT l_orderkey, l_linenumber,
+           CAST(LEAST(floor(CAST(l_partkey - b.mnp AS DOUBLE) * 65536.0 /
+                            (b.mxp - b.mnp + 1)), 65535) AS BIGINT) AS bx,
+           CAST(LEAST(floor(CAST(l_suppkey - b.mns AS DOUBLE) * 65536.0 /
+                            (b.mxs - b.mns + 1)), 65535) AS BIGINT) AS by
+           FROM lineitem CROSS JOIN b)
+         SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
+         FROM z
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""
+    },
     // the full training-data pipeline, one oracle: curation keepers →
     // all-pairs exact-Jaccard near-dup components (restricted to the
     // keepers) → survivors → hash split → chunk/token budget per split
