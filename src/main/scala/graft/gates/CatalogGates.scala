@@ -344,6 +344,41 @@ private[graft] object CatalogGates {
       } finally rmTree(fragRoot.toFile)
     }),
 
+    // X78 versioned table with time travel + O(1) rollback (the
+    // Delta-log commit protocol, reduced to whole-snapshot commits):
+    // v1 = even docs, v2 = a read-modify-write commit dropping
+    // doc_id % 10 = 0, then rollback to v1 — the gate reads all three
+    // states THROUGH the version layer (v1 and v2 by time travel, the
+    // post-rollback current by plain read) and the oracle recomputes
+    // each population by arithmetic. Values matching proves commits
+    // are immutable, time travel resolves the right snapshot, and
+    // rollback restores v1 exactly without touching data.
+    "x78_versioned" -> ((s, d) => {
+      import s.implicits._
+      import graft.catalog.Versioned
+      val root = java.nio.file.Files.createTempDirectory("graft_vers")
+      try {
+        Versioned.put(s,
+          t(s, d, "documents").where(col("doc_id") % 2 === 0)
+            .select(col("doc_id")), root.toString)
+        Versioned.commit(s, root.toString)(
+          _.where(col("doc_id") % 10 =!= 0))
+        Versioned.rollback(s, root.toString, 1)
+        def stat(df: org.apache.spark.sql.DataFrame, step: String) = {
+          val r = df.agg(count(lit(1)).cast(LongType),
+            sum(col("doc_id")).cast(LongType)).head()
+          (step, r.getLong(0), r.getLong(1))
+        }
+        // materialized eagerly so the temp root can be deleted here
+        Seq(
+          stat(Versioned.readAt(s, root.toString, 1), "v1"),
+          stat(Versioned.readAt(s, root.toString, 2), "v2"),
+          stat(Versioned.read(s, root.toString), "v3_rollback"))
+          .toDF("step", "n", "id_sum")
+          .orderBy(asc_nulls_first("step"))
+      } finally rmTree(root.toFile)
+    }),
+
     // X77 Z-order clustering (the Delta/Iceberg OPTIMIZE ZORDER layout
     // technique, Morton 1966): bucket two key columns into 16-bit
     // ranks and interleave the bits — contiguous z-ranges are small
@@ -363,6 +398,20 @@ private[graft] object CatalogGates {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the three version populations rebuilt by arithmetic
+    "x78_versioned" ->
+      """WITH v1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+         v2 AS (SELECT doc_id FROM v1 WHERE doc_id % 10 <> 0)
+         SELECT 'v1' AS step, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM v1
+         UNION ALL
+         SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(doc_id) AS BIGINT) FROM v2
+         UNION ALL
+         SELECT 'v3_rollback', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(doc_id) AS BIGINT) FROM v1
+         ORDER BY step NULLS FIRST""",
+
     // bucket + Morton interleave replayed term-for-term
     "x77_zorder" -> {
       val terms = (0 until 16).map(k =>
