@@ -62,6 +62,32 @@ private[graft] object MixingGates {
         .orderBy(asc_nulls_first("split"), asc_nulls_first("seq_id"))
     }),
 
+    // X79 quality-curriculum assembly (the mixture step between
+    // scoring and training: rank the corpus by quality, cut into
+    // deciles, keep each decile at a falling rate — best decile 100%,
+    // worst 10%). The global rank uses Ranks.globalRowNumber — the
+    // scale-safe two-level form, NOT a single-partition window — and
+    // the per-decile sampling is the x37 md5-cut predicate, so every
+    // stage is already individually oracle-proven; this gate pins the
+    // composition (rank → floor-decile → rate cut) value-for-value.
+    "x79_curriculum" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      val total = scored.count()
+      val ranked = graft.operators.Ranks.globalRowNumber(
+        scored, Seq(col("q").desc, col("doc_id").asc), "rnk")
+      val bucketed = ranked
+        .withColumn("bucket",
+          floor((col("rnk") - 1).cast(DoubleType) * 10.0 /
+            lit(total.toDouble)).cast(LongType))
+        .withColumn("bstr", col("bucket").cast(StringType))
+      val rates = (0 until 10).map(b => b.toString -> ((10 - b) / 10.0))
+      graft.operators.Mixing.weightedSample(bucketed, "bstr", "doc_id",
+          rates, defaultRate = 0.0, salt = "curr1")
+        .select(col("doc_id"), col("bucket"), col("q"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X37 deterministic domain mixing: per-source sampling rates as a
     // pure function of (salt, doc_id) — the mixture-weights stage of a
     // training pipeline. Same md5-hex-bucket construction as x24, so
@@ -209,6 +235,43 @@ private[graft] object MixingGates {
                 CAST(c.n AS BIGINT) AS n
          FROM l JOIN c USING (label)
          ORDER BY label NULLS FIRST""",
+    // quality replayed exactly as in x08, then the same global rank,
+    // floor-decile, and md5-cut predicate
+    "x79_curriculum" -> {
+      val pred = graft.operators.Mixing.sampleSql(
+        "CAST(bucket AS VARCHAR)", "doc_id",
+        (0 until 10).map(b => b.toString -> ((10 - b) / 10.0)),
+        defaultRate = 0.0, salt = "curr1")
+      s"""WITH $tokCte,
+         $punctCte,
+         sr AS (
+           SELECT doc_id, len(ts) AS n_tok,
+                  CASE WHEN len(ts) > 0 THEN
+                    ROUND(CAST(len(list_filter(ts,
+                          t -> list_contains(${sqlList(Text.enStopwords)}, t)))
+                      AS DOUBLE) / len(ts), 4)
+                  ELSE 0.0 END AS stopword_ratio
+           FROM tok),
+         qual AS (
+           SELECT d.doc_id,
+                  ROUND(
+                    LEAST(CASE WHEN sr.n_tok BETWEEN 20 AND 5000 THEN 1.0
+                               WHEN sr.n_tok > 0 THEN sr.n_tok / 20.0
+                               ELSE 0.0 END, 1.0) * 0.4 +
+                    (1.0 - LEAST(pr.punct_ratio * 5.0, 1.0)) * 0.3 +
+                    LEAST(sr.stopword_ratio * 4.0, 1.0) * 0.3, 4) AS q
+           FROM documents d JOIN pr USING (doc_id) JOIN sr USING (doc_id)),
+         r AS (SELECT doc_id, q,
+                      ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rnk,
+                      COUNT(*) OVER () AS n
+               FROM qual),
+         b AS (SELECT doc_id, q,
+                      CAST(floor((rnk - 1) * 10.0 / n) AS BIGINT) AS bucket
+               FROM r)
+         SELECT doc_id, bucket, q FROM b WHERE $pred
+         ORDER BY doc_id NULLS FIRST"""
+    },
+
     "x37_domain_mix" -> {
       val pred = graft.operators.Mixing.sampleSql("source", "doc_id",
         Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ranking. `row_number() OVER (ORDER BY …)` with
+  * no PARTITION BY collapses the whole table into ONE task in Spark —
+  * the canonical 100 TB scale killer (fine at sf0.1, dead at sf1000).
+  * The distributed form is the two-level trick the sharded cumsum
+  * operators already use:
+  *
+  *  1. `repartitionByRange` + in-partition sort on the rank order —
+  *     partition p holds a contiguous, ordered slice;
+  *  2. per-partition local indexes from
+  *     `monotonically_increasing_id()` (documented layout: partition
+  *     id in the upper bits, a per-partition sequential counter in the
+  *     lower 33 — assigned downstream of the sort in the same stage,
+  *     so it follows the sorted order);
+  *  3. per-partition row counts → one bounded driver pass (≤
+  *     #partitions rows, the Ivf-centroid precedent) → cumulative
+  *     offsets broadcast back; global rank = offset + local index + 1.
+  *
+  * The order columns must form a TOTAL order (add a unique tiebreak);
+  * ranks are then exact and independent of where the range sampler
+  * happens to place partition boundaries.
+  */
+object Ranks {
+
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      outCol: String = "rn"): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber needs at least one order column")
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val mid = sorted.withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+    // one bounded collect: a count per non-empty partition
+    val counts = mid.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // each pid's offset = count-sum of all prior (lower-range) pids
+    val running = counts.scanLeft(0L)(_ + _._2)
+    val offRows = counts.indices.map(i => (counts(i)._1, running(i)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offRows.toDF("__pid", "__off")
+    mid.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol,
+        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("__mid", "__pid", "__off")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ranks
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ranking: exact equality with the window
+  * row_number across orderings, determinism across partitioning, and
+  * the plan property the operator exists for — no single-partition
+  * exchange. */
+class RanksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val df = {
+    val rnd = new scala.util.Random(3)
+    (1L to 500L).map(i => (i, rnd.nextInt(40).toDouble / 4.0))
+      .toDF("id", "v")
+  }
+
+  test("equals window row_number under asc, desc, and tie-broken orders") {
+    for (order <- Seq(
+        Seq(col("id").asc),
+        Seq(col("v").desc, col("id").asc), // v has heavy ties
+        Seq(col("v").asc, col("id").desc))) {
+      val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(order: _*)))
+        .select("id", "rn").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Ranks.globalRowNumber(df, order)
+        .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 500)
+      want.foreach { case (id, rn) => assert(got(id) == rn.toLong, s"id $id") }
+    }
+  }
+
+  test("independent of input partitioning") {
+    val order = Seq(col("v").desc, col("id").asc)
+    val a = Ranks.globalRowNumber(df.repartition(17), order)
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Ranks.globalRowNumber(df.coalesce(1), order)
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("no single-partition exchange (the window form has one)") {
+    val order = Seq(col("v").asc, col("id").asc)
+    val windowPlan = df.withColumn("rn",
+      row_number().over(Window.orderBy(order: _*)))
+      .queryExecution.executedPlan.toString
+    assert(windowPlan.contains("SinglePartition"),
+      "baseline: the global window DOES collapse to one partition")
+    val ourPlan = Ranks.globalRowNumber(df, order)
+      .queryExecution.executedPlan.toString
+    assert(!ourPlan.contains("SinglePartition"),
+      "globalRowNumber must never collapse to one partition")
+    assert(ourPlan.contains("rangepartitioning"),
+      "rank order must be a range repartition")
+  }
+}
