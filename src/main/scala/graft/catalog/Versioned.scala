@@ -137,18 +137,34 @@ object Versioned {
       s"versioned commit on $root lost ${attempts} races — giving up")
   }
 
-  /** The commit point: create-exclusive of the log entry. */
+  /** The commit point. The entry's CONTENT is written to a hidden
+    * temp file first and the visible `.commit` name appears only via
+    * rename — so a reader can never observe a half-written entry
+    * (which would read as torn and let a concurrent commit() base on
+    * the version BEFORE it: a lost update). On HDFS the rename is
+    * atomic and fails when the destination exists, which also settles
+    * the sequence-number race; object stores substitute their
+    * PUT-if-absent. On a plain local FS the exists-check-then-rename
+    * pair has the same (tiny, test-irrelevant) window any local
+    * create-exclusive has. */
   private def tryCreateLogEntry(f: FileSystem, root: Path, seq: Long,
                                 dataName: String): Boolean = {
     val log = new Path(root, LogDirName)
     if (!f.exists(log)) f.mkdirs(log)
     val entry = new Path(log, s"${fmtSeq(seq)}.commit")
+    val tmp = new Path(log,
+      s".tmp-${fmtSeq(seq)}-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val out = f.create(entry, /* overwrite = */ false)
+      val out = f.create(tmp, /* overwrite = */ true)
       try out.write(dataName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      true
-    } catch { case _: java.io.IOException => false } // seq taken
+      if (f.exists(entry)) { f.delete(tmp, false); false } // seq taken
+      else if (f.rename(tmp, entry)) true
+      else { f.delete(tmp, false); false }
+    } catch { case _: java.io.IOException =>
+      try f.delete(tmp, false) catch { case _: Exception => }
+      false
+    }
   }
 
   def read(spark: SparkSession, root: String): DataFrame =
@@ -182,18 +198,26 @@ object Versioned {
 
   /** Delete data dirs not referenced by any of the last `keepLast`
     * commits (rollback aliases counted by REFERENCE, so a dir shared
-    * by several entries survives while any survivor names it). Orphans
-    * from crashed commits qualify only when their embedded sequence is
-    * ≤ the current max — an in-flight writer's dir is never collected.
-    * Returns the deleted dir names. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
+    * by several entries survives while any survivor names it).
+    *
+    * In-flight protection is two guards, both required: the dir's
+    * embedded sequence must be ≤ the current max (a writer building
+    * the NEXT version is never touched), AND the dir must be older
+    * than `retentionMs` (a writer whose allocated sequence was
+    * concurrently taken by another commit is still mid-write when its
+    * seq ≤ max — the age floor is what protects it, the Delta
+    * tombstone-retention rule). Returns the deleted dir names. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+             retentionMs: Long = 60L * 60 * 1000): Seq[String] = {
     val (f, p) = fs(spark, root)
     val h = history(spark, root)
     if (h.isEmpty) return Seq.empty
     val maxSeq = h.last.seq
+    val cutoff = System.currentTimeMillis() - retentionMs
     val referenced = h.takeRight(math.max(1, keepLast)).map(_.dataDir).toSet
     val deletable = f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-") &&
+        st.getModificationTime <= cutoff)
       .map(_.getPath.getName)
       .filterNot(referenced)
       .filter { name =>

@@ -58,6 +58,9 @@ object ZOrder {
     val r = df.agg(
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"zValue($xCol, $yCol): empty input or all-NULL key column — " +
+        "no bounds to bucket against")
     interleave2(
       bucket(col(xCol), r.getLong(0), r.getLong(1), bits),
       bucket(col(yCol), r.getLong(2), r.getLong(3), bits), bits)

@@ -73,9 +73,12 @@ private[graft] object MixingGates {
     "x79_curriculum" -> ((s, d) => {
       val scored = t(s, d, "documents")
         .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
-      val total = scored.count()
       val ranked = graft.operators.Ranks.globalRowNumber(
         scored, Seq(col("q").desc, col("doc_id").asc), "rnk")
+      // counted off the ranked frame: globalRowNumber checkpoints its
+      // sorted input, so this count reads the materialization instead
+      // of re-running tokenization + scoring over the corpus
+      val total = ranked.count()
       val bucketed = ranked
         .withColumn("bucket",
           floor((col("rnk") - 1).cast(DoubleType) * 10.0 /

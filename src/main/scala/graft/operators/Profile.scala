@@ -29,6 +29,12 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Backtick-quote a column name for `col()` — a dot in a name (the
+    * JSON-ingest norm this profiler exists to monitor) would otherwise
+    * parse as struct-field access; backticks in the name itself escape
+    * by doubling. */
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
   def profile(df: DataFrame, exact: Boolean = false,
               rsd: Double = 0.01): DataFrame = {
     val fields = df.schema.fields.toSeq
@@ -37,7 +43,7 @@ object Profile {
       case _ => false
     }
     val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+      val c = col(q(f.name))
       Seq(
         count(c).as(s"__cnt_${f.name}"),
         (if (exact) countDistinct(c)
@@ -57,15 +63,15 @@ object Profile {
     val perCol = fields.map { f =>
       val (mn, mx, ms, xs) =
         if (isNum(f.dataType))
-          (col(s"__min_${f.name}"), col(s"__max_${f.name}"), nullS, nullS)
+          (col(q(s"__min_${f.name}")), col(q(s"__max_${f.name}")), nullS, nullS)
         else if (f.dataType == StringType)
-          (nullD, nullD, col(s"__min_${f.name}"), col(s"__max_${f.name}"))
+          (nullD, nullD, col(q(s"__min_${f.name}")), col(q(s"__max_${f.name}")))
         else (nullD, nullD, nullS, nullS)
       struct(
         lit(f.name).as("column"),
         col("__n_rows").as("n_rows"),
-        (col("__n_rows") - col(s"__cnt_${f.name}")).as("n_null"),
-        col(s"__nd_${f.name}").as("n_distinct"),
+        (col("__n_rows") - col(q(s"__cnt_${f.name}"))).as("n_null"),
+        col(q(s"__nd_${f.name}")).as("n_distinct"),
         mn.as("min_num"), mx.as("max_num"),
         ms.as("min_str"), xs.as("max_str"))
     }

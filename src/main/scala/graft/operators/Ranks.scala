@@ -30,8 +30,17 @@ object Ranks {
                       outCol: String = "rn"): DataFrame = {
     require(order.nonEmpty, "globalRowNumber needs at least one order column")
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    // localCheckpoint PINS the partitioning: the counts collect below
+    // and the caller's consumption of the result are separate Spark
+    // jobs, and RangePartitioner's boundary sampling is seeded per
+    // physical RDD — re-executing the range shuffle in each job could
+    // place boundaries differently, pairing offsets from one
+    // partitioning with local indexes from another (wrong ranks once
+    // partitions outgrow the boundary sample — exactly the at-scale
+    // regime). One materialization, both jobs read it.
     val mid = sorted.withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
+      .localCheckpoint()
     // one bounded collect: a count per non-empty partition
     val counts = mid.groupBy(col("__pid"))
       .agg(count(lit(1)).as("n")).collect()

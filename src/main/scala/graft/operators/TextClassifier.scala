@@ -59,8 +59,12 @@ object TextClassifier {
     // a label whose docs are all empty still has a prior (left + fill)
     val labels = labDoc.join(labTok, Seq("label"), "left")
       .na.fill(0L, Seq("n_tokens"))
-    val v = toks.agg(countDistinct(col("tok"))).head().getLong(0)
-    val n = labeled.count()
+    // V and N come from the already-materialized artifacts — counting
+    // them off `toks`/`labeled` would re-run the full corpus
+    // tokenization a second time (the most expensive training pass)
+    val v = tokC.select(col("tok")).distinct().count()
+    val n = labels.agg(coalesce(sum(col("n_docs")), lit(0L)))
+      .head().getLong(0)
     NbModel(tokC, labels, v, n)
   }
 

@@ -81,10 +81,14 @@ object Warc {
     * Configuration is shipped as key/value pairs (the Configuration
     * object itself is not serializable) and rebuilt per partition.
     */
-  def read(spark: SparkSession, path: String,
-           maxPayloadBytes: Int = 1 << 20): DataFrame = {
-    val sc = spark.sparkContext
-    val hconf = sc.hadoopConfiguration
+  /** Expand a dir/glob into the matching `.warc` family files, and
+    * ship the driver Configuration as serializable key/value pairs —
+    * shared by [[read]], [[buildIndex]], [[fetchAt]] so the three
+    * paths can never silently diverge. */
+  private def listWarcFiles(spark: SparkSession, path: String,
+                            suffixes: Seq[String])
+      : (Seq[String], Array[(String, String)]) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
     val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
@@ -92,10 +96,20 @@ object Warc {
       if (st.isDirectory)
         fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath.toString)
       else Array(st.getPath.toString)
-    }.filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
-      .sorted.toSeq
-    val confKv: Array[(String, String)] =
-      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }.filter(f => suffixes.exists(f.endsWith)).sorted.toSeq
+    val confKv = hconf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    (files, confKv)
+  }
+
+  private def microsToTimestamp(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  def read(spark: SparkSession, path: String,
+           maxPayloadBytes: Int = 1 << 20): DataFrame = {
+    val sc = spark.sparkContext
+    val (files, confKv) = listWarcFiles(spark, path, Seq(".warc", ".warc.gz"))
     val cap = maxPayloadBytes
 
     val rdd = sc.parallelize(files, math.max(1, files.size))
@@ -115,10 +129,7 @@ object Warc {
           closing(in, records(maybeGunzip(new BufferedInputStream(in, 1 << 16)), cap))
             .map { r =>
               Row(file, r.recNo, r.warcType, r.targetUri,
-                r.dateEpochMicros.map(us =>
-                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-                    Math.floorDiv(us, 1000000L),
-                    Math.floorMod(us, 1000000L) * 1000L))).orNull,
+                r.dateEpochMicros.map(microsToTimestamp).orNull,
                 r.recordId, r.contentType, r.contentLength, r.truncated,
                 r.httpStatus.map(Int.box).orNull,
                 r.httpContentType.orNull, r.body)
@@ -396,17 +407,7 @@ object Warc {
     * file's walk (records already indexed are kept, never throws). */
   def buildIndex(spark: SparkSession, path: String): DataFrame = {
     val sc = spark.sparkContext
-    val hconf = sc.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(hconf)
-    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    val files: Seq[String] = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath.toString)
-      else Array(st.getPath.toString)
-    }.filter(_.endsWith(".warc.gz")).sorted.toSeq
-    val confKv: Array[(String, String)] =
-      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val (files, confKv) = listWarcFiles(spark, path, Seq(".warc.gz"))
 
     val rdd = sc.parallelize(files, math.max(1, files.size))
       .mapPartitions { it =>
@@ -419,7 +420,12 @@ object Warc {
             _.addTaskCompletionListener[Unit] { _ =>
               try in.close() catch { case _: Exception => } })
           var recNo = 0L
-          closing(in, gzipMembers(in)).flatMap { case (off, clen, head) =>
+          // a member whose payload fails WARC framing STOPS this
+          // file's walk (takeWhile), exactly like read() — the two
+          // paths must agree record-for-record on dirty archives or
+          // fetchAt ≡ full-scan silently breaks, and index rec_no
+          // could no longer be correlated with scan rec_no
+          closing(in, gzipMembers(in)).map { case (off, clen, head) =>
             // parse just the record's headers + the block prefix (the
             // HTTP status line sits at block start); the body is not
             // index payload, so a small inner cap suffices
@@ -428,13 +434,10 @@ object Warc {
             rec.map { r =>
               val n = recNo; recNo += 1
               Row(file, off, clen, n, r.warcType, r.targetUri,
-                r.dateEpochMicros.map(us =>
-                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-                    Math.floorDiv(us, 1000000L),
-                    Math.floorMod(us, 1000000L) * 1000L))).orNull,
+                r.dateEpochMicros.map(microsToTimestamp).orNull,
                 r.httpStatus.map(Int.box).orNull, r.contentLength)
             }
-          }
+          }.takeWhile(_.isDefined).flatten
         }
       }
     spark.createDataFrame(rdd, indexSchema)
@@ -458,13 +461,15 @@ object Warc {
     * read or parse is dropped, never thrown — the index may be stale
     * relative to a rewritten archive. */
   def fetchAt(spark: SparkSession, index: DataFrame,
-              maxPayloadBytes: Int = 1 << 20): DataFrame = {
+              maxPayloadBytes: Int = 1 << 20,
+              maxMemberBytes: Long = 1L << 26): DataFrame = {
     import org.apache.spark.sql.functions.col
     val sc = spark.sparkContext
     val confKv: Array[(String, String)] =
       sc.hadoopConfiguration.iterator().asScala
         .map(e => (e.getKey, e.getValue)).toArray
     val cap = maxPayloadBytes
+    val memberCap = maxMemberBytes
     val rows = index.select(col("file"), col("offset"), col("length"))
       .repartition(col("file"))
       .sortWithinPartitions(col("file"), col("offset"))
@@ -473,6 +478,7 @@ object Warc {
       val conf = new Configuration(false)
       confKv.foreach { case (k, v) => conf.set(k, v) }
       var curPath: String = null
+      var curLen = 0L
       var curIn: org.apache.hadoop.fs.FSDataInputStream = null
       def closeCur(): Unit =
         if (curIn != null) { try curIn.close() catch { case _: Exception => }; curIn = null }
@@ -484,20 +490,25 @@ object Warc {
           if (file != curPath) {
             closeCur()
             val fp = new Path(file)
-            curIn = fp.getFileSystem(conf).open(fp)
+            val fsys = fp.getFileSystem(conf)
+            curLen = fsys.getFileStatus(fp).getLen
+            curIn = fsys.open(fp)
             curPath = file
           }
-          if (len <= 0 || len > Int.MaxValue) None
+          // the length is INDEX data, i.e. untrusted relative to the
+          // file on disk: bound the allocation (one corrupt row must
+          // not OOM the executor — OutOfMemoryError is not an
+          // Exception, the catch below would not contain it) and
+          // reject ranges outside the file
+          if (len <= 0 || len > math.min(memberCap, Int.MaxValue.toLong) ||
+              off < 0 || off + len > curLen) None
           else {
             curIn.seek(off)
             val bytes = new Array[Byte](len.toInt)
             if (!readFully(curIn, bytes, len.toInt)) None
             else parseAll(bytes, cap).headOption.map { rec =>
               Row(file, off, rec.warcType, rec.targetUri,
-                rec.dateEpochMicros.map(us =>
-                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-                    Math.floorDiv(us, 1000000L),
-                    Math.floorMod(us, 1000000L) * 1000L))).orNull,
+                rec.dateEpochMicros.map(microsToTimestamp).orNull,
                 rec.recordId, rec.contentType, rec.contentLength,
                 rec.truncated, rec.httpStatus.map(Int.box).orNull,
                 rec.httpContentType.orNull, rec.body)

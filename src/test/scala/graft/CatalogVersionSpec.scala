@@ -85,15 +85,19 @@ class CatalogVersionSpec extends AnyFunSuite {
     assert(orphan.mkdir())
     assert(Versioned.read(spark, root).count() == 4) // orphan invisible
 
+    // the default retention never collects a fresh dir — an in-flight
+    // writer whose sequence got concurrently taken is still mid-write
+    assert(Versioned.vacuum(spark, root, keepLast = 2).isEmpty)
+
     // keepLast=2 keeps seq 2 and 3; seq 3 aliases seq 1's dir, so
     // THAT dir survives even though seq 1 itself is outside the window
-    val deleted = Versioned.vacuum(spark, root, keepLast = 2)
+    val deleted = Versioned.vacuum(spark, root, keepLast = 2, retentionMs = 0)
     assert(deleted == Seq("data-00000000000000000002-deadbeef"))
     assert(Versioned.read(spark, root).count() == 4)   // alias intact
     assert(Versioned.readAt(spark, root, 2).count() == 2)
 
     // dropping the window to 1 collects v2's dir; current still reads
-    val deleted2 = Versioned.vacuum(spark, root, keepLast = 1)
+    val deleted2 = Versioned.vacuum(spark, root, keepLast = 1, retentionMs = 0)
     assert(deleted2.size == 1 && deleted2.head.startsWith("data-00000000000000000002"))
     assert(Versioned.read(spark, root).count() == 4)
   }

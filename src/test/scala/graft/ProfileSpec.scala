@@ -32,6 +32,16 @@ class ProfileSpec extends AnyFunSuite {
     assert(s.getString(6) == "a" && s.getString(7) == "b")
   }
 
+  test("column names containing dots and backticks profile fine") {
+    val weird = df.withColumnRenamed("s", "user.name")
+      .withColumnRenamed("v", "a`b")
+    val p = Profile.profile(weird, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "user.name", "a`b"))
+    assert(p("user.name").getLong(3) == 2 && p("user.name").getString(6) == "a")
+    assert(p("a`b").getLong(2) == 1 && p("a`b").getDouble(5) == 7.0)
+  }
+
   test("non-numeric non-string columns profile counts only") {
     val withTs = df.withColumn("t",
       org.apache.spark.sql.functions.to_timestamp(

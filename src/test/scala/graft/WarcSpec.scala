@@ -315,6 +315,27 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("dirty archive: index stops where the full scan stops (rec_no parity)") {
+    // member 2 gunzips fine but fails WARC framing — BOTH paths must
+    // stop there, or index rec_no drifts from scan rec_no and
+    // fetchAt ≡ full-scan breaks on dirty archives
+    val bad = Warc.gzipMember("this is not a WARC record\r\n\r\n".getBytes(UTF_8))
+    val bytes = Warc.gzipMember(respRecord(1, "ok")) ++ bad ++
+      Warc.gzipMember(respRecord(2, "after"))
+    val dir = Files.createTempDirectory("graft_warc_dirty")
+    Files.write(dir.resolve("a.warc.gz"), bytes)
+    val scanned = Warc.read(spark, dir.toString).collect()
+    val idx = Warc.buildIndex(spark, dir.toString).collect()
+    assert(scanned.length == 1 && idx.length == 1)
+    assert(idx(0).getAs[Long]("rec_no") == 0L)
+    // an index row lying about its length (bigger than the file) is
+    // rejected before allocation, never thrown
+    import spark.implicits._
+    val lying = Seq((dir.resolve("a.warc.gz").toString, 0L, bytes.length + 1000L))
+      .toDF("file", "offset", "length")
+    assert(Warc.fetchAt(spark, lying).count() == 0)
+  }
+
   test("distributed read: one task per file, schema, response projection") {
     val dir = Files.createTempDirectory("graft_warc_spec")
     Files.write(dir.resolve("a.warc.gz"),
