@@ -45,10 +45,19 @@ object ZOrder {
     * position 2k, bit k of `by` at 2k+1. Pure codegen'd column
     * arithmetic — no UDF, stays inside whole-stage codegen. */
   def interleave2(bx: Column, by: Column, bits: Int): Column =
-    (0 until bits).map { k =>
-      shiftright(bx, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)) +
-        shiftright(by, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1))
-    }.reduce(_ + _)
+    interleaveN(Seq(bx, by), bits)
+
+  /** N-dimensional Morton interleave: bit k of dimension d lands at
+    * position k·N + d. Total bits must fit a signed LONG. */
+  def interleaveN(bs: Seq[Column], bits: Int): Column = {
+    require(bs.nonEmpty, "interleaveN needs at least one dimension")
+    require(bs.size * bits <= 63,
+      s"${bs.size} dims x $bits bits exceeds a signed LONG")
+    val n = bs.size
+    (for (k <- 0 until bits; (b, d) <- bs.zipWithIndex) yield
+      shiftright(b, k).bitwiseAND(lit(1L)) * lit(1L << (k * n + d)))
+      .reduce(_ + _)
+  }
 
   /** The z-value of two numeric columns, bounds computed in one scan
     * (two scalars to the driver — bounded, the Ivf-centroid

@@ -406,9 +406,13 @@ object Warc {
     * reached — `GZIPInputStream` hides this. Malformed bytes stop the
     * file's walk (records already indexed are kept, never throws). */
   def buildIndex(spark: SparkSession, path: String): DataFrame = {
-    val sc = spark.sparkContext
     val (files, confKv) = listWarcFiles(spark, path, Seq(".warc.gz"))
+    indexFiles(spark, files, confKv)
+  }
 
+  private def indexFiles(spark: SparkSession, files: Seq[String],
+                         confKv: Array[(String, String)]): DataFrame = {
+    val sc = spark.sparkContext
     val rdd = sc.parallelize(files, math.max(1, files.size))
       .mapPartitions { it =>
         val conf = new Configuration(false)
@@ -441,6 +445,25 @@ object Warc {
         }
       }
     spark.createDataFrame(rdd, indexSchema)
+  }
+
+  /** Incremental index maintenance — the daily-crawl-dump shape: new
+    * archives arrive, already-indexed ones never change (WARC files
+    * are immutable by convention). Indexes ONLY the files under
+    * `path` that `existing` has no rows for and returns just those
+    * new rows (caller appends them to the index table; with the
+    * versioned catalog, as a new commit). The existing index is
+    * touched once for its distinct file list — never re-scanned at
+    * archive level. */
+  def updateIndex(spark: SparkSession, existing: DataFrame,
+                  path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // distinct file list of the existing index: bounded driver state
+    // (one string per archive — the partition-leaf listing precedent)
+    val known = existing.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (files, confKv) = listWarcFiles(spark, path, Seq(".warc.gz"))
+    indexFiles(spark, files.filterNot(known), confKv)
   }
 
   /** Fetched-record schema: the index coordinates that located the

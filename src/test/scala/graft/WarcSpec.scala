@@ -315,6 +315,29 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("updateIndex indexes ONLY archives the existing index has no rows for") {
+    val dir = Files.createTempDirectory("graft_warc_upd")
+    Files.write(dir.resolve("day1.warc.gz"), Warc.gzipMember(respRecord(1, "a")))
+    // materialize (a DataFrame over the dir would see day2 lazily)
+    def pin(df: org.apache.spark.sql.DataFrame) = spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toSeq), Warc.indexSchema)
+    val day1Rows = pin(Warc.buildIndex(spark, dir.toString))
+
+    // corrupt day1 on disk: a true incremental update must not reopen it
+    Files.write(dir.resolve("day1.warc.gz"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("day2.warc.gz"),
+      Warc.gzipMember(respRecord(2, "b")) ++ Warc.gzipMember(respRecord(3, "c")))
+
+    val fresh = Warc.updateIndex(spark, day1Rows, dir.toString)
+    val freshRows = fresh.collect()
+    assert(freshRows.length == 2)
+    assert(freshRows.forall(_.getAs[String]("file").endsWith("day2.warc.gz")))
+    // nothing new -> empty, correct schema
+    val again = Warc.updateIndex(spark,
+      day1Rows.unionAll(pin(fresh)), dir.toString)
+    assert(again.schema == Warc.indexSchema && again.count() == 0)
+  }
+
   test("dirty archive: index stops where the full scan stops (rec_no parity)") {
     // member 2 gunzips fine but fails WARC framing — BOTH paths must
     // stop there, or index rec_no drifts from scan rec_no and

@@ -35,6 +35,27 @@ class ZOrderSpec extends AnyFunSuite {
     assert(b3 == 65535L)
   }
 
+  test("N-dim interleave: hand-computed 3-dim case, 2-dim equivalence, bit budget") {
+    val df = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+    // bit 0 of each dim -> positions 0,1,2 = 0b111 = 7
+    assert(df.select(ZOrder.interleaveN(
+      Seq(col("a"), col("b"), col("c")), 1)).head().getLong(0) == 7L)
+    // a=0b10, b=0b01, c=0b11 over 2 bits:
+    // k=0: a0=0@0, b0=1@1, c0=1@2; k=1: a1=1@3, b1=0@4, c1=1@5
+    // = 2 + 4 + 8 + 32 = 46
+    val df2 = Seq((2L, 1L, 3L)).toDF("a", "b", "c")
+    assert(df2.select(ZOrder.interleaveN(
+      Seq(col("a"), col("b"), col("c")), 2)).head().getLong(0) == 46L)
+    // interleave2 IS the N=2 case
+    val df3 = Seq((5L, 3L)).toDF("x", "y")
+    assert(df3.select(ZOrder.interleaveN(Seq(col("x"), col("y")), 3))
+      .head().getLong(0) == 27L)
+    // 4 dims x 16 bits = 64 > 63: rejected
+    intercept[IllegalArgumentException] {
+      ZOrder.interleaveN(Seq(col("a"), col("b"), col("c"), col("a")), 16)
+    }
+  }
+
   test("locality: a 2-D box touches few z-files; a 1-key sort reads all") {
     val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
