@@ -67,6 +67,36 @@ class RobotsSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 3L, 4L, 5L)) // denied and malformed drop
   }
 
+  test("property: matcher agrees with an independent regex reference") {
+    // reference: pattern -> anchored regex, matched with lookingAt
+    // semantics (prefix) via a leading ^; trailing $ keeps its anchor
+    def toRegex(p: String): java.util.regex.Pattern = {
+      val anchored = p.nonEmpty && p.endsWith("$")
+      val core = if (anchored) p.dropRight(1) else p
+      val body = core.map {
+        case '*' => ".*"
+        case c if "\\^$.|?+()[]{}".contains(c) => "\\" + c
+        case c => c.toString
+      }.mkString
+      java.util.regex.Pattern.compile("^" + body + (if (anchored) "$" else ""))
+    }
+    val alphabet = "/ab$*.x?="
+    val rnd = new scala.util.Random(19)
+    def randStr(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    var checked = 0
+    for (_ <- 1 to 4000) {
+      val path = randStr(12)
+      val pat = randStr(8)
+      val want = toRegex(pat).matcher(path).find()
+      assert(m(path, pat) == want,
+        s"path='$path' pattern='$pat' want=$want")
+      checked += 1
+    }
+    assert(checked == 4000)
+  }
+
   test("query string participates in matching; fragment does not") {
     val pq = NativeUrl.urlPathQueryEval(
       UTF8String.fromString("https://h.com/a/b?q=1&r=2#frag"))
