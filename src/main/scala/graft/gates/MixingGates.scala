@@ -91,6 +91,24 @@ private[graft] object MixingGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X81 temperature-balanced domain mixing (the mT5/LLaMA
+    // language-balancing rule): keep rates r_d = min(1, maxRate ·
+    // (n_d/n_max)^(α−1)) computed FROM THE DATA (one bounded
+    // aggregation), then the x37 md5-cut predicate. α = 0.5 halves the
+    // exponent so expected kept counts ∝ n_d^0.5 — the head domain is
+    // cut to maxRate while the tail keeps everything. The oracle
+    // recomputes sizes, rates, the exact %08x cut strings, and the
+    // predicate in SQL.
+    "x81_temperature_mix" -> ((s, d) => {
+      graft.operators.Mixing.temperatureSample(
+          t(s, d, "documents"), "source", "doc_id",
+          alpha = 0.5, maxRate = 0.9, salt = "temp1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast(LongType).as("id_sum"))
+        .orderBy(asc_nulls_first("source"))
+    }),
+
     // X37 deterministic domain mixing: per-source sampling rates as a
     // pure function of (salt, doc_id) — the mixture-weights stage of a
     // training pipeline. Same md5-hex-bucket construction as x24, so
@@ -238,6 +256,30 @@ private[graft] object MixingGates {
                 CAST(c.n AS BIGINT) AS n
          FROM l JOIN c USING (label)
          ORDER BY label NULLS FIRST""",
+    // sizes → rates → the exact %08x cuts (math.round = half-up for
+    // positives, LEAST-capped like rateCut) → the md5-cut predicate
+    "x81_temperature_mix" ->
+      """WITH sizes AS (SELECT source, COUNT(*) AS n FROM documents
+                        GROUP BY source),
+         mx AS (SELECT MAX(n) AS nmax FROM sizes),
+         rates AS (SELECT source,
+                          LEAST(1.0, power(n / CAST(nmax AS DOUBLE), -0.5)
+                                     * 0.9) AS r
+                   FROM sizes CROSS JOIN mx),
+         cuts AS (SELECT source,
+                         CASE WHEN r >= 1.0 THEN 'g'
+                              ELSE lower(lpad(to_hex(CAST(LEAST(
+                                     round(r * 4294967296.0),
+                                     4294967295) AS BIGINT)), 8, '0'))
+                         END AS cut
+                  FROM rates)
+         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+         FROM documents d JOIN cuts c ON c.source = d.source
+         WHERE substr(md5('temp1' || CAST(d.doc_id AS VARCHAR)), 1, 8) < c.cut
+         GROUP BY d.source
+         ORDER BY d.source NULLS FIRST""",
+
     // quality replayed exactly as in x08, then the same global rank,
     // floor-decile, and md5-cut predicate
     "x79_curriculum" -> {

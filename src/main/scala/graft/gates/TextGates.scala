@@ -352,6 +352,24 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X80 fill-in-the-middle transformation (Bavarian et al. 2022):
+    // PSM re-encoding <PRE>p<SUF>s<MID>m at two character offsets,
+    // applied to 3/4 of the corpus (doc_id % 4 = 3 passes through —
+    // the paper's partial-transform recipe). Offsets are doc_id
+    // arithmetic so the oracle replays the exact cuts; the
+    // hash-offset production helper (applyFim) is spec-covered.
+    "x80_fim_transform" -> ((s, d) => {
+      val n = length(col("text"))
+      val a = (col("doc_id") * 7919) % (n + 1)
+      val b = a + ((col("doc_id") * 104729) % (n - a + 1))
+      val out = when(col("doc_id") % 4 === 3, col("text"))
+        .otherwise(graft.operators.Fim.fim(col("text"), a, b))
+      t(s, d, "documents")
+        .select(col("doc_id"), out.as("fim_text"),
+          length(out).cast(LongType).as("n_chars"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X75 malformed-tolerant JSONL ingest (the interchange format LLM
     // corpora actually ship in — Dolma, RedPajama, FineWeb are all
     // jsonl.gz): documents staged as gzip JSON-lines with a
@@ -1060,6 +1078,30 @@ private[graft] object TextGates {
            e.extracted
          FROM documents d JOIN ($x68Oracle) e USING (doc_id)
          ORDER BY d.doc_id NULLS FIRST""",
+
+    // same split arithmetic, same PSM concatenation, replayed in SQL
+    "x80_fim_transform" ->
+      """WITH s AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (doc_id * 7919) % (length(text) + 1) AS a
+           FROM documents),
+         s2 AS (
+           SELECT doc_id, text, n, a,
+                  a + ((doc_id * 104729) % (n - a + 1)) AS b
+           FROM s),
+         o AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 3 THEN text
+                       ELSE '<PRE>' || substr(text, 1, CAST(a AS INT)) ||
+                            '<SUF>' || substr(text, CAST(b + 1 AS INT),
+                                              CAST(n - b AS INT)) ||
+                            '<MID>' || substr(text, CAST(a + 1 AS INT),
+                                              CAST(b - a AS INT))
+                  END AS fim_text
+           FROM s2)
+         SELECT doc_id, fim_text,
+                CAST(length(fim_text) AS BIGINT) AS n_chars
+         FROM o ORDER BY doc_id NULLS FIRST""",
 
     // both populations rebuilt by arithmetic: clean docs carry their
     // text verbatim through the JSON roundtrip, corrupt lines surface

@@ -65,6 +65,36 @@ object Mixing {
     s"${HexBucket.prefixSql(keyExpr, salt, 8)} < $cutExpr"
   }
 
+  /** Temperature-balanced domain rates (the public mT5/LLaMA
+    * language-balancing rule, Arivazhagan et al. 2019): keep rate
+    * r_d = min(1, maxRate · (n_d / n_max)^(α−1)), so expected kept
+    * counts scale as n_d^α — α = 1 keeps the natural distribution,
+    * α < 1 flattens the head so giant domains stop drowning the tail.
+    * Sizes come from ONE aggregation; the collect is bounded at one
+    * row per domain (the IVF-centroid precedent). Rates are plain
+    * doubles feeding the same md5-cut machinery as
+    * [[weightedSample]], so the whole mixture stays a deterministic
+    * map-only predicate. */
+  def temperatureRates(df: DataFrame, domainCol: String, alpha: Double,
+                       maxRate: Double = 1.0): Seq[(String, Double)] = {
+    val sizes = df.groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(sizes.nonEmpty, "temperatureRates: empty input")
+    val nmax = sizes.map(_._2).max.toDouble
+    sizes.sortBy(_._1).toSeq.map { case (dom, n) =>
+      dom -> math.min(1.0, math.pow(n / nmax, alpha - 1.0) * maxRate)
+    }
+  }
+
+  /** [[weightedSample]] under [[temperatureRates]]. */
+  def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
+                        alpha: Double, maxRate: Double = 1.0,
+                        salt: String = "temp"): DataFrame =
+    weightedSample(df, domainCol, keyCol,
+      temperatureRates(df, domainCol, alpha, maxRate),
+      defaultRate = 0.0, salt = salt)
+
   /** Deterministic corpus shuffle: order by seeded md5 of the key.
     * Spark executes the global sort as range-partition + per-partition
     * sort — the scale-correct shuffle (no single task ever sees the
