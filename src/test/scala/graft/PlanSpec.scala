@@ -454,4 +454,46 @@ class PlanSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("robots verdicts: match fused into one equi join, one partial-agg groupBy, no window sort") {
+    import spark.implicits._
+    val urls = (1L to 2000L)
+      .map(i => (i, s"https://h${i % 5}.com/p$i")).toDF("doc_id", "url")
+    val rules = Seq(("h1.com", "disallow", "/p1"), ("h2.com", "allow", "/"))
+      .toDF("host", "directive", "pattern")
+    val plan = executedPlan(graft.operators.Robots.verdicts(urls, rules))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), s"longest-match must be an agg, not a window sort:\n$plan")
+    assert(plan.contains("robots_match_native"), s"match must be the native expr in the join:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial"), s"groupBy must map-side combine:\n$plan")
+  }
+
+  test("NB classifier scoring: broadcast label fan-out, never a cartesian") {
+    import spark.implicits._
+    val m = graft.operators.TextClassifier.train(
+      Seq((1L, "a", "x y z"), (2L, "b", "p q r")).toDF("doc_id", "label", "text"))
+    val docs = (1L to 500L).map(i => (i, s"x p doc $i")).toDF("doc_id", "text")
+    val plan = executedPlan(graft.operators.TextClassifier.classify(docs, m))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"label fan-out must ride a broadcast:\n$plan")
+    graft.operators.TextClassifier.clearModelCache()
+  }
+
+  test("z-order values: bucket+interleave stays whole-stage-codegen map arithmetic") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val z = li.select(graft.catalog.ZOrder.zValue(li, "l_partkey", "l_suppkey", 16).as("z"))
+    val plan = z.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), // the WSCG stage marker
+      s"z arithmetic must stay in whole-stage codegen:\n$plan")
+    assert(!plan.contains("Exchange"), s"z computation must not shuffle:\n$plan")
+  }
+
+  test("temperature mixing: the applied plan is one map-only filter (sizes precomputed)") {
+    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"source")
+    val kept = graft.operators.Mixing.temperatureSample(docs, "source", "doc_id", alpha = 0.5)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"the keep predicate must be map-only:\n$plan")
+    assert(!plan.contains("Join"), s"rates ride a literal when-chain, not a join:\n$plan")
+  }
 }
