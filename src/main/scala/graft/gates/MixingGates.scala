@@ -91,6 +91,50 @@ private[graft] object MixingGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X82 corpus-build composition — the ingest-to-mixture chain the
+    // wave-28 operators exist for, in ONE gate: robots.txt politeness
+    // (x74's rule fixture) ∧ quality floor (x08's score ≥ 0.77, the
+    // corpus median — non-vacuous on both sides) → temperature-
+    // balanced selection over the KEEPERS (x81's rule, sizes computed
+    // from the filtered population, not the raw corpus — the linkage
+    // this composition proves). Every stage is individually
+    // oracle-proven; the composed oracle reassembles their exact SQL.
+    "x82_corpus_build" -> ((s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val path = when(id % 5 === 0, concat(lit("/articles/item"), id))
+        .when(id % 5 === 1, concat(lit("/articles/item"), id, lit("?q=1")))
+        .when(id % 5 === 2, concat(lit("/about/item"), id))
+        .when(id % 5 === 3, concat(lit("/articles/item"), id, lit("/")))
+        .otherwise(concat(lit("/private/item"), id))
+      val url = when(id % 13 === 0, concat(lit("junk:"), id))
+        .otherwise(concat(lit("https://site"), id % 7,
+          lit(".example.com"), path))
+      val docs = t(s, d, "documents")
+        .select(id, col("source"), col("text"), url.as("url"))
+      val rules = Seq(
+        ("site0.example.com", "disallow", "/private/"),
+        ("site0.example.com", "allow", "/private/item2"),
+        ("site1.example.com", "disallow", "/*?"),
+        ("site2.example.com", "disallow", "/articles/item*0$"),
+        ("site3.example.com", "disallow", "/articles"),
+        ("site3.example.com", "allow", "/articles"),
+        ("site3.example.com", "disallow", "/about"),
+        ("site4.example.com", "disallow", "/"),
+        ("site6.example.com", "allow", "/articles/"),
+        ("site6.example.com", "disallow", "/articles/item1"))
+        .toDF("host", "directive", "pattern")
+      val allowedIds = graft.operators.Robots.verdicts(docs, rules)
+        .where(col("allowed") === true).select(col("doc_id"))
+      val keepers = docs
+        .join(allowedIds, Seq("doc_id"), "left_semi")
+        .where(Text.qualityScore(col("text")) >= 0.77)
+      graft.operators.Mixing.temperatureSample(keepers, "source", "doc_id",
+          alpha = 0.5, maxRate = 0.8, salt = "build1")
+        .select(col("doc_id"), col("source"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X81 temperature-balanced domain mixing (the mT5/LLaMA
     // language-balancing rule): keep rates r_d = min(1, maxRate ·
     // (n_d/n_max)^(α−1)) computed FROM THE DATA (one bounded
@@ -256,6 +300,87 @@ private[graft] object MixingGates {
                 CAST(c.n AS BIGINT) AS n
          FROM l JOIN c USING (label)
          ORDER BY label NULLS FIRST""",
+    // the x74 robots replay + the x08 quality replay + the x81
+    // temperature replay, composed verbatim over the keeper set
+    "x82_corpus_build" ->
+      s"""WITH $tokCte,
+         $punctCte,
+         sr AS (
+           SELECT doc_id, len(ts) AS n_tok,
+                  CASE WHEN len(ts) > 0 THEN
+                    ROUND(CAST(len(list_filter(ts,
+                          t -> list_contains(${sqlList(Text.enStopwords)}, t)))
+                      AS DOUBLE) / len(ts), 4)
+                  ELSE 0.0 END AS stopword_ratio
+           FROM tok),
+         qual AS (
+           SELECT d.doc_id,
+                  ROUND(
+                    LEAST(CASE WHEN sr.n_tok BETWEEN 20 AND 5000 THEN 1.0
+                               WHEN sr.n_tok > 0 THEN sr.n_tok / 20.0
+                               ELSE 0.0 END, 1.0) * 0.4 +
+                    (1.0 - LEAST(pr.punct_ratio * 5.0, 1.0)) * 0.3 +
+                    LEAST(sr.stopword_ratio * 4.0, 1.0) * 0.3, 4) AS q
+           FROM documents d JOIN pr USING (doc_id) JOIN sr USING (doc_id)),
+         u AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE 'site' || (doc_id % 7) || '.example.com' END AS host,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+                  WHEN doc_id % 5 = 0 THEN '/articles/item' || doc_id
+                  WHEN doc_id % 5 = 1 THEN '/articles/item' || doc_id || '?q=1'
+                  WHEN doc_id % 5 = 2 THEN '/about/item' || doc_id
+                  WHEN doc_id % 5 = 3 THEN '/articles/item' || doc_id || '/'
+                  ELSE '/private/item' || doc_id END AS pathq
+           FROM documents),
+         r(host, is_allow, pattern, rx) AS (VALUES
+           ('site0.example.com', FALSE, '/private/',         '^/private/'),
+           ('site0.example.com', TRUE,  '/private/item2',    '^/private/item2'),
+           ('site1.example.com', FALSE, '/*?',               '^/.*\\?'),
+           ('site2.example.com', FALSE, '/articles/item*0$$', '^/articles/item.*0$$'),
+           ('site3.example.com', FALSE, '/articles',         '^/articles'),
+           ('site3.example.com', TRUE,  '/articles',         '^/articles'),
+           ('site3.example.com', FALSE, '/about',            '^/about'),
+           ('site4.example.com', FALSE, '/',                 '^/'),
+           ('site6.example.com', TRUE,  '/articles/',        '^/articles/'),
+           ('site6.example.com', FALSE, '/articles/item1',   '^/articles/item1')),
+         m AS (
+           SELECT u.doc_id, u.pathq, r.pattern, r.is_allow,
+                  ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                    ORDER BY length(r.pattern) DESC NULLS LAST,
+                             r.is_allow DESC) AS rn
+           FROM u LEFT JOIN r
+             ON r.host = u.host AND regexp_matches(u.pathq, r.rx)),
+         verdicts AS (
+           SELECT doc_id,
+                  CASE WHEN pathq IS NULL THEN NULL
+                       WHEN pattern IS NULL THEN TRUE
+                       ELSE is_allow END AS allowed
+           FROM m WHERE rn = 1),
+         keepers AS (
+           SELECT d.doc_id, d.source
+           FROM documents d
+           JOIN verdicts v USING (doc_id)
+           JOIN qual q USING (doc_id)
+           WHERE v.allowed = TRUE AND q.q >= 0.77),
+         sizes AS (SELECT source, COUNT(*) AS n FROM keepers GROUP BY source),
+         mx AS (SELECT MAX(n) AS nmax FROM sizes),
+         rates AS (SELECT source,
+                          LEAST(1.0, power(n / CAST(nmax AS DOUBLE), -0.5)
+                                     * 0.8) AS rt
+                   FROM sizes CROSS JOIN mx),
+         cuts AS (SELECT source,
+                         CASE WHEN rt >= 1.0 THEN 'g'
+                              ELSE lower(lpad(to_hex(CAST(LEAST(
+                                     round(rt * 4294967296.0),
+                                     4294967295) AS BIGINT)), 8, '0'))
+                         END AS cut
+                  FROM rates)
+         SELECT k.doc_id, k.source
+         FROM keepers k JOIN cuts c USING (source)
+         WHERE substr(md5('build1' || CAST(k.doc_id AS VARCHAR)), 1, 8) < c.cut
+         ORDER BY k.doc_id NULLS FIRST""",
+
     // sizes → rates → the exact %08x cuts (math.round = half-up for
     // positives, LEAST-capped like rateCut) → the md5-cut predicate
     "x81_temperature_mix" ->
