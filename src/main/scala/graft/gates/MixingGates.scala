@@ -126,9 +126,13 @@ private[graft] object MixingGates {
         .toDF("host", "directive", "pattern")
       val allowedIds = graft.operators.Robots.verdicts(docs, rules)
         .where(col("allowed") === true).select(col("doc_id"))
+      // pinned: temperatureSample reads its input twice (sizes pass +
+      // the keep filter) — materialize the robots-join + quality
+      // pipeline once instead of running it twice
       val keepers = docs
         .join(allowedIds, Seq("doc_id"), "left_semi")
         .where(Text.qualityScore(col("text")) >= 0.77)
+        .localCheckpoint()
       graft.operators.Mixing.temperatureSample(keepers, "source", "doc_id",
           alpha = 0.5, maxRate = 0.8, salt = "build1")
         .select(col("doc_id"), col("source"))
@@ -366,8 +370,9 @@ private[graft] object MixingGates {
          sizes AS (SELECT source, COUNT(*) AS n FROM keepers GROUP BY source),
          mx AS (SELECT MAX(n) AS nmax FROM sizes),
          rates AS (SELECT source,
-                          LEAST(1.0, power(n / CAST(nmax AS DOUBLE), -0.5)
-                                     * 0.8) AS rt
+                          floor(LEAST(1.0, power(n / CAST(nmax AS DOUBLE), -0.5)
+                                           * 0.8) * 1000000 + 0.5)
+                            / 1000000 AS rt
                    FROM sizes CROSS JOIN mx),
          cuts AS (SELECT source,
                          CASE WHEN rt >= 1.0 THEN 'g'
@@ -388,8 +393,9 @@ private[graft] object MixingGates {
                         GROUP BY source),
          mx AS (SELECT MAX(n) AS nmax FROM sizes),
          rates AS (SELECT source,
-                          LEAST(1.0, power(n / CAST(nmax AS DOUBLE), -0.5)
-                                     * 0.9) AS r
+                          floor(LEAST(1.0, power(n / CAST(nmax AS DOUBLE), -0.5)
+                                           * 0.9) * 1000000 + 0.5)
+                            / 1000000 AS r
                    FROM sizes CROSS JOIN mx),
          cuts AS (SELECT source,
                          CASE WHEN r >= 1.0 THEN 'g'

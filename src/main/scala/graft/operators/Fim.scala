@@ -49,7 +49,13 @@ object Fim {
     val b = a + h("b") % (n - a + 1)
     val transform = HexBucket.prefix(col(keyCol), salt, 8)
       .lt(lit(Mixing.rateCut(rate)))
+    // a NULL key makes `transform` NULL, which would silently route
+    // the row to the untransformed branch at ANY rate — fail fast
+    // instead (the capPerDomain/tokenBudget convention)
     df.withColumn(outCol,
-      when(transform, fim(col(textCol), a, b)).otherwise(col(textCol)))
+      when(col(keyCol).isNull,
+        raise_error(lit(s"applyFim: NULL $keyCol — keys must be non-null")))
+        .when(transform, fim(col(textCol), a, b))
+        .otherwise(col(textCol)))
   }
 }

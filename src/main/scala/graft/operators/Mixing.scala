@@ -77,17 +77,31 @@ object Mixing {
     * map-only predicate. */
   def temperatureRates(df: DataFrame, domainCol: String, alpha: Double,
                        maxRate: Double = 1.0): Seq[(String, Double)] = {
-    val sizes = df.groupBy(col(domainCol).cast("string").as("__d"))
+    // NULL domains get no rate row: weightedSample's when-chain sends
+    // them to the default rate (0.0 → dropped) — the same fate a NULL
+    // domain meets in every sampler here, never an NPE in the sort
+    val sizes = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("__d"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(sizes.nonEmpty, "temperatureRates: empty input")
     val nmax = sizes.map(_._2).max.toDouble
     sizes.sortBy(_._1).toSeq.map { case (dom, n) =>
-      dom -> math.min(1.0, math.pow(n / nmax, alpha - 1.0) * maxRate)
+      val r = math.min(1.0, math.pow(n / nmax, alpha - 1.0) * maxRate)
+      // quantize to 1e-6 BEFORE the cut: pow is not IEEE
+      // correctly-rounded, so an oracle replaying it in another
+      // engine can differ by an ulp — after this floor both engines
+      // agree unless their pows straddle a 5e-7 boundary within
+      // ~1e-16, which is the same accepted-risk class as x57's ln
+      dom -> math.floor(r * 1e6 + 0.5) / 1e6
     }
   }
 
-  /** [[weightedSample]] under [[temperatureRates]]. */
+  /** [[weightedSample]] under [[temperatureRates]]. Note the sizes
+    * aggregation is one EXTRA pass over `df`'s lineage (the
+    * ZOrder.zValue bounds shape) — when the input is an expensive
+    * pipeline, persist/localCheckpoint it upstream so the pass reads
+    * a materialization instead of recomputing. */
   def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
                         alpha: Double, maxRate: Double = 1.0,
                         salt: String = "temp"): DataFrame =

@@ -450,11 +450,18 @@ object Warc {
   /** Incremental index maintenance — the daily-crawl-dump shape: new
     * archives arrive, already-indexed ones never change (WARC files
     * are immutable by convention). Indexes ONLY the files under
-    * `path` that `existing` has no rows for and returns just those
-    * new rows (caller appends them to the index table; with the
-    * versioned catalog, as a new commit). The existing index is
-    * touched once for its distinct file list — never re-scanned at
-    * archive level. */
+    * `path` that `existing` has no rows for and returns just the new
+    * rows (caller appends them to the index table; with the versioned
+    * catalog, as a new commit). The existing index is touched once
+    * for its distinct file list — never re-scanned at archive level.
+    *
+    * A scanned archive that yields ZERO records (empty, or malformed
+    * from the first member) gets one SENTINEL row — `rec_no = -1`,
+    * zero offset/length, NULL metadata — so the next incremental run
+    * knows it was visited and never re-opens it (without the
+    * sentinel, a corrupt archive would be re-downloaded and
+    * re-gunzipped on every run forever). [[fetchAt]] drops sentinel
+    * rows (length 0) and record queries filter `rec_no >= 0`. */
   def updateIndex(spark: SparkSession, existing: DataFrame,
                   path: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -463,7 +470,21 @@ object Warc {
     val known = existing.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     val (files, confKv) = listWarcFiles(spark, path, Seq(".warc.gz"))
-    indexFiles(spark, files.filterNot(known), confKv)
+    val fresh = files.filterNot(known)
+    if (fresh.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], indexSchema)
+    // pin the scan (the Ranks precedent): the indexed-files check
+    // below and the caller's consumption are separate jobs — without
+    // this the archives would be gunzipped twice
+    val rows = indexFiles(spark, fresh, confKv).localCheckpoint()
+    val nonEmpty = rows.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val sentinels = fresh.filterNot(nonEmpty).map(f =>
+      Row(f, 0L, 0L, -1L, null, null, null, null, 0L))
+    if (sentinels.isEmpty) rows
+    else rows.unionAll(spark.createDataFrame(
+      spark.sparkContext.parallelize(sentinels, 1), indexSchema))
   }
 
   /** Fetched-record schema: the index coordinates that located the

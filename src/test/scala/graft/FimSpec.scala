@@ -54,6 +54,25 @@ class FimSpec extends AnyFunSuite {
       .where(col("fim_text").startsWith("<PRE>")).count() == half)
   }
 
+  test("applyFim fails fast on NULL keys (never a silent passthrough)") {
+    val docs = Seq((Some(1L), "a doc"), (None, "null-key doc"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Fim.applyFim(docs, "text", "doc_id", rate = 1.0).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("temperatureRates drops NULL domains (sampler sends them to the default)") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b")))
+      .toDF("id", "dom")
+    val r = Mixing.temperatureRates(df, "dom", alpha = 0.5).toMap
+    assert(r.keySet == Set("a", "b")) // no NPE, no null key
+    // and the null-domain row is dropped by the sampler
+    val kept = Mixing.temperatureSample(df, "dom", "id", alpha = 0.5)
+    assert(kept.where(col("dom").isNull).count() == 0)
+  }
+
   test("temperatureRates: hand-computed, alpha=1 natural, kept ~ n^alpha") {
     val df = (Seq.fill(1600)("big") ++ Seq.fill(100)("small"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "dom")

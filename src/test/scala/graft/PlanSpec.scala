@@ -465,7 +465,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Window"), s"longest-match must be an agg, not a window sort:\n$plan")
     assert(plan.contains("robots_match_native"), s"match must be the native expr in the join:\n$plan")
-    assert(plan.contains("partial_max") || plan.contains("partial"), s"groupBy must map-side combine:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"THIS groupBy's longest-match max must map-side combine:\n$plan")
   }
 
   test("NB classifier scoring: broadcast label fan-out, never a cartesian") {

@@ -336,6 +336,24 @@ class WarcSpec extends AnyFunSuite {
     val again = Warc.updateIndex(spark,
       day1Rows.unionAll(pin(fresh)), dir.toString)
     assert(again.schema == Warc.indexSchema && again.count() == 0)
+
+    // a zero-record archive (corrupt from byte 0) gets a SENTINEL row
+    // so the NEXT run knows it was visited and never re-opens it
+    Files.write(dir.resolve("day3.warc.gz"), Array[Byte](9, 9, 9))
+    val withBad = Warc.updateIndex(spark,
+      day1Rows.unionAll(pin(fresh)), dir.toString).collect()
+    assert(withBad.length == 1)
+    assert(withBad(0).getAs[String]("file").endsWith("day3.warc.gz"))
+    assert(withBad(0).getAs[Long]("rec_no") == -1L &&
+      withBad(0).getAs[Long]("length") == 0L)
+    // with the sentinel appended, the corrupt archive is now known
+    val sentinelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(withBad.toSeq), Warc.indexSchema)
+    assert(Warc.updateIndex(spark,
+      day1Rows.unionAll(pin(fresh)).unionAll(sentinelDf), dir.toString)
+      .count() == 0)
+    // fetchAt drops sentinel rows (zero length), never throws
+    assert(Warc.fetchAt(spark, sentinelDf).count() == 0)
   }
 
   test("dirty archive: index stops where the full scan stops (rec_no parity)") {
