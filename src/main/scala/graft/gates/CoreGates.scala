@@ -322,6 +322,27 @@ private[graft] object CoreGates {
           .otherwise(col("c_mktsegment")).as("seg"))
       graft.operators.Profile.profile(v, exact = true)
     }),
+
+    // X83 PSI distribution-drift detection (the per-ingest monitor
+    // that pairs with x76's profile: did this batch change shape?).
+    // Reference = even orders' totalprice; current = odd orders with
+    // every 5th customer's prices inflated 1.5x — a real drifted
+    // subset, so the overflow bucket and several interior terms are
+    // non-zero. Per-bucket terms are quantized to LONG before any
+    // sum (the x57 convention); the oracle replays bounds, buckets,
+    // smoothed shares, and the quantized ln terms.
+    "x83_psi_drift" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ref = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_totalprice").as("v"))
+      val cur = o.where(col("o_orderkey") % 2 === 1)
+        .select((col("o_totalprice") *
+          when(col("o_custkey") % 5 === 0, 1.5).otherwise(1.0)).as("v"))
+      graft.operators.Drift.psiByBucket(ref, cur, "v", k = 10)
+        .select(col("bucket").cast(LongType).as("bucket"),
+          col("n_ref"), col("n_cur"), col("term_e6"))
+        .orderBy(asc_nulls_first("bucket"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -522,5 +543,41 @@ private[graft] object CoreGates {
                 CAST(COUNT(DISTINCT seg) AS BIGINT),
                 NULL, NULL, MIN(seg), MAX(seg) FROM v
          ORDER BY "column"""",
+    // bounds from the reference, equal-width buckets + under/overflow,
+    // 1e-6 smoothed shares, quantized ln terms
+    "x83_psi_drift" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders
+                      WHERE o_orderkey % 2 = 0),
+         cur AS (SELECT o_totalprice *
+                        CASE WHEN o_custkey % 5 = 0 THEN 1.5 ELSE 1.0 END AS v
+                 FROM orders WHERE o_orderkey % 2 = 1),
+         b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM ref),
+         hr AS (SELECT CASE WHEN v < b.mn THEN -1 WHEN v >= b.mx THEN 10
+                            ELSE CAST(floor((v - b.mn) /
+                                            ((b.mx - b.mn) / 10)) AS INT)
+                       END AS bucket, COUNT(*) AS n_ref
+                FROM ref CROSS JOIN b GROUP BY 1),
+         hc AS (SELECT CASE WHEN v < b.mn THEN -1 WHEN v >= b.mx THEN 10
+                            ELSE CAST(floor((v - b.mn) /
+                                            ((b.mx - b.mn) / 10)) AS INT)
+                       END AS bucket, COUNT(*) AS n_cur
+                FROM cur CROSS JOIN b GROUP BY 1),
+         grid AS (SELECT CAST(unnest(range(-1, 11)) AS INT) AS bucket),
+         j AS (SELECT g.bucket, COALESCE(hr.n_ref, 0) AS n_ref,
+                      COALESCE(hc.n_cur, 0) AS n_cur
+               FROM grid g LEFT JOIN hr USING (bucket)
+                           LEFT JOIN hc USING (bucket)),
+         t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+         SELECT CAST(j.bucket AS BIGINT) AS bucket,
+                CAST(j.n_ref AS BIGINT) AS n_ref,
+                CAST(j.n_cur AS BIGINT) AS n_cur,
+                CAST(floor(
+                  (GREATEST(j.n_ref / CAST(t.tr AS DOUBLE), 0.000001) -
+                   GREATEST(j.n_cur / CAST(t.tc AS DOUBLE), 0.000001)) *
+                  ln(GREATEST(j.n_ref / CAST(t.tr AS DOUBLE), 0.000001) /
+                     GREATEST(j.n_cur / CAST(t.tc AS DOUBLE), 0.000001)) *
+                  1000000 + 0.5) AS BIGINT) AS term_e6
+         FROM j CROSS JOIN t
+         ORDER BY bucket NULLS FIRST""",
   )
 }
