@@ -45,6 +45,23 @@ object Text {
     graft.expressions.NativeText.chunks(c, size, size - overlap)
   }
 
+  /** Sentence segmentation with a PORTABLE, regex-specified rule: a
+    * sentence boundary is a run of `.!?` followed by one-or-more
+    * spaces and then `A-Z` or `0-9`; the punctuation stays with the
+    * left sentence, the separating spaces are dropped. Composed from
+    * built-ins (regexp_replace marker + split, both codegen'd; the
+    * empty-drop filter is a cheap HOF over the few resulting
+    * sentences) — Spark's own `sentences()` uses
+    * java.text.BreakIterator, whose locale-dependent output no other
+    * engine can replay; this rule is the same RE2-portable pipeline
+    * the oracle runs verbatim. Returns `array<string>` with empties
+    * dropped. */
+  def sentenceSplit(c: Column): Column =
+    filter(
+      split(regexp_replace(c, "([.!?]+) +([A-Z0-9])", "$1\u0001$2"),
+        "\u0001"),
+      s => length(s) > 0)
+
   /** [[chunks]] plus each window's token count, as
     * `array<struct<chunk string, n_tok bigint>>` — counts come from
     * the window construction itself, so downstream never re-tokenizes

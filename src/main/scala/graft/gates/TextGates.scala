@@ -352,6 +352,22 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X84 sentence segmentation (portable regex rule — boundary =
+    // [.!?]+ then spaces then [A-Z0-9]; Spark's builtin sentences()
+    // is BreakIterator/locale-bound and unreplayable). FULL-value
+    // check on the count and the first/last sentence per doc; the
+    // oracle runs the identical marker-replace pipeline in RE2.
+    "x84_sentences" -> ((s, d) => {
+      val ss = Text.sentenceSplit(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), ss.as("ss"))
+        .select(col("doc_id"),
+          size(col("ss")).cast(LongType).as("n_sent"),
+          when(size(col("ss")) > 0, element_at(col("ss"), 1)).as("first_s"),
+          when(size(col("ss")) > 0, element_at(col("ss"), -1)).as("last_s"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X80 fill-in-the-middle transformation (Bavarian et al. 2022):
     // PSM re-encoding <PRE>p<SUF>s<MID>m at two character offsets,
     // applied to 3/4 of the corpus (doc_id % 4 = 3 passes through —
@@ -1078,6 +1094,22 @@ private[graft] object TextGates {
            e.extracted
          FROM documents d JOIN ($x68Oracle) e USING (doc_id)
          ORDER BY d.doc_id NULLS FIRST""",
+
+    // identical marker-replace pipeline in RE2; list indexing for
+    // first/last (out-of-range -> NULL matches the guarded Spark side)
+    "x84_sentences" ->
+      """WITH sp AS (
+           SELECT doc_id,
+                  list_filter(
+                    string_split(
+                      regexp_replace(text, '([.!?]+) +([A-Z0-9])',
+                                     '\1' || chr(1) || '\2', 'g'),
+                      chr(1)),
+                    x -> x <> '') AS ss
+           FROM documents)
+         SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sent,
+                ss[1] AS first_s, ss[len(ss)] AS last_s
+         FROM sp ORDER BY doc_id NULLS FIRST""",
 
     // same split arithmetic, same PSM concatenation, replayed in SQL
     "x80_fim_transform" ->

@@ -170,6 +170,24 @@ class TextSpec extends AnyFunSuite {
     assert(r == Seq("a b", "b c", "c d"))
   }
 
+  test("sentenceSplit: boundary rule, punctuation kept left, no false splits") {
+    def ss(t: String): Seq[String] =
+      Seq(t).toDF("t").select(graft.functions.Text.sentenceSplit(col("t")))
+        .head().getSeq[String](0)
+    assert(ss("One two. Three four! Five?") ==
+      Seq("One two.", "Three four!", "Five?"))
+    assert(ss("Wait... Really?! Yes.") == Seq("Wait...", "Really?!", "Yes."))
+    // lowercase continuation and abbreviations-without-space never split
+    assert(ss("approx. value is 3.14 e.g. here") ==
+      Seq("approx. value is 3.14 e.g. here"))
+    // digits can open a sentence; multiple spaces collapse away
+    assert(ss("Done.  2 more left.") == Seq("Done.", "2 more left."))
+    // adjacent one-char sentences (non-overlapping scan still finds both)
+    assert(ss("Hi. A. Go.") == Seq("Hi.", "A.", "Go."))
+    assert(ss("no boundary here") == Seq("no boundary here"))
+    assert(ss("") == Seq.empty)
+  }
+
   test("chunks: overlapping token windows, short tail, case preserved") {
     def chunksOf(t: String, size: Int, overlap: Int): Seq[String] =
       Seq(t).toDF("t").select(Text.chunks($"t", size, overlap).as("c"))
