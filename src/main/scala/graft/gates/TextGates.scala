@@ -420,28 +420,9 @@ private[graft] object TextGates {
     // anchored regex and the same longest-then-allow window.
     "x74_robots" -> ((s, d) => {
       import s.implicits._
-      val id = col("doc_id")
-      val path = when(id % 5 === 0, concat(lit("/articles/item"), id))
-        .when(id % 5 === 1, concat(lit("/articles/item"), id, lit("?q=1")))
-        .when(id % 5 === 2, concat(lit("/about/item"), id))
-        .when(id % 5 === 3, concat(lit("/articles/item"), id, lit("/")))
-        .otherwise(concat(lit("/private/item"), id))
-      val url = when(id % 13 === 0, concat(lit("junk:"), id))
-        .otherwise(concat(lit("https://site"), id % 7,
-          lit(".example.com"), path))
-      val urls = t(s, d, "documents").select(id, url.as("url"))
-      val rules = Seq(
-        ("site0.example.com", "disallow", "/private/"),
-        ("site0.example.com", "allow", "/private/item2"),
-        ("site1.example.com", "disallow", "/*?"),
-        ("site2.example.com", "disallow", "/articles/item*0$"),
-        ("site3.example.com", "disallow", "/articles"),
-        ("site3.example.com", "allow", "/articles"),
-        ("site3.example.com", "disallow", "/about"),
-        ("site4.example.com", "disallow", "/"),
-        ("site6.example.com", "allow", "/articles/"),
-        ("site6.example.com", "disallow", "/articles/item1"))
-        .toDF("host", "directive", "pattern")
+      val urls = t(s, d, "documents")
+        .select(col("doc_id"), robotsUrl(col("doc_id")).as("url"))
+      val rules = robotsRules.toDF("host", "directive", "pattern")
       graft.operators.Robots.verdicts(urls, rules)
         .orderBy(asc_nulls_first("doc_id"))
     }),
@@ -1150,40 +1131,8 @@ private[graft] object TextGates {
     // rule patterns replayed as anchored regexes; longest-then-allow
     // via ROW_NUMBER; pathq arithmetic mirrors the gate's CASE
     "x74_robots" ->
-      """WITH u AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 13 = 0 THEN NULL
-                  ELSE 'site' || (doc_id % 7) || '.example.com' END AS host,
-             CASE WHEN doc_id % 13 = 0 THEN NULL
-                  WHEN doc_id % 5 = 0 THEN '/articles/item' || doc_id
-                  WHEN doc_id % 5 = 1 THEN '/articles/item' || doc_id || '?q=1'
-                  WHEN doc_id % 5 = 2 THEN '/about/item' || doc_id
-                  WHEN doc_id % 5 = 3 THEN '/articles/item' || doc_id || '/'
-                  ELSE '/private/item' || doc_id END AS pathq
-           FROM documents),
-         r(host, is_allow, pattern, rx) AS (VALUES
-           ('site0.example.com', FALSE, '/private/',         '^/private/'),
-           ('site0.example.com', TRUE,  '/private/item2',    '^/private/item2'),
-           ('site1.example.com', FALSE, '/*?',               '^/.*\?'),
-           ('site2.example.com', FALSE, '/articles/item*0$', '^/articles/item.*0$'),
-           ('site3.example.com', FALSE, '/articles',         '^/articles'),
-           ('site3.example.com', TRUE,  '/articles',         '^/articles'),
-           ('site3.example.com', FALSE, '/about',            '^/about'),
-           ('site4.example.com', FALSE, '/',                 '^/'),
-           ('site6.example.com', TRUE,  '/articles/',        '^/articles/'),
-           ('site6.example.com', FALSE, '/articles/item1',   '^/articles/item1')),
-         m AS (
-           SELECT u.doc_id, u.pathq, r.pattern, r.is_allow,
-                  ROW_NUMBER() OVER (PARTITION BY u.doc_id
-                    ORDER BY length(r.pattern) DESC NULLS LAST,
-                             r.is_allow DESC) AS rn
-           FROM u LEFT JOIN r
-             ON r.host = u.host AND regexp_matches(u.pathq, r.rx))
-         SELECT doc_id,
-                CASE WHEN pathq IS NULL THEN NULL
-                     WHEN pattern IS NULL THEN TRUE
-                     ELSE is_allow END AS allowed
-         FROM m WHERE rn = 1
+      s"""WITH $robotsOracleCtes
+         SELECT doc_id, allowed FROM verdicts
          ORDER BY doc_id NULLS FIRST""",
 
     // full NB replay: per-label token counts, totals, V, N, the

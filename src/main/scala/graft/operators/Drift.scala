@@ -44,13 +44,15 @@ object Drift {
     val mn = b.getDouble(0)
     val mx = b.getDouble(1)
     val width = (mx - mn) / k
+    // a constant reference (mn == mx) routes ALL in-range mass to the
+    // overflow cell via the v >= mx clause — a point-mass reference
+    // has no interior width to bucket into, and the oracle's CASE has
+    // the same clause order, so both engines agree
     def bucketOf(v: org.apache.spark.sql.Column) =
       when(v.isNull, lit(null))
         .when(v < mn, lit(-1))
         .when(v >= mx, lit(k))
-        .otherwise(
-          if (width == 0.0) lit(0)
-          else floor((v - lit(mn)) / lit(width)).cast("int"))
+        .otherwise(floor((v - lit(mn)) / lit(width)).cast("int"))
     def hist(df: DataFrame) = df
       .select(bucketOf(col(colName)).as("bucket"))
       .where(col("bucket").isNotNull)
@@ -59,10 +61,14 @@ object Drift {
     val spark = ref.sparkSession
     import spark.implicits._
     val allBuckets = (-1 to k).toDF("bucket")
+    // pinned (k+2 rows): the totals head() below and the caller's
+    // consumption are separate jobs — without this both corpus-sized
+    // histogram aggregations would run twice
     val joined = allBuckets
       .join(hist(ref).withColumnRenamed("n", "n_ref"), Seq("bucket"), "left")
       .join(hist(cur).withColumnRenamed("n", "n_cur"), Seq("bucket"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
+      .localCheckpoint()
     // shares against each side's total; empty buckets floor at 1e-6
     val totals = joined.agg(sum(col("n_ref")), sum(col("n_cur"))).head()
     val (tr, tc) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)

@@ -84,7 +84,9 @@ object Mixing {
       .groupBy(col(domainCol).cast("string").as("__d"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(sizes.nonEmpty, "temperatureRates: empty input")
+    require(sizes.nonEmpty,
+      "temperatureRates: no rows with a non-NULL domain " +
+        "(empty input, or the domain column is entirely NULL)")
     val nmax = sizes.map(_._2).max.toDouble
     sizes.sortBy(_._1).toSeq.map { case (dom, n) =>
       val r = math.min(1.0, math.pow(n / nmax, alpha - 1.0) * maxRate)

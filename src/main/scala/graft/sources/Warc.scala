@@ -455,13 +455,20 @@ object Warc {
     * catalog, as a new commit). The existing index is touched once
     * for its distinct file list — never re-scanned at archive level.
     *
-    * A scanned archive that yields ZERO records (empty, or malformed
-    * from the first member) gets one SENTINEL row — `rec_no = -1`,
-    * zero offset/length, NULL metadata — so the next incremental run
-    * knows it was visited and never re-opens it (without the
-    * sentinel, a corrupt archive would be re-downloaded and
-    * re-gunzipped on every run forever). [[fetchAt]] drops sentinel
-    * rows (length 0) and record queries filter `rec_no >= 0`. */
+    * A scanned archive that yields ZERO records gets one SENTINEL
+    * row — `rec_no = -1`, zero offset/length, NULL metadata, and the
+    * file's on-disk size at scan time in `content_length` — so the
+    * next incremental run knows it was visited and never re-opens it
+    * (without the sentinel, a corrupt archive would be re-downloaded
+    * and re-gunzipped on every run forever). Because the streamed
+    * parser absorbs transient I/O errors the same way it absorbs
+    * malformed bytes, an empty first scan is RETRIED once before the
+    * sentinel is written — a connection reset must not permanently
+    * blacklist a healthy archive; genuinely corrupt files cost one
+    * cheap re-scan (the walk stops at the bad member). The recorded
+    * size lets a caller detect a later rewrite and drop the
+    * sentinel. [[fetchAt]] drops sentinel rows (zero length) and
+    * record queries filter `rec_no >= 0`. */
   def updateIndex(spark: SparkSession, existing: DataFrame,
                   path: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -478,12 +485,25 @@ object Warc {
     // below and the caller's consumption are separate jobs — without
     // this the archives would be gunzipped twice
     val rows = indexFiles(spark, fresh, confKv).localCheckpoint()
-    val nonEmpty = rows.select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val sentinels = fresh.filterNot(nonEmpty).map(f =>
-      Row(f, 0L, 0L, -1L, null, null, null, null, 0L))
-    if (sentinels.isEmpty) rows
-    else rows.unionAll(spark.createDataFrame(
+    def nonEmptyFiles(df: DataFrame): Set[String] =
+      df.select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val empty1 = fresh.filterNot(nonEmptyFiles(rows))
+    if (empty1.isEmpty) return rows
+    // retry the empty files once: a transient read error looks exactly
+    // like corruption to the never-throw parser, and must not earn a
+    // permanent sentinel
+    val retried = indexFiles(spark, empty1, confKv).localCheckpoint()
+    val stillEmpty = empty1.filterNot(nonEmptyFiles(retried))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sentinels = stillEmpty.map { f =>
+      val fp = new Path(f)
+      val sz = try fp.getFileSystem(hconf).getFileStatus(fp).getLen
+      catch { case _: Exception => 0L }
+      Row(f, 0L, 0L, -1L, null, null, null, null, sz)
+    }
+    val withRetry = rows.unionAll(retried)
+    if (sentinels.isEmpty) withRetry
+    else withRetry.unionAll(spark.createDataFrame(
       spark.sparkContext.parallelize(sentinels, 1), indexSchema))
   }
 

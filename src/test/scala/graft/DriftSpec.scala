@@ -55,9 +55,11 @@ class DriftSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Drift.psi(ref.where(lit(false)), ref, "v")
     }
-    // all-equal reference: width 0, everything in bucket 0 / overflow
+    // all-equal reference: a point mass has no interior width — ALL
+    // in-range values satisfy v >= mx and land in the overflow cell
     val const = Seq(5.0, 5.0, 5.0).toDF("v")
     val rows = Drift.psiByBucket(const, const, "v").collect()
     assert(rows.map(_.getLong(3)).sum == 0L) // identical -> zero drift
+    assert(rows.find(_.getInt(0) == 10).get.getLong(1) == 3L) // overflow holds the mass
   }
 }

@@ -346,6 +346,9 @@ class WarcSpec extends AnyFunSuite {
     assert(withBad(0).getAs[String]("file").endsWith("day3.warc.gz"))
     assert(withBad(0).getAs[Long]("rec_no") == -1L &&
       withBad(0).getAs[Long]("length") == 0L)
+    // the sentinel records the on-disk size so a later rewrite of the
+    // archive is detectable (and the caller can drop the sentinel)
+    assert(withBad(0).getAs[Long]("content_length") == 3L)
     // with the sentinel appended, the corrupt archive is now known
     val sentinelDf = spark.createDataFrame(
       spark.sparkContext.parallelize(withBad.toSeq), Warc.indexSchema)
