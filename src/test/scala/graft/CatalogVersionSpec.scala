@@ -37,6 +37,22 @@ class CatalogVersionSpec extends AnyFunSuite {
     assert(h.head.dataDir == h.last.dataDir)
   }
 
+  test("rollback of a rollback; unknown versions fail with clear errors") {
+    val root = freshRoot()
+    Versioned.put(spark, (1L to 4L).toDF("id"), root)            // v1
+    Versioned.commit(spark, root)(_.where(col("id") <= 2))       // v2
+    Versioned.rollback(spark, root, 1)                           // v3 = v1
+    Versioned.rollback(spark, root, 2)                           // v4 = v2
+    assert(Versioned.read(spark, root).count() == 2)
+    Versioned.rollback(spark, root, 3)                           // v5 = v3 = v1
+    assert(Versioned.read(spark, root).count() == 4)
+    assert(Versioned.history(spark, root).map(_.seq) == (1L to 5L))
+    intercept[IllegalArgumentException](Versioned.readAt(spark, root, 99))
+    intercept[IllegalArgumentException](Versioned.rollback(spark, root, 99))
+    intercept[IllegalStateException](
+      Versioned.read(spark, freshRoot())) // no versions yet
+  }
+
   test("concurrent puts land distinct sequential versions") {
     val root = freshRoot()
     import scala.concurrent.{Await, Future}

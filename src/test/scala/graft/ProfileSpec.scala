@@ -52,6 +52,15 @@ class ProfileSpec extends AnyFunSuite {
     assert(t.isNullAt(4) && t.isNullAt(5) && t.isNullAt(6) && t.isNullAt(7))
   }
 
+  test("zero-row input: zero counts, NULL extrema, every column present") {
+    val p = Profile.profile(df.limit(0), exact = true).collect()
+    assert(p.length == 3)
+    p.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0)
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+    }
+  }
+
   test("approx (default) agrees on small cardinalities; plan has no Expand") {
     val p = Profile.profile(df).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap

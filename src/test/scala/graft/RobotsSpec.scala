@@ -97,6 +97,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(checked == 4000)
   }
 
+  test("edge inputs: empty rule table, empty urls, all-malformed urls") {
+    import spark.implicits._
+    val urls = Seq((1L, "https://h.com/a"), (2L, "junk")).toDF("doc_id", "url")
+    val noRules = Seq.empty[(String, String, String)]
+      .toDF("host", "directive", "pattern")
+    val got = Robots.verdicts(urls, noRules).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> Some(true), 2L -> None)) // no rules = allowed
+    assert(Robots.verdicts(urls.limit(0), noRules).count() == 0)
+    val allJunk = Seq((1L, "::"), (2L, "")).toDF("doc_id", "url")
+    assert(Robots.filterAllowed(allJunk,
+      Seq(("h.com", "allow", "/")).toDF("host", "directive", "pattern"))
+      .count() == 0) // malformed never fetches
+  }
+
   test("query string participates in matching; fragment does not") {
     val pq = NativeUrl.urlPathQueryEval(
       UTF8String.fromString("https://h.com/a/b?q=1&r=2#frag"))
