@@ -138,17 +138,24 @@ object Versioned {
   }
 
   /** The commit point. The entry's CONTENT is written to a hidden
-    * temp file first and the visible `.commit` name appears only via
-    * rename — so a reader can never observe a half-written entry
-    * (which would read as torn and let a concurrent commit() base on
-    * the version BEFORE it: a lost update). On HDFS the rename is
-    * atomic and fails when the destination exists, which also settles
-    * the sequence-number race; object stores substitute their
-    * PUT-if-absent. On a plain local FS the exists-check-then-rename
-    * pair has the same (tiny, test-irrelevant) window any local
-    * create-exclusive has. */
-  private def tryCreateLogEntry(f: FileSystem, root: Path, seq: Long,
-                                dataName: String): Boolean = {
+    * temp file first and the visible `.commit` name appears only
+    * fully-formed — so a reader can never observe a half-written
+    * entry (which would read as torn and let a concurrent commit()
+    * base on the version BEFORE it: a lost update).
+    *
+    * The publish primitive must be CREATE-EXCLUSIVE: first writer of
+    * a sequence wins, the loser learns it lost. On a plain local FS
+    * `rename(2)` silently REPLACES an existing destination, so
+    * exists()+rename() would let two racing writers both "win" seq N
+    * — one commit overwritten while its writer believes it succeeded
+    * (lost update + an orphaned data dir the vacuum rules treat as
+    * committed). For `file:` the entry is therefore published with
+    * `link(2)` (`Files.createLink`), which atomically fails with
+    * EEXIST when the name is taken — the classic local-FS lock-file
+    * primitive. On HDFS rename itself is atomic and refuses an
+    * existing destination; object stores substitute PUT-if-absent. */
+  private[graft] def tryCreateLogEntry(f: FileSystem, root: Path, seq: Long,
+                                       dataName: String): Boolean = {
     val log = new Path(root, LogDirName)
     if (!f.exists(log)) f.mkdirs(log)
     val entry = new Path(log, s"${fmtSeq(seq)}.commit")
@@ -158,12 +165,47 @@ object Versioned {
       val out = f.create(tmp, /* overwrite = */ true)
       try out.write(dataName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (f.exists(entry)) { f.delete(tmp, false); false } // seq taken
-      else if (f.rename(tmp, entry)) true
-      else { f.delete(tmp, false); false }
+      val won =
+        if ("file" == f.getUri.getScheme) publishLocalExclusive(f, tmp, entry)
+        else !f.exists(entry) && f.rename(tmp, entry) // HDFS: atomic no-overwrite
+      if (!won) try f.delete(tmp, false) catch { case _: Exception => }
+      else if ("file" == f.getUri.getScheme)
+        try f.delete(tmp, false) catch { case _: Exception => } // linked, drop alias
+      won
     } catch { case _: java.io.IOException =>
       try f.delete(tmp, false) catch { case _: Exception => }
       false
+    }
+  }
+
+  /** Atomic local publish: hard-link tmp to the final name. `link(2)`
+    * fails with EEXIST if the destination exists — true one-winner
+    * semantics with the content already complete at link time. Falls
+    * back to O_CREAT|O_EXCL copy (also atomic for the name claim; the
+    * content is tiny and the loser of the claim never writes) on
+    * filesystems without hard links. */
+  private def publishLocalExclusive(f: FileSystem, tmp: Path,
+                                    entry: Path): Boolean = {
+    val tmpLocal = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+    val entryLocal = java.nio.file.Paths.get(f.makeQualified(entry).toUri)
+    try { java.nio.file.Files.createLink(entryLocal, tmpLocal); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        // no hard links (some mounts): claim the name with
+        // O_CREAT|O_EXCL, then fill it. The claim is atomic; a reader
+        // that races the fill sees an empty entry, which history()
+        // skips by design, and maxSeqOnDisk still counts the claimed
+        // sequence so no later writer reuses it.
+        try {
+          val ch = java.nio.file.Files.newByteChannel(entryLocal,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          try ch.write(java.nio.ByteBuffer.wrap(
+            java.nio.file.Files.readAllBytes(tmpLocal)))
+          finally ch.close()
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     }
   }
 

@@ -30,24 +30,28 @@ import org.apache.spark.unsafe.types.UTF8String
 object NativeRobots {
 
   def robotsMatchEval(path: UTF8String, pattern: UTF8String): Boolean = {
-    val s = path.toString
-    val full = pattern.toString
-    val anchored = full.nonEmpty && full.charAt(full.length - 1) == '$'
-    val pat = if (anchored) full.substring(0, full.length - 1) else full
+    // raw UTF-8 bytes, as RFC 9309 specifies (no String decode; '*'
+    // and '$' are ASCII so metacharacter tests are byte tests, and
+    // UTF-8 self-synchronization makes literal byte matches align to
+    // character boundaries)
+    val s = path.getBytes
+    val full = pattern.getBytes
+    val anchored = full.nonEmpty && full(full.length - 1) == '$'.toByte
+    val pat = full
     val n = s.length
-    val m = pat.length
+    val m = if (anchored) full.length - 1 else full.length
     var i = 0
     var j = 0
     var star = -1
     var mark = 0
     while (i < n) {
       if (!anchored && j == m) return true // prefix fully consumed
-      if (j < m && pat.charAt(j) == '*') { star = j; mark = i; j += 1 }
-      else if (j < m && pat.charAt(j) == s.charAt(i)) { i += 1; j += 1 }
+      if (j < m && pat(j) == '*'.toByte) { star = j; mark = i; j += 1 }
+      else if (j < m && pat(j) == s(i)) { i += 1; j += 1 }
       else if (star >= 0) { j = star + 1; mark += 1; i = mark }
       else return false
     }
-    while (j < m && pat.charAt(j) == '*') j += 1
+    while (j < m && pat(j) == '*'.toByte) j += 1
     j == m // path exhausted: exact for anchored, still a prefix otherwise
   }
 

@@ -30,11 +30,21 @@ object Url {
   def host(url: Column): Column =
     graft.expressions.NativeUrl.urlHost(url)
 
-  /** Registrable domain of a host: last two labels, or three when the
-    * two-label suffix is a recognized multi-part public suffix
-    * (co.uk, com.au, ...). */
+  /** Registrable domain of a host by the publicsuffix.org algorithm
+    * (longest matching rule + one label; wildcard and exception rules
+    * honored). The built-in rule set is a static ICANN-section
+    * snapshot of the common ccTLD registries — pass the full current
+    * PSL for production crawls, where an unlisted registry would make
+    * a domain blocklist bypassable. */
   def registrableDomain(host: Column): Column =
     graft.expressions.NativeUrl.registrableDomain(host)
+
+  /** Registrable domain under a caller-supplied public-suffix list
+    * (`NativeUrl.SuffixRules.parse(<PSL file text>)`); the rules ride
+    * the expression tree to every executor. */
+  def registrableDomain(host: Column,
+                        rules: graft.expressions.NativeUrl.SuffixRules): Column =
+    graft.expressions.NativeUrl.registrableDomain(host, rules)
 
   /** Annotate a corpus with URL curation columns: `url_norm`, `host`,
     * `domain`, and `keep` (scheme is http/https AND the registrable
@@ -44,10 +54,15 @@ object Url {
     * ([[graft.operators.Decontaminate]] shape); this form is for the
     * curated lists (spam/SEO domains) that fit in a closure. */
   def curate(df: DataFrame, urlCol: String,
-             blockedDomains: Seq[String]): DataFrame = {
+             blockedDomains: Seq[String],
+             suffixRules: Option[graft.expressions.NativeUrl.SuffixRules] =
+               None): DataFrame = {
     val norm = normalizeUrl(col(urlCol))
     val h = host(col(urlCol))
-    val d = registrableDomain(h)
+    val d = suffixRules match {
+      case Some(r) => registrableDomain(h, r)
+      case None => registrableDomain(h)
+    }
     df.withColumn("url_norm", norm)
       .withColumn("host", h)
       .withColumn("domain", d)

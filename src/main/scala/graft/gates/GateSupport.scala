@@ -480,7 +480,7 @@ private[graft] object GateSupport {
        m AS (
          SELECT u.doc_id, u.pathq, r.pattern, r.is_allow,
                 ROW_NUMBER() OVER (PARTITION BY u.doc_id
-                  ORDER BY length(r.pattern) DESC NULLS LAST,
+                  ORDER BY strlen(r.pattern) DESC NULLS LAST,
                            r.is_allow DESC) AS rn
          FROM u LEFT JOIN r
            ON r.host = u.host AND regexp_matches(u.pathq, r.rx)),

@@ -158,7 +158,10 @@ object Mixing {
       .agg(graft.functions.TopKAgg.topK(k)(col("__k"), col("__s")).as("top"))
       .select(col("__dom"), explode(col("top").getField("id")).as("__k"))
     df.join(keep,
-      col(domainCol) === keep("__dom") &&
+      // null-safe on domain: a NULL-domain slice is capped as its own
+      // group (groupBy already buckets NULL together; a plain === here
+      // would silently drop every NULL-domain row instead)
+      col(domainCol) <=> keep("__dom") &&
         col(keyCol).cast("long") === keep("__k"),
       "left_semi")
   }

@@ -14,8 +14,9 @@ import graft.expressions.{NativeRobots, NativeUrl}
   *
   * Decision per RFC 9309 §2.2.2: among the host's rules whose pattern
   * matches the URL's path+query ([[NativeRobots]] byte-wise match,
-  * `*` wildcard, trailing `$` anchor), the MOST SPECIFIC — longest
-  * pattern — wins; an allow/disallow tie at equal length resolves to
+  * `*` wildcard, trailing `$` anchor), the MOST SPECIFIC — most
+  * OCTETS, the RFC ranks by byte count, not characters — wins; an
+  * allow/disallow tie at equal length resolves to
   * ALLOW (least restrictive); a URL with no matching rule (or no
   * rules for its host at all) is allowed.
   *
@@ -46,7 +47,7 @@ object Robots {
         "left")
       .groupBy(col(idCol), col("__pathq"))
       .agg(max(struct(
-        length(col("__pattern")).as("len"),
+        octet_length(col("__pattern")).as("len"),
         col("__is_allow").as("is_allow"))).as("win"))
       .select(col(idCol),
         when(col("__pathq").isNull, lit(null).cast("boolean"))

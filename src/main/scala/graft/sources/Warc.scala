@@ -378,7 +378,15 @@ object Warc {
     * consumer can seek-read exactly one record. The metadata columns
     * are what crawl indexes (the public CDX(J) convention) carry:
     * enough to select records by URI / type / status / date without
-    * touching the archives. */
+    * touching the archives.
+    *
+    * Two zero-`length` bookkeeping row kinds share the schema (record
+    * queries filter `rec_no >= 0`; [[fetchAt]] drops both):
+    * `rec_no = -1` — [[updateIndex]]'s visited-but-empty sentinel;
+    * `rec_no = -2` — a scan-coverage marker for an archive whose walk
+    * stopped BEFORE physical EOF (`offset` = bytes covered,
+    * `content_length` = file size at scan time), so partial scans are
+    * durably distinguishable from complete ones. */
   val indexSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("offset", LongType, nullable = false),
@@ -419,29 +427,55 @@ object Warc {
         confKv.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { file =>
           val fp = new Path(file)
-          val in = fp.getFileSystem(conf).open(fp)
+          val fsys = fp.getFileSystem(conf)
+          val fileLen = try fsys.getFileStatus(fp).getLen
+          catch { case _: Exception => -1L }
+          val in = fsys.open(fp)
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit] { _ =>
               try in.close() catch { case _: Exception => } })
           var recNo = 0L
+          var covered = 0L // bytes of the archive the walk got through
           // a member whose payload fails WARC framing STOPS this
           // file's walk (takeWhile), exactly like read() — the two
           // paths must agree record-for-record on dirty archives or
           // fetchAt ≡ full-scan silently breaks, and index rec_no
           // could no longer be correlated with scan rec_no
-          closing(in, gzipMembers(in)).map { case (off, clen, head) =>
+          val recRows = closing(in, gzipMembers(in)).map { case (off, clen, head) =>
             // parse just the record's headers + the block prefix (the
             // HTTP status line sits at block start); the body is not
             // index payload, so a small inner cap suffices
             val rec = try parseOne(new ByteArrayInputStream(head), recNo, 4096)
             catch { case _: Exception => None }
             rec.map { r =>
+              covered = off + clen
               val n = recNo; recNo += 1
               Row(file, off, clen, n, r.warcType, r.targetUri,
                 r.dateEpochMicros.map(microsToTimestamp).orNull,
                 r.httpStatus.map(Int.box).orNull, r.contentLength)
             }
           }.takeWhile(_.isDefined).flatten
+          // scan-completeness record: a walk that stopped BEFORE
+          // physical EOF (malformed member — or a transient read
+          // error, which the never-throw parser absorbs identically)
+          // gets one `rec_no = -2` marker carrying how far it reached
+          // (`offset`) and the file's size (`content_length`), so a
+          // partial scan is never silently indistinguishable from a
+          // complete one: updateIndex retries marked files once, and
+          // the persisted marker lets any later maintenance pass find
+          // archives whose tail was never indexed. Evaluated AFTER
+          // recRows drains (Iterator.++ is lazy), when covered/recNo
+          // are final; empty scans (recNo == 0) stay on the existing
+          // sentinel path instead.
+          recRows ++ new Iterator[Row] {
+            private var emitted = false
+            override def hasNext: Boolean =
+              !emitted && recNo > 0 && fileLen >= 0 && covered < fileLen
+            override def next(): Row = {
+              emitted = true
+              Row(file, covered, 0L, -2L, null, null, null, null, fileLen)
+            }
+          }
         }
       }
     spark.createDataFrame(rdd, indexSchema)
@@ -462,16 +496,22 @@ object Warc {
     * (without the sentinel, a corrupt archive would be re-downloaded
     * and re-gunzipped on every run forever). Because the streamed
     * parser absorbs transient I/O errors the same way it absorbs
-    * malformed bytes, an empty first scan is RETRIED once before the
-    * sentinel is written — a connection reset must not permanently
-    * blacklist a healthy archive; genuinely corrupt files cost one
-    * cheap re-scan (the walk stops at the bad member). The recorded
-    * size lets a caller detect a later rewrite and drop the
-    * sentinel. [[fetchAt]] drops sentinel rows (zero length) and
-    * record queries filter `rec_no >= 0`. */
+    * malformed bytes, a scan that did NOT reach physical EOF — empty
+    * (no rows) or partial (a `rec_no = -2` coverage marker, written
+    * by [[indexFiles]] whenever the walk stopped short of the file's
+    * size) — is RETRIED once, and the retry's result replaces the
+    * first scan's when it covered MORE of the archive. A connection
+    * reset mid-file must not permanently trust a half-built index
+    * for that archive; genuinely corrupt files cost one cheap
+    * re-scan (the walk stops at the bad member) and keep their
+    * marker, an honest durable record of exactly how far the index
+    * reaches. The recorded sizes let a caller detect a later rewrite
+    * and drop the sentinel/marker to force re-indexing. [[fetchAt]]
+    * drops sentinel and marker rows (zero length) and record queries
+    * filter `rec_no >= 0`. */
   def updateIndex(spark: SparkSession, existing: DataFrame,
                   path: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, max, sum, when, lit}
     // distinct file list of the existing index: bounded driver state
     // (one string per archive — the partition-leaf listing precedent)
     val known = existing.select(col("file")).distinct()
@@ -481,19 +521,50 @@ object Warc {
     if (fresh.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], indexSchema)
-    // pin the scan (the Ranks precedent): the indexed-files check
+    // pin the scan (the Ranks precedent): the completeness checks
     // below and the caller's consumption are separate jobs — without
     // this the archives would be gunzipped twice
     val rows = indexFiles(spark, fresh, confKv).localCheckpoint()
-    def nonEmptyFiles(df: DataFrame): Set[String] =
-      df.select(col("file")).distinct().collect().map(_.getString(0)).toSet
-    val empty1 = fresh.filterNot(nonEmptyFiles(rows))
-    if (empty1.isEmpty) return rows
-    // retry the empty files once: a transient read error looks exactly
-    // like corruption to the never-throw parser, and must not earn a
-    // permanent sentinel
-    val retried = indexFiles(spark, empty1, confKv).localCheckpoint()
-    val stillEmpty = empty1.filterNot(nonEmptyFiles(retried))
+    // per-file (records, coverage): coverage is the -2 marker's offset
+    // when present, else "complete" (Long.MaxValue) for a marker-less
+    // scan with rows, else 0 for an empty scan. Bounded driver state,
+    // one entry per fresh archive.
+    def scanStats(df: DataFrame): Map[String, (Long, Long)] =
+      df.groupBy(col("file"))
+        .agg(sum(when(col("rec_no") >= 0, 1L).otherwise(0L)).as("nreal"),
+          max(when(col("rec_no") === -2L, col("offset"))).as("partial"))
+        .collect().map { r =>
+          val nreal = r.getLong(1)
+          val cov = if (!r.isNullAt(2)) r.getLong(2)
+            else if (nreal > 0) Long.MaxValue else 0L
+          r.getString(0) -> (nreal, cov)
+        }.toMap
+    val s1 = scanStats(rows)
+    def covOf(s: Map[String, (Long, Long)], f: String): Long =
+      s.get(f).map(_._2).getOrElse(0L)
+    // retry anything that did not reach EOF: empty scans AND partial
+    // ones — a transient read error looks exactly like corruption to
+    // the never-throw parser, and must not earn a permanent sentinel
+    // or a permanently truncated index
+    val needRetry = fresh.filter(f => covOf(s1, f) != Long.MaxValue)
+    val (chosen, stats) =
+      if (needRetry.isEmpty) (rows, s1)
+      else {
+        val retried = indexFiles(spark, needRetry, confKv).localCheckpoint()
+        val s2 = scanStats(retried)
+        val takeRetried = needRetry.filter(f => covOf(s2, f) > covOf(s1, f)).toSet
+        if (takeRetried.isEmpty) (rows, s1)
+        else {
+          val keep = rows.where(
+            !col("file").isin(takeRetried.toSeq: _*))
+          val swapped = retried.where(
+            col("file").isin(takeRetried.toSeq: _*))
+          (keep.unionAll(swapped),
+            s1 ++ s2.view.filterKeys(takeRetried).toMap)
+        }
+      }
+    val stillEmpty = fresh.filter(f => stats.get(f).forall(_._1 == 0L))
+    if (stillEmpty.isEmpty) return chosen
     val hconf = spark.sparkContext.hadoopConfiguration
     val sentinels = stillEmpty.map { f =>
       val fp = new Path(f)
@@ -501,9 +572,7 @@ object Warc {
       catch { case _: Exception => 0L }
       Row(f, 0L, 0L, -1L, null, null, null, null, sz)
     }
-    val withRetry = rows.unionAll(retried)
-    if (sentinels.isEmpty) withRetry
-    else withRetry.unionAll(spark.createDataFrame(
+    chosen.unionAll(spark.createDataFrame(
       spark.sparkContext.parallelize(sentinels, 1), indexSchema))
   }
 

@@ -117,4 +117,34 @@ class CatalogVersionSpec extends AnyFunSuite {
     assert(deleted2.size == 1 && deleted2.head.startsWith("data-00000000000000000002"))
     assert(Versioned.read(spark, root).count() == 4)
   }
+
+  test("commit point is create-exclusive: a same-seq loser NEVER replaces the winner") {
+    // local-FS rename(2) silently overwrites — exists()+rename() would
+    // let both racing writers believe they won seq N. The publish
+    // primitive must be one-winner (hard link / O_EXCL), with the
+    // winner's CONTENT intact afterwards.
+    val root = Files.createTempDirectory("graft_vexcl").toString
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = Versioned.tryCreateLogEntry(f, p, 7L, "data-A")
+    val second = Versioned.tryCreateLogEntry(f, p, 7L, "data-B")
+    assert(first && !second, "exactly one writer of seq 7 may win")
+    val h = Versioned.history(spark, root)
+    assert(h == Seq(Versioned.Entry(7L, "data-A")),
+      s"loser must not have replaced the winner's entry: $h")
+    // many threads race the SAME sequence number: one winner, content preserved
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val futures = (1 to 16).map { i =>
+      pool.submit(new java.util.concurrent.Callable[(Boolean, Int)] {
+        def call(): (Boolean, Int) =
+          Versioned.tryCreateLogEntry(f, p, 9L, s"data-T$i") -> i
+      })
+    }
+    val results = futures.map(_.get()).toList
+    pool.shutdown()
+    assert(results.count(_._1) == 1, s"exactly one winner expected: $results")
+    val winner = results.find(_._1).get._2
+    assert(Versioned.history(spark, root).find(_.seq == 9L)
+      .map(_.dataDir).contains(s"data-T$winner"))
+  }
 }

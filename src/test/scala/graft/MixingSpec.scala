@@ -85,6 +85,20 @@ class MixingSpec extends AnyFunSuite {
     assert(aIds == bIds) // same hash on the same key space → same pick
   }
 
+  test("capPerDomain: a NULL-domain slice is capped as its own group, not dropped") {
+    val df = ((0L until 30L).map(i => (i, "a")) ++
+      (100L until 130L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("id", "dom")
+    val capped = Mixing.capPerDomain(df, "dom", "id", k = 5, salt = "n")
+    val byDom = capped.groupBy("dom").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byDom == Map(Some("a") -> 5L, None -> 5L),
+      s"NULL-domain rows must cap like any group: $byDom")
+    // the NULL group's survivors come from the NULL slice
+    val nullIds = capped.where($"dom".isNull).select("id").as[Long].collect()
+    assert(nullIds.forall(_ >= 100L) && nullIds.length == 5)
+  }
+
   test("epochs: whole factors replicate exactly, fractional tail at rate") {
     val df = corpus(4000)
     val rep = Mixing.epochs(df, "dom", "id",

@@ -124,4 +124,22 @@ class RobotsSpec extends AnyFunSuite {
     assert(NativeUrl.urlPathQueryEval(
       UTF8String.fromString("https://h.com?x=1")).toString == "/?x=1")
   }
+
+  test("specificity ranks by OCTETS, not characters (RFC 9309 §2.2.2)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // path /caféz: allow '/café' is 5 chars / 6 OCTETS; disallow
+    // '/caf*z' is 6 chars / 6 octets. Octet ranking → tie → allow
+    // wins; character ranking would wrongly pick the disallow.
+    val urls = Seq((1L, "https://h.io/caféz")).toDF("doc_id", "url")
+    val rules = Seq(
+      ("h.io", "allow", "/café"),
+      ("h.io", "disallow", "/caf*z")).toDF("host", "directive", "pattern")
+    val v = Robots.verdicts(urls, rules).as[(Long, Boolean)].collect()
+    assert(v.toSeq == Seq((1L, true)))
+    // and multi-byte patterns match byte-wise (é both sides)
+    assert(m("/caféz", "/café"))
+    assert(m("/café", "/caf*é$"))
+    assert(!m("/cafe", "/café"))
+  }
 }

@@ -126,6 +126,42 @@ class UrlSpec extends AnyFunSuite {
     }
   }
 
+  test("PSL algorithm: expanded registries, wildcard and exception rules") {
+    import graft.expressions.NativeUrl
+    import org.apache.spark.unsafe.types.UTF8String
+    def rd(h: String): String =
+      NativeUrl.registrableDomainEval(UTF8String.fromString(h)).toString
+    // registries the old 12-entry subset missed (the advice's examples)
+    assert(rd("shop.example.com.tr") == "example.com.tr")
+    assert(rd("a.b.example.co.kr") == "example.co.kr")
+    assert(rd("www.example.com.ar") == "example.com.ar")
+    // wildcard ccTLD: every second-level label under kh is a registry
+    assert(rd("www.example.gov.kh") == "example.gov.kh")
+    assert(rd("x.anything.kh") == "x.anything.kh")
+    // exception rule: www.ck is itself registrable despite *.ck
+    assert(rd("www.ck") == "www.ck")
+    assert(rd("foo.www.ck") == "www.ck")
+    assert(rd("sub.other.ck") == "sub.other.ck")
+    // a host that IS a public suffix returns itself
+    assert(rd("co.uk") == "co.uk")
+    assert(rd("gov.kh") == "gov.kh")
+    // custom rules via the PSL data-file format ride the expression
+    val rules = NativeUrl.SuffixRules.parse(
+      """// comment line
+        |com
+        |custom.zz
+        |*.wild
+        |!ok.wild
+        |""".stripMargin)
+    assert(rules.exact == Set("custom.zz") &&
+      rules.wildcard == Set("wild") && rules.exception == Set("ok.wild"))
+    val got = Seq("a.b.custom.zz", "x.deep.wild", "sub.ok.wild")
+      .toDF("h")
+      .select(Url.registrableDomain($"h", rules).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("b.custom.zz", "x.deep.wild", "ok.wild"))
+  }
+
   test("normalization is idempotent and dedup-ready") {
     val variants = Seq(
       "HTTP://Example.COM:80/a?b=2&a=1#x",

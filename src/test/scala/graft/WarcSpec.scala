@@ -301,11 +301,21 @@ class WarcSpec extends AnyFunSuite {
     assert(idx(0).getAs[Long]("length") == fancy.length.toLong)
     assert(idx(1).getAs[Long]("offset") == fancy.length.toLong)
 
-    // malformed member stops the walk, keeps the parsed prefix, no throw
+    // malformed member stops the walk, keeps the parsed prefix, no
+    // throw — plus one rec_no=-2 coverage marker recording that the
+    // scan ended before physical EOF (offset = bytes indexed,
+    // content_length = file size)
     val cut = plain ++ fancy.dropRight(5)
     Files.write(dir.resolve("a.warc.gz"), cut)
-    val idx2 = Warc.buildIndex(spark, dir.toString).collect()
-    assert(idx2.length == 1 && idx2(0).getAs[Long]("length") == plain.length.toLong)
+    val idx2 = Warc.buildIndex(spark, dir.toString)
+      .orderBy("rec_no").collect()
+    assert(idx2.length == 2)
+    assert(idx2(1).getAs[Long]("rec_no") == 0L &&
+      idx2(1).getAs[Long]("length") == plain.length.toLong)
+    assert(idx2(0).getAs[Long]("rec_no") == -2L &&
+      idx2(0).getAs[Long]("offset") == plain.length.toLong &&
+      idx2(0).getAs[Long]("length") == 0L &&
+      idx2(0).getAs[Long]("content_length") == cut.length.toLong)
     // fuzz: random bytes never throw and index nothing real
     val rnd = new scala.util.Random(13)
     for (_ <- 1 to 50) {
@@ -369,9 +379,16 @@ class WarcSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_warc_dirty")
     Files.write(dir.resolve("a.warc.gz"), bytes)
     val scanned = Warc.read(spark, dir.toString).collect()
-    val idx = Warc.buildIndex(spark, dir.toString).collect()
+    val idx = Warc.buildIndex(spark, dir.toString)
+      .where("rec_no >= 0").collect()
     assert(scanned.length == 1 && idx.length == 1)
     assert(idx(0).getAs[Long]("rec_no") == 0L)
+    // the partial scan is marked: coverage ends where the walk stopped
+    val mark = Warc.buildIndex(spark, dir.toString)
+      .where("rec_no = -2").collect()
+    assert(mark.length == 1 &&
+      mark(0).getAs[Long]("offset") == idx(0).getAs[Long]("length") &&
+      mark(0).getAs[Long]("content_length") == bytes.length.toLong)
     // an index row lying about its length (bigger than the file) is
     // rejected before allocation, never thrown
     import spark.implicits._
