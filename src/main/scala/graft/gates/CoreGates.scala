@@ -323,6 +323,26 @@ private[graft] object CoreGates {
       graft.operators.Profile.profile(v, exact = true)
     }),
 
+    // X85 funnel conversion (view → click → purchase within 7 days):
+    // the event-sequence analytics shape. Earliest-first greedy per
+    // user — t1 = first view, t2 = first click strictly after t1,
+    // t3 = first purchase strictly after t2, all within t1+7d — so
+    // the oracle can replay step-by-step with three MIN-joins. ONE
+    // shuffle by user; events filtered to the step types BEFORE the
+    // exchange; the fold runs as codegen'd array HOFs.
+    "x85_funnel" -> ((s, d) =>
+      graft.operators.Funnel.funnel(t(s, d, "events"),
+          Seq("view", "click", "purchase"), windowSeconds = Some(7L * 86400))
+        .orderBy(asc_nulls_first("step"))),
+
+    // X86 weekly retention cohorts: users cohorted by ISO week of
+    // first event; users(cohort, week_no) = distinct users of that
+    // cohort active week_no weeks later. Two user-keyed aggregations
+    // + one join that reuses their partitioning.
+    "x86_retention" -> ((s, d) =>
+      graft.operators.Funnel.retention(t(s, d, "events"))
+        .orderBy(asc_nulls_first("cohort_week"), asc_nulls_first("week_no"))),
+
     // X83 PSI distribution-drift detection (the per-ingest monitor
     // that pairs with x76's profile: did this batch change shape?).
     // Reference = even orders' totalprice; current = odd orders with
@@ -543,6 +563,47 @@ private[graft] object CoreGates {
                 CAST(COUNT(DISTINCT seg) AS BIGINT),
                 NULL, NULL, MIN(seg), MAX(seg) FROM v
          ORDER BY "column"""",
+    // step-by-step replay of the earliest-first greedy: t1 = MIN view,
+    // t2 = MIN click > t1, t3 = MIN purchase > t2, all within t1+7d
+    "x85_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                              JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS users
+           UNION ALL
+           SELECT CAST(2 AS INT), 'click',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+           UNION ALL
+           SELECT CAST(3 AS INT), 'purchase',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+         ORDER BY step NULLS FIRST""",
+    // Monday-truncated weeks in both engines; week deltas are exact
+    // multiples of 7 days so integer division is lossless
+    "x86_retention" ->
+      """WITH f AS (SELECT user_id,
+                           CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+                    FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS week
+               FROM events)
+         SELECT f.cohort_week,
+                CAST((a.week - f.cohort_week) // 7 AS INT) AS week_no,
+                CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY 1, 2
+         ORDER BY cohort_week NULLS FIRST, week_no NULLS FIRST""",
     // bounds from the reference, equal-width buckets + under/overflow,
     // 1e-6 smoothed shares, quantized ln terms
     "x83_psi_drift" ->
