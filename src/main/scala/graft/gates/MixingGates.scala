@@ -258,6 +258,20 @@ private[graft] object MixingGates {
           col("n"))
         .orderBy(asc_nulls_first("label"))
     }),
+
+    // X87 DSIR importance resampling (Xie et al. 2023): select 120
+    // raw docs whose hashed-unigram+bigram bag looks most like the
+    // src0 target slice, sampled ∝ exp₂(weight) via hash-seeded
+    // Gumbel-top-k. Per-bucket log-ratios quantized to LONG before
+    // the per-doc sum (x57/x73 convention) so the oracle replays
+    // hashing, histograms, smoothing, sums, Gumbel keys, and the
+    // top-k exactly.
+    "x87_dsir" -> ((s, d) =>
+      graft.operators.Dsir.resample(
+          t(s, d, "documents"),
+          t(s, d, "documents").where(col("source") === "src0"),
+          k = 120)
+        .orderBy(asc_nulls_first("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -409,6 +423,53 @@ private[graft] object MixingGates {
       """SELECT doc_id,
                 md5('shuf1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key LIMIT 25""",
+    // full DSIR replay: tokenize, bigram, hex-bucket, both histograms,
+    // add-1 smoothed quantized log2 ratios, integer per-doc sums,
+    // hash-seeded Gumbel keys, top-120
+    "x87_dsir" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(ts) AS gram FROM tk
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS gram
+           FROM tk),
+         b AS (SELECT doc_id, substr(md5('dsir:' || gram), 1, 3) AS bucket
+               FROM g),
+         hraw AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+         htgt AS (SELECT b.bucket, COUNT(*) AS ct
+                  FROM b JOIN documents d ON d.doc_id = b.doc_id
+                  WHERE d.source = 'src0' GROUP BY b.bucket),
+         tot AS (SELECT (SELECT SUM(cr) FROM hraw) AS tr,
+                        (SELECT COALESCE(SUM(ct), 0) FROM htgt) AS tt),
+         ratio AS (
+           SELECT r.bucket,
+                  CAST(floor((ln((COALESCE(t.ct, 0) + 1.0) / (tot.tt + 4096.0))
+                              - ln((r.cr + 1.0) / (tot.tr + 4096.0)))
+                             / ln(2.0) * 10000 + 0.5) AS BIGINT) AS lr
+           FROM hraw r LEFT JOIN htgt t ON t.bucket = r.bucket
+           CROSS JOIN tot),
+         w AS (SELECT b.doc_id, CAST(SUM(ratio.lr) AS BIGINT) AS weight_e4
+               FROM b JOIN ratio ON ratio.bucket = b.bucket
+               GROUP BY b.doc_id),
+         wall AS (SELECT d.doc_id, COALESCE(w.weight_e4, 0) AS weight_e4
+                  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+         keys AS (
+           SELECT doc_id, weight_e4,
+                  weight_e4 + CAST(floor(-ln(-ln(
+                    (CAST(concat('0x', substr(md5('dsirg:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                    / 4294967296.0)) / ln(2.0) * 10000 + 0.5) AS BIGINT)
+                    AS gkey
+           FROM wall)
+         SELECT doc_id, weight_e4 FROM
+           (SELECT doc_id, weight_e4 FROM keys
+            ORDER BY gkey DESC, doc_id LIMIT 120)
+         ORDER BY doc_id NULLS FIRST""",
     "x43_token_budget" -> tokenBudgetOracleSql,
     // the sharded two-level form is output-identical by construction,
     // so it gates against the very same single-window oracle
