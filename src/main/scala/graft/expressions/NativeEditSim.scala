@@ -1,0 +1,96 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler string similarity as a native codegen'd expression —
+  * the record-linkage workhorse (Winkler 1990, public; the same
+  * classic definition DuckDB's `jaro_winkler_similarity` implements,
+  * which is what the oracle replays):
+  *
+  *  - Jaro: matches within a window of `floor(max(|a|,|b|)/2) - 1`,
+  *    each character matched at most once; transpositions = half the
+  *    matched positions whose characters disagree in order;
+  *    `(m/|a| + m/|b| + (m - t)/m) / 3`, 0 when `m = 0` or either
+  *    string is empty (both-empty is 0 too — the DuckDB convention).
+  *  - Winkler boost: `jaro + l·0.1·(1 - jaro)` with `l` = common
+  *    prefix length capped at 4, applied only when `jaro > 0.7`.
+  *
+  * Spark has no built-in Jaro-Winkler (only levenshtein); a native
+  * `Expression` keeps blocked entity-resolution joins inside
+  * whole-stage codegen. Comparison is per UTF-16 char — exact for the
+  * ASCII/BMP names entity resolution runs on.
+  */
+object NativeEditSim {
+
+  def jaroWinklerEval(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val n1 = s1.length
+    val n2 = s2.length
+    if (n1 == 0 || n2 == 0) return 0.0
+    val window = math.max(0, math.max(n1, n2) / 2 - 1)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var matches = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(n2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: walk the matched chars of both strings in order
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / n1 + m / n2 + (m - t / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(n1, n2))
+    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  case class JaroWinklerExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaro_winkler_native"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Double.valueOf(jaroWinklerEval(
+        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c1, c2) =>
+        s"${ev.value} = graft.expressions.NativeEditSim.jaroWinklerEval($c1, $c2);")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): JaroWinklerExpr = copy(left = l, right = r)
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinklerExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -423,9 +423,84 @@ private[graft] object DedupAnnGates {
       graft.operators.SpanDedup.dedupSpans(t(s, d, "documents"), k = 15)
         .select(col("doc_id"), col("kept_text"), col("n_removed"))
         .orderBy(asc_nulls_first("doc_id"))),
+
+    // X88 entity resolution (record linkage): blocked Jaro-Winkler
+    // pairs + transitive closure — company-name variants synthesized
+    // by doc_id arithmetic (8 bases × 4 spellings: exact, last char
+    // dropped, ' inc' suffix, plural) must resolve to 8 entities.
+    // The similarity is the native codegen'd [[NativeEditSim]]
+    // expression; the oracle replays the SAME names, blocks, DuckDB's
+    // own jaro_winkler_similarity quantized to e4, and the x20
+    // recursive-CTE closure — so the Spark expression must agree with
+    // an independent C++ implementation on every compared pair.
+    "x88_entities" -> ((s, d) => {
+      val base = when(col("doc_id") % 8 === 0, "acme corporation")
+        .when(col("doc_id") % 8 === 1, "globex industries")
+        .when(col("doc_id") % 8 === 2, "initech systems")
+        .when(col("doc_id") % 8 === 3, "umbrella holdings")
+        .when(col("doc_id") % 8 === 4, "stark enterprises")
+        .when(col("doc_id") % 8 === 5, "wayne technologies")
+        .when(col("doc_id") % 8 === 6, "hooli ventures")
+        .otherwise("pied piper labs")
+      val v = expr("CAST((doc_id div 8) % 4 AS INT)")
+      val recs = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("__b", base)
+        .withColumn("name",
+          when(v === 0, col("__b"))
+            .when(v === 1, expr("substring(__b, 1, length(__b) - 1)"))
+            .when(v === 2, concat(col("__b"), lit(" inc")))
+            .otherwise(concat(col("__b"), lit("s"))))
+      graft.operators.EntityResolution.resolve(
+          recs, "doc_id", "name", threshold = 0.9)
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // same synthesized names, same 2-char blocks, DuckDB's own
+    // jaro_winkler_similarity quantized to e4 at the 0.9 threshold,
+    // x20's recursive-CTE transitive closure
+    "x88_entities" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'acme corporation'
+               WHEN 1 THEN 'globex industries'
+               WHEN 2 THEN 'initech systems'
+               WHEN 3 THEN 'umbrella holdings'
+               WHEN 4 THEN 'stark enterprises'
+               WHEN 5 THEN 'wayne technologies'
+               WHEN 6 THEN 'hooli ventures'
+               ELSE 'pied piper labs' END AS b
+           FROM documents),
+         names AS (
+           SELECT doc_id,
+             CASE CAST((doc_id // 8) % 4 AS INT)
+               WHEN 0 THEN b
+               WHEN 1 THEN substr(b, 1, length(b) - 1)
+               WHEN 2 THEN b || ' inc'
+               ELSE b || 's' END AS name
+           FROM base),
+         blk AS (SELECT doc_id, name,
+                   substr(regexp_replace(name, '[^a-z0-9]', '', 'g'),
+                          1, 2) AS k
+                 FROM names),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM blk a JOIN blk b
+             ON a.k = b.k AND a.doc_id < b.doc_id
+           WHERE CAST(floor(jaro_winkler_similarity(a.name, b.name)
+                            * 10000 + 0.5) AS BIGINT) >= 9000),
+         e AS (SELECT id_a AS s, id_b AS r FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s AS id, r FROM e
+           UNION
+           SELECT reach.id, e.r FROM reach JOIN e ON e.s = reach.r),
+         comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id)
+         SELECT n.doc_id, COALESCE(comp.c, n.doc_id) AS entity_id
+         FROM names n LEFT JOIN comp ON comp.id = n.doc_id
+         ORDER BY doc_id NULLS FIRST""",
     "x16_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id AS id,
