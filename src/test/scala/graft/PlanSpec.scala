@@ -497,4 +497,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"the keep predicate must be map-only:\n$plan")
     assert(!plan.contains("Join"), s"rates ride a literal when-chain, not a join:\n$plan")
   }
+
+  test("funnel: step filter pushed to the scan, exactly one user-keyed shuffle") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val f = graft.operators.Funnel.funnel(ev,
+      Seq("view", "click", "purchase"), windowSeconds = Some(7L * 86400))
+    val plan = executedPlan(f)
+    // step-type filter reaches the parquet scan — a 100 TB event table
+    // is read only for the funnel's event types
+    assert(plan.contains("In(event_type"),
+      s"step filter must push into the scan:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"funnel must shuffle once (by user), got $shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("retention: aggregations and join only — never a cartesian or broadcast loop") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val plan = executedPlan(graft.operators.Funnel.retention(ev))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("DSIR weights: bucket-bounded ratio table broadcasts onto the gram stream") {
+    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
+    val w = graft.operators.Dsir.importanceWeights(
+      docs, docs.where($"doc_id" % 3 === 0))
+    val plan = executedPlan(w)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤4096-row ratio table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("entity pairs: blocked equi join with the native JW predicate fused, never all-pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", concat(lit("name "), $"doc_id").as("name"))
+    val p = graft.operators.EntityResolution.pairs(
+      docs, "doc_id", "name", threshold = 0.9)
+    val plan = executedPlan(p)
+    assert(plan.contains("jaro_winkler_native"),
+      s"similarity must ride the join as the native expression:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must make this an equi join:\n$plan")
+  }
 }
