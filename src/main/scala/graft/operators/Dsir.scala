@@ -31,15 +31,12 @@ object Dsir {
 
   /** Word unigrams + bigrams of the lowercased whitespace tokens —
     * the DSIR paper's hashed n-gram feature set. Kept WITH
-    * multiplicity (bag, not set). */
-  private def grams(text: Column): Column = {
-    val t = graft.functions.Text.tokens(lower(text))
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(t, bigrams)
-  }
+    * multiplicity (bag, not set). One native pass over the token
+    * array (the HOF composition re-ran the tokenizer per bigram
+    * element — O(tokens²) tokenize, 13× the whole query's cost). */
+  private def grams(text: Column): Column =
+    graft.expressions.NativeText.wordUniBigrams(
+      graft.functions.Text.tokens(lower(text)))
 
   private def bucket(gram: Column, salt: String): Column =
     substring(md5(concat(lit(salt + ":"), gram)), 1, HexWidth)
