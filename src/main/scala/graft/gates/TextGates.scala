@@ -499,6 +499,35 @@ private[graft] object TextGates {
           Text.normalizeText(col("raw")).as("clean"))
         .orderBy(asc_nulls_first("doc_id"))
     }),
+
+    // X89 SFT chat-template rendering + loss masks: conversations
+    // synthesized from documents (system + user + assistant, a second
+    // user/assistant exchange when doc_id % 3 = 0) rendered into the
+    // public ChatML framing, with half-open char ranges over exactly
+    // the assistant turns' content — the spans an SFT trainer computes
+    // loss on. FULL-value oracle: the identical string assembly plus
+    // the mask arithmetic from the same part lengths. Map-side only;
+    // the fold is a per-row HOF over a short turn array.
+    "x89_sft_render" -> ((s, d) => {
+      val sys = lit("you are a helpful assistant.")
+      val u1 = expr("substring(text, 1, 40)")
+      val a1 = expr("substring(text, 41)")
+      val u2 = lit("please continue.")
+      val a2 = expr("substring(text, 1, 25)")
+      def turn(role: String, content: org.apache.spark.sql.Column) =
+        struct(lit(role).as("role"), content.as("content"))
+      val turns = when(col("doc_id") % 3 === 0,
+        array(turn("system", sys), turn("user", u1), turn("assistant", a1),
+          turn("user", u2), turn("assistant", a2)))
+        .otherwise(array(turn("system", sys), turn("user", u1),
+          turn("assistant", a1)))
+      graft.operators.Sft.render(
+          t(s, d, "documents").select(col("doc_id"), turns.as("turns")))
+        .select(col("doc_id"), col("text"),
+          graft.operators.Sft.maskSpec(col("masks")).as("mask_spec"),
+          col("masked_chars"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
   )
 
   /** x71 staging: the documents table serialized as a WARC corpus —
@@ -746,6 +775,50 @@ private[graft] object TextGates {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // identical ChatML assembly + mask arithmetic from the same part
+    // lengths: turn length = 24 + len(role) + len(content); assistant
+    // content starts 22 chars into its turn (12 tag + 9 role + 1 \n)
+    "x89_sft_render" ->
+      """WITH parts AS (
+           SELECT doc_id,
+                  'you are a helpful assistant.' AS sys,
+                  substr(text, 1, 40) AS u1,
+                  substr(text, 41) AS a1,
+                  'please continue.' AS u2,
+                  substr(text, 1, 25) AS a2,
+                  doc_id % 3 = 0 AS five
+           FROM documents),
+         r AS (
+           SELECT doc_id, five, a1, a2,
+             '<|im_start|>system' || chr(10) || sys || '<|im_end|>' || chr(10) ||
+             '<|im_start|>user' || chr(10) || u1 || '<|im_end|>' || chr(10) ||
+             '<|im_start|>assistant' || chr(10) || a1 || '<|im_end|>' || chr(10) ||
+             CASE WHEN five THEN
+               '<|im_start|>user' || chr(10) || u2 || '<|im_end|>' || chr(10) ||
+               '<|im_start|>assistant' || chr(10) || a2 || '<|im_end|>' || chr(10)
+             ELSE '' END AS text,
+             24 + 6 + length(sys) AS t1,
+             24 + 4 + length(u1) AS t2,
+             24 + 9 + length(a1) AS t3,
+             24 + 4 + length(u2) AS t4
+           FROM parts),
+         m AS (
+           SELECT doc_id, text, five,
+                  length(a1) AS la1, length(a2) AS la2,
+                  t1 + t2 + 22 AS m1s,
+                  t1 + t2 + 22 + length(a1) AS m1e,
+                  t1 + t2 + t3 + t4 + 22 AS m2s,
+                  t1 + t2 + t3 + t4 + 22 + length(a2) AS m2e
+           FROM r)
+         SELECT doc_id, text,
+                CASE WHEN five THEN
+                  CAST(m1s AS VARCHAR) || ':' || CAST(m1e AS VARCHAR) ||
+                  ';' || CAST(m2s AS VARCHAR) || ':' || CAST(m2e AS VARCHAR)
+                ELSE CAST(m1s AS VARCHAR) || ':' || CAST(m1e AS VARCHAR)
+                END AS mask_spec,
+                CAST(la1 + CASE WHEN five THEN la2 ELSE 0 END AS BIGINT)
+                  AS masked_chars
+         FROM m ORDER BY doc_id NULLS FIRST""",
     "x15_word_counts" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
