@@ -283,6 +283,22 @@ private[graft] object DedupAnnGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X90 GRADED decontamination (Lee et al. 2022): the overlap
+    // FRACTION per test doc, not the binary hit count — one shared
+    // 3-gram flags a doc under x35's rule; production thresholds on
+    // the fraction. n = 3 so the fixture yields a wide fraction
+    // distribution; every ≥3-token test doc is judged.
+    "x90_decon_fraction" -> ((s, d) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val docs = graft.operators.Splits.hashSplit(
+        t(s, d, "documents"), "doc_id", splits, "v1")
+      graft.operators.Decontaminate.overlapFraction(
+        docs, "split", "train", "test", n = 3)
+        .select(col("doc_id"), col("n_grams").cast(LongType).as("n_grams"),
+          col("n_hits").cast(LongType).as("n_hits"), col("frac_e4"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X63 SEMANTIC decontamination: the embedding-space complement of
     // x35 — corpus vectors within cosine 0.9 of any benchmark vector
     // are contamination (n-grams miss paraphrased leaks). The gate's
@@ -711,6 +727,31 @@ private[graft] object DedupAnnGates {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
          FROM g WHERE split = 'test' AND gram IN (SELECT gram FROM tr)
          GROUP BY doc_id ORDER BY doc_id NULLS FIRST"""
+    },
+    // x35's replay with a LEFT join so misses count the denominator,
+    // and the same half-up e4 quantization of the fraction
+    "x90_decon_fraction" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      s"""WITH tk AS (
+           SELECT doc_id, $splitExpr AS split,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, split,
+                  unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]))) AS gram
+           FROM tk WHERE len(ts) >= 3),
+         tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+         SELECT g.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_grams,
+                CAST(COUNT(tr.gram) AS BIGINT) AS n_hits,
+                CAST(floor(COUNT(tr.gram) * 10000.0 / COUNT(*) + 0.5)
+                     AS BIGINT) AS frac_e4
+         FROM g LEFT JOIN tr ON tr.gram = g.gram
+         WHERE g.split = 'test'
+         GROUP BY g.doc_id ORDER BY g.doc_id NULLS FIRST"""
     },
     // the same integer iteration unrolled as chained CTEs — generated
     // by the operator's own pageRankSql so spec and oracle can't drift

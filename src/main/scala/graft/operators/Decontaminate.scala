@@ -38,6 +38,40 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits")) // grams are distinct per doc
   }
 
+  /** Graded decontamination (the Lee et al. 2022 / GPT-3-appendix
+    * refinement of the binary [[ngramOverlap]] check): per test
+    * document, the FRACTION of its distinct word n-grams that appear
+    * in any train document — binary overlap over-flags documents
+    * sharing one idiomatic phrase; thresholding on the fraction is
+    * what production decontamination actually does. Returns EVERY
+    * test document with ≥ n tokens: `(idCol, n_grams, n_hits,
+    * frac_e4)` with the fraction half-up-quantized to 1e-4 (the
+    * integer-exactness convention). Documents shorter than n tokens
+    * have no grams and are not judged.
+    *
+    * Same scale shape as [[ngramOverlap]] — one distinct-gram stream
+    * per side, one hash join on the gram key (LEFT, so misses count
+    * the denominator), one per-doc aggregation. */
+  def overlapFraction(docs: DataFrame, splitCol: String,
+                      trainVal: String, testVal: String, n: Int,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val grams = Dedup.fanOut(docs).select(col(idCol), col(splitCol),
+      explode(graft.expressions.NativeText.wordNgrams(
+        Text.tokens(col(textCol)), n)).as("gram"))
+    val train = grams.where(col(splitCol) === trainVal)
+      .select(col("gram")).distinct()
+      .withColumn("__hit", lit(1L))
+    grams.where(col(splitCol) === testVal)
+      .join(train, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), // distinct per doc by construction
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        floor(col("n_hits") * 10000.0 / col("n_grams") + 0.5)
+          .cast("long").as("frac_e4"))
+  }
+
   /** SEMANTIC decontamination: corpus rows whose embedding lands
     * within `threshold` cosine of ANY benchmark embedding — the
     * embedding-space complement of [[ngramOverlap]] (n-grams miss

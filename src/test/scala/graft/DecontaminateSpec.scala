@@ -68,4 +68,26 @@ class DecontaminateSpec extends AnyFunSuite {
     val empty = far.where(lit(false))
     assert(Decontaminate.semantic(corpus, empty, threshold = 0.0).count() == 0)
   }
+
+  test("overlapFraction: exact fraction arithmetic, zero-hit docs judged, short docs skipped") {
+    val docs = Seq(
+      (1L, "train", "alpha beta gamma delta epsilon"),
+      // 4 distinct 3-grams; the first two appear in doc 1 -> 2/4
+      (3L, "test", "alpha beta gamma delta zzz qqq"),
+      // clean test doc: 1 gram, 0 hits -> present with frac 0
+      (4L, "test", "one two three"),
+      // too short for a 3-gram: not judged
+      (5L, "test", "tiny doc"))
+      .toDF("doc_id", "split", "text")
+    val got = Decontaminate.overlapFraction(docs, "split", "train", "test", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(got(3L) == ((4L, 2L, 5000L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+    assert(!got.contains(5L))
+  }
+
+  private implicit class Tup4Map(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }
