@@ -57,7 +57,11 @@ object Versioned {
 
   /** All commits, ascending. Malformed log entries are skipped (a
     * torn write never poisons the table — the entry that mattered is
-    * the one whose create returned success). */
+    * the one whose create returned success). An entry is trusted only
+    * when it carries the completeness terminator (trailing newline)
+    * the writer appends after the data-dir name: a crash mid-fill on
+    * the no-hardlink fallback path leaves a terminator-less fragment,
+    * which must never surface as a commit naming a garbage dir. */
   def history(spark: SparkSession, root: String): Seq[Entry] = {
     val (f, p) = fs(spark, root)
     val log = new Path(p, LogDirName)
@@ -67,10 +71,12 @@ object Versioned {
       if (!name.endsWith(".commit")) None
       else Try(name.stripSuffix(".commit").toLong).toOption.flatMap { seq =>
         val in = f.open(st.getPath)
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        val raw =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        if (content.isEmpty) None else Some(Entry(seq, content))
+        val content = raw.trim
+        if (!raw.endsWith("\n") || content.isEmpty) None
+        else Some(Entry(seq, content))
       }
     }.sortBy(_.seq)
   }
@@ -162,8 +168,13 @@ object Versioned {
     val tmp = new Path(log,
       s".tmp-${fmtSeq(seq)}-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
+      // the trailing newline is a COMPLETENESS TERMINATOR: history()
+      // only trusts entries that end with it, so a torn fill (the
+      // create-exclusive fallback crashing mid-write) can never
+      // surface as a valid commit naming a garbage data dir
       val out = f.create(tmp, /* overwrite = */ true)
-      try out.write(dataName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write((dataName + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val won =
         if ("file" == f.getUri.getScheme) publishLocalExclusive(f, tmp, entry)
@@ -181,9 +192,15 @@ object Versioned {
   /** Atomic local publish: hard-link tmp to the final name. `link(2)`
     * fails with EEXIST if the destination exists — true one-winner
     * semantics with the content already complete at link time. Falls
-    * back to O_CREAT|O_EXCL copy (also atomic for the name claim; the
-    * content is tiny and the loser of the claim never writes) on
-    * filesystems without hard links. */
+    * back to O_CREAT|O_EXCL claim-then-fill on filesystems without
+    * hard links — those surface as FileSystemException (EPERM/ENOTSUP
+    * from VFAT/some NFS/SMB), NOT UnsupportedOperationException, so
+    * the catch must cover both or the fallback is unreachable and
+    * every commit on such a mount "loses 20 races". A fill that fails
+    * deletes the claimed name; a crash mid-fill leaves an entry
+    * without the completeness terminator, which history() skips (and
+    * maxSeqOnDisk still counts the claimed sequence, so no later
+    * writer reuses it). */
   private def publishLocalExclusive(f: FileSystem, tmp: Path,
                                     entry: Path): Boolean = {
     val tmpLocal = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
@@ -191,21 +208,27 @@ object Versioned {
     try { java.nio.file.Files.createLink(entryLocal, tmpLocal); true }
     catch {
       case _: java.nio.file.FileAlreadyExistsException => false
-      case _: UnsupportedOperationException =>
-        // no hard links (some mounts): claim the name with
-        // O_CREAT|O_EXCL, then fill it. The claim is atomic; a reader
-        // that races the fill sees an empty entry, which history()
-        // skips by design, and maxSeqOnDisk still counts the claimed
-        // sequence so no later writer reuses it.
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
         try {
           val ch = java.nio.file.Files.newByteChannel(entryLocal,
             java.nio.file.StandardOpenOption.WRITE,
             java.nio.file.StandardOpenOption.CREATE_NEW)
           try ch.write(java.nio.ByteBuffer.wrap(
             java.nio.file.Files.readAllBytes(tmpLocal)))
+          catch { case e: Throwable =>
+            // never leave a claimed-but-torn entry behind if we can
+            // help it; if this delete also fails, the missing
+            // terminator keeps the entry invisible to history()
+            try java.nio.file.Files.deleteIfExists(entryLocal)
+            catch { case _: Exception => }
+            throw e
+          }
           finally ch.close()
           true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
     }
   }
 

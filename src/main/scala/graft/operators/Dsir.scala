@@ -41,10 +41,15 @@ object Dsir {
   private def bucket(gram: Column, salt: String): Column =
     substring(md5(concat(lit(salt + ":"), gram)), 1, HexWidth)
 
-  /** Exploded (id, bucket) — one row per gram instance. */
+  /** Exploded (id, bucket) — one row per gram instance. NULL-id rows
+    * are dropped UP FRONT (they could never be weighted or selected),
+    * which also keeps the weight path and the histogram path
+    * byte-identical subtrees so ReuseExchange can collapse them —
+    * the downstream join infers IsNotNull(id) on one branch only. */
   private def docBuckets(df: DataFrame, idCol: String, textCol: String,
                          salt: String): DataFrame =
-    df.select(col(idCol).as("__id"),
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
         explode(grams(col(textCol))).as("__g"))
       .select(col("__id"), bucket(col("__g"), salt).as("__b"))
 
@@ -59,11 +64,15 @@ object Dsir {
       .groupBy(col("__b")).agg(count(lit(1)).as("cr"))
     val ht = docBuckets(target, idCol, textCol, salt)
       .groupBy(col("__b")).agg(count(lit(1)).as("ct"))
-    // totals are 1-row aggregates; the join below is bucket-count sized
+    // pin the ≤buckets-row joined histogram: `tot` and the ratio
+    // projection both read it, and without the pin each reference
+    // re-tokenizes BOTH corpora (the bucket table is tiny; the
+    // lineage behind it is not)
     val joined = hr.join(ht, Seq("__b"), "full_outer")
       .select(col("__b"),
         coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))
+      .localCheckpoint()
     val tot = joined.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     joined.crossJoin(broadcast(tot))
       .select(col("__b").as("bucket"),
@@ -76,15 +85,50 @@ object Dsir {
 
   /** Per-document importance weight: the integer sum of its gram
     * instances' quantized bucket log-ratios. Documents with no grams
-    * (empty text) weigh 0. Returns `(idCol, weight_e4)`. */
+    * (empty text) weigh 0. Returns `(idCol, weight_e4)`.
+    *
+    * One-pass discipline: the raw corpus is tokenized/hashed ONCE.
+    * The per-(doc, bucket) count aggregation compacts the gram stream
+    * to ≤ min(grams, 4096) rows per document and is PINNED with
+    * localCheckpoint (the Ranks/Warc precedent), so its two consumers
+    * — the raw histogram and the weight sum — read the compacted
+    * counts, never re-tokenizing the corpus. (Exchange reuse would
+    * express the same sharing declaratively, but it is an optimizer
+    * courtesy, not a contract — the pin makes one-pass a guarantee;
+    * a naive composition read the 100 TB corpus twice.) */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
                         salt: String = "dsir"): DataFrame = {
-    val ratios = bucketLogRatios(raw, target, idCol, textCol, salt)
-    val w = docBuckets(raw, idCol, textCol, salt)
+    // per-(doc, bucket) instance counts: the one corpus-sized shuffle
+    val perDoc = docBuckets(raw, idCol, textCol, salt)
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    // raw histogram derived from the pinned counts — no second pass
+    val hr = perDoc.groupBy(col("__b")).agg(sum(col("__c")).as("cr"))
+    val ht = docBuckets(target, idCol, textCol, salt)
+      .groupBy(col("__b")).agg(count(lit(1)).as("ct"))
+    // pinned for the same reason: `tot` and the ratio projection both
+    // read it, and the lineage behind ht must tokenize the target
+    // exactly once (the table is ≤ buckets rows — pinning is free)
+    val joined = hr.join(ht, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .localCheckpoint()
+    val tot = joined.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val ratios = joined.crossJoin(broadcast(tot))
+      .select(col("__b").as("bucket"),
+        floor(
+          (log((col("ct") + 1.0) / (col("tt") + Buckets.toDouble)) -
+            log((col("cr") + 1.0) / (col("tr") + Buckets.toDouble))) /
+            log(lit(2.0)) * 10000 + 0.5)
+          .cast("long").as("logratio_e4"))
+    // Σ instances lr(bucket) ≡ Σ buckets count·lr — exact (integer ×)
+    val w = perDoc
       .join(broadcast(ratios), col("__b") === ratios("bucket"))
       .groupBy(col("__id"))
-      .agg(sum(col("logratio_e4")).as("weight_e4"))
+      .agg(sum(col("__c") * col("logratio_e4")).as("weight_e4"))
     raw.select(col(idCol)).distinct()
       .join(w, col(idCol) === w("__id"), "left")
       .select(col(idCol),

@@ -49,7 +49,10 @@ object Funnel {
     }
     val winUs = windowSeconds.map(_ * 1000000L)
     val perUser = events
-      .where(col(typeCol).isin(steps: _*))
+      // NULL-ts events carry no position in event time: without this
+      // filter a NULL lands in acc[0] (struct sort is nulls-first and
+      // every s==0 guard passes) and poisons the whole user's chain
+      .where(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
       .select(col(userCol).as("user"),
         struct(unix_micros(col(tsCol)).as("t"), stepIdx.as("s")).as("ev"))
       .groupBy(col("user"))
@@ -74,15 +77,18 @@ object Funnel {
         }).as("times"))
       .select(col("user"),
         size(filter(col("times"), t => t =!= -1L)).as("level"))
-    // k per-step counts in ONE aggregation pass, then unpivoted to rows
+    // k per-step counts in ONE aggregation pass, then unpivoted to
+    // rows — step names ride as literal VALUES, never spliced into a
+    // SQL string (an apostrophe in an event type must not parse, let
+    // alone inject)
     val aggs = (1 to k).map(i =>
       sum(when(col("level") >= i, 1L).otherwise(0L)).as(s"u$i"))
     val one = folded.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = (1 to k).map(i =>
-      s"${i}, '${steps(i - 1)}', u$i").mkString(", ")
-    one.selectExpr(s"stack($k, $stackExpr) AS (step, step_name, users)")
-      .select(col("step").cast("int").as("step"), col("step_name"),
-        col("users").cast("long").as("users"))
+    one.select(explode(array((1 to k).map(i =>
+        struct(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
+          col(s"u$i").cast("long").as("users"))): _*)).as("r"))
+      .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+        col("r.users").as("users"))
   }
 
   /** Weekly retention cohorts: users are cohorted by the ISO week of
@@ -93,9 +99,10 @@ object Funnel {
     */
   def retention(events: DataFrame, userCol: String = "user_id",
                 tsCol: String = "ts"): DataFrame = {
-    val firsts = events.groupBy(col(userCol).as("user"))
+    val dated = events.where(col(tsCol).isNotNull)
+    val firsts = dated.groupBy(col(userCol).as("user"))
       .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
-    val active = events
+    val active = dated
       .select(col(userCol).as("user"),
         to_date(date_trunc("week", col(tsCol))).as("week"))
       .distinct()

@@ -36,10 +36,16 @@ object Sft {
     *  - `masks`: array<struct<start,end>> — half-open char ranges of
     *    each `maskRole` turn's CONTENT (tag and newline excluded);
     *  - `masked_chars`: total characters under the mask.
-    * NULL turns arrays render as NULL (junk is visible, not empty). */
+    * A NULL turns array — or ANY turn with a NULL role/content —
+    * renders as NULL across all three columns (junk is visible, not
+    * silently dropped: array_join would omit a NULL turn from the
+    * text while the offset fold nulls out, leaving assistant content
+    * with no loss mask — a silent training-span corruption). */
   def render(df: DataFrame, turnsCol: String = "turns",
              maskRole: String = "assistant"): DataFrame = {
     val turns = col(turnsCol)
+    val anyNullField = exists(turns, t =>
+      t.getField("role").isNull || t.getField("content").isNull)
     // the text is the concatenation of the per-turn renders
     val rendered = array_join(
       transform(turns, t => concat(
@@ -66,11 +72,15 @@ object Sft {
             .otherwise(acc.getField("ms")).as("ms"))
       },
       acc => acc.getField("ms"))
-    df.withColumn("text", rendered)
-      .withColumn("masks", masks)
+    df.withColumn("text", when(anyNullField, lit(null)).otherwise(rendered))
+      .withColumn("masks",
+        when(col("text").isNull,
+          lit(null).cast("array<struct<start:bigint,end:bigint>>"))
+          .otherwise(masks))
       .withColumn("masked_chars",
-        coalesce(aggregate(col("masks"), lit(0L),
-          (a, m) => a + m.getField("end") - m.getField("start")), lit(0L)))
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(aggregate(col("masks"), lit(0L),
+            (a, m) => a + m.getField("end") - m.getField("start")), lit(0L))))
   }
 
   /** Canonical string form of the mask ranges (`s:e;s:e`) — the

@@ -88,6 +88,16 @@ class CatalogVersionSpec extends AnyFunSuite {
     // no orphan data dirs from any of it
     val dirs = new java.io.File(root).list().filter(_.startsWith("data-")).toSet
     assert(dirs == Versioned.history(spark, root).map(_.dataDir).toSet)
+    // a torn NON-EMPTY entry (crash mid-fill on the no-hardlink
+    // fallback: content present, completeness terminator missing) is
+    // equally invisible — it must never surface as a commit naming a
+    // half-written dir name — and its sequence number is still burned
+    java.nio.file.Files.write(
+      new java.io.File(new java.io.File(root, "_log"),
+        "00000000000000000007.commit").toPath,
+      "data-000000000000000".getBytes) // no trailing \n
+    assert(!Versioned.history(spark, root).map(_.seq).contains(7L))
+    assert(Versioned.put(spark, Seq(7L).toDF("id"), root) == 8L)
   }
 
   test("orphans are invisible; vacuum collects them but honors aliases") {

@@ -33,7 +33,14 @@ class EntityResolutionSpec extends AnyFunSuite {
       ("ab", "ba", 0.0), // window 0 -> no matches
       ("a", "a", 1.0),
       ("", "abc", 0.0),
-      ("", "", 0.0)) // DuckDB convention: empty never matches
+      ("", "", 0.0), // DuckDB convention: empty never matches
+      // ODD disagreement counts: greedy matching yields 3 positional
+      // disagreements here; the half-count must FLOOR (t = 1), the
+      // DuckDB/rapidfuzz convention — keeping the .5 scores these
+      // lower and flips >= 0.9 linkage verdicts
+      ("fabd", "bfeabfd", 0.6150793650793651),
+      ("eab geaafc ec", "ebb geaafc ec", 0.9038461538461539),
+      (" baddeab ab", " badeab dab", 0.9636363636363636))
     cases.foreach { case (a, b, want) =>
       assert(math.abs(jw(a, b) - want) < 1e-12, s"jw($a, $b)")
     }

@@ -520,7 +520,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("DSIR weights: bucket-bounded ratio table broadcasts onto the gram stream") {
+  test("DSIR weights: one gram pass (ReusedExchange), ratio table broadcasts") {
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
     val w = graft.operators.Dsir.importanceWeights(
       docs, docs.where($"doc_id" % 3 === 0))
@@ -528,6 +528,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"the ≤4096-row ratio table must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
+    // each corpus is tokenized+hashed exactly once, in the pinning
+    // jobs (perDoc for raw, the joined histogram for target) — the
+    // FINAL plan must carry zero gram Generates; any appearing here
+    // is a second full pass over a corpus
+    val gramPasses = "word_uni_bigrams_native".r.findAllIn(plan).length
+    assert(gramPasses == 0,
+      s"expected 0 gram passes in the final plan, got $gramPasses:\n$plan")
   }
 
   test("entity pairs: blocked equi join with the native JW predicate fused, never all-pairs") {

@@ -70,6 +70,15 @@ class SftSpec extends AnyFunSuite {
     assert(text.substring(s, e) == "query")
   }
 
+  test("a NULL role or content in ANY turn nulls the whole render — no unmasked assistant text") {
+    val df = Sft.render(spark.sql(
+      """SELECT 1L AS conv_id, array(
+           named_struct('role', 'user', 'content', CAST(NULL AS STRING)),
+           named_struct('role', 'assistant', 'content', 'hi')) AS turns"""))
+    val row = df.select("text", "masks", "masked_chars").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
   test("NULL turns render NULL, never a fabricated empty conversation") {
     val df = Sft.render(spark.sql(
       """SELECT 1L AS conv_id,
