@@ -75,6 +75,21 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Seq((1, "view", 1L), (2, "click", 1L), (3, "purchase", 1L)))
   }
 
+  test("a NULL-ts event never poisons a user's chain") {
+    // without the ts filter the NULL lands in acc[0] (struct sort is
+    // nulls-first, every s==0 guard passes on NULL) and the user
+    // reports level 0 despite a full conversion
+    val df = Seq(
+      (1L, null.asInstanceOf[Timestamp], "view"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(df, Seq("view", "click", "purchase"))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "view", 1L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
   test("funnel counts are monotonically non-increasing; repartition-invariant") {
     val df = Tables.loadEvents
     val got = Funnel.funnel(df, Seq("view", "click", "purchase"),
