@@ -343,6 +343,28 @@ private[graft] object CoreGates {
       graft.operators.Funnel.retention(t(s, d, "events"))
         .orderBy(asc_nulls_first("cohort_week"), asc_nulls_first("week_no"))),
 
+    // X91 conversion-lag percentiles: time-to-convert distributions
+    // between adjacent funnel steps (the product-analytics companion
+    // of x85) — per step pair, exact p50/p90 of the converting users'
+    // lag in seconds, through the sort-based Percentiles operator (no
+    // unbounded agg buffer). The oracle replays the same greedy chain
+    // + quantile_cont.
+    "x91_conversion_lag" -> ((s, d) => {
+      val stp = graft.operators.Funnel.stepTimes(t(s, d, "events"),
+        Seq("view", "click", "purchase"), windowSeconds = Some(7L * 86400))
+      val lags = Seq(1 -> "view->click", 2 -> "click->purchase").map {
+        case (i, nm) =>
+          stp.where(col(s"t${i + 1}").isNotNull)
+            .select(lit(nm).as("step_pair"),
+              ((col(s"t${i + 1}") - col(s"t$i")) / 1000000.0).as("lag_s"))
+      }.reduce(_ unionAll _)
+      graft.operators.Percentiles.exact(lags, "step_pair", "lag_s",
+          Seq("p50r" -> 0.5, "p90r" -> 0.9))
+        .select(col("step_pair"), round(col("p50r"), 2).as("p50"),
+          round(col("p90r"), 2).as("p90"), col("n_vals").as("n"))
+        .orderBy(asc_nulls_first("step_pair"))
+    }),
+
     // X83 PSI distribution-drift detection (the per-ingest monitor
     // that pairs with x76's profile: did this batch change shape?).
     // Reference = even orders' totalprice; current = odd orders with
@@ -604,6 +626,36 @@ private[graft] object CoreGates {
          FROM a JOIN f ON a.user_id = f.user_id
          GROUP BY 1, 2
          ORDER BY cohort_week NULLS FIRST, week_no NULLS FIRST""",
+    // the x85 greedy chain replayed, lags in micros/1e6 seconds,
+    // quantile_cont + ROUND(2) (the q28 percentile convention)
+    "x91_conversion_lag" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                              JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id),
+         lags AS (
+           SELECT 'view->click' AS step_pair,
+                  (epoch_us(s2.t2) - epoch_us(s1.t1)) / 1000000.0 AS lag_s
+           FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+           UNION ALL
+           SELECT 'click->purchase',
+                  (epoch_us(s3.t3) - epoch_us(s2.t2)) / 1000000.0
+           FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+         SELECT step_pair,
+                ROUND(quantile_cont(lag_s, 0.5), 2) AS p50,
+                ROUND(quantile_cont(lag_s, 0.9), 2) AS p90,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lags GROUP BY step_pair
+         ORDER BY step_pair NULLS FIRST""",
     // bounds from the reference, equal-width buckets + under/overflow,
     // 1e-6 smoothed shares, quantized ln terms
     "x83_psi_drift" ->

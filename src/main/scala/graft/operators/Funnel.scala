@@ -37,6 +37,47 @@ object Funnel {
              windowSeconds: Option[Long] = None,
              userCol: String = "user_id", tsCol: String = "ts",
              typeCol: String = "event_type"): DataFrame = {
+    val k = steps.size
+    val folded = chainTimes(events, steps, windowSeconds,
+      userCol, tsCol, typeCol)
+      .select(col("user"),
+        size(filter(col("__times"), t => t =!= -1L)).as("level"))
+    // k per-step counts in ONE aggregation pass, then unpivoted to
+    // rows — step names ride as literal VALUES, never spliced into a
+    // SQL string (an apostrophe in an event type must not parse, let
+    // alone inject)
+    val aggs = (1 to k).map(i =>
+      sum(when(col("level") >= i, 1L).otherwise(0L)).as(s"u$i"))
+    val one = folded.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array((1 to k).map(i =>
+        struct(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
+          col(s"u$i").cast("long").as("users"))): _*)).as("r"))
+      .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+        col("r.users").as("users"))
+  }
+
+  /** Per-user greedy-chain step times (the funnel's intermediate,
+    * exposed for conversion-lag analytics): `(userCol, t1 .. tk)` in
+    * epoch MICROS, NULL where the chain never reached that step. */
+  def stepTimes(events: DataFrame, steps: Seq[String],
+                windowSeconds: Option[Long] = None,
+                userCol: String = "user_id", tsCol: String = "ts",
+                typeCol: String = "event_type"): DataFrame = {
+    val k = steps.size
+    val times = chainTimes(events, steps, windowSeconds,
+      userCol, tsCol, typeCol)
+    times.select(col("user").as(userCol) +:
+      (1 to k).map(i =>
+        when(element_at(col("__times"), i) =!= -1L,
+          element_at(col("__times"), i)).as(s"t$i")): _*)
+  }
+
+  /** The shared greedy fold: `(user, __times)` with `__times(i)` the
+    * step-i time in micros or -1. */
+  private def chainTimes(events: DataFrame, steps: Seq[String],
+                         windowSeconds: Option[Long],
+                         userCol: String, tsCol: String,
+                         typeCol: String): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       "funnel steps must be distinct event types")
@@ -59,7 +100,7 @@ object Funnel {
       .agg(array_sort(collect_list(col("ev"))).as("evs"))
     // greedy fold: acc = array of k step times (-1 = unreached).
     // element_at is 1-based; events arrive time-ordered from the sort.
-    val folded = perUser.select(
+    perUser.select(
       col("user"),
       aggregate(
         col("evs"),
@@ -74,21 +115,7 @@ object Funnel {
           transform(acc, (cur, i) =>
             when(i === s && cur === -1L && prevSet && after && inWin, t)
               .otherwise(cur))
-        }).as("times"))
-      .select(col("user"),
-        size(filter(col("times"), t => t =!= -1L)).as("level"))
-    // k per-step counts in ONE aggregation pass, then unpivoted to
-    // rows — step names ride as literal VALUES, never spliced into a
-    // SQL string (an apostrophe in an event type must not parse, let
-    // alone inject)
-    val aggs = (1 to k).map(i =>
-      sum(when(col("level") >= i, 1L).otherwise(0L)).as(s"u$i"))
-    val one = folded.agg(aggs.head, aggs.tail: _*)
-    one.select(explode(array((1 to k).map(i =>
-        struct(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
-          col(s"u$i").cast("long").as("users"))): _*)).as("r"))
-      .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
-        col("r.users").as("users"))
+        }).as("__times"))
   }
 
   /** Weekly retention cohorts: users are cohorted by the ISO week of
