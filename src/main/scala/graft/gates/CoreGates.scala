@@ -365,6 +365,27 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("step_pair"))
     }),
 
+    // X92 last-touch attribution: each purchase credited to the
+    // user's latest preceding click/view within 7 days (channel =
+    // event type) — a backward as-of join (x11 shape) + a
+    // channels-sized rollup. Touches pre-collapsed per (user, ts) by
+    // MAX channel so ties are engine-replayable; purchases with no
+    // in-window touch roll up under channel NULL (unattributed
+    // revenue stays visible).
+    "x92_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.operators.Attribution.lastTouch(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("value")),
+          ev.where(col("event_type").isin("click", "view"))
+            .select(col("user_id"), col("ts"),
+              col("event_type").as("channel")),
+          lookback = "7 days")
+        .select(col("channel"), col("n_conversions"),
+          round(col("revenue"), 2).as("revenue"))
+        .orderBy(asc_nulls_first("channel"))
+    }),
+
     // X83 PSI distribution-drift detection (the per-ingest monitor
     // that pairs with x76's profile: did this batch change shape?).
     // Reference = even orders' totalprice; current = odd orders with
@@ -626,6 +647,24 @@ private[graft] object CoreGates {
          FROM a JOIN f ON a.user_id = f.user_id
          GROUP BY 1, 2
          ORDER BY cohort_week NULLS FIRST, week_no NULLS FIRST""",
+    // the same (user, ts) MAX-channel pre-collapse, DuckDB's own ASOF
+    // LEFT JOIN (inclusive <=), the identical strict-< staleness
+    // null-out, ROUND(SUM, 2)
+    "x92_attribution" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, ts, MAX(event_type) AS channel
+                 FROM events WHERE event_type IN ('click', 'view')
+                 GROUP BY user_id, ts),
+         j AS (SELECT p.value,
+                      CASE WHEN tch.ts < p.ts - INTERVAL 7 DAY THEN NULL
+                           ELSE tch.channel END AS channel
+               FROM p ASOF LEFT JOIN tch
+                 ON p.user_id = tch.user_id AND tch.ts <= p.ts)
+         SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                ROUND(SUM(value), 2) AS revenue
+         FROM j GROUP BY channel
+         ORDER BY channel NULLS FIRST""",
     // the x85 greedy chain replayed, lags in micros/1e6 seconds,
     // quantile_cont + ROUND(2) (the q28 percentile convention)
     "x91_conversion_lag" ->
