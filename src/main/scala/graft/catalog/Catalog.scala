@@ -246,6 +246,105 @@ object Catalog {
     } finally { pool.shutdown(); () }
   }
 
+  case class DeleteStats(rowsBefore: Long, rowsDeleted: Long,
+                         leavesRewritten: Long)
+
+  /** Keyed row DELETE from a parquet directory — the right-to-be-
+    * forgotten / takedown maintenance shape: every target row whose
+    * key appears in `keys` is removed, everything else is rewritten
+    * byte-equal. One LEFT ANTI join on the key (the erasure list is
+    * small by nature — AQE broadcasts it), written to a temp dir and
+    * swapped with [[merge]]'s crash-safe rename ordering: readers see
+    * the old table or the new one, never a mix. Row counts come from
+    * `observe` nodes inside the one rewrite job, not extra scans. */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
+                 keyCols: Seq[String]): DeleteStats = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val target = spark.read.parquet(dir)
+    keyCols.foreach(c => require(target.columns.contains(c),
+      s"deleteKeys: target has no key column $c"))
+    keyCols.foreach(c => require(keys.columns.contains(c),
+      s"deleteKeys: keys frame has no key column $c"))
+    val before = org.apache.spark.sql.Observation()
+    val after = org.apache.spark.sql.Observation()
+    val kept = target.observe(before, count(lit(1)).as("n"))
+      .join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"${dir}_delete_${System.nanoTime()}")
+    kept.observe(after, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val aside = new org.apache.hadoop.fs.Path(s"${dir}_predelete_${System.nanoTime()}")
+    if (!fs.rename(dirP, aside)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"deleteKeys: could not move $dir aside")
+    }
+    if (!fs.rename(tmp, dirP)) {
+      fs.rename(aside, dirP) // roll back to the original
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"deleteKeys: could not swap rewrite into $dir")
+    }
+    fs.delete(aside, true)
+    val b = before.get("n").asInstanceOf[Long]
+    DeleteStats(b, b - after.get("n").asInstanceOf[Long], 1L)
+  }
+
+  /** [[deleteKeys]] over a HIVE-PARTITIONED layout when the erasure
+    * list does NOT say which partitions hold the keys (the GDPR
+    * reality: "delete user X" — X's rows may sit under any day).
+    * Every leaf is PROBED with a cheap semi-join existence check and
+    * only leaves that actually contain a key are rewritten; the rest
+    * stay byte-identical (their files are never touched, so object
+    * copies/etags survive). Each leaf swap is atomic and the
+    * operation is idempotent — a crash mid-run leaves every leaf
+    * either fully erased or fully original, and replaying the same
+    * erasure list converges.
+    *
+    * Scale shape: the probe is one existence query per leaf with the
+    * erasure keys broadcast (`LIMIT 1` short-circuits); leaves
+    * process from a bounded pool ([[compactPartitioned]]'s
+    * concurrency pattern). The control-plane state is one path per
+    * leaf. */
+  def deleteKeysPartitioned(spark: SparkSession, root: String,
+                            keys: DataFrame, keyCols: Seq[String],
+                            maxConcurrent: Int = 8): DeleteStats = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "deleteKeysPartitioned needs key columns")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val (dirs, _) = fs.listStatus(p).partition(_.isDirectory)
+      val (partDirs, _) = dirs.partition(_.getPath.getName.contains("="))
+      if (partDirs.isEmpty) Seq(p) else partDirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    val leafPaths = leaves(new org.apache.hadoop.fs.Path(root))
+      .filterNot(_.toString == root)
+    // pin the (small) erasure list once; every probe job reuses it
+    val keySet = keys.select(keyCols.map(col): _*).distinct().localCheckpoint()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, math.max(1, leafPaths.length))))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val outcomes = Await.result(
+        Future.sequence(leafPaths.map { leaf => Future {
+          val hit = spark.read.parquet(leaf.toString)
+            .join(broadcast(keySet), keyCols, "left_semi")
+            .limit(1).count() > 0
+          if (hit) deleteKeys(spark, leaf.toString, keySet, keyCols)
+          else DeleteStats(0L, 0L, 0L)
+        }.transform(t => scala.util.Success(t)) }),
+        scala.concurrent.duration.Duration.Inf)
+      outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(e => throw e)
+      val stats = outcomes.collect { case scala.util.Success(s) => s }
+      DeleteStats(stats.map(_.rowsBefore).sum, stats.map(_.rowsDeleted).sum,
+        stats.map(_.leavesRewritten).sum)
+    } finally { pool.shutdown(); () }
+  }
+
   /** Before/after file counts and byte size of a [[compact]] run. */
   case class CompactStats(filesBefore: Long, filesAfter: Long, bytes: Long)
 

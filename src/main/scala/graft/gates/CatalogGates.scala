@@ -211,6 +211,36 @@ private[graft] object CatalogGates {
       } finally rmTree(root.toFile)
     }),
 
+    // X93 keyed DELETE (right-to-be-forgotten) over a partitioned
+    // layout where the erasure list does NOT say which partitions
+    // hold the keys: every leaf is probed with a broadcast semi-join
+    // existence check, only leaves containing a key are rewritten
+    // (atomic per-leaf swap), the rest stay byte-identical. Erasure
+    // keys = custkey % 7 = 3 plus absent keys (the no-op probe path).
+    // Oracle is the relational anti-join the physical erasure must
+    // equal.
+    "x93_delete_keys" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_del_part")
+      try {
+        val tgt = root.toString + "/cust"
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+          .write.partitionBy("c_mktsegment").parquet(tgt)
+        val keys = t(s, d, "customer")
+          .where(col("c_custkey") % 7 === 3)
+          .select(col("c_custkey"))
+          .union(s.range(999000, 999005).select(col("id").as("c_custkey")))
+        graft.catalog.Catalog.deleteKeysPartitioned(
+          s, tgt, keys, Seq("c_custkey"))
+        s.read.parquet(tgt)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment").cast("string").as("c_mktsegment"))
+          .orderBy(asc_nulls_first("c_custkey"))
+          .localCheckpoint()
+      } finally rmTree(root.toFile)
+    }),
+
     // X25 the full training-data pipeline as ONE dataflow: curation
     // verdicts → keep → near-dup dedup (LSH + exact verify + CC) →
     // deterministic split → chunk/token budget per split. Every stage
@@ -511,6 +541,14 @@ private[graft] object CatalogGates {
                 CASE WHEN u.k IS NOT NULL THEN u.rev
                      ELSE ROUND(c.c_acctbal, 2) END AS c_acctbal
          FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
+         ORDER BY c_custkey NULLS FIRST""",
+    // the erasure the physical per-leaf rewrite must equal: a plain
+    // anti-join on the key (absent keys are no-ops by construction)
+    "x93_delete_keys" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+                c_mktsegment
+         FROM customer
+         WHERE c_custkey % 7 <> 3
          ORDER BY c_custkey NULLS FIRST""",
     // relational replay of the PARTITION-SCOPED merge: the partition
     // column joins as part of the merge identity, so a key only

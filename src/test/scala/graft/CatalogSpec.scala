@@ -254,4 +254,47 @@ class CatalogSpec extends AnyFunSuite {
     val fstats = graft.catalog.Catalog.compactPartitioned(spark, flat)
     assert(fstats.filesBefore == 5 && fstats.filesAfter == 1, fstats.toString)
   }
+
+  test("deleteKeys removes exactly the keyed rows; absent keys are no-ops") {
+    val dir = Files.createTempDirectory("graft_del").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v").write.parquet(dir)
+    val stats = Catalog.deleteKeys(spark, dir,
+      Seq(2L, 4L, 999L).toDF("k"), Seq("k"))
+    assert(stats == Catalog.DeleteStats(4L, 2L, 1L), stats.toString)
+    val back = spark.read.parquet(dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a"), (3L, "c")))
+    // idempotent: replaying the same erasure list deletes nothing new
+    val again = Catalog.deleteKeys(spark, dir,
+      Seq(2L, 4L, 999L).toDF("k"), Seq("k"))
+    assert(again.rowsDeleted == 0L)
+  }
+
+  test("deleteKeysPartitioned probes every leaf, rewrites only hit leaves") {
+    val root = Files.createTempDirectory("graft_del_part").toString + "/t"
+    Seq((1L, "a", "d1"), (2L, "b", "d1"),
+        (3L, "c", "d2"), (4L, "d", "d3"))
+      .toDF("k", "v", "day")
+      .write.partitionBy("day").parquet(root)
+    def leafFiles(day: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$root/day=$day")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+    }
+    val d2Before = leafFiles("d2")
+    val d3Before = leafFiles("d3")
+    // the erasure list does NOT say where key 1 lives; only day=d1
+    // contains it, so d2/d3 must stay byte-identical
+    val stats = Catalog.deleteKeysPartitioned(spark, root,
+      Seq(1L, 999L).toDF("k"), Seq("k"))
+    assert(stats == Catalog.DeleteStats(2L, 1L, 1L), stats.toString)
+    assert(leafFiles("d2") == d2Before, "untouched leaf d2 was rewritten")
+    assert(leafFiles("d3") == d3Before, "untouched leaf d3 was rewritten")
+    val back = spark.read.parquet(root)
+      .select($"k", $"v", $"day".cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((2L, "b", "d1"), (3L, "c", "d2"), (4L, "d", "d3")))
+  }
 }
