@@ -992,6 +992,77 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  private val bucketMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** md5-hex-prefix buckets of the unigram+bigram bag, fused into ONE
+    * native pass — bit-identical to
+    * `substr(md5(salt || gram), 1, width)` over [[wordUniBigramsEval]]
+    * output (the HexBucket convention the oracles replay), but with no
+    * per-gram string concat, no 32-char hex materialization, and one
+    * thread-local MessageDigest — the gram stream is pure hash work,
+    * and this makes it a single tight loop. */
+  def wordGramBucketsEval(tokens: ArrayData, saltBytes: Array[Byte],
+                          width: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = bucketMd.get()
+    val space = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def hexPrefix(digest: Array[Byte]): UTF8String = {
+      val out = new Array[Byte](width)
+      var i = 0
+      while (i < width) {
+        val b = digest(i / 2) & 0xff
+        out(i) = hexDigits(if (i % 2 == 0) b >>> 4 else b & 0xf).toByte
+        i += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+    val res = new Array[AnyRef](2 * n - 1)
+    var prev: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      val cur =
+        if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      md.reset(); md.update(saltBytes); md.update(cur)
+      res(i) = hexPrefix(md.digest())
+      if (i > 0) {
+        md.reset(); md.update(saltBytes)
+        md.update(prev); md.update(space); md.update(cur)
+        res(n + i - 1) = hexPrefix(md.digest())
+      }
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  case class WordGramBucketsExpr(child: Expression, salt: String, width: Int)
+      extends UnaryExpression {
+    require(width >= 1 && width <= 8, "bucket width must be 1..8 hex chars")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_gram_buckets_native"
+
+    @transient private lazy val saltBytes = salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    override def nullSafeEval(v: Any): Any =
+      wordGramBucketsEval(v.asInstanceOf[ArrayData], saltBytes, width)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val saltRef = ctx.addReferenceObj("gramSalt", salt.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "byte[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.NativeText.wordGramBucketsEval($c, $saltRef, $width);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordGramBucketsExpr =
+      copy(child = c)
+  }
+
   case class WordUniBigramsExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_uni_bigrams_native"
@@ -1611,6 +1682,10 @@ object NativeText {
 
   def wordUniBigrams(tokens: Column): Column =
     ColumnBridge.column(WordUniBigramsExpr(ColumnBridge.expression(tokens)))
+
+  def wordGramBuckets(tokens: Column, salt: String, width: Int): Column =
+    ColumnBridge.column(
+      WordGramBucketsExpr(ColumnBridge.expression(tokens), salt, width))
 
   def wordNgramHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
     ColumnBridge.column(WordNgramHashesExpr(ColumnBridge.expression(tokens), n, seed))

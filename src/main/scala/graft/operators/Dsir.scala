@@ -29,29 +29,23 @@ object Dsir {
   private val HexWidth = 3 // 16^3 = 4096 feature buckets
   val Buckets: Int = 1 << (4 * HexWidth)
 
-  /** Word unigrams + bigrams of the lowercased whitespace tokens —
-    * the DSIR paper's hashed n-gram feature set. Kept WITH
-    * multiplicity (bag, not set). One native pass over the token
-    * array (the HOF composition re-ran the tokenizer per bigram
-    * element — O(tokens²) tokenize, 13× the whole query's cost). */
-  private def grams(text: Column): Column =
-    graft.expressions.NativeText.wordUniBigrams(
-      graft.functions.Text.tokens(lower(text)))
-
-  private def bucket(gram: Column, salt: String): Column =
-    substring(md5(concat(lit(salt + ":"), gram)), 1, HexWidth)
-
-  /** Exploded (id, bucket) — one row per gram instance. NULL-id rows
-    * are dropped UP FRONT (they could never be weighted or selected),
-    * which also keeps the weight path and the histogram path
-    * byte-identical subtrees so ReuseExchange can collapse them —
-    * the downstream join infers IsNotNull(id) on one branch only. */
+  /** Exploded (id, bucket) — one row per unigram/bigram instance of
+    * the lowercased whitespace tokens (the DSIR paper's feature bag,
+    * WITH multiplicity). The tokenize + bigram + md5-bucket chain is
+    * ONE fused native pass ([[graft.expressions.NativeText.WordGramBucketsExpr]],
+    * bit-identical to `substr(md5(salt || gram), 1, 3)` which the
+    * oracle replays) — the naive composition paid an O(tokens²)
+    * re-tokenize per bigram (13× the query) and, once fixed, still
+    * spent most of the query in per-gram concat+hex materialization.
+    * NULL-id rows are dropped up front (they could never be weighted
+    * or selected). */
   private def docBuckets(df: DataFrame, idCol: String, textCol: String,
                          salt: String): DataFrame =
     df.where(col(idCol).isNotNull)
       .select(col(idCol).as("__id"),
-        explode(grams(col(textCol))).as("__g"))
-      .select(col("__id"), bucket(col("__g"), salt).as("__b"))
+        explode(graft.expressions.NativeText.wordGramBuckets(
+          graft.functions.Text.tokens(lower(col(textCol))),
+          salt + ":", HexWidth)).as("__b"))
 
   /** Per-bucket quantized log2 likelihood ratio between the target
     * and raw gram distributions, add-1 smoothed over [[Buckets]]:
@@ -87,48 +81,26 @@ object Dsir {
     * instances' quantized bucket log-ratios. Documents with no grams
     * (empty text) weigh 0. Returns `(idCol, weight_e4)`.
     *
-    * One-pass discipline: the raw corpus is tokenized/hashed ONCE.
-    * The per-(doc, bucket) count aggregation compacts the gram stream
-    * to ≤ min(grams, 4096) rows per document and is PINNED with
-    * localCheckpoint (the Ranks/Warc precedent), so its two consumers
-    * — the raw histogram and the weight sum — read the compacted
-    * counts, never re-tokenizing the corpus. (Exchange reuse would
-    * express the same sharing declaratively, but it is an optimizer
-    * courtesy, not a contract — the pin makes one-pass a guarantee;
-    * a naive composition read the 100 TB corpus twice.) */
+    * Pass discipline, MEASURED not assumed: the corpus is touched by
+    * exactly two cheap map passes — one feeding the bucket histogram
+    * (output ≤4096 rows), one feeding the per-doc weight sum (the
+    * single corpus-sized exchange, map-side partial-aggregated). The
+    * "obvious" sharing alternative — materialize per-(doc, bucket)
+    * counts once and derive both — was measured 1.5× SLOWER at the
+    * 50× fixture: grams are mostly unique within a document, so the
+    * "compacted" intermediate is corpus-sized and pinning it costs
+    * more than the second fused-native map pass it saves. The only
+    * pinned frame is the ≤4096-row joined histogram (its lineage
+    * would otherwise re-tokenize both corpora for `tot` AND the
+    * ratio projection). */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
                         salt: String = "dsir"): DataFrame = {
-    // per-(doc, bucket) instance counts: the one corpus-sized shuffle
-    val perDoc = docBuckets(raw, idCol, textCol, salt)
-      .groupBy(col("__id"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
-    // raw histogram derived from the pinned counts — no second pass
-    val hr = perDoc.groupBy(col("__b")).agg(sum(col("__c")).as("cr"))
-    val ht = docBuckets(target, idCol, textCol, salt)
-      .groupBy(col("__b")).agg(count(lit(1)).as("ct"))
-    // pinned for the same reason: `tot` and the ratio projection both
-    // read it, and the lineage behind ht must tokenize the target
-    // exactly once (the table is ≤ buckets rows — pinning is free)
-    val joined = hr.join(ht, Seq("__b"), "full_outer")
-      .select(col("__b"),
-        coalesce(col("cr"), lit(0L)).as("cr"),
-        coalesce(col("ct"), lit(0L)).as("ct"))
-      .localCheckpoint()
-    val tot = joined.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-    val ratios = joined.crossJoin(broadcast(tot))
-      .select(col("__b").as("bucket"),
-        floor(
-          (log((col("ct") + 1.0) / (col("tt") + Buckets.toDouble)) -
-            log((col("cr") + 1.0) / (col("tr") + Buckets.toDouble))) /
-            log(lit(2.0)) * 10000 + 0.5)
-          .cast("long").as("logratio_e4"))
-    // Σ instances lr(bucket) ≡ Σ buckets count·lr — exact (integer ×)
-    val w = perDoc
+    val ratios = bucketLogRatios(raw, target, idCol, textCol, salt)
+    val w = docBuckets(raw, idCol, textCol, salt)
       .join(broadcast(ratios), col("__b") === ratios("bucket"))
       .groupBy(col("__id"))
-      .agg(sum(col("__c") * col("logratio_e4")).as("weight_e4"))
+      .agg(sum(col("logratio_e4")).as("weight_e4"))
     raw.select(col(idCol)).distinct()
       .join(w, col(idCol) === w("__id"), "left")
       .select(col(idCol),

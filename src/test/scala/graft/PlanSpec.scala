@@ -528,13 +528,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"the ≤4096-row ratio table must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
-    // each corpus is tokenized+hashed exactly once, in the pinning
-    // jobs (perDoc for raw, the joined histogram for target) — the
-    // FINAL plan must carry zero gram Generates; any appearing here
-    // is a second full pass over a corpus
-    val gramPasses = "word_uni_bigrams_native".r.findAllIn(plan).length
-    assert(gramPasses == 0,
-      s"expected 0 gram passes in the final plan, got $gramPasses:\n$plan")
+    // exactly ONE fused gram pass in the final plan — the weight
+    // sum's; the histogram pass runs once inside the pinned joined-
+    // histogram job. More means a consumer re-tokenizing a corpus.
+    val gramPasses = "word_gram_buckets_native".r.findAllIn(plan).length
+    assert(gramPasses == 1,
+      s"expected 1 fused gram pass in the final plan, got $gramPasses:\n$plan")
   }
 
   test("entity pairs: blocked equi join with the native JW predicate fused, never all-pairs") {
