@@ -211,6 +211,29 @@ private[graft] object CatalogGates {
       } finally rmTree(root.toFile)
     }),
 
+    // X95 schema-evolution read: a parquet table whose later files
+    // carry an ADDED column (the daily-append reality — producers
+    // upgrade, history does not rewrite) read with mergeSchema; old
+    // files surface the new column as NULL, never an error or a
+    // silent drop. Oracle derives the same union shape relationally.
+    "x95_schema_evolution" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_evolve")
+      try {
+        val tgt = root.toString + "/docs"
+        val docs = t(s, d, "documents")
+        docs.where(col("doc_id") < 250)
+          .select(col("doc_id"), col("n_chars"))
+          .write.parquet(tgt)
+        docs.where(col("doc_id") >= 250)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("append").parquet(tgt)
+        s.read.option("mergeSchema", "true").parquet(tgt)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .orderBy(asc_nulls_first("doc_id"))
+          .localCheckpoint()
+      } finally rmTree(root.toFile)
+    }),
+
     // X93 keyed DELETE (right-to-be-forgotten) over a partitioned
     // layout where the erasure list does NOT say which partitions
     // hold the keys: every leaf is probed with a broadcast semi-join
@@ -542,6 +565,13 @@ private[graft] object CatalogGates {
                      ELSE ROUND(c.c_acctbal, 2) END AS c_acctbal
          FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
          ORDER BY c_custkey NULLS FIRST""",
+    // old files' rows carry NULL in the added column — exactly the
+    // relational CASE
+    "x95_schema_evolution" ->
+      """SELECT doc_id, n_chars,
+                CASE WHEN doc_id >= 250 THEN lang END AS lang
+         FROM documents
+         ORDER BY doc_id NULLS FIRST""",
     // the erasure the physical per-leaf rewrite must equal: a plain
     // anti-join on the key (absent keys are no-ops by construction)
     "x93_delete_keys" ->

@@ -386,6 +386,18 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("channel"))
     }),
 
+    // X94 k-anonymity audit (Sweeney 2002): quasi-identifier cohorts
+    // smaller than k — the privacy check before any data release,
+    // pairing with the x31 PII scrub and the x93 erasure. One
+    // map-side-combined groupBy; output bounded by violating cohorts.
+    "x94_k_anonymity" -> ((s, d) =>
+      graft.operators.Privacy.kAnonymityViolations(
+          t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("n").cast(LongType).as("n"))
+        .orderBy(asc_nulls_first("c_nationkey"),
+          asc_nulls_first("c_mktsegment"))),
+
     // X83 PSI distribution-drift detection (the per-ingest monitor
     // that pairs with x76's profile: did this batch change shape?).
     // Reference = even orders' totalprice; current = odd orders with
@@ -647,6 +659,12 @@ private[graft] object CoreGates {
          FROM a JOIN f ON a.user_id = f.user_id
          GROUP BY 1, 2
          ORDER BY cohort_week NULLS FIRST, week_no NULLS FIRST""",
+    "x94_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+         FROM customer
+         GROUP BY c_nationkey, c_mktsegment
+         HAVING COUNT(*) < 10
+         ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""",
     // the same (user, ts) MAX-channel pre-collapse, DuckDB's own ASOF
     // LEFT JOIN (inclusive <=), the identical strict-< staleness
     // null-out, ROUND(SUM, 2)
