@@ -81,6 +81,19 @@ object Catalog {
       .where($"key" === key).select("value").as[String].collect().headOption
   }
 
+  /** Dot-prefixed sibling path for a swap's tmp/aside dir. The dot
+    * matters twice: Spark/Hive readers IGNORE dot-prefixed paths, and
+    * a swapped LEAF of a partitioned table ("day=d1") must never leave
+    * a crash artifact whose name still parses as a partition
+    * ("day=d1_premerge_123" would surface all the old rows under a
+    * phantom partition value and get rewritten in place by a replay's
+    * leaf walk — the hidden name keeps crash artifacts invisible to
+    * readers AND to the leaf walkers until vacuumed). */
+  private def hiddenSibling(dir: org.apache.hadoop.fs.Path,
+                            tag: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir.getParent,
+      s".${dir.getName}_${tag}_${System.nanoTime()}")
+
   /** Row counts around a [[merge]] run. */
   case class MergeStats(rowsBefore: Long, rowsAfter: Long)
 
@@ -144,10 +157,10 @@ object Catalog {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val dirP = new org.apache.hadoop.fs.Path(dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"${dir}_merge_${System.nanoTime()}")
+    val tmp = hiddenSibling(dirP, "merge")
     merged.observe(after, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(tmp.toString)
-    val aside = new org.apache.hadoop.fs.Path(s"${dir}_premerge_${System.nanoTime()}")
+    val aside = hiddenSibling(dirP, "premerge")
     if (!fs.rename(dirP, aside)) {
       fs.delete(tmp, true)
       throw new java.io.IOException(s"merge: could not move $dir aside")
@@ -274,10 +287,10 @@ object Catalog {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val dirP = new org.apache.hadoop.fs.Path(dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"${dir}_delete_${System.nanoTime()}")
+    val tmp = hiddenSibling(dirP, "delete")
     kept.observe(after, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(tmp.toString)
-    val aside = new org.apache.hadoop.fs.Path(s"${dir}_predelete_${System.nanoTime()}")
+    val aside = hiddenSibling(dirP, "predelete")
     if (!fs.rename(dirP, aside)) {
       fs.delete(tmp, true)
       throw new java.io.IOException(s"deleteKeys: could not move $dir aside")
@@ -317,11 +330,21 @@ object Catalog {
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val (dirs, _) = fs.listStatus(p).partition(_.isDirectory)
-      val (partDirs, _) = dirs.partition(_.getPath.getName.contains("="))
+      // hidden (dot/underscore) dirs are crash artifacts or metadata,
+      // never partitions — a swap's aside dir must not be walked
+      val (partDirs, _) = dirs.partition(d =>
+        d.getPath.getName.contains("=") &&
+          !d.getPath.getName.startsWith(".") &&
+          !d.getPath.getName.startsWith("_"))
       if (partDirs.isEmpty) Seq(p) else partDirs.toSeq.flatMap(d => leaves(d.getPath))
     }
-    val leafPaths = leaves(new org.apache.hadoop.fs.Path(root))
-      .filterNot(_.toString == root)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val leafPaths = leaves(rootP)
+    // a FLAT directory (no k=v subdirs) degenerates to the flat
+    // erasure — a right-to-be-forgotten request must never silently
+    // no-op because the table happened to be unpartitioned
+    if (leafPaths == Seq(rootP))
+      return deleteKeys(spark, root, keys, keyCols)
     // pin the (small) erasure list once; every probe job reuses it
     val keySet = keys.select(keyCols.map(col): _*).distinct().localCheckpoint()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -376,7 +399,7 @@ object Catalog {
     }
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val tmp = new org.apache.hadoop.fs.Path(s"${dir}_compact_${System.nanoTime()}")
+    val tmp = hiddenSibling(dirP, "compact")
     val src = spark.read.parquet(dir)
     // clusterBy: range-partition + sort within files so each output
     // file owns a disjoint key range — parquet min/max stats then
@@ -394,7 +417,7 @@ object Catalog {
     // Hadoop rename signals failure by RETURNING FALSE; every step
     // must be checked, and a failed swap-in must roll the original
     // back before failing — never delete the only copy
-    val aside = new org.apache.hadoop.fs.Path(s"${dir}_precompact_${System.nanoTime()}")
+    val aside = hiddenSibling(dirP, "precompact")
     if (!fs.rename(dirP, aside)) {
       fs.delete(tmp, true)
       throw new java.io.IOException(s"compact: could not move $dir aside")
@@ -435,7 +458,9 @@ object Catalog {
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val sub = fs.listStatus(p).filter(s =>
-        s.isDirectory && s.getPath.getName.contains("="))
+        s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
       if (sub.isEmpty) Seq(p)
       else sub.toSeq.flatMap(d => leaves(d.getPath))
     }

@@ -970,28 +970,6 @@ object NativeText {
       copy(child = c)
   }
 
-  /** Unigrams + space-joined bigrams WITH multiplicity (a bag, unlike
-    * [[wordNgramsEval]]'s distinct shingles) — the DSIR hashed-feature
-    * stream, one pass over an already-tokenized array so the
-    * tokenizer runs exactly once per row (an HOF composition
-    * re-evaluated the token expression per bigram element —
-    * O(tokens²) tokenization, measured 13 s vs ~1 s at sf0.1). */
-  def wordUniBigramsEval(tokens: ArrayData): ArrayData = {
-    val n = tokens.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[AnyRef](2 * n - 1)
-    var i = 0
-    var prev: String = null
-    while (i < n) {
-      val cur = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
-      out(i) = UTF8String.fromString(cur)
-      if (i > 0) out(n + i - 1) = UTF8String.fromString(prev + " " + cur)
-      prev = cur
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-
   private val bucketMd = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -1000,8 +978,8 @@ object NativeText {
 
   /** md5-hex-prefix buckets of the unigram+bigram bag, fused into ONE
     * native pass — bit-identical to
-    * `substr(md5(salt || gram), 1, width)` over [[wordUniBigramsEval]]
-    * output (the HexBucket convention the oracles replay), but with no
+    * `substr(md5(salt || gram), 1, width)` over the unigram+bigram bag
+    * (the HexBucket convention the oracles replay), but with no
     * per-gram string concat, no 32-char hex materialization, and one
     * thread-local MessageDigest — the gram stream is pure hash work,
     * and this makes it a single tight loop. */
@@ -1060,21 +1038,6 @@ object NativeText {
     }
 
     override protected def withNewChildInternal(c: Expression): WordGramBucketsExpr =
-      copy(child = c)
-  }
-
-  case class WordUniBigramsExpr(child: Expression) extends UnaryExpression {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def prettyName: String = "word_uni_bigrams_native"
-
-    override def nullSafeEval(v: Any): Any =
-      wordUniBigramsEval(v.asInstanceOf[ArrayData])
-
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.expressions.NativeText.wordUniBigramsEval($c);")
-
-    override protected def withNewChildInternal(c: Expression): WordUniBigramsExpr =
       copy(child = c)
   }
 
@@ -1679,9 +1642,6 @@ object NativeText {
 
   def wordNgrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(tokens), n))
-
-  def wordUniBigrams(tokens: Column): Column =
-    ColumnBridge.column(WordUniBigramsExpr(ColumnBridge.expression(tokens)))
 
   def wordGramBuckets(tokens: Column, salt: String, width: Int): Column =
     ColumnBridge.column(

@@ -35,8 +35,12 @@ object Attribution {
       .where(col(timeCol).isNotNull && col(channelCol).isNotNull)
       .groupBy(col(userCol), col(timeCol))
       .agg(max(col(channelCol)).as(channelCol))
+    // conversions are NOT time-filtered: a NULL-ts conversion can
+    // never match a touch (NULLs sort before every touch in the as-of
+    // scan), so it lands in the NULL/unattributed bucket — its revenue
+    // stays visible instead of silently vanishing from the rollup
     val joined = AsOfJoin.asOf(
-      conversions.where(col(timeCol).isNotNull),
+      conversions,
       collapsed,
       leftKey = userCol, rightKey = userCol,
       leftTime = timeCol, rightTime = timeCol,

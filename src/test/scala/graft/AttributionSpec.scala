@@ -49,6 +49,21 @@ class AttributionSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("a NULL-ts conversion stays visible under the NULL channel — revenue never vanishes") {
+    val conv = Seq(
+      (1L, null.asInstanceOf[Timestamp], 30.0), // junk timestamp
+      (1L, ts("2024-01-10 12:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val touch = Seq((1L, ts("2024-01-10 11:00:00"), "ad"))
+      .toDF("user_id", "ts", "channel")
+    val got = Attribution.lastTouch(conv, touch, "7 days")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(Some("ad")) == ((1L, 5.0)))
+    assert(got(None) == ((1L, 30.0)),
+      "the NULL-ts conversion's revenue must surface as unattributed")
+  }
+
   test("a touch AT the conversion instant is credited (inclusive as-of)") {
     val conv = Seq((1L, ts("2024-01-10 12:00:00"), 5.0))
       .toDF("user_id", "ts", "value")

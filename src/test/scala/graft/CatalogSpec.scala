@@ -297,4 +297,39 @@ class CatalogSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     assert(back == Seq((2L, "b", "d1"), (3L, "c", "d2"), (4L, "d", "d3")))
   }
+
+  test("deleteKeysPartitioned on a FLAT directory degenerates to the flat erasure") {
+    // a right-to-be-forgotten request must never silently no-op
+    // because the table happened to be unpartitioned
+    val dir = Files.createTempDirectory("graft_del_flat").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(dir)
+    val stats = Catalog.deleteKeysPartitioned(spark, dir,
+      Seq(1L).toDF("k"), Seq("k"))
+    assert(stats == Catalog.DeleteStats(2L, 1L, 1L), stats.toString)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b")))
+  }
+
+  test("swap crash artifacts are hidden: no phantom partitions, walkers skip them") {
+    val root = Files.createTempDirectory("graft_del_art").toString + "/t"
+    Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("k", "v", "day")
+      .write.partitionBy("day").parquet(root)
+    // simulate a crash-between-renames artifact with the OLD visible
+    // naming: it must neither read back as a partition nor be walked
+    val artifact = new java.io.File(s"$root/.day=d1_predelete_123")
+    Seq((9L, "ghost", "dX")).toDF("k", "v", "day")
+      .write.parquet(artifact.toString + "/inner")
+    // readers ignore dot-prefixed dirs — no phantom rows
+    assert(spark.read.parquet(root).count() == 2)
+    // the erasure walk ignores it too and converges normally
+    val stats = Catalog.deleteKeysPartitioned(spark, root,
+      Seq(2L).toDF("k"), Seq("k"))
+    assert(stats.rowsDeleted == 1L)
+    assert(spark.read.parquet(root)
+      .select($"k").as[Long].collect().toSeq == Seq(1L))
+    // and the new swap leaves no VISIBLE siblings behind
+    val visible = new java.io.File(root).list()
+      .filterNot(_.startsWith(".")).filterNot(_.startsWith("_")).sorted
+    assert(visible.toSeq == Seq("day=d1", "day=d2"), visible.mkString(","))
+  }
 }
