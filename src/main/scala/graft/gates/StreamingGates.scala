@@ -273,6 +273,46 @@ private[graft] object StreamingGates {
           round(col("last.total"), 2).as("total"))
         .orderBy(asc_nulls_first("user_id"))
     }),
+
+    // X96 [ST5] STREAMING funnel: the x85 greedy chain as a keyed
+    // state machine over the replayed event stream. Levels are NOT
+    // monotone under out-of-order arrival, so the final per-user
+    // verdict is the snapshot with the highest n_seen (strictly
+    // growing — the x42 selection trick); the per-step counts must
+    // then equal the BATCH funnel oracle exactly, independent of
+    // micro-batch boundaries.
+    "x96_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      val staged = stageEvents(s, d)
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema).parquet(staged)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.funnelLevels(events,
+              Seq("view", "click", "purchase"),
+              windowSeconds = Some(7L * 86400))
+            .toDF().writeStream.outputMode("update").format("memory")
+            .queryName("x96_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      val levels = s.table("x96_out")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_seen"), col("level"))).as("last"))
+        .select(col("user_id"), col("last.level").as("level"))
+      val aggs = (1 to 3).map(i =>
+        sum(when(col("level") >= i, 1L).otherwise(0L)).as(s"u$i"))
+      val steps = Seq("view", "click", "purchase")
+      levels.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((1 to 3).map(i =>
+          struct(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
+            col(s"u$i").cast("long").as("users"))): _*)).as("r"))
+        .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+          col("r.users").as("users"))
+        .orderBy(asc_nulls_first("step"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,6 +375,33 @@ private[graft] object StreamingGates {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
                 ROUND(SUM(value), 2) AS total
          FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
+    // the BATCH funnel replay (identical to x85's oracle): the
+    // streaming state machine must converge to it whatever the
+    // micro-batch boundaries were
+    "x96_stream_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                              JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS users
+           UNION ALL
+           SELECT CAST(2 AS INT), 'click',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+           UNION ALL
+           SELECT CAST(3 AS INT), 'purchase',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+         ORDER BY step NULLS FIRST""",
     // batch replay of the stream-stream interval join: inner joins
     // emit exactly the matching pairs, independent of batching
     "x47_stream_interval_join" ->

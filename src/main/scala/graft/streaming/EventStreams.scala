@@ -135,6 +135,61 @@ object EventStreams {
       }
   }
 
+  case class FunnelBuf(evs: Seq[(Long, Int)])
+  case class FunnelSnapshot(user_id: Long, n_seen: Long, level: Int)
+
+  /** Streaming funnel levels — the x85 earliest-first greedy chain as
+    * a keyed state machine (ST5): per user, state holds the step
+    * events seen so far (BOUNDED: only the funnel's event types ever
+    * enter state, and production eviction belongs on the timeout
+    * hook); each micro-batch appends, re-sorts, and re-runs the
+    * greedy, emitting `(user, n_seen, level)`. Events arrive in ANY
+    * order across batches, and the chain level is NOT monotone under
+    * out-of-order arrival (an earlier step-0 event can move the
+    * window and LOWER the level), so the FINAL verdict is the
+    * snapshot with the highest `n_seen` — strictly growing per user —
+    * not the highest level. With all input consumed the final levels
+    * equal the batch [[graft.operators.Funnel.funnel]] exactly,
+    * whatever the batch boundaries were.
+    *
+    * Timestamps fold to epoch MICROS (millis + sub-milli nanos) so
+    * the ordering and window arithmetic are bit-equal to the batch
+    * operator's `unix_micros`. */
+  def funnelLevels(events: Dataset[Event], steps: Seq[String],
+                   windowSeconds: Option[Long] = None): Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    val winUs = windowSeconds.map(_ * 1000000L)
+    def micros(ts: Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    def greedy(evs: Seq[(Long, Int)]): Int = {
+      val acc = Array.fill(k)(-1L)
+      evs.foreach { case (t, s) =>
+        val prevSet = s == 0 || acc(s - 1) != -1L
+        val after = s == 0 || t > acc(s - 1)
+        val inWin = winUs.forall(w => s == 0 || t <= acc(0) + w)
+        if (acc(s) == -1L && prevSet && after && inWin) acc(s) = t
+      }
+      acc.count(_ != -1L)
+    }
+    events
+      .filter(e => e.ts != null && e.event_type != null &&
+        stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          val prev = state.getOption.getOrElse(FunnelBuf(Vector.empty))
+          val all = (prev.evs ++ batch.map(e =>
+            (micros(e.ts), stepIdx(e.event_type)))).sorted
+          state.update(FunnelBuf(all))
+          Iterator(FunnelSnapshot(uid, all.size.toLong, greedy(all)))
+      }
+  }
+
   /** ST6: drive a streaming frame into a sink via foreachBatch
     * (overwrite ≙ the reference's WRITE_TRUNCATE; append for deltas). */
   def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String,

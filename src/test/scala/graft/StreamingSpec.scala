@@ -366,6 +366,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(reduced == expect)
   }
 
+  test("ST5: streaming funnel equals the batch funnel under per-file batching") {
+    // levels are NOT monotone under out-of-order arrival, so the
+    // final verdict is argmax n_seen (strictly growing). Drive the
+    // stream 4 files at a time-scrambled layout so state really
+    // carries chains across batches, then compare the reduced levels
+    // to the batch operator.
+    import EventStreams._
+    import org.apache.spark.sql.functions._
+    val multiDir = Files.createTempDirectory("events_funnel").toString
+    // repartition scatters each user's events across files — batches
+    // see them out of time order, the case the buffer+re-sort exists for
+    Tables.load(spark, sfDir, "events").repartition(4)
+      .write.mode("overwrite").parquet(multiDir)
+    val stream = spark.readStream.schema(EventStreams.schema)
+      .option("maxFilesPerTrigger", "1").parquet(multiDir).as[Event]
+    val steps = Seq("view", "click", "purchase")
+    val q = funnelLevels(stream, steps, windowSeconds = Some(7L * 86400))
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("funnel_multi")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "stream did not finish; sink is partial")
+    val sink = spark.table("funnel_multi")
+    assert(sink.count() > sink.select("user_id").distinct().count(),
+      "no intermediate snapshots — the batching case was not exercised")
+    val levels = sink.groupBy($"user_id")
+      .agg(max(struct($"n_seen", $"level")).as("last"))
+      .select($"user_id", $"last.level".as("level"))
+      .as[(Long, Int)].collect().toMap
+    val batch = graft.operators.Funnel.funnel(
+        Tables.load(spark, sfDir, "events"), steps,
+        windowSeconds = Some(7L * 86400))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    val streamCounts = (1 to 3).map(i =>
+      (i, steps(i - 1), levels.values.count(_ >= i).toLong))
+    assert(streamCounts == batch,
+      s"stream $streamCounts must equal batch $batch")
+  }
+
   test("ST6: foreachBatch parquet sink") {
     val out = Files.createTempDirectory("sink_out").toString
     val ckpt = Files.createTempDirectory("sink_ckpt").toString
