@@ -500,6 +500,29 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X97 registrable domains under the FULL publicsuffix.org
+    // algorithm: hosts synthesized by doc_id arithmetic exercise an
+    // exact multi-label rule the old 12-entry subset missed (com.tr),
+    // a second one (co.kr), a WILDCARD ccTLD (*.kh — every 2nd-level
+    // label is a registry), the wildcard EXCEPTION (!www.ck), a
+    // classic exact rule (co.uk), and the implicit default (.org).
+    // The oracle replays the expected domain per fixture case with
+    // the same arithmetic — the algorithm's verdicts, value-for-value.
+    "x97_psl_domains" -> ((s, d) => {
+      val id = col("doc_id")
+      val host = when(id % 6 === 0,
+          concat(lit("www.shop"), id, lit(".example.com.tr")))
+        .when(id % 6 === 1, concat(lit("a.b.site"), id, lit(".co.kr")))
+        .when(id % 6 === 2, concat(lit("x.gov"), id, lit(".kh")))
+        .when(id % 6 === 3, concat(lit("foo"), id, lit(".www.ck")))
+        .when(id % 6 === 4, concat(lit("blog.example"), id, lit(".co.uk")))
+        .otherwise(concat(lit("plain"), id, lit(".org")))
+      t(s, d, "documents")
+        .select(col("doc_id"), host.as("host"),
+          graft.functions.Url.registrableDomain(host).as("domain"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X89 SFT chat-template rendering + loss masks: conversations
     // synthesized from documents (system + user + assistant, a second
     // user/assistant exchange when doc_id % 3 = 0) rendered into the
@@ -775,6 +798,27 @@ private[graft] object TextGates {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // per-case replay of the PSL algorithm's expected verdicts:
+    // exact rules take label+suffix, the wildcard takes label+2, the
+    // exception IS the registrable name, default rule takes last two
+    "x97_psl_domains" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'www.shop' || doc_id || '.example.com.tr'
+             WHEN 1 THEN 'a.b.site' || doc_id || '.co.kr'
+             WHEN 2 THEN 'x.gov' || doc_id || '.kh'
+             WHEN 3 THEN 'foo' || doc_id || '.www.ck'
+             WHEN 4 THEN 'blog.example' || doc_id || '.co.uk'
+             ELSE 'plain' || doc_id || '.org' END AS host,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'example.com.tr'
+             WHEN 1 THEN 'site' || doc_id || '.co.kr'
+             WHEN 2 THEN 'x.gov' || doc_id || '.kh'
+             WHEN 3 THEN 'www.ck'
+             WHEN 4 THEN 'example' || doc_id || '.co.uk'
+             ELSE 'plain' || doc_id || '.org' END AS domain
+         FROM documents
+         ORDER BY doc_id NULLS FIRST""",
     // identical ChatML assembly + mask arithmetic from the same part
     // lengths: turn length = 24 + len(role) + len(content); assistant
     // content starts 22 chars into its turn (12 tag + 9 role + 1 \n)
