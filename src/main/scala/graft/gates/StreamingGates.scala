@@ -302,15 +302,10 @@ private[graft] object StreamingGates {
         .groupBy(col("user_id"))
         .agg(max(struct(col("n_seen"), col("level"))).as("last"))
         .select(col("user_id"), col("last.level").as("level"))
-      val aggs = (1 to 3).map(i =>
-        sum(when(col("level") >= i, 1L).otherwise(0L)).as(s"u$i"))
-      val steps = Seq("view", "click", "purchase")
-      levels.agg(aggs.head, aggs.tail: _*)
-        .select(explode(array((1 to 3).map(i =>
-          struct(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
-            col(s"u$i").cast("long").as("users"))): _*)).as("r"))
-        .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
-          col("r.users").as("users"))
+      // same reduction as the batch operator's — one shared helper,
+      // zero rows count 0 (the oracle's COUNT(*) convention)
+      graft.operators.Funnel.stepCounts(levels,
+          Seq("view", "click", "purchase"))
         .orderBy(asc_nulls_first("step"))
     }),
   )

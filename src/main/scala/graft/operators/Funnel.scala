@@ -42,13 +42,22 @@ object Funnel {
       userCol, tsCol, typeCol)
       .select(col("user"),
         size(filter(col("__times"), t => t =!= -1L)).as("level"))
-    // k per-step counts in ONE aggregation pass, then unpivoted to
-    // rows — step names ride as literal VALUES, never spliced into a
-    // SQL string (an apostrophe in an event type must not parse, let
-    // alone inject)
+    stepCounts(folded, steps)
+  }
+
+  /** Per-user levels → one row per step `(step, step_name, users)` —
+    * k counts in ONE aggregation pass, then unpivoted; step names
+    * ride as literal VALUES, never spliced into a SQL string (an
+    * apostrophe in an event type must not parse, let alone inject).
+    * Zero input rows count 0, not NULL. Shared by the batch funnel
+    * and the x96 streaming gate's final reduction. */
+  def stepCounts(levels: DataFrame, steps: Seq[String],
+                 levelCol: String = "level"): DataFrame = {
+    val k = steps.size
     val aggs = (1 to k).map(i =>
-      sum(when(col("level") >= i, 1L).otherwise(0L)).as(s"u$i"))
-    val one = folded.agg(aggs.head, aggs.tail: _*)
+      coalesce(sum(when(col(levelCol) >= i, 1L).otherwise(0L)), lit(0L))
+        .as(s"u$i"))
+    val one = levels.agg(aggs.head, aggs.tail: _*)
     one.select(explode(array((1 to k).map(i =>
         struct(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
           col(s"u$i").cast("long").as("users"))): _*)).as("r"))

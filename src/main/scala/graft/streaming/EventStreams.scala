@@ -140,10 +140,14 @@ object EventStreams {
 
   /** Streaming funnel levels — the x85 earliest-first greedy chain as
     * a keyed state machine (ST5): per user, state holds the step
-    * events seen so far (BOUNDED: only the funnel's event types ever
-    * enter state, and production eviction belongs on the timeout
-    * hook); each micro-batch appends, re-sorts, and re-runs the
-    * greedy, emitting `(user, n_seen, level)`. Events arrive in ANY
+    * events seen so far — only the funnel's event types ever enter
+    * state, but that buffer GROWS with the user's step-event count
+    * (late data can rewrite the whole chain, so no prefix is safely
+    * discardable without a watermark); production streams must evict
+    * via the event-time timeout hook once lateness is bounded. Each
+    * micro-batch merges the (sorted) new events into the sorted
+    * buffer and re-runs the greedy, emitting `(user, n_seen, level)`.
+    * Events arrive in ANY
     * order across batches, and the chain level is NOT monotone under
     * out-of-order arrival (an earlier step-0 event can move the
     * window and LOWER the level), so the FINAL verdict is the
@@ -163,8 +167,25 @@ object EventStreams {
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
     val winUs = windowSeconds.map(_ * 1000000L)
+    // floorDiv, not truncation: pre-epoch (or corrupt) timestamps
+    // must fold exactly like unix_micros or the sorted buffer and
+    // window arithmetic diverge from the batch operator
     def micros(ts: Timestamp): Long =
-      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def merge(a: Seq[(Long, Int)], b: Array[(Long, Int)]): Seq[(Long, Int)] = {
+      if (b.isEmpty) return a
+      val out = Vector.newBuilder[(Long, Int)]
+      val ord = implicitly[Ordering[(Long, Int)]]
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        if (ord.lteq(a(i), b(j))) { out += a(i); i += 1 }
+        else { out += b(j); j += 1 }
+      }
+      while (i < a.length) { out += a(i); i += 1 }
+      while (j < b.length) { out += b(j); j += 1 }
+      out.result()
+    }
     def greedy(evs: Seq[(Long, Int)]): Int = {
       val acc = Array.fill(k)(-1L)
       evs.foreach { case (t, s) =>
@@ -183,8 +204,12 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[FunnelBuf]) =>
           val prev = state.getOption.getOrElse(FunnelBuf(Vector.empty))
-          val all = (prev.evs ++ batch.map(e =>
-            (micros(e.ts), stepIdx(e.event_type)))).sorted
+          // prev is sorted: sort only the new batch and MERGE — the
+          // per-batch cost is O(buffer + batch log batch), not a full
+          // re-sort of the history
+          val add = batch.map(e =>
+            (micros(e.ts), stepIdx(e.event_type))).toArray.sorted
+          val all = merge(prev.evs, add)
           state.update(FunnelBuf(all))
           Iterator(FunnelSnapshot(uid, all.size.toLong, greedy(all)))
       }
