@@ -576,6 +576,20 @@ object Warc {
       spark.sparkContext.parallelize(sentinels, 1), indexSchema))
   }
 
+  /** The maintenance view of an index's incompleteness: one row per
+    * archive whose last scan did NOT reach physical EOF —
+    * `(file, covered_bytes, file_bytes)` from the `rec_no = -2`
+    * coverage markers [[indexFiles]] writes. A crawl-maintenance pass
+    * drops these files' rows from the index and lets [[updateIndex]]
+    * re-scan them (e.g. after an archive repair), or alerts on
+    * persistently partial archives. */
+  def partialArchives(index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    index.where(col("rec_no") === -2L)
+      .select(col("file"), col("offset").as("covered_bytes"),
+        col("content_length").as("file_bytes"))
+  }
+
   /** Fetched-record schema: the index coordinates that located the
     * member plus the full record fields of [[schema]]. */
   val fetchSchema: StructType = StructType(

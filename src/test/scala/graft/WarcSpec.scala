@@ -389,6 +389,12 @@ class WarcSpec extends AnyFunSuite {
     assert(mark.length == 1 &&
       mark(0).getAs[Long]("offset") == idx(0).getAs[Long]("length") &&
       mark(0).getAs[Long]("content_length") == bytes.length.toLong)
+    // and the maintenance view surfaces exactly that archive
+    val partial = Warc.partialArchives(Warc.buildIndex(spark, dir.toString))
+      .collect()
+    assert(partial.length == 1)
+    assert(partial(0).getAs[String]("file").endsWith("a.warc.gz") &&
+      partial(0).getAs[Long]("covered_bytes") < partial(0).getAs[Long]("file_bytes"))
     // an index row lying about its length (bigger than the file) is
     // rejected before allocation, never thrown
     import spark.implicits._
