@@ -347,6 +347,19 @@ object Catalog {
       return deleteKeys(spark, root, keys, keyCols)
     // pin the (small) erasure list once; every probe job reuses it
     val keySet = keys.select(keyCols.map(col): _*).distinct().localCheckpoint()
+    val rootUri = fs.makeQualified(rootP).toUri.getPath
+    // hive k=v values parsed from a leaf's path relative to root —
+    // partition columns are absent from the leaf FILES, so an erasure
+    // key that is a partition column (tenant=..., a plausible GDPR
+    // key) must be matched against the PATH, not the probed frame
+    def leafPartValues(leaf: org.apache.hadoop.fs.Path): Map[String, String] = {
+      val rel = fs.makeQualified(leaf).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+      rel.split('/').toSeq.filter(_.contains('=')).map { seg =>
+        val i = seg.indexOf('=')
+        (hiveUnescape(seg.take(i)), hiveUnescape(seg.drop(i + 1)))
+      }.toMap
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(maxConcurrent, math.max(1, leafPaths.length))))
     try {
@@ -354,11 +367,33 @@ object Catalog {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val outcomes = Await.result(
         Future.sequence(leafPaths.map { leaf => Future {
-          val hit = spark.read.parquet(leaf.toString)
-            .join(broadcast(keySet), keyCols, "left_semi")
-            .limit(1).count() > 0
-          if (hit) deleteKeys(spark, leaf.toString, keySet, keyCols)
-          else DeleteStats(0L, 0L, 0L)
+          val pv = leafPartValues(leaf)
+          val partKeyCols = keyCols.filter(pv.contains)
+          val dataKeyCols = keyCols.filterNot(pv.contains)
+          // restrict the erasure list to rows whose partition-column
+          // values match THIS leaf's path; a mismatched leaf is a
+          // guaranteed non-hit with zero data scanned
+          val leafKeys = partKeyCols.foldLeft(keySet) { (df, c) =>
+            val v = pv(c)
+            if (v == "__HIVE_DEFAULT_PARTITION__") df.filter(col(c).isNull)
+            else df.filter(col(c).cast("string") === lit(v))
+          }
+          val anyKey = partKeyCols.isEmpty || leafKeys.limit(1).count() > 0
+          if (!anyKey) DeleteStats(0L, 0L, 0L)
+          else if (dataKeyCols.isEmpty) {
+            // every key column is a partition column: the whole leaf
+            // matches — drop the directory instead of rewriting it
+            val n = spark.read.parquet(leaf.toString).count()
+            fs.delete(leaf, true)
+            DeleteStats(n, n, 1L)
+          } else {
+            val hit = spark.read.parquet(leaf.toString)
+              .join(broadcast(leafKeys.select(dataKeyCols.map(col): _*).distinct()),
+                dataKeyCols, "left_semi")
+              .limit(1).count() > 0
+            if (hit) deleteKeys(spark, leaf.toString, leafKeys, dataKeyCols)
+            else DeleteStats(0L, 0L, 0L)
+          }
         }.transform(t => scala.util.Success(t)) }),
         scala.concurrent.duration.Duration.Inf)
       outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(e => throw e)
@@ -366,6 +401,26 @@ object Catalog {
       DeleteStats(stats.map(_.rowsBefore).sum, stats.map(_.rowsDeleted).sum,
         stats.map(_.leavesRewritten).sum)
     } finally { pool.shutdown(); () }
+  }
+
+  /** Undo Hive's partition-path escaping (%xx for chars unsafe in a
+    * path segment). NOT URLDecoder: that maps '+' to space, corrupting
+    * any literal '+' in a partition value. */
+  private[graft] def hiveUnescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Before/after file counts and byte size of a [[compact]] run. */

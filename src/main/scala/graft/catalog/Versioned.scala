@@ -57,11 +57,18 @@ object Versioned {
 
   /** All commits, ascending. Malformed log entries are skipped (a
     * torn write never poisons the table — the entry that mattered is
-    * the one whose create returned success). An entry is trusted only
-    * when it carries the completeness terminator (trailing newline)
-    * the writer appends after the data-dir name: a crash mid-fill on
-    * the no-hardlink fallback path leaves a terminator-less fragment,
-    * which must never surface as a commit naming a garbage dir. */
+    * the one whose create returned success). An entry is trusted when
+    * it carries the completeness terminator (trailing newline) the
+    * writer appends after the data-dir name — a crash mid-fill on the
+    * no-hardlink fallback path leaves a terminator-less fragment,
+    * which must never surface as a commit naming a garbage dir — OR,
+    * for entries written by the pre-terminator format (which wrote the
+    * bare data-dir name with no newline), when the named data dir
+    * actually exists. The dir-exists fallback is sound for torn new
+    * entries too: the data dir is fully written BEFORE publish, so a
+    * fragment that happens to spell a real dir name is a complete
+    * commit in all but the terminator byte; a fragment truncated
+    * mid-name names nothing on disk and stays invisible. */
   def history(spark: SparkSession, root: String): Seq[Entry] = {
     val (f, p) = fs(spark, root)
     val log = new Path(p, LogDirName)
@@ -75,8 +82,10 @@ object Versioned {
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         val content = raw.trim
-        if (!raw.endsWith("\n") || content.isEmpty) None
-        else Some(Entry(seq, content))
+        if (content.isEmpty) None
+        else if (raw.endsWith("\n")) Some(Entry(seq, content))
+        else if (f.exists(new Path(p, content))) Some(Entry(seq, content))
+        else None
       }
     }.sortBy(_.seq)
   }

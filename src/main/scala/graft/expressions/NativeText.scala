@@ -982,7 +982,13 @@ object NativeText {
     * (the HexBucket convention the oracles replay), but with no
     * per-gram string concat, no 32-char hex materialization, and one
     * thread-local MessageDigest — the gram stream is pure hash work,
-    * and this makes it a single tight loop. */
+    * and this makes it a single tight loop. NULL tokens produce no
+    * bucket — matching the SQL convention, where a NULL gram hashes
+    * to NULL and contributes nothing to the bag — and the two bigrams
+    * touching a NULL token are skipped with it (`Text.tokens` never
+    * emits null elements, so this path only matters for caller-built
+    * arrays). Output order: all unigrams in token order, then all
+    * bigrams in token order. */
   def wordGramBucketsEval(tokens: ArrayData, saltBytes: Array[Byte],
                           width: Int): ArrayData = {
     val n = tokens.numElements()
@@ -999,23 +1005,31 @@ object NativeText {
       }
       UTF8String.fromBytes(out)
     }
-    val res = new Array[AnyRef](2 * n - 1)
-    var prev: Array[Byte] = null
+    val unis = new java.util.ArrayList[AnyRef](n)
+    val bis = new java.util.ArrayList[AnyRef](math.max(0, n - 1))
+    var prev: Array[Byte] = null // null ⇔ no live left neighbor
     var i = 0
     while (i < n) {
-      val cur =
-        if (tokens.isNullAt(i)) Array.emptyByteArray
-        else tokens.getUTF8String(i).getBytes
-      md.reset(); md.update(saltBytes); md.update(cur)
-      res(i) = hexPrefix(md.digest())
-      if (i > 0) {
-        md.reset(); md.update(saltBytes)
-        md.update(prev); md.update(space); md.update(cur)
-        res(n + i - 1) = hexPrefix(md.digest())
+      if (tokens.isNullAt(i)) prev = null
+      else {
+        val cur = tokens.getUTF8String(i).getBytes
+        md.reset(); md.update(saltBytes); md.update(cur)
+        unis.add(hexPrefix(md.digest()))
+        if (prev != null) {
+          md.reset(); md.update(saltBytes)
+          md.update(prev); md.update(space); md.update(cur)
+          bis.add(hexPrefix(md.digest()))
+        }
+        prev = cur
       }
-      prev = cur
       i += 1
     }
+    val res = new Array[AnyRef](unis.size + bis.size)
+    var j = 0
+    var it = unis.iterator()
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    it = bis.iterator()
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
     new GenericArrayData(res)
   }
 

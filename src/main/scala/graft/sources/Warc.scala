@@ -463,14 +463,19 @@ object Warc {
           // partial scan is never silently indistinguishable from a
           // complete one: updateIndex retries marked files once, and
           // the persisted marker lets any later maintenance pass find
-          // archives whose tail was never indexed. Evaluated AFTER
-          // recRows drains (Iterator.++ is lazy), when covered/recNo
-          // are final; empty scans (recNo == 0) stay on the existing
-          // sentinel path instead.
+          // archives whose tail was never indexed. When the file's
+          // size is UNKNOWN (getFileStatus failed, fileLen = -1),
+          // completeness cannot be judged at all — the marker is
+          // emitted unconditionally with file_bytes = -1, putting the
+          // file on the retry path rather than letting a stat failure
+          // silently classify a possibly-truncated scan as complete.
+          // Evaluated AFTER recRows drains (Iterator.++ is lazy), when
+          // covered/recNo are final; empty scans (recNo == 0) stay on
+          // the existing sentinel path instead.
           recRows ++ new Iterator[Row] {
             private var emitted = false
             override def hasNext: Boolean =
-              !emitted && recNo > 0 && fileLen >= 0 && covered < fileLen
+              !emitted && recNo > 0 && (fileLen < 0 || covered < fileLen)
             override def next(): Row = {
               emitted = true
               Row(file, covered, 0L, -2L, null, null, null, null, fileLen)
@@ -512,12 +517,20 @@ object Warc {
   def updateIndex(spark: SparkSession, existing: DataFrame,
                   path: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, max, sum, when, lit}
-    // distinct file list of the existing index: bounded driver state
-    // (one string per archive — the partition-leaf listing precedent)
-    val known = existing.select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
     val (files, confKv) = listWarcFiles(spark, path, Seq(".warc.gz"))
-    val fresh = files.filterNot(known)
+    // which of the freshly-listed files the index already covers is
+    // decided by ANTI-JOIN, not by collecting the index's distinct
+    // file set to the driver: driver state is bounded by the NEW
+    // listing (which is driver-side anyway), not by every archive
+    // ever indexed. Listing order is preserved for deterministic
+    // task assignment.
+    val freshSet =
+      if (files.isEmpty) Set.empty[String]
+      else spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("file")
+        .join(existing.select(col("file")).distinct(), Seq("file"), "left_anti")
+        .collect().map(_.getString(0)).toSet
+    val fresh = files.filter(freshSet)
     if (fresh.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], indexSchema)

@@ -298,6 +298,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(back == Seq((2L, "b", "d1"), (3L, "c", "d2"), (4L, "d", "d3")))
   }
 
+  test("deleteKeysPartitioned accepts PARTITION columns as erasure keys") {
+    // "delete tenant X" where tenant is the partition column — the
+    // key is absent from the leaf FILES and must be matched against
+    // the path. All-partition keys drop whole leaves; mixed keys
+    // restrict the per-leaf erasure list by the path values.
+    val root = Files.createTempDirectory("graft_del_pkey").toString + "/t"
+    Seq((1L, "a", "t1"), (2L, "b", "t1"), (3L, "c", "t2"), (4L, "d", "t3"))
+      .toDF("k", "v", "tenant")
+      .write.partitionBy("tenant").parquet(root)
+    // key IS the partition column: whole matching leaf goes
+    val stats = Catalog.deleteKeysPartitioned(spark, root,
+      Seq("t1", "t9").toDF("tenant"), Seq("tenant"))
+    assert(stats == Catalog.DeleteStats(2L, 2L, 1L), stats.toString)
+    assert(spark.read.parquet(root).select($"k").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L))
+    // mixed keys: (k, tenant) — only the (4, t3) pair matches; the
+    // (3, t3) pair names a k that lives under a DIFFERENT tenant and
+    // must not delete anything
+    val stats2 = Catalog.deleteKeysPartitioned(spark, root,
+      Seq((4L, "t3"), (3L, "t3")).toDF("k", "tenant"), Seq("k", "tenant"))
+    assert(stats2.rowsDeleted == 1L, stats2.toString)
+    assert(spark.read.parquet(root).select($"k").as[Long]
+      .collect().toSeq == Seq(3L))
+  }
+
   test("deleteKeysPartitioned on a FLAT directory degenerates to the flat erasure") {
     // a right-to-be-forgotten request must never silently no-op
     // because the table happened to be unpartitioned

@@ -100,6 +100,33 @@ class CatalogVersionSpec extends AnyFunSuite {
     assert(Versioned.put(spark, Seq(7L).toDF("id"), root) == 8L)
   }
 
+  test("legacy terminator-less entries stay readable when their data dir exists") {
+    // the pre-terminator format wrote the bare data-dir name with no
+    // trailing newline — an upgrade must NOT read every existing
+    // versioned table as having zero commits. The dir-exists check is
+    // what distinguishes a legacy (or torn-but-complete) entry from a
+    // mid-name fragment.
+    val root = freshRoot()
+    Versioned.put(spark, (1L to 6L).toDF("id"), root) // seq 1, new format
+    val h1 = Versioned.history(spark, root)
+    // rewrite seq 1's entry in the LEGACY format: same content, no \n
+    val entry = new java.io.File(new java.io.File(root, "_log"),
+      "00000000000000000001.commit")
+    java.nio.file.Files.write(entry.toPath, h1.head.dataDir.getBytes)
+    assert(Versioned.history(spark, root).map(_.seq) == Seq(1L))
+    assert(Versioned.read(spark, root).count() == 6)
+    // commit() on top of a legacy entry works (the upgrade scenario)
+    assert(Versioned.commit(spark, root)(_.where(col("id") <= 2)) == 2L)
+    assert(Versioned.read(spark, root).count() == 2)
+    assert(Versioned.readAt(spark, root, 1).count() == 6)
+    // a terminator-less fragment naming a NONEXISTENT dir is still torn
+    java.nio.file.Files.write(
+      new java.io.File(new java.io.File(root, "_log"),
+        "00000000000000000005.commit").toPath,
+      "data-00000000000000000005-ab".getBytes)
+    assert(!Versioned.history(spark, root).map(_.seq).contains(5L))
+  }
+
   test("orphans are invisible; vacuum collects them but honors aliases") {
     val root = freshRoot()
     Versioned.put(spark, (1L to 4L).toDF("id"), root)

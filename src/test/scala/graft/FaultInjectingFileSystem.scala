@@ -22,6 +22,12 @@ class FaultInjectingFileSystem extends RawLocalFileSystem {
     if (FaultInjectingFileSystem.failRenameWhen(src, dst)) false
     else super.rename(src, dst)
   }
+
+  override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus = {
+    if (FaultInjectingFileSystem.failStatWhen(p))
+      throw new java.io.IOException(s"injected stat failure: $p")
+    super.getFileStatus(p)
+  }
 }
 
 object FaultInjectingFileSystem {
@@ -31,7 +37,15 @@ object FaultInjectingFileSystem {
     * table dir, source contains `_merge_`), never blanket-fail. */
   @volatile var failRenameWhen: (Path, Path) => Boolean = (_, _) => false
 
-  def reset(): Unit = failRenameWhen = (_, _) => false
+  /** stat-failure predicate — open()/listing also stat through this
+    * FS, so tests should match the specific file AND self-disarm
+    * (one-shot) rather than blanket-fail. */
+  @volatile var failStatWhen: Path => Boolean = _ => false
+
+  def reset(): Unit = {
+    failRenameWhen = (_, _) => false
+    failStatWhen = _ => false
+  }
 
   /** Register the scheme on a session and return a dir path under it. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -54,6 +54,33 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("wordGramBuckets equals substr(md5(salt||gram),1,w) and skips null tokens") {
+    // documented bit-identity: each bucket is the hex prefix of
+    // md5(salt || gram) over the unigram+bigram bag; a NULL gram
+    // yields NULL in SQL and therefore NO bucket, so a null token
+    // contributes nothing and breaks the bigrams touching it
+    val salt = "s1"
+    val w = 3
+    val rows: Seq[Seq[String]] = (0 until 60).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ =>
+        if (rnd.nextInt(5) == 0) null else randToken)
+    } ++ Seq(Seq(null), Seq(null, "a", null), Seq("a", null, "b"), Seq.empty)
+    val df = rows.toDF("toks").select(
+      $"toks",
+      graft.expressions.NativeText.wordGramBuckets($"toks", salt, w).as("native"))
+    // composed oracle: unigrams then bigrams, null grams filtered
+    val composed = df.select($"native",
+      concat(
+        expr(s"transform(filter(toks, t -> t is not null), t -> substr(md5(concat('$salt', t)), 1, $w))"),
+        expr(s"""filter(zip_with(
+             slice(toks, 1, greatest(size(toks) - 1, 0)),
+             slice(toks, 2, greatest(size(toks) - 1, 0)),
+             (a, b) -> if(a is null or b is null, null,
+                          substr(md5(concat('$salt', a, ' ', b)), 1, $w))),
+             x -> x is not null)""")).as("oracle"))
+    assert(composed.where(not($"native" <=> $"oracle")).count() == 0)
+  }
+
   test("fused jaccardText equals jaccard over char-shingle arrays") {
     // the fused two-string form must be value-identical (after the
     // same round(·,4)) to the composed array formulation it replaces

@@ -403,6 +403,40 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.fetchAt(spark, lying).count() == 0)
   }
 
+  test("unknown file size (stat failure) still marks a short walk partial") {
+    // when getFileStatus fails the walk cannot judge completeness at
+    // all — it must emit the rec_no=-2 marker with file_bytes = -1
+    // (unknown), not silently classify the scan as complete and leave
+    // the index permanently truncated with no durable record
+    FaultInjectingFileSystem.register(spark)
+    val dir = Files.createTempDirectory("graft_warc_stat")
+    val bad = Warc.gzipMember("not a WARC record\r\n\r\n".getBytes(UTF_8))
+    Files.write(dir.resolve("a.warc.gz"),
+      Warc.gzipMember(respRecord(1, "ok")) ++ bad)
+    // the driver-side LISTING also stats each child — fire only on
+    // the executor-side stat (the one sizing the file), one-shot so
+    // open()'s own existence stat still succeeds
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    FaultInjectingFileSystem.failStatWhen = p =>
+      p.getName == "a.warc.gz" &&
+        Thread.currentThread().getName.contains("Executor task launch") &&
+        armed.compareAndSet(true, false)
+    try {
+      val idx = Warc.buildIndex(spark, "faulty://" + dir.toString).collect()
+      val recs = idx.filter(_.getAs[Long]("rec_no") >= 0)
+      val marks = idx.filter(_.getAs[Long]("rec_no") == -2L)
+      assert(recs.length == 1 && marks.length == 1,
+        idx.map(_.getAs[Long]("rec_no")).mkString(","))
+      assert(marks(0).getAs[Long]("content_length") == -1L)
+      assert(marks(0).getAs[Long]("offset") == recs(0).getAs[Long]("length"))
+      // the maintenance view surfaces it with the honest unknown size
+      val part = Warc.partialArchives(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(idx.toSeq), Warc.indexSchema)).collect()
+      assert(part.length == 1 && part(0).getAs[Long]("file_bytes") == -1L)
+    } finally FaultInjectingFileSystem.reset()
+  }
+
   test("distributed read: one task per file, schema, response projection") {
     val dir = Files.createTempDirectory("graft_warc_spec")
     Files.write(dir.resolve("a.warc.gz"),
