@@ -34,6 +34,33 @@ private[graft] object GateSupport {
       p
     })
 
+  /** Events staged TIME-ORDERED across multiple files: file i holds
+    * strictly earlier events than file i+1 (range partition on ts),
+    * mtimes ascending by part index so FileStreamSource replays them
+    * in event-time order. With `maxFilesPerTrigger=1` the watermark
+    * advances between micro-batches and watermark-driven state
+    * EVICTION actually fires — the arrival pattern of a production
+    * stream, which is what the bounded-state operators exist for. */
+  val stagedEventsTimeOrderedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def stageEventsTimeOrdered(s: SparkSession, d: String,
+                             nFiles: Int = 6): String =
+    stagedEventsTimeOrderedCache.computeIfAbsent(d, _ => {
+      val p = sessionTempDir("graft_events_timed")
+      t(s, d, "events").repartitionByRange(nFiles, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(p)
+      val parts = Option(new java.io.File(p).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + i * 2000L),
+          s"setLastModified failed for $f — filesystem without mtime-set support?")
+      }
+      p
+    })
+
   /** Events staged for OUTER stream-stream joins: the real events as
     * one file, then a far-future sentinel pair (user −1 view / user
     * −2 click — both branch watermarks advance, the sentinels join

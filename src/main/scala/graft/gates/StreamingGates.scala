@@ -308,6 +308,48 @@ private[graft] object StreamingGates {
           Seq("view", "click", "purchase"))
         .orderBy(asc_nulls_first("step"))
     }),
+
+    // X96b [ST5] the BOUNDED-STATE streaming funnel: same batch-funnel
+    // oracle, but the stream replays time-ordered files one per
+    // micro-batch so the 30-minute watermark advances between batches
+    // and the state store actually EVICTS (prefix folds into the k
+    // chain slots; EventTimeTimeout collapses quiet users). Every
+    // event arrives in event-time order across batches, i.e. within
+    // the lateness bound — the region where bounded mode is exact.
+    // The gate also hard-fails if eviction never happened: with a
+    // 30-minute window over a month of data, buffers must stay far
+    // below the per-user event count.
+    "x96b_stream_funnel_bounded" -> ((s, d) => {
+      import s.implicits._
+      val staged = stageEventsTimeOrdered(s, d)
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.funnelLevelsBounded(events,
+              Seq("view", "click", "purchase"),
+              windowSeconds = Some(7L * 86400), lateness = "30 minutes")
+            .toDF().writeStream.outputMode("update").format("memory")
+            .queryName("x96b_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      val sink = s.table("x96b_out")
+      val maxBuf = sink.agg(max(col("n_buffered"))).head.getInt(0)
+      val maxSeen = sink.agg(max(col("n_seen"))).head.getLong(0)
+      require(maxBuf.toLong < maxSeen,
+        s"bounded funnel never evicted: max buffer $maxBuf vs $maxSeen events")
+      val levels = sink
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_seen"), col("level"))).as("last"))
+        .select(col("user_id"), col("last.level").as("level"))
+      graft.operators.Funnel.stepCounts(levels,
+          Seq("view", "click", "purchase"))
+        .orderBy(asc_nulls_first("step"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -374,6 +416,33 @@ private[graft] object StreamingGates {
     // streaming state machine must converge to it whatever the
     // micro-batch boundaries were
     "x96_stream_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                              JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS users
+           UNION ALL
+           SELECT CAST(2 AS INT), 'click',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+           UNION ALL
+           SELECT CAST(3 AS INT), 'purchase',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+         ORDER BY step NULLS FIRST""",
+    // identical batch replay: bounded mode must converge to the same
+    // funnel whenever input arrives within the lateness bound (the
+    // staging guarantees it — files replay in event-time order)
+    "x96b_stream_funnel_bounded" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
                      WHERE event_type = 'view' GROUP BY user_id),
          s2 AS (SELECT e.user_id, MIN(e.ts) AS t2

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * All operators keep state keyed and bounded (watermark evicts):
   * the shapes survive unbounded input on a real cluster.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   /** The events fixture schema, ts as µs timestamp. */
   val schema: StructType = StructType(Seq(
@@ -137,14 +137,58 @@ object EventStreams {
 
   case class FunnelBuf(evs: Seq[(Long, Int)])
   case class FunnelSnapshot(user_id: Long, n_seen: Long, level: Int)
+  /** Bounded-mode state: the greedy chain's slot timestamps for the
+    * watermark-FROZEN prefix (`acc`, -1 = unfilled), how many events
+    * that prefix folded (`nPref`), and only the not-yet-frozen tail
+    * of raw events. */
+  case class FunnelChain(acc: Seq[Long], nPref: Long, tail: Seq[(Long, Int)])
+  /** Bounded-mode snapshot: adds the state-store buffer size at
+    * emission time, so gates/specs can ASSERT the state stays bounded
+    * instead of trusting it. */
+  case class FunnelSnapshotB(user_id: Long, n_seen: Long, level: Int,
+                             n_buffered: Int)
+
+  private def eventMicros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def mergeSorted(a: Seq[(Long, Int)],
+                          b: Array[(Long, Int)]): Seq[(Long, Int)] = {
+    if (b.isEmpty) return a
+    val out = Vector.newBuilder[(Long, Int)]
+    val ord = implicitly[Ordering[(Long, Int)]]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      if (ord.lteq(a(i), b(j))) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+    }
+    while (i < a.length) { out += a(i); i += 1 }
+    while (j < b.length) { out += b(j); j += 1 }
+    out.result()
+  }
+
+  /** One greedy pass CONTINUED from an existing slot state: fills
+    * empty chain slots from `evs` (must be sorted, and must sort
+    * after every event already folded into `acc`). The per-event rule
+    * is identical to the batch operator's. */
+  private def greedyInto(acc: Array[Long], winUs: Option[Long],
+                         evs: Iterable[(Long, Int)]): Unit =
+    evs.foreach { case (t, s) =>
+      val prevSet = s == 0 || acc(s - 1) != -1L
+      val after = s == 0 || t > acc(s - 1)
+      val inWin = winUs.forall(w => s == 0 || t <= acc(0) + w)
+      if (acc(s) == -1L && prevSet && after && inWin) acc(s) = t
+    }
 
   /** Streaming funnel levels — the x85 earliest-first greedy chain as
     * a keyed state machine (ST5): per user, state holds the step
     * events seen so far — only the funnel's event types ever enter
     * state, but that buffer GROWS with the user's step-event count
     * (late data can rewrite the whole chain, so no prefix is safely
-    * discardable without a watermark); production streams must evict
-    * via the event-time timeout hook once lateness is bounded. Each
+    * discardable without a watermark); this mode is for bounded
+    * replays wanting exactness under ARBITRARY disorder — production
+    * streams use [[funnelLevelsBounded]], whose watermark makes
+    * eviction sound. Each
     * micro-batch merges the (sorted) new events into the sorted
     * buffer and re-runs the greedy, emitting `(user, n_seen, level)`.
     * Events arrive in ANY
@@ -167,33 +211,13 @@ object EventStreams {
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
     val winUs = windowSeconds.map(_ * 1000000L)
-    // floorDiv, not truncation: pre-epoch (or corrupt) timestamps
-    // must fold exactly like unix_micros or the sorted buffer and
-    // window arithmetic diverge from the batch operator
-    def micros(ts: Timestamp): Long =
-      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-    def merge(a: Seq[(Long, Int)], b: Array[(Long, Int)]): Seq[(Long, Int)] = {
-      if (b.isEmpty) return a
-      val out = Vector.newBuilder[(Long, Int)]
-      val ord = implicitly[Ordering[(Long, Int)]]
-      var i = 0
-      var j = 0
-      while (i < a.length && j < b.length) {
-        if (ord.lteq(a(i), b(j))) { out += a(i); i += 1 }
-        else { out += b(j); j += 1 }
-      }
-      while (i < a.length) { out += a(i); i += 1 }
-      while (j < b.length) { out += b(j); j += 1 }
-      out.result()
-    }
+    // eventMicros folds timestamps with floorDiv, not truncation:
+    // pre-epoch (or corrupt) timestamps must fold exactly like
+    // unix_micros or the sorted buffer and window arithmetic diverge
+    // from the batch operator
     def greedy(evs: Seq[(Long, Int)]): Int = {
       val acc = Array.fill(k)(-1L)
-      evs.foreach { case (t, s) =>
-        val prevSet = s == 0 || acc(s - 1) != -1L
-        val after = s == 0 || t > acc(s - 1)
-        val inWin = winUs.forall(w => s == 0 || t <= acc(0) + w)
-        if (acc(s) == -1L && prevSet && after && inWin) acc(s) = t
-      }
+      greedyInto(acc, winUs, evs)
       acc.count(_ != -1L)
     }
     events
@@ -208,10 +232,88 @@ object EventStreams {
           // per-batch cost is O(buffer + batch log batch), not a full
           // re-sort of the history
           val add = batch.map(e =>
-            (micros(e.ts), stepIdx(e.event_type))).toArray.sorted
-          val all = merge(prev.evs, add)
+            (eventMicros(e.ts), stepIdx(e.event_type))).toArray.sorted
+          val all = mergeSorted(prev.evs, add)
           state.update(FunnelBuf(all))
           Iterator(FunnelSnapshot(uid, all.size.toLong, greedy(all)))
+      }
+  }
+
+  /** [[funnelLevels]] with BOUNDED state — the production mode for
+    * unbounded streams. A watermark (`lateness`) bounds how far behind
+    * the running max event time input may arrive; anything older is
+    * dropped by the engine (the standard watermark contract). That
+    * bound is what makes eviction sound: once the watermark passes a
+    * buffered event, no future input can sort before it, so its
+    * greedy outcome is FINAL — the event folds into the frozen chain
+    * slots (`FunnelChain.acc`: k timestamps) and leaves the buffer.
+    * Per-user state is therefore k+1 longs plus only the events
+    * inside the current lateness window, instead of the full per-user
+    * history; `GroupStateTimeout.EventTimeTimeout` collapses the
+    * buffer of users who go QUIET (no further events would otherwise
+    * mean no further eviction), so idle users converge to the k+1-long
+    * residue too. Results equal [[funnelLevels]] — and the batch
+    * operator — exactly, whenever every event arrives within
+    * `lateness` of the running max event time.
+    *
+    * Each snapshot carries `n_buffered` (the buffer size it left
+    * behind) so callers can ASSERT boundedness; the final per-user
+    * verdict is still argmax `n_seen` (strictly growing — timeouts
+    * emit nothing, so every emission carries new events). */
+  def funnelLevelsBounded(events: Dataset[Event], steps: Seq[String],
+                          windowSeconds: Option[Long] = None,
+                          lateness: String = "1 hour"): Dataset[FunnelSnapshotB] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    val winUs = windowSeconds.map(_ * 1000000L)
+    events
+      .filter(e => e.ts != null && e.event_type != null &&
+        stepIdx.contains(e.event_type))
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelChain, FunnelSnapshotB](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelChain]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed the newest buffered event with no
+            // new data for this user: every buffered event is final —
+            // fold the whole tail and keep only the slot residue.
+            // Nothing is emitted (n_seen/level are unchanged since the
+            // last data-driven snapshot).
+            val st = state.get
+            val acc = st.acc.toArray
+            greedyInto(acc, winUs, st.tail)
+            state.update(
+              FunnelChain(acc.toSeq, st.nPref + st.tail.size, Vector.empty))
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(
+              FunnelChain(Seq.fill(k)(-1L), 0L, Vector.empty))
+            val add = batch.map(e =>
+              (eventMicros(e.ts), stepIdx(e.event_type))).toArray.sorted
+            val all = mergeSorted(st.tail, add)
+            // events older than the watermark are final (no future
+            // input can precede them) — fold them into the frozen
+            // slots now; watermark 0 means "none yet", evict nothing
+            val wmMs = state.getCurrentWatermarkMs()
+            val cutoff = if (wmMs > 0L) wmMs * 1000L else Long.MinValue
+            val (evict, keep) = all.span(_._1 < cutoff)
+            val acc = st.acc.toArray
+            greedyInto(acc, winUs, evict)
+            val emitAcc = acc.clone()
+            greedyInto(emitAcc, winUs, keep)
+            state.update(FunnelChain(acc.toSeq, st.nPref + evict.size, keep))
+            // when the watermark passes the buffer's newest event and
+            // no new data arrives, finish the fold via timeout
+            if (keep.nonEmpty)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(keep.last._1, 1000L) + 1L)
+            Iterator(FunnelSnapshotB(uid, st.nPref + all.size,
+              emitAcc.count(_ != -1L), keep.size))
+          }
       }
   }
 

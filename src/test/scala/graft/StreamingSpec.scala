@@ -404,6 +404,74 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $streamCounts must equal batch $batch")
   }
 
+  test("ST5: bounded funnel — watermark evicts, timeout collapses, parity holds") {
+    import EventStreams._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("events_funnel_b").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 09:00:00")
+    def day(d: Int) = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+    // one file per slice, mtimes strictly ascending → one slice per
+    // micro-batch, watermark advancing between them (30-min lateness)
+    val slices: Seq[Seq[(Long, java.sql.Timestamp, Long, String)]] = Seq(
+      Seq((1L, day(0), 1L, "view"), (2L, day(0), 3L, "click")),
+      Seq((3L, day(1), 2L, "view"), (4L, day(1), 3L, "purchase")),
+      Seq((5L, day(2), 1L, "click")),
+      Seq((6L, day(3), 2L, "click")),
+      Seq((7L, day(5), 1L, "purchase")),
+      // far-future sentinel: advances the watermark past everything,
+      // so EventTimeTimeout fires and collapses the quiet users' state
+      Seq((8L, day(100), -1L, "view")),
+      // post-collapse event: u3's frozen chain (click/purchase never
+      // chained — no view) must continue correctly from the residue
+      Seq((9L, day(101), 3L, "view")))
+    slices.foreach { rows =>
+      val before = graft.gates.GateSupport.listParquet(dir)
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      graft.gates.GateSupport.bumpMtime(dir, before)
+    }
+    val stream = spark.readStream.schema(EventStreams.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[Event]
+    val steps = Seq("view", "click", "purchase")
+    val q = funnelLevelsBounded(stream, steps,
+        windowSeconds = Some(7L * 86400), lateness = "30 minutes")
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("funnel_bounded")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val sink = spark.table("funnel_bounded")
+    // parity: final per-user levels equal the batch operator over the
+    // same events (sentinel excluded on both sides)
+    val levels = sink.where($"user_id" >= 0).groupBy($"user_id")
+      .agg(max(struct($"n_seen", $"level")).as("last"))
+      .select($"user_id", $"last.level".as("level"))
+      .as[(Long, Int)].collect().toMap
+    assert(levels == Map(1L -> 3, 2L -> 2, 3L -> 1), levels.toString)
+    val batchEvents = slices.flatten.filter(_._3 >= 0)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val batch = graft.operators.Funnel.funnel(batchEvents, steps,
+        windowSeconds = Some(7L * 86400))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    val streamCounts = (1 to 3).map(i =>
+      (i, steps(i - 1), levels.values.count(_ >= i).toLong))
+    assert(streamCounts == batch, s"stream $streamCounts vs batch $batch")
+    // STATE BOUNDED: the buffer never holds history, only the events
+    // the watermark has not yet passed (≤ 1 new + ≤ 1 straggler here)
+    val maxBuf = sink.agg(max($"n_buffered")).head.getInt(0)
+    assert(maxBuf <= 2, s"buffer grew past the lateness window: $maxBuf")
+    // u3's post-collapse snapshot: two folded events + the new one,
+    // with only the new one still buffered
+    val u3 = sink.where($"user_id" === 3L && $"n_seen" === 3L)
+      .select($"level", $"n_buffered").as[(Int, Int)].collect().toSeq
+    assert(u3 == Seq((1, 1)), u3.toString)
+    // state ROWS bounded by the key population in every batch
+    val stateRows = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatMap(_.toSeq).map(_.numRowsTotal).filter(_ > 0)
+    assert(stateRows.nonEmpty && stateRows.forall(_ <= 4L),
+      stateRows.mkString(","))
+  }
+
   test("ST6: foreachBatch parquet sink") {
     val out = Files.createTempDirectory("sink_out").toString
     val ckpt = Files.createTempDirectory("sink_ckpt").toString
