@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.NativeEditSim
@@ -19,11 +20,24 @@ import graft.expressions.NativeEditSim
   * corpus) feed the same adaptive connected-components used by the
   * dedup family (driver union-find under the cap, Kiveris star
   * beyond). Similarities are quantized to LONG e4 at the threshold
-  * so the DuckDB oracle replays the verdicts exactly. A skewed block
-  * (every "J. Smith") is the documented failure mode of prefix
-  * blocking — widen `blockWidth` or add a second key (length band)
-  * before resorting to salting.
-  */
+  * so the DuckDB oracle replays the verdicts exactly.
+  *
+  * A skewed block (every "J. Smith") is the classic failure mode of
+  * prefix blocking — Σ block² turns quadratic in the corpus when
+  * block cardinality is fixed. [[pairs]] guards against it
+  * AUTOMATICALLY: block sizes are measured first (one tiny aggregate
+  * over ≤ alphabet^width keys, broadcast back), and any block over
+  * `maxBlockSize` escalates from all-pairs to SORTED-NEIGHBORHOOD
+  * comparison (Hernández & Stolfo, SIGMOD '95): records sort by
+  * normalized name within the block and each compares only to the
+  * next `neighborWindow` neighbors — per-record work W, not block.
+  * The neighbor join is chunk-banded (each row keyed by rank/W; the
+  * probe side also emits the previous chunk), so even the escalated
+  * block hash-joins on an equi key with O(W)-bounded probe buckets —
+  * no single task ever sees block² work. Near-identical names sort
+  * adjacent, which is exactly the high-similarity region; names
+  * farther than W positions apart in sort order are — by design, like
+  * blocking itself — never compared. */
 object EntityResolution {
 
   /** Matching form of a name: lowercased, outer whitespace trimmed. */
@@ -38,23 +52,61 @@ object EntityResolution {
   /** Candidate pairs above the similarity threshold:
     * `(id_a, id_b, jw_e4)` with `id_a < id_b`, `jw_e4` the
     * half-up-quantized Jaro-Winkler in 1e-4 units. NULL names never
-    * pair. */
+    * pair. Blocks larger than `maxBlockSize` escalate to
+    * sorted-neighborhood comparison within the block (window
+    * `neighborWindow` in name-sort order) — see the object scaladoc
+    * for why this keeps a skewed key from going quadratic. */
   def pairs(df: DataFrame, idCol: String, nameCol: String,
-            threshold: Double, blockWidth: Int = 2): DataFrame = {
+            threshold: Double, blockWidth: Int = 2,
+            maxBlockSize: Int = 10000,
+            neighborWindow: Int = 50): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(maxBlockSize > 1, "maxBlockSize must be > 1")
+    require(neighborWindow >= 1, "neighborWindow must be >= 1")
     val thresholdE4 = math.round(threshold * 10000)
     val n = normalized(col(nameCol))
     val side = df.where(col(nameCol).isNotNull)
       .select(col(idCol), n.as("__n"), blockKey(n, blockWidth).as("__blk"))
-    val a = side.select(col(idCol).as("id_a"), col("__n").as("__na"),
-      col("__blk").as("__ba"))
-    val b = side.select(col(idCol).as("id_b"), col("__n").as("__nb"),
-      col("__blk").as("__bb"))
+    // block-size guard: the count table has at most alphabet^width
+    // rows — broadcast it back so each record knows its block's size
+    val counts = side.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+    val sided = side.join(broadcast(counts), Seq("__blk"))
     val jwE4 = floor(NativeEditSim.jaroWinkler(col("__na"), col("__nb"))
       * 10000 + 0.5).cast("long")
-    a.join(b, col("__ba") === col("__bb") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jwE4.as("jw_e4"))
-      .where(col("jw_e4") >= thresholdE4)
+
+    val small = sided.where(col("__bn") <= maxBlockSize)
+    val a = small.select(col(idCol).as("id_a"), col("__n").as("__na"),
+      col("__blk").as("__ba"))
+    val b = small.select(col(idCol).as("id_b"), col("__n").as("__nb"),
+      col("__blk").as("__bb"))
+    val smallPairs =
+      a.join(b, col("__ba") === col("__bb") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), jwE4.as("jw_e4"))
+
+    // oversized blocks: rank by name within the block, compare each
+    // record only to its next `neighborWindow` neighbors. The join is
+    // banded on chunk = (rank-1)/W — the probe side also emits the
+    // previous chunk — so every candidate pair meets on an equi key
+    // whose buckets hold ~W rows, never the whole block.
+    val win = Window.partitionBy(col("__blk"))
+      .orderBy(col("__n"), col(idCol))
+    val ranked = sided.where(col("__bn") > maxBlockSize)
+      .withColumn("__rn", row_number().over(win).cast("long"))
+      .withColumn("__ck",
+        ((col("__rn") - lit(1L)) / lit(neighborWindow.toLong)).cast("long"))
+    val aB = ranked.select(col(idCol).as("id_a"), col("__n").as("__na"),
+      col("__blk").as("__ba"), col("__rn").as("__ra"), col("__ck").as("__ca"))
+    val bB = ranked.select(col(idCol).as("id_b"), col("__n").as("__nb"),
+      col("__blk").as("__bb"), col("__rn").as("__rb"),
+      explode(array(col("__ck"), col("__ck") - lit(1L))).as("__cb"))
+    val bigPairs = aB.join(bB,
+        col("__ba") === col("__bb") && col("__ca") === col("__cb") &&
+          col("__rb") > col("__ra") &&
+          col("__rb") <= col("__ra") + lit(neighborWindow.toLong))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), jwE4.as("jw_e4"))
+
+    smallPairs.unionAll(bigPairs).where(col("jw_e4") >= thresholdE4)
   }
 
   /** Resolve every record to an entity: `(idCol, entity_id)` where
@@ -63,8 +115,11 @@ object EntityResolution {
     * are their own entity. Records with NULL names resolve to
     * themselves — junk never merges entities. */
   def resolve(df: DataFrame, idCol: String, nameCol: String,
-              threshold: Double, blockWidth: Int = 2): DataFrame = {
-    val p = pairs(df, idCol, nameCol, threshold, blockWidth)
+              threshold: Double, blockWidth: Int = 2,
+              maxBlockSize: Int = 10000,
+              neighborWindow: Int = 50): DataFrame = {
+    val p = pairs(df, idCol, nameCol, threshold, blockWidth,
+      maxBlockSize, neighborWindow)
     // rename before the join: the caller's idCol may itself be "id"
     val cc = Dedup.connectedComponentsAdaptive(p)
       .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))

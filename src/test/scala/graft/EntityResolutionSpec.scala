@@ -74,6 +74,42 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("skewed block escalates to sorted-neighborhood; near dups still pair") {
+    // 60 records, ALL in block 'du': 20 entities × 3 variants. With
+    // maxBlockSize forcing escalation, variants sort adjacent (same
+    // stem) so every within-entity pair is inside the neighbor
+    // window; cross-entity stems are distinct hex, far below the
+    // threshold. The escalated result must equal the all-pairs result.
+    val recs = (0 until 20).flatMap { g =>
+      val stem = "du " + java.security.MessageDigest.getInstance("MD5")
+        .digest(g.toString.getBytes).map("%02x".format(_)).mkString.take(16)
+      Seq((g * 3L, stem), (g * 3L + 1, stem + " inc"), (g * 3L + 2, stem + "s"))
+    }.toDF("id", "name")
+    val full = EntityResolution.pairs(recs, "id", "name", threshold = 0.94,
+        maxBlockSize = 10000) // no escalation: all-pairs within block
+      .as[(Long, Long, Long)].collect().toSet
+    val escalated = EntityResolution.pairs(recs, "id", "name", threshold = 0.94,
+        maxBlockSize = 8, neighborWindow = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full.nonEmpty && escalated == full,
+      s"escalated=${escalated.size} full=${full.size}")
+    // id_a < id_b holds on the escalated path too (rank order is name
+    // order, not id order — the output must still be normalized)
+    assert(escalated.forall { case (a, b, _) => a < b })
+    // resolve through the escalated path: 20 entities, min-id labeled
+    val got = EntityResolution.resolve(recs, "id", "name", threshold = 0.94,
+        maxBlockSize = 8, neighborWindow = 6)
+      .as[(Long, Long)].collect().toMap
+    (0 until 20).foreach { g =>
+      (0 until 3).foreach(v => assert(got(g * 3L + v) == g * 3L, s"g=$g v=$v"))
+    }
+    // a window too SMALL to span an entity's variants is the
+    // documented recall tradeoff — pairs drop, never error
+    val tiny = EntityResolution.pairs(recs, "id", "name", threshold = 0.94,
+      maxBlockSize = 8, neighborWindow = 1).count()
+    assert(tiny < full.size)
+  }
+
   test("pairs carry quantized similarities and id_a < id_b") {
     val recs = Seq((7L, "stark enterprises"), (3L, "stark enterprise"))
       .toDF("id", "name")
