@@ -78,14 +78,15 @@ object NativeUrl {
     }
   }
 
-  /** Built-in snapshot of the PSL's ICANN section's multi-label
+  /** Hand-built snapshot of the PSL's ICANN section's multi-label
     * rules for the widely-used ccTLD second-level registries — the
-    * offline default. It is a SUBSET: for production crawls install
-    * the full, current list via [[SuffixRules.parse]] +
-    * [[registrableDomain(host:org\.apache\.spark\.sql\.Column,rules:graft\.expressions\.NativeUrl\.SuffixRules)*]]
-    * so unlisted registries (and the private-domain section) rank
-    * correctly. */
-  val defaultSuffixRules: SuffixRules = SuffixRules(
+    * FALLBACK when the bundled resource is unavailable. The normal
+    * default is [[defaultSuffixRules]], parsed from the bundled
+    * `graft/psl_snapshot.dat` resource, which adds the PRIVATE
+    * section (github.io, blogspot.*, *.compute.amazonaws.com, …) —
+    * without it, every github.io site counts as ONE publisher in
+    * domain caps and temperature mixing. */
+  private[graft] val icannFallbackRules: SuffixRules = SuffixRules(
     exact = Set(
       // UK / IE
       "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk",
@@ -236,6 +237,25 @@ object NativeUrl {
     wildcard = Set("bd", "ck", "er", "fk", "jm", "kh", "mm", "np",
       "pg"),
     exception = Set("www.ck"))
+
+  /** The default rule set: the bundled `graft/psl_snapshot.dat`
+    * resource parsed through the [[SuffixRules.parse]] seam — the
+    * ICANN snapshot PLUS a curated PRIVATE-section snapshot (hosted
+    * platforms where each subdomain is an independent publisher:
+    * github.io, blogspot.*, appspot.com, *.compute.amazonaws.com,
+    * pages.dev, …). Still a SNAPSHOT of the living list: production
+    * crawls should replace the resource (or pass
+    * `SuffixRules.parse(<downloaded full PSL>)` explicitly) to track
+    * publicsuffix.org. Falls back to [[icannFallbackRules]] if the
+    * resource is missing from the classpath. */
+  val defaultSuffixRules: SuffixRules = {
+    val in = Option(getClass.getResourceAsStream("/graft/psl_snapshot.dat"))
+    in.map { s =>
+      try SuffixRules.parse(
+        scala.io.Source.fromInputStream(s, "UTF-8").mkString)
+      finally s.close()
+    }.getOrElse(icannFallbackRules)
+  }
 
   /** Back-compat view: the exact multi-label suffixes of the default
     * rule set (tests and the x66 oracle splice iterate this). */

@@ -523,6 +523,30 @@ private[graft] object TextGates {
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
+    // X97b the PSL PRIVATE section (bundled psl_snapshot.dat through
+    // the SuffixRules.parse seam): hosted-platform suffixes where
+    // each subdomain is an independent publisher — an exact private
+    // rule (github.io), the blogspot family, a private WILDCARD
+    // (*.compute.amazonaws.com), a deep exact rule (s3.amazonaws.com),
+    // and pages.dev; doc_id % 31 = 0 rows probe the host-IS-a-suffix
+    // edge (returns itself). Without these rules domain caps and
+    // temperature mixing would treat every github.io site as one
+    // domain.
+    "x97b_psl_private" -> ((s, d) => {
+      val id = col("doc_id")
+      val host = when(id % 31 === 0, lit("github.io"))
+        .when(id % 5 === 0, concat(lit("docs.user"), id, lit(".github.io")))
+        .when(id % 5 === 1, concat(lit("my.site"), id, lit(".blogspot.com")))
+        .when(id % 5 === 2,
+          concat(lit("a.b"), id, lit(".eu-west-1.compute.amazonaws.com")))
+        .when(id % 5 === 3, concat(lit("bucket"), id, lit(".s3.amazonaws.com")))
+        .otherwise(concat(lit("app"), id, lit(".pages.dev")))
+      t(s, d, "documents")
+        .select(col("doc_id"), host.as("host"),
+          graft.functions.Url.registrableDomain(host).as("domain"))
+        .orderBy(asc_nulls_first("doc_id"))
+    }),
+
     // X89 SFT chat-template rendering + loss masks: conversations
     // synthesized from documents (system + user + assistant, a second
     // user/assistant exchange when doc_id % 3 = 0) rendered into the
@@ -817,6 +841,25 @@ private[graft] object TextGates {
              WHEN 3 THEN 'www.ck'
              WHEN 4 THEN 'example' || doc_id || '.co.uk'
              ELSE 'plain' || doc_id || '.org' END AS domain
+         FROM documents
+         ORDER BY doc_id NULLS FIRST""",
+    // private-section replay: exact rules take label+suffix, the
+    // wildcard *.compute.amazonaws.com takes label+region+suffix, a
+    // host that IS a suffix returns itself
+    "x97b_psl_private" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 31 = 0 THEN 'github.io'
+                WHEN doc_id % 5 = 0 THEN 'docs.user' || doc_id || '.github.io'
+                WHEN doc_id % 5 = 1 THEN 'my.site' || doc_id || '.blogspot.com'
+                WHEN doc_id % 5 = 2 THEN 'a.b' || doc_id || '.eu-west-1.compute.amazonaws.com'
+                WHEN doc_id % 5 = 3 THEN 'bucket' || doc_id || '.s3.amazonaws.com'
+                ELSE 'app' || doc_id || '.pages.dev' END AS host,
+           CASE WHEN doc_id % 31 = 0 THEN 'github.io'
+                WHEN doc_id % 5 = 0 THEN 'user' || doc_id || '.github.io'
+                WHEN doc_id % 5 = 1 THEN 'site' || doc_id || '.blogspot.com'
+                WHEN doc_id % 5 = 2 THEN 'b' || doc_id || '.eu-west-1.compute.amazonaws.com'
+                WHEN doc_id % 5 = 3 THEN 'bucket' || doc_id || '.s3.amazonaws.com'
+                ELSE 'app' || doc_id || '.pages.dev' END AS domain
          FROM documents
          ORDER BY doc_id NULLS FIRST""",
     // identical ChatML assembly + mask arithmetic from the same part

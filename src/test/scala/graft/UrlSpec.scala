@@ -162,6 +162,32 @@ class UrlSpec extends AnyFunSuite {
     assert(got == Seq("b.custom.zz", "x.deep.wild", "ok.wild"))
   }
 
+  test("PSL private section loads from the bundled snapshot resource") {
+    import graft.expressions.NativeUrl
+    import org.apache.spark.unsafe.types.UTF8String
+    def rd(h: String): String =
+      NativeUrl.registrableDomainEval(UTF8String.fromString(h)).toString
+    // the default rules must come from the parsed resource (ICANN +
+    // PRIVATE), a strict superset of the hand-built ICANN fallback
+    val d = NativeUrl.defaultSuffixRules
+    val f = NativeUrl.icannFallbackRules
+    assert(f.exact.subsetOf(d.exact) && f.wildcard.subsetOf(d.wildcard) &&
+      f.exception.subsetOf(d.exception), "resource must extend the fallback")
+    assert(d.exact.contains("github.io") && d.exact.contains("blogspot.com") &&
+      d.wildcard.contains("compute.amazonaws.com"),
+      "private-section rules missing — psl_snapshot.dat not on classpath?")
+    // each hosted subdomain is its own publisher
+    assert(rd("docs.user1.github.io") == "user1.github.io")
+    assert(rd("my.cooking.blogspot.com") == "cooking.blogspot.com")
+    assert(rd("a.b.eu-west-1.compute.amazonaws.com") ==
+      "b.eu-west-1.compute.amazonaws.com")
+    assert(rd("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    assert(rd("app.pages.dev") == "app.pages.dev")
+    // non-platform .com names are untouched by the private section
+    assert(rd("www.example.com") == "example.com")
+    assert(rd("images.amazon.com") == "amazon.com")
+  }
+
   test("normalization is idempotent and dedup-ready") {
     val variants = Seq(
       "HTTP://Example.COM:80/a?b=2&a=1#x",
