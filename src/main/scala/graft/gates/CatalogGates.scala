@@ -315,6 +315,19 @@ private[graft] object CatalogGates {
       graft.operators.Sketches.bloomAudit(t(s, d, "events"), "event_type",
         expectedItems = 100000, fpp = 0.03)),
 
+    // X98 [A-family sketches] the mergeable QUANTILE sketch (the
+    // log-bucket relative-error design): p50/p90/p99 estimates over
+    // l_extendedprice must sit within the declared α = 1% of the
+    // exact rank-⌈q·n⌉ values. The sketch's bucket-addition merge is
+    // commutative, so the estimate — and therefore this flag — is
+    // deterministic under any partitioning (property-tested in
+    // SketchesSpec); the oracle recomputes the count and pins the
+    // boolean.
+    "x98_quantile_sketch" -> ((s, d) =>
+      graft.operators.Sketches.quantileSketchAudit(
+        t(s, d, "lineitem"), "l_extendedprice",
+        alpha = 0.01, qs = Seq(0.5, 0.9, 0.99))),
+
     // X41 small-file compaction: fragment a copy of documents into 40
     // files, compact to ~1 MB targets, and prove the data survived the
     // atomic swap byte-for-byte (count + key/char sums against the
@@ -625,5 +638,9 @@ private[graft] object CatalogGates {
          CAST(0 AS BIGINT) AS false_negatives,
          true AS fp_ok
          FROM events""",
+    "x98_quantile_sketch" ->
+      """SELECT CAST(COUNT(l_extendedprice) AS BIGINT) AS n_vals,
+         true AS within_alpha
+         FROM lineitem""",
   )
 }

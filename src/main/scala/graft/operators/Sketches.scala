@@ -121,4 +121,42 @@ object Sketches {
         (col("fp_hits") <= greatest(lit(10L),
           ceil(lit(5 * fpp) * col("n_probes")).cast("long"))).as("fp_ok"))
   }
+
+  /** Quantile-sketch audit: every estimate from
+    * [[graft.functions.QuantileSketch]] must sit within the sketch's
+    * DECLARED relative error α of the exact value at rank ⌈q·n⌉ —
+    * the hard deterministic guarantee of the log-bucket design, so
+    * the flag gates exactly (no probabilistic slack needed). Returns
+    * one row `(n_vals, within_alpha)`; the oracle recomputes the
+    * count and pins the boolean.
+    *
+    * The exact side ranks with a GLOBAL window — a single-task sort,
+    * acceptable because it is the audit's truth computation, not the
+    * operator (the sketch itself never sorts; that is its point). */
+  def quantileSketchAudit(df: DataFrame, valueCol: String,
+                          alpha: Double = 0.01,
+                          qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val spark = df.sparkSession
+    val nn = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val n = nn.count()
+    val est = nn
+      .agg(graft.functions.QuantileSketch.quantiles(col("__v"), alpha, qs)
+        .as("est"))
+      .head.getSeq[Double](0)
+    val ranks = qs.map(q => math.min(n, math.max(1L, math.ceil(q * n).toLong)))
+    val byRank = nn
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__v")))
+        .cast("long"))
+      .where(col("__rn").isin(ranks.distinct: _*))
+      .collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
+    val ok = n == 0L || qs.indices.forall { i =>
+      val exact = byRank(ranks(i))
+      math.abs(est(i) - exact) <=
+        alpha * math.abs(exact) + 1e-12
+    }
+    import spark.implicits._
+    Seq((n, ok)).toDF("n_vals", "within_alpha")
+  }
 }

@@ -27,6 +27,69 @@ class SketchesSpec extends AnyFunSuite {
     assert(a.getBoolean(2) && b.getBoolean(2))
   }
 
+  test("quantile sketch: estimates bit-identical under ANY partitioning/order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mixed signs, zeros, heavy ties, ten orders of magnitude
+    val rnd = new scala.util.Random(41)
+    val vals = (0 until 5000).map { i =>
+      if (i % 50 == 0) 0.0
+      else {
+        val m = math.exp(rnd.nextGaussian() * 4)
+        if (rnd.nextBoolean()) m else -m
+      }
+    } ++ Seq.fill(300)(7.25)
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99)
+    def est(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(graft.functions.QuantileSketch.quantiles($"v", 0.01, qs).as("e"))
+        .head.getSeq[Double](0)
+    val base = vals.toDF("v")
+    val a = est(base.repartition(1))
+    val b = est(base.repartition(13))
+    val c = est(base.orderBy($"v".desc).repartition(32, pmod($"v" * 31, lit(7))))
+    assert(a == b && b == c, s"$a / $b / $c")
+  }
+
+  test("quantile sketch: every estimate within declared relative error of exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val vals = ((0 until 4000).map(_ => math.exp(rnd.nextGaussian() * 3)) ++
+      (0 until 1000).map(_ => -math.exp(rnd.nextGaussian() * 2)) ++
+      Seq.fill(100)(0.0)).toIndexedSeq
+    val qs = Seq(0.05, 0.5, 0.9, 0.99)
+    val alpha = 0.02
+    val est = vals.toDF("v").repartition(9)
+      .agg(graft.functions.QuantileSketch.quantiles($"v", alpha, qs).as("e"))
+      .head.getSeq[Double](0)
+    val sorted = vals.sorted
+    qs.indices.foreach { i =>
+      val rank = math.min(vals.size, math.max(1, math.ceil(qs(i) * vals.size).toInt))
+      val exact = sorted(rank - 1)
+      assert(math.abs(est(i) - exact) <= alpha * math.abs(exact) + 1e-12,
+        s"q=${qs(i)} est=${est(i)} exact=$exact")
+    }
+    // the audit operator agrees with itself end-to-end
+    val audit = Sketches.quantileSketchAudit(vals.toDF("v"), "v", alpha, qs)
+      .collect().head
+    assert(audit.getLong(0) == vals.size && audit.getBoolean(1))
+  }
+
+  test("quantile sketch: nulls skipped; empty input is NaN, zero-only exact") {
+    import spark.implicits._
+    val est = Seq[java.lang.Double](null, 5.0, null, 5.0).toDF("v")
+      .agg(graft.functions.QuantileSketch.quantiles($"v", 0.01, Seq(0.5)).as("e"))
+      .head.getSeq[Double](0)
+    assert(math.abs(est.head - 5.0) <= 0.05 + 1e-12)
+    val empty = Seq.empty[Double].toDF("v")
+      .agg(graft.functions.QuantileSketch.quantiles($"v", 0.01, Seq(0.5)).as("e"))
+      .head.getSeq[Double](0)
+    assert(empty.head.isNaN)
+    val zeros = Seq(0.0, 0.0, 0.0).toDF("v")
+      .agg(graft.functions.QuantileSketch.quantiles($"v", 0.01, Seq(0.1, 0.9)).as("e"))
+      .head.getSeq[Double](0)
+    assert(zeros == Seq(0.0, 0.0))
+  }
+
   test("Bloom audit probes ride the key column's type (long keys non-vacuous)") {
     import spark.implicits._
     // string probes against a long-built filter never collide, so the
