@@ -357,7 +357,12 @@ object Catalog {
         .stripPrefix(rootUri).stripPrefix("/")
       rel.split('/').toSeq.filter(_.contains('=')).map { seg =>
         val i = seg.indexOf('=')
-        (hiveUnescape(seg.take(i)), hiveUnescape(seg.drop(i + 1)))
+        // the inverse of the escapePathName this file writes with —
+        // NOT URLDecoder, which corrupts literal '+' into a space
+        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+           .unescapePathName(seg.take(i)),
+         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+           .unescapePathName(seg.drop(i + 1)))
       }.toMap
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -373,18 +378,37 @@ object Catalog {
           // restrict the erasure list to rows whose partition-column
           // values match THIS leaf's path; a mismatched leaf is a
           // guaranteed non-hit with zero data scanned
+          // match on BOTH representations: the key column rendered as
+          // a string (exact path text) OR the path value coerced into
+          // the key column's type (try_cast — never throws under ANSI).
+          // A caller whose erasure frame carries tenant as DOUBLE
+          // against a path 'tenant=1' must still match ('1.0' ≠ '1'
+          // as text, but 1.0 <=> cast('1')), or the leaf is silently
+          // skipped — a silent GDPR non-erasure
           val leafKeys = partKeyCols.foldLeft(keySet) { (df, c) =>
             val v = pv(c)
             if (v == "__HIVE_DEFAULT_PARTITION__") df.filter(col(c).isNull)
-            else df.filter(col(c).cast("string") === lit(v))
+            else df.filter(col(c).cast("string") === lit(v) ||
+              col(c) <=> lit(v).try_cast(keySet.schema(c).dataType))
           }
           val anyKey = partKeyCols.isEmpty || leafKeys.limit(1).count() > 0
           if (!anyKey) DeleteStats(0L, 0L, 0L)
           else if (dataKeyCols.isEmpty) {
             // every key column is a partition column: the whole leaf
-            // matches — drop the directory instead of rewriting it
+            // matches — drop the directory instead of rewriting it,
+            // then prune now-empty ancestors (an empty partition dir
+            // would crash the NEXT run's leaves() walk as a bogus
+            // parquet-less leaf)
             val n = spark.read.parquet(leaf.toString).count()
             fs.delete(leaf, true)
+            var parent = leaf.getParent
+            while (parent != null &&
+                fs.makeQualified(parent) != fs.makeQualified(rootP) &&
+                fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+              // a concurrent sibling future may race this non-recursive
+              // delete; a false return just stops the upward prune
+              parent = if (fs.delete(parent, false)) parent.getParent else null
+            }
             DeleteStats(n, n, 1L)
           } else {
             val hit = spark.read.parquet(leaf.toString)
@@ -401,26 +425,6 @@ object Catalog {
       DeleteStats(stats.map(_.rowsBefore).sum, stats.map(_.rowsDeleted).sum,
         stats.map(_.leavesRewritten).sum)
     } finally { pool.shutdown(); () }
-  }
-
-  /** Undo Hive's partition-path escaping (%xx for chars unsafe in a
-    * path segment). NOT URLDecoder: that maps '+' to space, corrupting
-    * any literal '+' in a partition value. */
-  private[graft] def hiveUnescape(s: String): String = {
-    if (!s.contains('%')) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          Character.digit(s.charAt(i + 1), 16) >= 0 &&
-          Character.digit(s.charAt(i + 2), 16) >= 0) {
-        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
-          Character.digit(s.charAt(i + 2), 16)).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
   }
 
   /** Before/after file counts and byte size of a [[compact]] run. */

@@ -249,11 +249,15 @@ object NativeUrl {
     * publicsuffix.org. Falls back to [[icannFallbackRules]] if the
     * resource is missing from the classpath. */
   val defaultSuffixRules: SuffixRules = {
-    val in = Option(getClass.getResourceAsStream("/graft/psl_snapshot.dat"))
-    in.map { s =>
+    // ANY failure — missing resource, truncated jar entry, broken
+    // stream — degrades to the fallback: a throw here would escape
+    // static init and kill every later touch of NativeUrl with
+    // NoClassDefFoundError instead
+    scala.util.Try {
+      val in = getClass.getResourceAsStream("/graft/psl_snapshot.dat")
       try SuffixRules.parse(
-        scala.io.Source.fromInputStream(s, "UTF-8").mkString)
-      finally s.close()
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
     }.getOrElse(icannFallbackRules)
   }
 

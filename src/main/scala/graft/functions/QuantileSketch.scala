@@ -39,14 +39,24 @@ import org.apache.spark.sql.functions
 object QuantileSketch {
 
   /** Sketch state: positive/negative bucket counts keyed by
-    * ⌈log_γ |x|⌉, plus the exact zero count. */
-  final case class DDBuf(pos: Map[Int, Long], neg: Map[Int, Long],
-                         zero: Long)
+    * ⌈log_γ |x|⌉, plus the exact zero count. MUTABLE — `reduce` runs
+    * once per input row on the 100 TB hot path, so it must increment
+    * in place, not rebuild a persistent map per row (the Aggregator
+    * contract explicitly permits mutating and returning the buffer).
+    * Kryo-encoded: the buffer only serializes at partial/final
+    * exchange boundaries, never per row. */
+  final class DDState extends Serializable {
+    val pos = new java.util.HashMap[Integer, java.lang.Long]()
+    val neg = new java.util.HashMap[Integer, java.lang.Long]()
+    var zero: Long = 0L
+    def bump(m: java.util.HashMap[Integer, java.lang.Long], k: Int): Unit =
+      m.merge(k, 1L, (a, b) => a + b)
+  }
 
   /** Typed aggregator: `Double` values (nulls skipped) →
     * `qs.size` quantile estimates. */
   class DDQuantilesAgg(alpha: Double, qs: Seq[Double])
-      extends Aggregator[java.lang.Double, DDBuf, Seq[Double]] {
+      extends Aggregator[java.lang.Double, DDState, Seq[Double]] {
     require(alpha > 0.0 && alpha < 1.0, "alpha in (0, 1)")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
@@ -56,48 +66,57 @@ object QuantileSketch {
     private def bucketOf(mag: Double): Int =
       math.ceil(math.log(mag) / lg).toInt
 
-    override def zero: DDBuf = DDBuf(Map.empty, Map.empty, 0L)
+    override def zero: DDState = new DDState
 
-    override def reduce(b: DDBuf, a: java.lang.Double): DDBuf = {
+    override def reduce(b: DDState, a: java.lang.Double): DDState = {
       if (a == null) return b
       val x = a.doubleValue()
-      if (x.isNaN) b
-      else if (x > 0.0) {
-        val k = bucketOf(x)
-        b.copy(pos = b.pos.updated(k, b.pos.getOrElse(k, 0L) + 1L))
-      } else if (x < 0.0) {
-        val k = bucketOf(-x)
-        b.copy(neg = b.neg.updated(k, b.neg.getOrElse(k, 0L) + 1L))
-      } else b.copy(zero = b.zero + 1L)
+      if (x.isNaN) ()
+      else if (x > 0.0) b.bump(b.pos, bucketOf(x))
+      else if (x < 0.0) b.bump(b.neg, bucketOf(-x))
+      else b.zero += 1L
+      b
     }
 
-    override def merge(a: DDBuf, b: DDBuf): DDBuf = DDBuf(
-      addMaps(a.pos, b.pos), addMaps(a.neg, b.neg), a.zero + b.zero)
+    override def merge(a: DDState, b: DDState): DDState = {
+      b.pos.forEach((k, v) => a.pos.merge(k, v, (x, y) => x + y))
+      b.neg.forEach((k, v) => a.neg.merge(k, v, (x, y) => x + y))
+      a.zero += b.zero
+      a
+    }
 
-    private def addMaps(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
-      b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+    override def finish(b: DDState): Seq[Double] = qs.map(quantile(b, _))
 
-    override def finish(b: DDBuf): Seq[Double] = qs.map(quantile(b, _))
+    private def total(m: java.util.HashMap[Integer, java.lang.Long]): Long = {
+      var s = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) s += it.next()
+      s
+    }
 
     /** Value at rank ⌈q·n⌉ (1-based, ascending — the `quantile_disc`
       * convention), estimated from the cumulative bucket walk:
       * negatives by descending magnitude first, then zeros, then
       * positives by ascending magnitude. Empty input → NaN. */
-    private def quantile(b: DDBuf, q: Double): Double = {
-      val n = b.zero + b.pos.valuesIterator.sum + b.neg.valuesIterator.sum
+    private def quantile(b: DDState, q: Double): Double = {
+      val n = b.zero + total(b.pos) + total(b.neg)
       if (n == 0L) return Double.NaN
       val rank = math.min(n, math.max(1L, math.ceil(q * n).toLong))
       var cum = 0L
       // negatives: ascending VALUE = descending magnitude = bucket
       // index descending
-      for (k <- b.neg.keys.toSeq.sortBy(-_)) {
-        cum += b.neg(k)
+      val negKeys = b.neg.keySet().toArray(Array.empty[Integer])
+        .map(_.intValue()).sorted.reverse
+      for (k <- negKeys) {
+        cum += b.neg.get(k)
         if (cum >= rank) return -estimate(k)
       }
       cum += b.zero
       if (cum >= rank) return 0.0
-      for (k <- b.pos.keys.toSeq.sorted) {
-        cum += b.pos(k)
+      val posKeys = b.pos.keySet().toArray(Array.empty[Integer])
+        .map(_.intValue()).sorted
+      for (k <- posKeys) {
+        cum += b.pos.get(k)
         if (cum >= rank) return estimate(k)
       }
       // unreachable (rank <= n); keep the compiler total
@@ -109,7 +128,7 @@ object QuantileSketch {
     private def estimate(k: Int): Double =
       2.0 * math.pow(gamma, k) / (gamma + 1.0)
 
-    override def bufferEncoder: Encoder[DDBuf] = Encoders.product[DDBuf]
+    override def bufferEncoder: Encoder[DDState] = Encoders.kryo[DDState]
     override def outputEncoder: Encoder[Seq[Double]] = {
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
       ExpressionEncoder[Seq[Double]]()

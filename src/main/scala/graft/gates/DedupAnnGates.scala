@@ -548,7 +548,11 @@ private[graft] object DedupAnnGates {
     // FULL block-pair replay (no window): the engine's escalated
     // sorted-neighborhood pair set must close to the same entities as
     // exhaustive in-block comparison — the recall proof for the skew
-    // guard on this fixture
+    // guard on this fixture. The ORACLE side is deliberately
+    // quadratic (N²/2 DuckDB jaro_winkler calls) — the x20/x88
+    // declared-quadratic replay class, runnable at the sf0.01 gate
+    // scale only; the ENGINE side stays O(N·W) at every sf (exactness
+    // at sf1 is checked structurally: entity_id = 4·(doc_id div 4))
     "x88b_entities_skewblock" ->
       """WITH RECURSIVE names AS (
            SELECT doc_id,

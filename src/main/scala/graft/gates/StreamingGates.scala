@@ -338,10 +338,12 @@ private[graft] object StreamingGates {
         }
       }
       val sink = s.table("x96b_out")
-      val maxBuf = sink.agg(max(col("n_buffered"))).head.getInt(0)
-      val maxSeen = sink.agg(max(col("n_seen"))).head.getLong(0)
-      require(maxBuf.toLong < maxSeen,
-        s"bounded funnel never evicted: max buffer $maxBuf vs $maxSeen events")
+      // eviction evidence: some snapshot must show a buffer smaller
+      // than its chain's event count (a per-snapshot comparison — a
+      // global max-vs-max would false-fail if the busiest user's
+      // events all landed in one staged range-file)
+      val evicted = sink.where(col("n_buffered") < col("n_seen")).count()
+      require(evicted > 0L, "bounded funnel never evicted any buffer")
       val levels = sink
         .groupBy(col("user_id"))
         .agg(max(struct(col("n_seen"), col("level"))).as("last"))

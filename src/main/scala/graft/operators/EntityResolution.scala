@@ -26,18 +26,21 @@ import graft.expressions.NativeEditSim
   * prefix blocking — Σ block² turns quadratic in the corpus when
   * block cardinality is fixed. [[pairs]] guards against it
   * AUTOMATICALLY: block sizes are measured first (one tiny aggregate
-  * over ≤ alphabet^width keys, broadcast back), and any block over
-  * `maxBlockSize` escalates from all-pairs to SORTED-NEIGHBORHOOD
-  * comparison (Hernández & Stolfo, SIGMOD '95): records sort by
-  * normalized name within the block and each compares only to the
-  * next `neighborWindow` neighbors — per-record work W, not block.
-  * The neighbor join is chunk-banded (each row keyed by rank/W; the
-  * probe side also emits the previous chunk), so even the escalated
-  * block hash-joins on an equi key with O(W)-bounded probe buckets —
-  * no single task ever sees block² work. Near-identical names sort
-  * adjacent, which is exactly the high-similarity region; names
-  * farther than W positions apart in sort order are — by design, like
-  * blocking itself — never compared. */
+  * over ≤ alphabet^width keys; only the oversized keys reach the
+  * driver), and any block over `maxBlockSize` escalates from
+  * all-pairs to SORTED-NEIGHBORHOOD comparison (Hernández & Stolfo,
+  * SIGMOD '95): records rank by normalized name within the block and
+  * each compares only to the next `neighborWindow` neighbors —
+  * per-record work W, not block. The rank itself is computed sharded
+  * (range partition + local rank + broadcast shard offsets), and the
+  * neighbor join is chunk-banded (each row keyed by rank/W; the probe
+  * side also emits the previous chunk), so even the escalated block
+  * hash-joins on an equi key with O(W)-bounded probe buckets — no
+  * single task ever sees block² work OR a whole-block sort.
+  * Near-identical names sort adjacent, which is exactly the
+  * high-similarity region; names farther than W positions apart in
+  * sort order are — by design, like blocking itself — never
+  * compared. */
 object EntityResolution {
 
   /** Matching form of a name: lowercased, outer whitespace trimmed. */
@@ -68,13 +71,18 @@ object EntityResolution {
     val side = df.where(col(nameCol).isNotNull)
       .select(col(idCol), n.as("__n"), blockKey(n, blockWidth).as("__blk"))
     // block-size guard: the count table has at most alphabet^width
-    // rows — broadcast it back so each record knows its block's size
-    val counts = side.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
-    val sided = side.join(broadcast(counts), Seq("__blk"))
+    // rows, and only the OVERSIZED keys (≤ corpus / maxBlockSize of
+    // them) reach the driver — the common all-small case pays one
+    // tiny aggregate and skips the escalation machinery entirely
+    val bigKeys = side.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBlockSize)
+      .select(col("__blk")).collect().map(_.getString(0)).toSeq
     val jwE4 = floor(NativeEditSim.jaroWinkler(col("__na"), col("__nb"))
       * 10000 + 0.5).cast("long")
 
-    val small = sided.where(col("__bn") <= maxBlockSize)
+    val small =
+      if (bigKeys.isEmpty) side
+      else side.where(!col("__blk").isin(bigKeys: _*))
     val a = small.select(col(idCol).as("id_a"), col("__n").as("__na"),
       col("__blk").as("__ba"))
     val b = small.select(col(idCol).as("id_b"), col("__n").as("__nb"),
@@ -82,16 +90,40 @@ object EntityResolution {
     val smallPairs =
       a.join(b, col("__ba") === col("__bb") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), jwE4.as("jw_e4"))
+    if (bigKeys.isEmpty) return smallPairs.where(col("jw_e4") >= thresholdE4)
 
     // oversized blocks: rank by name within the block, compare each
-    // record only to its next `neighborWindow` neighbors. The join is
-    // banded on chunk = (rank-1)/W — the probe side also emits the
-    // previous chunk — so every candidate pair meets on an equi key
-    // whose buckets hold ~W rows, never the whole block.
-    val win = Window.partitionBy(col("__blk"))
-      .orderBy(col("__n"), col(idCol))
-    val ranked = sided.where(col("__bn") > maxBlockSize)
-      .withColumn("__rn", row_number().over(win).cast("long"))
+    // record only to its next `neighborWindow` neighbors. The rank is
+    // computed in TWO LEVELS (the Percentiles.exactSharded recipe) —
+    // range-partition by the full sort key, rank locally within
+    // (shard, block), shift by the broadcast counts of the block's
+    // earlier shards — so no single task ever sorts a whole block;
+    // the sort key is total (ids unique), making the global rank
+    // well-defined wherever the sampled shard boundaries land. The
+    // checkpoint pins ONE shard assignment: the offset table and the
+    // join sides must see the same partition ids.
+    val big = side.where(col("__blk").isin(bigKeys: _*))
+    val spark = df.sparkSession
+    val nShards = math.max(2,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val localRanked = big
+      .repartitionByRange(nShards, col("__blk"), col("__n"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__pid"), col("__blk"))
+          .orderBy(col("__n"), col(idCol))).cast("long"))
+      .localCheckpoint()
+    val offsets = localRanked.groupBy(col("__pid"), col("__blk"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(col("__blk")).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__blk"), col("__off"))
+    // the banded neighbor join: chunk = (rank-1)/W; the probe side
+    // also emits the previous chunk, so every candidate pair meets on
+    // an equi key whose buckets hold ~W rows, never the whole block
+    val ranked = localRanked.join(broadcast(offsets), Seq("__pid", "__blk"))
+      .withColumn("__rn", col("__lrn") + col("__off"))
       .withColumn("__ck",
         ((col("__rn") - lit(1L)) / lit(neighborWindow.toLong)).cast("long"))
     val aB = ranked.select(col(idCol).as("id_a"), col("__n").as("__na"),

@@ -259,7 +259,13 @@ object EventStreams extends Serializable {
     * Each snapshot carries `n_buffered` (the buffer size it left
     * behind) so callers can ASSERT boundedness; the final per-user
     * verdict is still argmax `n_seen` (strictly growing — timeouts
-    * emit nothing, so every emission carries new events). */
+    * emit nothing, so every emission carries new events).
+    *
+    * Engine-imposed limit: Spark's event-time watermark never goes
+    * below epoch 0, so PRE-EPOCH timestamps are always-late in this
+    * mode and are dropped by the engine's late-data filter — inputs
+    * with pre-1970 event times need [[funnelLevels]] (which preserves
+    * them exactly). */
   def funnelLevelsBounded(events: Dataset[Event], steps: Seq[String],
                           windowSeconds: Option[Long] = None,
                           lateness: String = "1 hour"): Dataset[FunnelSnapshotB] = {

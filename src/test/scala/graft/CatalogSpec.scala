@@ -323,6 +323,31 @@ class CatalogSpec extends AnyFunSuite {
       .collect().toSeq == Seq(3L))
   }
 
+  test("deleteKeysPartitioned: whole-leaf drops prune empty ancestors; typed keys coerce") {
+    // two-level layout: erasing every day under a tenant must not
+    // leave an empty tenant=... dir that the NEXT run's leaf walk
+    // reads as a parquet-less leaf (AnalysisException)
+    val root = Files.createTempDirectory("graft_del_prune").toString + "/t"
+    Seq((1L, 7, "d1"), (2L, 7, "d2"), (3L, 8, "d1"))
+      .toDF("k", "tenant", "day")
+      .write.partitionBy("tenant", "day").parquet(root)
+    // the erasure frame carries tenant as DOUBLE against int=7 paths:
+    // the string rendering ('7.0' vs '7') differs, the typed coercion
+    // must still match — a representation mismatch is a silent
+    // non-erasure otherwise
+    val stats = Catalog.deleteKeysPartitioned(spark, root,
+      Seq(7.0d).toDF("tenant"), Seq("tenant"))
+    assert(stats == Catalog.DeleteStats(2L, 2L, 2L), stats.toString)
+    assert(!new java.io.File(s"$root/tenant=7").exists(),
+      "empty ancestor partition dir was left behind")
+    // the next run over the same table walks cleanly
+    val again = Catalog.deleteKeysPartitioned(spark, root,
+      Seq(99.0d).toDF("tenant"), Seq("tenant"))
+    assert(again.rowsDeleted == 0L)
+    assert(spark.read.parquet(root).select($"k").as[Long].collect().toSeq ==
+      Seq(3L))
+  }
+
   test("deleteKeysPartitioned on a FLAT directory degenerates to the flat erasure") {
     // a right-to-be-forgotten request must never silently no-op
     // because the table happened to be unpartitioned
