@@ -145,19 +145,38 @@ object EntityResolution {
     * `entity_id` is the minimum record id of the record's similarity
     * cluster (transitive closure over [[pairs]]); unmatched records
     * are their own entity. Records with NULL names resolve to
-    * themselves — junk never merges entities. */
+    * themselves — junk never merges entities.
+    *
+    * Identical names are COLLAPSED before pairing: similarity and
+    * blocking are functions of the normalized name alone, and
+    * jw(x, x) = 1 ≥ any threshold means same-name records always
+    * share a cluster — so the pairwise stage runs over DISTINCT
+    * names (each represented by its minimum record id) and records
+    * map back through their name afterwards. The result is
+    * value-identical to pairing raw records (the cluster's label is
+    * still the global minimum record id), but a corpus where popular
+    * names repeat millions of times pairs |distinct| rows instead of
+    * feeding Θ(dups²) same-name edges into the closure. */
   def resolve(df: DataFrame, idCol: String, nameCol: String,
               threshold: Double, blockWidth: Int = 2,
               maxBlockSize: Int = 10000,
               neighborWindow: Int = 50): DataFrame = {
-    val p = pairs(df, idCol, nameCol, threshold, blockWidth,
+    val named = df.select(col(idCol), normalized(col(nameCol)).as("__nm"))
+    val reps = named.where(col("__nm").isNotNull)
+      .groupBy(col("__nm")).agg(min(col(idCol)).as("__rep"))
+    val p = pairs(reps, "__rep", "__nm", threshold, blockWidth,
       maxBlockSize, neighborWindow)
     // rename before the join: the caller's idCol may itself be "id"
     val cc = Dedup.connectedComponentsAdaptive(p)
       .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
-    df.select(col(idCol))
-      .join(cc, col(idCol) === col("__cc_id"), "left")
+    // name → its rep's component (or the rep itself for singleton
+    // names); record → that entity; NULL names → self
+    val nameEntity = reps
+      .join(cc, col("__rep") === col("__cc_id"), "left")
+      .select(col("__nm"),
+        coalesce(col("__cc_comp"), col("__rep")).as("__ent"))
+    named.join(nameEntity, Seq("__nm"), "left")
       .select(col(idCol),
-        coalesce(col("__cc_comp"), col(idCol)).as("entity_id"))
+        coalesce(col("__ent"), col(idCol)).as("entity_id"))
   }
 }

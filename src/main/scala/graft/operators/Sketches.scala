@@ -139,11 +139,13 @@ object Sketches {
     val spark = df.sparkSession
     val nn = df.where(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__v"))
-    val n = nn.count()
-    val est = nn
-      .agg(graft.functions.QuantileSketch.quantiles(col("__v"), alpha, qs)
-        .as("est"))
-      .head.getSeq[Double](0)
+    // count and sketch in ONE aggregation job — the scheduling floor
+    // per job dwarfs the work at audit scale
+    val first = nn.agg(count(lit(1)).as("n"),
+      graft.functions.QuantileSketch.quantiles(col("__v"), alpha, qs)
+        .as("est")).head
+    val n = first.getLong(0)
+    val est = first.getSeq[Double](1)
     val ranks = qs.map(q => math.min(n, math.max(1L, math.ceil(q * n).toLong)))
     val byRank = nn
       .withColumn("__rn", row_number().over(
