@@ -315,6 +315,58 @@ private[graft] object CatalogGates {
       graft.operators.Sketches.bloomAudit(t(s, d, "events"), "event_type",
         expectedItems = 100000, fpp = 0.03)),
 
+    // X99 [governance] the data-quality EXPECTATION SUITE (the
+    // Great-Expectations/dbt-test contract shape): row rules in ONE
+    // aggregation pass, key-uniqueness by groupBy, referential
+    // containment by anti join — each reported (rule, violations,
+    // pass). Rules picked so the fixture exercises both outcomes:
+    // range and set-membership rules FAIL on real rows, nullability/
+    // regex/uniqueness/referential PASS. Oracle recomputes every
+    // count with the same NULL semantics (value rules pass on NULL;
+    // the bare predicate fails on NULL).
+    "x99_expectations" -> ((s, d) => {
+      import graft.operators.Expectations._
+      graft.operators.Expectations.audit(
+        t(s, d, "lineitem"),
+        rowRules = Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", 1, 25),
+          OneOf("l_returnflag", Seq("A", "N")),
+          Matches("l_linestatus", "^[OF]$"),
+          Predicate("predicate(disc_vs_tax)", "l_discount <= l_tax + 0.08")),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber"), Seq("l_orderkey")),
+        refs = Seq(("l_orderkey", t(s, d, "orders"), "o_orderkey")))
+    }),
+
+    // X100 [governance] TYPE-2 slowly-changing-dimension maintenance
+    // (Kimball SCD2) over a customer-derived dimension: keys % 3 = 0
+    // get a changed segment/balance (old row closes at the as-of
+    // timestamp, new current row opens), % 3 = 1 arrive
+    // attribute-identical (NO version churn — the no-op proof), new
+    // keys insert as current. History preservation + the no-churn
+    // rule are exactly what the full-value oracle replays.
+    "x100_scd2" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val dim = c.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"))
+        .withColumn("valid_from", to_timestamp(lit("2024-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val changed = c.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(lit("SEG-"), (col("c_custkey") % 7).cast("string")).as("seg"),
+          round(col("c_acctbal") + 10, 2).as("bal"))
+      val same = c.where(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).as("bal"))
+      val fresh = c.where(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 10000000L).as("k"),
+          lit("NEW").as("seg"), lit(0.0).as("bal"))
+      val updates = changed.unionAll(same).unionAll(fresh)
+      graft.operators.Scd.apply2(dim, updates, Seq("k"),
+          "2024-06-01 00:00:00")
+        .orderBy(asc_nulls_first("k"), asc_nulls_first("valid_from"))
+    }),
+
     // X98 [A-family sketches] the mergeable QUANTILE sketch (the
     // log-bucket relative-error design): p50/p90/p99 estimates over
     // l_extendedprice must sit within the declared α = 1% of the
@@ -642,5 +694,69 @@ private[graft] object CatalogGates {
       """SELECT CAST(COUNT(l_extendedprice) AS BIGINT) AS n_vals,
          true AS within_alpha
          FROM lineitem""",
+    // every expectation's violation count recomputed with the same
+    // NULL semantics (value rules pass on NULL, predicate fails)
+    "x99_expectations" ->
+      """SELECT rule, violations, violations = 0 AS pass FROM (
+           SELECT 'in_range(l_quantity,1.0,25.0)' AS rule,
+                  CAST(COUNT(*) FILTER (WHERE NOT (l_quantity IS NULL OR
+                    (l_quantity >= 1.0 AND l_quantity <= 25.0))) AS BIGINT) AS violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'matches(l_linestatus)',
+                  CAST(COUNT(*) FILTER (WHERE NOT (l_linestatus IS NULL OR
+                    regexp_matches(l_linestatus, '^[OF]$'))) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'not_null(l_orderkey)',
+                  CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'one_of(l_returnflag)',
+                  CAST(COUNT(*) FILTER (WHERE NOT (l_returnflag IS NULL OR
+                    l_returnflag IN ('A', 'N'))) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'predicate(disc_vs_tax)',
+                  CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+                    l_discount <= l_tax + 0.08, FALSE)) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'ref(l_orderkey->o_orderkey)',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'unique(l_orderkey)',
+                  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+                    (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+                   WHERE n > 1)
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)',
+                  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+                    (SELECT COUNT(*) AS n FROM lineitem
+                     GROUP BY l_orderkey, l_linenumber)
+                   WHERE n > 1))
+         ORDER BY rule NULLS FIRST""",
+    // full-value SCD2 replay: changed keys close at the as-of ts and
+    // reopen, identical updates cause no churn, new keys insert
+    "x100_scd2" ->
+      """SELECT * FROM (
+           SELECT c_custkey AS k, c_mktsegment AS seg,
+                  ROUND(c_acctbal, 2) AS bal,
+                  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                  CASE WHEN c_custkey % 3 = 0
+                       THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, 'SEG-' || CAST(c_custkey % 7 AS VARCHAR),
+                  ROUND(c_acctbal + 10, 2),
+                  TIMESTAMP '2024-06-01 00:00:00', NULL
+           FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 'NEW', 0.0,
+                  TIMESTAMP '2024-06-01 00:00:00', NULL
+           FROM customer WHERE c_custkey % 11 = 0)
+         ORDER BY k NULLS FIRST, valid_from NULLS FIRST""",
   )
 }

@@ -548,4 +548,39 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"blocking must make this an equi join:\n$plan")
   }
+
+  test("expectations: all row rules in ONE aggregate over one scan; annotate map-only") {
+    import graft.operators.Expectations._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // audit() executes eagerly; assert on the row-rule aggregation's
+    // building blocks instead: annotate (the same rule expressions)
+    // must stay a single map-only projection over the scan
+    val ann = graft.operators.Expectations.annotate(li, Seq(
+      NotNull("l_orderkey"), InRange("l_quantity", 1, 25),
+      OneOf("l_returnflag", Seq("A", "N"))))
+    val plan = executedPlan(ann)
+    // one narrow Project over the scan: no shuffle, no join, no
+    // window (the HOF filter itself is non-codegen — inherent to
+    // higher-order functions, not a plan defect)
+    assert(!plan.contains("Exchange"),
+      s"annotate must be map-only — no shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("scd2: one key join, history passthrough, never a cartesian") {
+    val c = Tables.load(spark, sfDir, "customer")
+    val dim = c.select($"c_custkey".as("k"), $"c_mktsegment".as("seg"))
+      .withColumn("valid_from", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val updates = c.where($"c_custkey" % 3 === 0)
+      .select($"c_custkey".as("k"), lit("S").as("seg"))
+    val out = graft.operators.Scd.apply2(dim, updates, Seq("k"),
+      "2024-06-01 00:00:00")
+    val plan = executedPlan(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"scd must join on the key:\n$plan")
+    assert(!plan.contains("Window"),
+      s"scd must not sort per key — no window:\n$plan")
+  }
 }
