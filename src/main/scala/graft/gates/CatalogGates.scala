@@ -358,8 +358,14 @@ private[graft] object CatalogGates {
       val same = c.where(col("c_custkey") % 3 === 1)
         .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
           round(col("c_acctbal"), 2).as("bal"))
+      // fresh keys offset by max(c_custkey), not a constant — a fixed
+      // offset collides with real keys once sf grows past it, and the
+      // oracle derives the same bound
+      // +1: c_custkey starts at 0, so an offset of exactly max would
+      // collide fresh key 0+max with the real max key
+      val maxK = c.agg(max(col("c_custkey"))).head.getLong(0) + 1L
       val fresh = c.where(col("c_custkey") % 11 === 0)
-        .select((col("c_custkey") + 10000000L).as("k"),
+        .select((col("c_custkey") + lit(maxK)).as("k"),
           lit("NEW").as("seg"), lit(0.0).as("bal"))
       val updates = changed.unionAll(same).unionAll(fresh)
       graft.operators.Scd.apply2(dim, updates, Seq("k"),
@@ -754,7 +760,8 @@ private[graft] object CatalogGates {
                   TIMESTAMP '2024-06-01 00:00:00', NULL
            FROM customer WHERE c_custkey % 3 = 0
            UNION ALL
-           SELECT c_custkey + 10000000, 'NEW', 0.0,
+           SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+                  'NEW', 0.0,
                   TIMESTAMP '2024-06-01 00:00:00', NULL
            FROM customer WHERE c_custkey % 11 = 0)
          ORDER BY k NULLS FIRST, valid_from NULLS FIRST""",

@@ -152,11 +152,16 @@ object EntityResolution {
     * jw(x, x) = 1 ≥ any threshold means same-name records always
     * share a cluster — so the pairwise stage runs over DISTINCT
     * names (each represented by its minimum record id) and records
-    * map back through their name afterwards. The result is
-    * value-identical to pairing raw records (the cluster's label is
-    * still the global minimum record id), but a corpus where popular
-    * names repeat millions of times pairs |distinct| rows instead of
-    * feeding Θ(dups²) same-name edges into the closure. */
+    * map back through their name afterwards. On the all-pairs path
+    * the result is value-identical to pairing raw records (the
+    * cluster's label is still the global minimum record id); on the
+    * ESCALATED path, block sizes and neighbor windows are now
+    * measured in DISTINCT names rather than records — strictly wider
+    * coverage for the same parameters (duplicate names no longer pad
+    * the window), so blocks escalate later and windows reach farther.
+    * Either way a corpus where popular names repeat millions of
+    * times pairs |distinct| rows instead of feeding Θ(dups²)
+    * same-name edges into the closure. */
   def resolve(df: DataFrame, idCol: String, nameCol: String,
               threshold: Double, blockWidth: Int = 2,
               maxBlockSize: Int = 10000,

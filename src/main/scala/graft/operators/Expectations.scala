@@ -75,35 +75,46 @@ object Expectations {
     import spark.implicits._
     require(rowRules.nonEmpty || uniqueKeys.nonEmpty || refs.nonEmpty,
       "audit needs at least one rule")
-    val rowPart: Option[DataFrame] =
-      if (rowRules.isEmpty) None
-      else {
-        val aggs = rowRules.zipWithIndex.map { case (r, i) =>
-          sum(when(!r.passes, 1L).otherwise(0L)).as(s"__v$i")
-        }
-        val one = df.agg(aggs.head, aggs.tail: _*).head
-        Some(rowRules.zipWithIndex.map { case (r, i) =>
-          (r.name, if (one.isNullAt(i)) 0L else one.getLong(i))
-        }.toDF("rule", "violations"))
-      }
-    val uniqParts = uniqueKeys.map { ks =>
-      val v = df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
-        .where(col("__n") > 1)
-        .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"))
-        .head.getLong(0)
-      Seq((s"unique(${ks.mkString(",")})", v)).toDF("rule", "violations")
-    }
-    val refParts = refs.map { case (fk, ref, rc) =>
-      val v = df.where(col(fk).isNotNull).select(col(fk))
-        .join(ref.select(col(rc).as(fk)).distinct(), Seq(fk), "left_anti")
-        .count()
-      Seq((s"ref($fk->$rc)", v)).toDF("rule", "violations")
-    }
-    (rowPart.toSeq ++ uniqParts ++ refParts)
-      .reduce(_ unionAll _)
-      .select(col("rule"), col("violations"),
-        (col("violations") === 0L).as("pass"))
-      .orderBy(asc_nulls_first("rule"))
+    // the rule groups are independent full-table jobs — submit them
+    // CONCURRENTLY (SparkSession actions are thread-safe) so audit
+    // wall-clock is ~max(group), not the sum over k groups
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, 1 + uniqueKeys.size + refs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val rowPart: Option[Future[Seq[(String, Long)]]] =
+        if (rowRules.isEmpty) None
+        else Some(Future {
+          val aggs = rowRules.zipWithIndex.map { case (r, i) =>
+            sum(when(!r.passes, 1L).otherwise(0L)).as(s"__v$i")
+          }
+          val one = df.agg(aggs.head, aggs.tail: _*).head
+          rowRules.zipWithIndex.map { case (r, i) =>
+            (r.name, if (one.isNullAt(i)) 0L else one.getLong(i))
+          }
+        })
+      val uniqParts = uniqueKeys.map { ks => Future {
+        val v = df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1)
+          .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"))
+          .head.getLong(0)
+        Seq((s"unique(${ks.mkString(",")})", v))
+      }}
+      val refParts = refs.map { case (fk, ref, rc) => Future {
+        val v = df.where(col(fk).isNotNull).select(col(fk))
+          .join(ref.select(col(rc).as(fk)).distinct(), Seq(fk), "left_anti")
+          .count()
+        Seq((s"ref($fk->$rc)", v))
+      }}
+      val verdicts = Await.result(
+        Future.sequence(rowPart.toSeq ++ uniqParts ++ refParts),
+        scala.concurrent.duration.Duration.Inf).flatten
+      verdicts.toDF("rule", "violations")
+        .select(col("rule"), col("violations"),
+          (col("violations") === 0L).as("pass"))
+        .orderBy(asc_nulls_first("rule"))
+    } finally { pool.shutdown(); () }
   }
 
   /** Map-only annotation: adds `violations array<string>` — the

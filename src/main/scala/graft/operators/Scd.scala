@@ -17,11 +17,18 @@ import org.apache.spark.sql.functions._
   * crash-safe.
   *
   * Scale shape: history rows pass through UNTOUCHED (filter, no
-  * shuffle); the one FULL OUTER join is current-rows × updates on
-  * the key (updates are a delta, small by contract — AQE broadcasts
-  * them); change detection is a null-safe `<=>` conjunction over the
+  * shuffle). The delta applies as two joins, both delta-sized on one
+  * side: current LEFT JOIN updates (updates broadcast — Spark never
+  * broadcasts a FULL OUTER side, which is why the naive full-outer
+  * formulation would shuffle the whole dimension for a 1-row delta)
+  * yields every kept/closed/reopened row in ONE map-side pass over
+  * the current rows; new keys come from updates ANTI JOIN the
+  * current KEY projection (the only shuffle, key-columns wide).
+  * Change detection is a null-safe `<=>` conjunction over the
   * tracked columns, map-side in the join. No window, no sort, no
-  * per-key loop.
+  * per-key loop. Set `broadcastUpdates = false` for a
+  * dimension-sized delta (backfills): both joins then shuffle on the
+  * key instead.
   */
 object Scd {
 
@@ -39,10 +46,16 @@ object Scd {
     *    (`valid_from = asOfTs`);
     *  - key only in `current`: unchanged.
     *
-    * Updates must be key-unique (the ambiguous multi-row match is
-    * rejected, the MERGE precedent). */
+    * Both sides must be key-unique where it matters: a multi-row
+    * UPDATE key is rejected (the ambiguous MERGE case), and a
+    * current snapshot carrying two OPEN rows for one key is rejected
+    * too — the full-outer multiplication would silently compound the
+    * corruption on every later run (`checkUnique = false` skips both
+    * scans for pre-validated pipelines). */
   def apply2(current: DataFrame, updates: DataFrame,
-             keyCols: Seq[String], asOfTs: String): DataFrame = {
+             keyCols: Seq[String], asOfTs: String,
+             broadcastUpdates: Boolean = true,
+             checkUnique: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "scd needs at least one key column")
     val meta = Seq("valid_from", "valid_to")
     meta.foreach(m => require(current.columns.contains(m),
@@ -55,39 +68,52 @@ object Scd {
       s"scd: updates must carry exactly key + tracked columns " +
         s"(${(keyCols ++ tracked).mkString(",")}); " +
         s"got ${updates.columns.mkString(",")}")
-    val dups = updates.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
-    require(dups == 0L,
-      s"scd: updates contain more than one row per (${keyCols.mkString(",")}) key")
 
     val ts = to_timestamp(lit(asOfTs))
     val hist = current.where(col("valid_to").isNotNull)
     val cur = current.where(col("valid_to").isNull)
-    val u = updates.withColumn("__upd", lit(true))
-    val j = cur.as("c").join(u.as("u"), keyCols, "full_outer")
-    val changed = col("u.__upd").isNotNull && col("c.valid_from").isNotNull &&
+    if (checkUnique) {
+      def dupKeys(df: DataFrame, what: String): Unit = {
+        val d = df.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
+        require(d == 0L,
+          s"scd: $what contain more than one row per (${keyCols.mkString(",")}) key")
+      }
+      dupKeys(updates, "updates")
+      dupKeys(cur, "current OPEN rows")
+    }
+    val u0 = updates.withColumn("__upd", lit(true))
+    val u = if (broadcastUpdates) broadcast(u0) else u0
+    // one map-side pass over the current rows: kept, closed, and the
+    // reopened versions of changed keys all come from this LEFT join
+    val j = cur.as("c").join(u.as("u"), keyCols, "left")
+    val changed = col("u.__upd").isNotNull &&
       !tracked.map(t => col(s"c.`$t`") <=> col(s"u.`$t`")).reduce(_ && _)
-    val inCur = col("c.valid_from").isNotNull
-
-    // surviving current rows: untouched, or closed at asOfTs
-    val keptOrClosed = j.where(inCur).select(
+    val keptOrClosed = j.select(
       keyCols.map(col) ++
         tracked.map(t => col(s"c.`$t`").as(t)) ++
         Seq(col("c.valid_from").as("valid_from"),
-          when(changed, ts).otherwise(lit(null).cast("timestamp"))
+          when(changed, ts).otherwise(col("c.valid_to"))
             .as("valid_to")): _*)
-    // opened rows: changed keys and brand-new keys
-    val opened = j.where(col("u.__upd").isNotNull && (!inCur || changed))
+    val reopened = j.where(changed).select(
+      keyCols.map(col) ++
+        tracked.map(t => col(s"u.`$t`").as(t)) ++
+        Seq(ts.as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to")): _*)
+    // brand-new keys: the only shuffle, and it carries key columns only
+    val openedNew = updates
+      .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
       .select(
         keyCols.map(col) ++
-          tracked.map(t => col(s"u.`$t`").as(t)) ++
+          tracked.map(t => col(s"`$t`").as(t)) ++
           Seq(ts.as("valid_from"),
             lit(null).cast("timestamp").as("valid_to")): _*)
 
     val ordered = current.columns.toSeq
     hist.select(ordered.map(col): _*)
       .unionAll(keptOrClosed.select(ordered.map(col): _*))
-      .unionAll(opened.select(ordered.map(col): _*))
+      .unionAll(reopened.select(ordered.map(col): _*))
+      .unionAll(openedNew.select(ordered.map(col): _*))
   }
 
   /** The as-of read side: the dimension snapshot valid at `atTs`. */

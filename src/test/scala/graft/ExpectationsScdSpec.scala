@@ -100,6 +100,26 @@ class ExpectationsScdSpec extends AnyFunSuite {
       Scd.apply2(dim, updates.unionAll(Seq((1L, "Q", 0.0)).toDF("k", "seg", "bal")),
         Seq("k"), "2024-06-01 00:00:00")
     }
+    // a corrupt snapshot with TWO open rows for one key is rejected
+    // too — the join would silently multiply it on every later run
+    val corrupt = dim.unionAll(
+      Seq((2L, "X2", 21.0)).toDF("k", "seg", "bal")
+        .withColumn("valid_from", to_timestamp(lit("2024-02-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .select(dim.columns.map(col): _*))
+    intercept[IllegalArgumentException] {
+      Scd.apply2(corrupt, updates, Seq("k"), "2024-06-01 00:00:00")
+    }
+    // a current row with NULL valid_from is data, not a presence
+    // marker — it must survive an unrelated delta untouched
+    val oddFrom = Seq((7L, "V", 70.0)).toDF("k", "seg", "bal")
+      .withColumn("valid_from", lit(null).cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .select(dim.columns.map(col): _*)
+    val kept = Scd.apply2(dim.unionAll(oddFrom), updates, Seq("k"),
+        "2024-06-01 00:00:00")
+      .where(col("k") === 7L).select(col("seg")).as[String].collect().toSeq
+    assert(kept == Seq("V"))
   }
 
   test("scd2: NULL attribute transitions are real changes (null-safe compare)") {

@@ -582,5 +582,11 @@ class PlanSpec extends AnyFunSuite {
       s"scd must join on the key:\n$plan")
     assert(!plan.contains("Window"),
       s"scd must not sort per key — no window:\n$plan")
+    // the delta side broadcasts: kept/closed/reopened come from ONE
+    // map-side pass over the current rows (a full-outer formulation
+    // would shuffle the whole dimension — Spark never broadcasts a
+    // full-outer side)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the updates delta must broadcast:\n$plan")
   }
 }
