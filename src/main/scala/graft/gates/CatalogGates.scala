@@ -315,6 +315,18 @@ private[graft] object CatalogGates {
       graft.operators.Sketches.bloomAudit(t(s, d, "events"), "event_type",
         expectedItems = 100000, fpp = 0.03)),
 
+    // X101 [A-family sketches] STORABLE HyperLogLog: per-day sketches
+    // of the distinct users union-merged across days — the
+    // pre-aggregate-once/roll-up-forever pattern. The gate pins BOTH
+    // halves of the contract: the merged blob is bit-identical to the
+    // direct whole-table sketch (register-max associativity), and the
+    // estimate lands within 5% of exact (p=12 → ~1.6% standard error;
+    // deterministic hash ⇒ the flag is fixed for fixed data).
+    "x101_hll_sketch" -> ((s, d) =>
+      graft.operators.Sketches.hllAudit(
+        t(s, d, "events"), "user_id", to_date(col("ts")),
+        p = 12, tol = 0.05)),
+
     // X99 [governance] the data-quality EXPECTATION SUITE (the
     // Great-Expectations/dbt-test contract shape): row rules in ONE
     // aggregation pass, key-uniqueness by groupBy, referential
@@ -700,6 +712,10 @@ private[graft] object CatalogGates {
       """SELECT CAST(COUNT(l_extendedprice) AS BIGINT) AS n_vals,
          true AS within_alpha
          FROM lineitem""",
+    "x101_hll_sketch" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+         true AS within_tol, true AS rollup_exact
+         FROM events""",
     // every expectation's violation count recomputed with the same
     // NULL semantics (value rules pass on NULL, predicate fails)
     "x99_expectations" ->

@@ -122,6 +122,34 @@ object Sketches {
           ceil(lit(5 * fpp) * col("n_probes")).cast("long"))).as("fp_ok"))
   }
 
+  /** HLL audit — the storable-sketch contract, both halves:
+    * (1) ROLL-UP EXACTNESS: the union of per-slice sketches must be
+    * BIT-IDENTICAL to the sketch built directly over the whole table
+    * (register-wise max is associative — this is what makes stored
+    * per-day sketches trustworthy under any later roll-up), and
+    * (2) ACCURACY: the merged estimate within `tol` of the exact
+    * distinct count. Deterministic hash + deterministic merge ⇒ both
+    * flags are fixed for fixed data, so they gate exactly. Returns
+    * one row `(n_exact, within_tol, rollup_exact)`. */
+  def hllAudit(df: DataFrame, keyCol: String, sliceCol: org.apache.spark.sql.Column,
+               p: Int = 12, tol: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slices = df.groupBy(sliceCol.as("__s"))
+      .agg(graft.functions.Hll.sketch(col(keyCol), p).as("sk"))
+    val merged = slices.agg(graft.functions.Hll.merge(col("sk"), p).as("m"))
+      .head.getAs[Array[Byte]](0)
+    val direct = df.agg(graft.functions.Hll.sketch(col(keyCol), p).as("d"))
+      .head.getAs[Array[Byte]](0)
+    val exact = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct().count()
+    val est = graft.functions.Hll.estimate(merged)
+    val within = exact == 0L && est == 0L ||
+      math.abs(est - exact) <= tol * exact
+    Seq((exact, within, java.util.Arrays.equals(merged, direct)))
+      .toDF("n_exact", "within_tol", "rollup_exact")
+  }
+
   /** Quantile-sketch audit: every estimate from
     * [[graft.functions.QuantileSketch]] must sit within the sketch's
     * DECLARED relative error α of the exact value at rank ⌈q·n⌉ —

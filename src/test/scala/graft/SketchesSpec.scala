@@ -90,6 +90,61 @@ class SketchesSpec extends AnyFunSuite {
     assert(zeros == Seq(0.0, 0.0))
   }
 
+  test("HLL: merged slice sketches bit-equal the direct sketch; partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(20000)
+      .select(($"id" % 7).as("slice"), ($"id" % 4831).as("k"))
+    def blob(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+      d.agg(graft.functions.Hll.sketch($"k").as("s"))
+        .head.getAs[Array[Byte]](0)
+    val direct = blob(df)
+    assert(java.util.Arrays.equals(direct, blob(df.repartition(17))))
+    assert(java.util.Arrays.equals(direct,
+      blob(df.orderBy($"k".desc).repartition(3))))
+    // slice → merge ≡ direct, bit for bit
+    val merged = df.groupBy($"slice")
+      .agg(graft.functions.Hll.sketch($"k").as("s"))
+      .agg(graft.functions.Hll.merge($"s").as("m"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, merged))
+    // per-row cardinality over STORED sketch rows (the native expr)
+    val perSlice = df.groupBy($"slice")
+      .agg(graft.functions.Hll.sketch($"k").as("s"))
+      .select(graft.functions.Hll.cardinality($"s").as("c"))
+      .as[Long].collect()
+    assert(perSlice.length == 7 && perSlice.forall(c => c > 2000 && c < 3400))
+  }
+
+  test("HLL: estimates within tolerance across cardinality regimes; nulls skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(50L, 3000L, 120000L)) {
+      val est = graft.functions.Hll.estimate(
+        spark.range(n).agg(graft.functions.Hll.sketch($"id").as("s"))
+          .head.getAs[Array[Byte]](0))
+      assert(math.abs(est - n) <= 0.05 * n, s"n=$n est=$est")
+    }
+    // all-NULL input estimates 0
+    val z = Seq[Option[Long]](None, None).toDF("k")
+      .agg(graft.functions.Hll.sketch($"k").as("s"))
+      .head.getAs[Array[Byte]](0)
+    assert(graft.functions.Hll.estimate(z) == 0L)
+    // mixed-precision merge is rejected, not silently wrong
+    intercept[Exception] {
+      val a = spark.range(10).agg(graft.functions.Hll.sketch($"id", 10).as("s"))
+      val b = spark.range(10).agg(graft.functions.Hll.sketch($"id", 12).as("s"))
+      a.unionAll(b).agg(graft.functions.Hll.merge($"s", 12)).head
+    }
+    // the end-to-end audit agrees with itself
+    val audit = Sketches.hllAudit(
+      spark.range(9000).select(($"id" % 5).as("d"), ($"id" % 2113).as("u"))
+        .toDF("d", "u"),
+      "u", org.apache.spark.sql.functions.col("d"))
+      .collect().head
+    assert(audit.getLong(0) == 2113L && audit.getBoolean(1) && audit.getBoolean(2))
+  }
+
   test("Bloom audit probes ride the key column's type (long keys non-vacuous)") {
     import spark.implicits._
     // string probes against a long-built filter never collide, so the
