@@ -139,10 +139,13 @@ object Sketches {
       .agg(graft.functions.Hll.sketch(col(keyCol), p).as("sk"))
     val merged = slices.agg(graft.functions.Hll.merge(col("sk"), p).as("m"))
       .head.getAs[Array[Byte]](0)
-    val direct = df.agg(graft.functions.Hll.sketch(col(keyCol), p).as("d"))
-      .head.getAs[Array[Byte]](0)
-    val exact = df.where(col(keyCol).isNotNull)
-      .select(col(keyCol)).distinct().count()
+    // direct sketch and exact distinct in ONE scan — they aggregate
+    // the same rows
+    val one = df.agg(
+      graft.functions.Hll.sketch(col(keyCol), p).as("d"),
+      count_distinct(col(keyCol)).as("n")).head
+    val direct = one.getAs[Array[Byte]](0)
+    val exact = one.getLong(1)
     val est = graft.functions.Hll.estimate(merged)
     val within = exact == 0L && est == 0L ||
       math.abs(est - exact) <= tol * exact

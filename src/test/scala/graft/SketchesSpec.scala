@@ -119,11 +119,26 @@ class SketchesSpec extends AnyFunSuite {
   test("HLL: estimates within tolerance across cardinality regimes; nulls skipped") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    for (n <- Seq(50L, 3000L, 120000L)) {
+    // 10k-25k is the classic raw-estimate BIAS BAND at p=12 (just
+    // above 2.5·m) that Heule-style estimators patch with lookup
+    // tables — the Ertl estimator must hold the tolerance there too
+    for (n <- Seq(50L, 3000L, 11000L, 16000L, 24000L, 120000L)) {
       val est = graft.functions.Hll.estimate(
         spark.range(n).agg(graft.functions.Hll.sketch($"id").as("s"))
           .head.getAs[Array[Byte]](0))
       assert(math.abs(est - n) <= 0.05 * n, s"n=$n est=$est")
+    }
+    // shape validation: wrong-column / truncated blobs fail fast
+    intercept[IllegalArgumentException] {
+      graft.functions.Hll.estimate(new Array[Byte](100))
+    }
+    intercept[IllegalArgumentException] {
+      val bad = new Array[Byte](4096); bad(0) = 120
+      graft.functions.Hll.estimate(bad)
+    }
+    // a non-binary cardinality() input is rejected at ANALYSIS
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3).select(graft.functions.Hll.cardinality($"id")).collect()
     }
     // all-NULL input estimates 0
     val z = Seq[Option[Long]](None, None).toDF("k")
