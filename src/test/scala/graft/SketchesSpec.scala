@@ -116,6 +116,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(perSlice.length == 7 && perSlice.forall(c => c > 2000 && c < 3400))
   }
 
+  test("HLL: blobs round-trip through parquet storage; later roll-up still bit-equal") {
+    // the actual storable-sketch lifecycle: per-slice sketches WRITTEN
+    // to parquet, read back in a fresh scan, merged — must bit-equal
+    // the direct sketch and estimate identically
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(15000)
+      .select(($"id" % 9).as("slice"), ($"id" % 3701).as("k"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_store").toString + "/s"
+    df.groupBy($"slice").agg(graft.functions.Hll.sketch($"k").as("s"))
+      .write.parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(graft.functions.Hll.merge($"s").as("m"))
+      .head.getAs[Array[Byte]](0)
+    val direct = df.agg(graft.functions.Hll.sketch($"k").as("s"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+    // partial roll-up (a date-range slice of the stored sketches)
+    // estimates its own union, within tolerance of its exact count
+    val part = spark.read.parquet(dir).where($"slice" < 3)
+      .agg(graft.functions.Hll.merge($"s").as("m"))
+      .head.getAs[Array[Byte]](0)
+    val exactPart = df.where($"slice" < 3).select($"k").distinct().count()
+    val estPart = graft.functions.Hll.estimate(part)
+    assert(math.abs(estPart - exactPart) <= 0.05 * exactPart,
+      s"est=$estPart exact=$exactPart")
+  }
+
   test("HLL: estimates within tolerance across cardinality regimes; nulls skipped") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
