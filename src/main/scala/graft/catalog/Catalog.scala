@@ -384,12 +384,21 @@ object Catalog {
           // A caller whose erasure frame carries tenant as DOUBLE
           // against a path 'tenant=1' must still match ('1.0' ≠ '1'
           // as text, but 1.0 <=> cast('1')), or the leaf is silently
-          // skipped — a silent GDPR non-erasure
+          // skipped — a silent GDPR non-erasure. The typed branch only
+          // applies when the path value actually CASTS: a failed
+          // try_cast yields NULL, and NULL <=> NULL is TRUE, so
+          // without the isNotNull guard a NULL erasure key would match
+          // every leaf whose path value fails the cast — deleting
+          // unrelated partitions. NULL keys match only the
+          // __HIVE_DEFAULT_PARTITION__ branch above.
           val leafKeys = partKeyCols.foldLeft(keySet) { (df, c) =>
             val v = pv(c)
             if (v == "__HIVE_DEFAULT_PARTITION__") df.filter(col(c).isNull)
-            else df.filter(col(c).cast("string") === lit(v) ||
-              col(c) <=> lit(v).try_cast(keySet.schema(c).dataType))
+            else {
+              val typed = lit(v).try_cast(keySet.schema(c).dataType)
+              df.filter(col(c).cast("string") === lit(v) ||
+                (typed.isNotNull && (col(c) <=> typed)))
+            }
           }
           val anyKey = partKeyCols.isEmpty || leafKeys.limit(1).count() > 0
           if (!anyKey) DeleteStats(0L, 0L, 0L)
@@ -402,12 +411,19 @@ object Catalog {
             val n = spark.read.parquet(leaf.toString).count()
             fs.delete(leaf, true)
             var parent = leaf.getParent
-            while (parent != null &&
-                fs.makeQualified(parent) != fs.makeQualified(rootP) &&
-                fs.exists(parent) && fs.listStatus(parent).isEmpty) {
-              // a concurrent sibling future may race this non-recursive
-              // delete; a false return just stops the upward prune
-              parent = if (fs.delete(parent, false)) parent.getParent else null
+            try {
+              while (parent != null &&
+                  fs.makeQualified(parent) != fs.makeQualified(rootP) &&
+                  fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+                // a concurrent sibling future may race this non-recursive
+                // delete; a false return just stops the upward prune
+                parent = if (fs.delete(parent, false)) parent.getParent else null
+              }
+            } catch {
+              // exists→listStatus is not atomic either: a sibling
+              // future can delete the shared ancestor between the two
+              // calls — that just means it finished the prune first
+              case _: java.io.FileNotFoundException => ()
             }
             DeleteStats(n, n, 1L)
           } else {

@@ -71,7 +71,11 @@ object QuantileSketch {
     override def reduce(b: DDState, a: java.lang.Double): DDState = {
       if (a == null) return b
       val x = a.doubleValue()
-      if (x.isNaN) ()
+      // non-finite values are skipped like nulls: NaN has no order, and
+      // ±Infinity has no log-bucket — bucketOf(Inf) would overflow to
+      // Int.MaxValue and silently void the α relative-error guarantee
+      // for every rank past it
+      if (x.isNaN || x.isInfinite) ()
       else if (x > 0.0) b.bump(b.pos, bucketOf(x))
       else if (x < 0.0) b.bump(b.neg, bucketOf(-x))
       else b.zero += 1L
@@ -136,7 +140,9 @@ object QuantileSketch {
   }
 
   /** Column form: `agg(quantiles($"v", 0.01, Seq(0.5, 0.9)))` →
-    * `array<double>` of estimates aligned with `qs`. */
+    * `array<double>` of estimates aligned with `qs`. Nulls and
+    * non-finite values (NaN, ±Infinity) contribute nothing — the
+    * estimated population is the FINITE values of the column. */
   def quantiles(value: Column, alpha: Double, qs: Seq[Double]): Column =
     functions.udaf(new DDQuantilesAgg(alpha, qs), Encoders.DOUBLE)
       .apply(value.cast("double"))

@@ -332,8 +332,11 @@ private[graft] object CatalogGates {
     // aggregation pass, key-uniqueness by groupBy, referential
     // containment by anti join — each reported (rule, violations,
     // pass). Rules picked so the fixture exercises both outcomes:
-    // range and set-membership rules FAIL on real rows, nullability/
-    // regex/uniqueness/referential PASS. Oracle recomputes every
+    // range, set-membership, and unique(l_orderkey) FAIL on real rows
+    // (lineitem has multiple line numbers per order — that unique rule
+    // fails BY DESIGN); nullability, regex,
+    // unique(l_orderkey,l_linenumber), and referential PASS. Oracle
+    // recomputes every
     // count with the same NULL semantics (value rules pass on NULL;
     // the bare predicate fails on NULL).
     "x99_expectations" -> ((s, d) => {

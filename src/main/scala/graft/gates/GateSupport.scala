@@ -45,7 +45,10 @@ private[graft] object GateSupport {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def stageEventsTimeOrdered(s: SparkSession, d: String,
                              nFiles: Int = 6): String =
-    stagedEventsTimeOrderedCache.computeIfAbsent(d, _ => {
+    // keyed on (dataset, nFiles): callers wanting a different file
+    // count expect a different micro-batch/watermark cadence, not a
+    // silent reuse of the first caller's staging
+    stagedEventsTimeOrderedCache.computeIfAbsent(s"$d#$nFiles", _ => {
       val p = sessionTempDir("graft_events_timed")
       t(s, d, "events").repartitionByRange(nFiles, col("ts"))
         .sortWithinPartitions(col("ts"))

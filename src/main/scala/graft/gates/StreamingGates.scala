@@ -344,10 +344,11 @@ private[graft] object StreamingGates {
       // events all landed in one staged range-file)
       val evicted = sink.where(col("n_buffered") < col("n_seen")).count()
       require(evicted > 0L, "bounded funnel never evicted any buffer")
-      val levels = sink
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("n_seen"), col("level"))).as("last"))
-        .select(col("user_id"), col("last.level").as("level"))
+      // the operator's own reduction: earliest started chain, then
+      // highest n_seen — restart-proof now that closed chains are
+      // EVICTED from the state store (a returning user restarts
+      // n_seen, so a bare argmax(n_seen) would no longer be sound)
+      val levels = graft.streaming.EventStreams.boundedVerdicts(sink)
       graft.operators.Funnel.stepCounts(levels,
           Seq("view", "click", "purchase"))
         .orderBy(asc_nulls_first("step"))

@@ -161,15 +161,23 @@ object Sketches {
     * one row `(n_vals, within_alpha)`; the oracle recomputes the
     * count and pins the boolean.
     *
-    * The exact side ranks with a GLOBAL window — a single-task sort,
-    * acceptable because it is the audit's truth computation, not the
-    * operator (the sketch itself never sorts; that is its point). */
+    * Both sides audit the FINITE population: the sketch skips
+    * NaN/±Infinity by contract, so the exact side must too or
+    * high-q ranks drift on non-finite-bearing columns.
+    *
+    * The exact side rank-selects DISTRIBUTED via
+    * [[exactValuesAtRanks]] — a range-partitioned two-level rank, not
+    * a global window (which would collapse the whole table into one
+    * task: the audit would be the scale-killer auditing a sketch whose
+    * whole point is never sorting). */
   def quantileSketchAudit(df: DataFrame, valueCol: String,
                           alpha: Double = 0.01,
                           qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     val spark = df.sparkSession
-    val nn = df.where(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("__v"))
+    val v = col(valueCol).cast("double")
+    val nn = df.where(v.isNotNull && !isnan(v) &&
+        v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
+      .select(v.as("__v"))
     // count and sketch in ONE aggregation job — the scheduling floor
     // per job dwarfs the work at audit scale
     val first = nn.agg(count(lit(1)).as("n"),
@@ -178,12 +186,8 @@ object Sketches {
     val n = first.getLong(0)
     val est = first.getSeq[Double](1)
     val ranks = qs.map(q => math.min(n, math.max(1L, math.ceil(q * n).toLong)))
-    val byRank = nn
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__v")))
-        .cast("long"))
-      .where(col("__rn").isin(ranks.distinct: _*))
-      .collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
+    val byRank = exactValuesAtRanks(nn, "__v", ranks.distinct)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val ok = n == 0L || qs.indices.forall { i =>
       val exact = byRank(ranks(i))
       math.abs(est(i) - exact) <=
@@ -192,4 +196,17 @@ object Sketches {
     import spark.implicits._
     Seq((n, ok)).toDF("n_vals", "within_alpha")
   }
+
+  /** Exact `(rank, value)` pairs at the given ascending 1-based ranks,
+    * computed distributed: [[Ranks.globalRowNumber]] range-partitions
+    * and ranks in parallel, then the rank filter keeps ≤ `ranks.size`
+    * rows. Ties in the value column don't need a tiebreak here — any
+    * numbering consistent with the sort order yields the same VALUE at
+    * a given rank. Separated from the audit so PlanSpec can pin the
+    * no-SinglePartition property of the plan itself. */
+  def exactValuesAtRanks(df: DataFrame, valueCol: String,
+                         ranks: Seq[Long]): DataFrame =
+    Ranks.globalRowNumber(df.select(col(valueCol)), Seq(col(valueCol)), "__rn")
+      .where(col("__rn").isin(ranks: _*))
+      .select(col("__rn").as("rank"), col(valueCol).as("value"))
 }

@@ -144,9 +144,40 @@ object EventStreams extends Serializable {
   case class FunnelChain(acc: Seq[Long], nPref: Long, tail: Seq[(Long, Int)])
   /** Bounded-mode snapshot: adds the state-store buffer size at
     * emission time, so gates/specs can ASSERT the state stays bounded
-    * instead of trusting it. */
+    * instead of trusting it, and the chain's (tentative) start
+    * timestamp in epoch micros — -1 until a step-0 event is seen.
+    * `chain_start` is what makes the verdict reduction restart-proof:
+    * once a chain's window provably closes, its state ROW is removed
+    * from the store, so a user who returns afterwards begins a NEW
+    * chain whose snapshots restart `n_seen` at zero — a bare
+    * argmax(n_seen) could then pick the wrong chain. Reduce with
+    * [[boundedVerdicts]] (earliest-started chain wins, then highest
+    * n_seen within it), which equals the batch operator exactly. */
   case class FunnelSnapshotB(user_id: Long, n_seen: Long, level: Int,
-                             n_buffered: Int)
+                             n_buffered: Int, chain_start: Long)
+
+  /** The per-user verdict reduction over a [[funnelLevelsBounded]]
+    * snapshot sink → `(user_id, level)`. Selection: the snapshot from
+    * the EARLIEST started chain (min chain_start; never-started
+    * chains, chain_start = -1, sort last — their level is always 0),
+    * tie-broken by highest n_seen (strictly growing within a chain).
+    * The earliest chain is the one the batch operator computes — its
+    * greedy fills slot 0 with the user's first step-0 event, and any
+    * later (post-eviction restart) chain's events are out-of-window
+    * for it — so the reduced levels equal
+    * [[graft.operators.Funnel.funnel]] whenever every event arrives
+    * within `lateness` of the running max event time. */
+  def boundedVerdicts(snapshots: DataFrame): DataFrame = {
+    // -1 → MaxValue so never-started chains lose to any real chain;
+    // negate so one max(struct) both minimizes the start and then
+    // maximizes n_seen (chain_start ≥ 0 in bounded mode: pre-epoch
+    // inputs are engine-dropped, so the negation cannot overflow)
+    val key = when(col("chain_start") === -1L, Long.MaxValue)
+      .otherwise(col("chain_start"))
+    snapshots.groupBy(col("user_id"))
+      .agg(max(struct((-key).as("nk"), col("n_seen"), col("level"))).as("last"))
+      .select(col("user_id"), col("last.level").as("level"))
+  }
 
   private def eventMicros(ts: Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
@@ -256,10 +287,19 @@ object EventStreams extends Serializable {
     * operator — exactly, whenever every event arrives within
     * `lateness` of the running max event time.
     *
+    * State ROWS are bounded too, not just per-row size: with
+    * `windowSeconds` set, once the watermark passes a started chain's
+    * `t0 + window` with an empty buffer the chain is provably FINAL
+    * (no admissible future event can fill another slot — anything the
+    * watermark admits is out-of-window), and the row is REMOVED from
+    * the state store. Without removal, state rows grow with the
+    * ALL-TIME user population even though each row is k+1 longs. A
+    * user who returns after removal starts a fresh chain — which is
+    * why snapshots carry `chain_start` and consumers must reduce with
+    * [[boundedVerdicts]], not a bare argmax(n_seen).
+    *
     * Each snapshot carries `n_buffered` (the buffer size it left
-    * behind) so callers can ASSERT boundedness; the final per-user
-    * verdict is still argmax `n_seen` (strictly growing — timeouts
-    * emit nothing, so every emission carries new events).
+    * behind) so callers can ASSERT boundedness.
     *
     * Engine-imposed limit: Spark's event-time watermark never goes
     * below epoch 0, so PRE-EPOCH timestamps are always-late in this
@@ -283,17 +323,36 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState[FunnelChain, FunnelSnapshotB](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[FunnelChain]) =>
+          // a started chain is FINAL once the watermark passes its
+          // window end: any event the watermark still admits is
+          // out-of-window for every unfilled slot
+          def chainFinal(acc: Array[Long], wmMs: Long): Boolean =
+            winUs.exists(w => acc(0) != -1L && wmMs > 0L &&
+              wmMs * 1000L > acc(0) + w)
           if (state.hasTimedOut) {
-            // the watermark passed the newest buffered event with no
-            // new data for this user: every buffered event is final —
-            // fold the whole tail and keep only the slot residue.
-            // Nothing is emitted (n_seen/level are unchanged since the
-            // last data-driven snapshot).
+            // the watermark passed the timeout with no new data for
+            // this user: every buffered event is final — fold the
+            // whole tail. Nothing is emitted (n_seen/level are
+            // unchanged since the last data-driven snapshot, whose
+            // emitAcc already folded the buffer).
             val st = state.get
             val acc = st.acc.toArray
             greedyInto(acc, winUs, st.tail)
-            state.update(
-              FunnelChain(acc.toSeq, st.nPref + st.tail.size, Vector.empty))
+            val wmMs = state.getCurrentWatermarkMs()
+            if (chainFinal(acc, wmMs)) {
+              // provably final: drop the row — state rows track OPEN
+              // chains, not the all-time user population
+              state.remove()
+            } else {
+              state.update(
+                FunnelChain(acc.toSeq, st.nPref + st.tail.size, Vector.empty))
+              // chain started but window still open: re-arm at the
+              // window end so the row self-removes when it closes
+              // (timeout > watermark holds: not-final ⇒ wm ≤ t0+w)
+              if (winUs.isDefined && acc(0) != -1L)
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(acc(0) + winUs.get, 1000L) + 1L)
+            }
             Iterator.empty
           } else {
             val st = state.getOption.getOrElse(
@@ -311,14 +370,25 @@ object EventStreams extends Serializable {
             greedyInto(acc, winUs, evict)
             val emitAcc = acc.clone()
             greedyInto(emitAcc, winUs, keep)
-            state.update(FunnelChain(acc.toSeq, st.nPref + evict.size, keep))
-            // when the watermark passes the buffer's newest event and
-            // no new data arrives, finish the fold via timeout
-            if (keep.nonEmpty)
-              state.setTimeoutTimestamp(
-                Math.floorDiv(keep.last._1, 1000L) + 1L)
+            if (keep.isEmpty && chainFinal(acc, wmMs)) {
+              // nothing buffered and the window closed: final snapshot
+              // below, no row left behind
+              state.remove()
+            } else {
+              state.update(FunnelChain(acc.toSeq, st.nPref + evict.size, keep))
+              if (keep.nonEmpty)
+                // when the watermark passes the buffer's newest event
+                // and no new data arrives, finish the fold via timeout
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(keep.last._1, 1000L) + 1L)
+              else if (winUs.isDefined && acc(0) != -1L)
+                // empty buffer, open window: arm the window end so the
+                // row is reaped even if the user never returns
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(acc(0) + winUs.get, 1000L) + 1L)
+            }
             Iterator(FunnelSnapshotB(uid, st.nPref + all.size,
-              emitAcc.count(_ != -1L), keep.size))
+              emitAcc.count(_ != -1L), keep.size, emitAcc(0)))
           }
       }
   }

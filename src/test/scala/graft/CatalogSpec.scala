@@ -348,6 +348,33 @@ class CatalogSpec extends AnyFunSuite {
       Seq(3L))
   }
 
+  test("deleteKeysPartitioned: NULL partition keys never match failed-cast leaves") {
+    // the typed-coercion branch uses <=>, and try_cast of a
+    // non-conforming path value yields NULL — without an isNotNull
+    // guard a NULL erasure key would satisfy NULL <=> NULL against
+    // EVERY leaf whose path value fails the cast, silently deleting
+    // the wrong partitions wholesale. NULL keys must only match
+    // __HIVE_DEFAULT_PARTITION__ leaves.
+    val root = Files.createTempDirectory("graft_del_nullkey").toString + "/t"
+    Seq((1L, "1"), (2L, "acme"), (3L, "zorg"))
+      .toDF("k", "tenant")
+      .write.partitionBy("tenant").parquet(root)
+    // erasure frame types tenant as INT: 'acme'/'zorg' fail the cast
+    val nullOnly: Seq[Option[Int]] = Seq(None)
+    val stats = Catalog.deleteKeysPartitioned(spark, root,
+      nullOnly.toDF("tenant"), Seq("tenant"))
+    assert(stats.rowsDeleted == 0L, stats.toString)
+    assert(spark.read.parquet(root).count() == 3L,
+      "a NULL erasure key deleted a failed-cast partition")
+    // mixed NULL + real key: only the typed match (tenant=1) goes
+    val mixed: Seq[Option[Int]] = Seq(Some(1), None)
+    val stats2 = Catalog.deleteKeysPartitioned(spark, root,
+      mixed.toDF("tenant"), Seq("tenant"))
+    assert(stats2.rowsDeleted == 1L, stats2.toString)
+    assert(spark.read.parquet(root).select($"k").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("deleteKeysPartitioned on a FLAT directory degenerates to the flat erasure") {
     // a right-to-be-forgotten request must never silently no-op
     // because the table happened to be unpartitioned

@@ -90,6 +90,50 @@ class SketchesSpec extends AnyFunSuite {
     assert(zeros == Seq(0.0, 0.0))
   }
 
+  test("quantile sketch: non-finite values skipped on BOTH sketch and audit sides") {
+    import spark.implicits._
+    // ±Infinity has no log-bucket (bucketOf overflows) and NaN has no
+    // order — both must be skipped like nulls, and the audit's exact
+    // side must rank over the SAME finite population or high-q ranks
+    // drift (NaN sorts last in Spark)
+    val finite = (1 to 1000).map(_.toDouble)
+    val dirty = finite ++ Seq(Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.NaN, Double.NaN)
+    val qs = Seq(0.5, 0.99, 1.0)
+    val est = dirty.toDF("v").repartition(7)
+      .agg(graft.functions.QuantileSketch.quantiles($"v", 0.01, qs).as("e"))
+      .head.getSeq[Double](0)
+    qs.indices.foreach { i =>
+      val exact = finite(math.max(1, math.ceil(qs(i) * finite.size).toInt) - 1)
+      assert(math.abs(est(i) - exact) <= 0.01 * exact + 1e-12,
+        s"q=${qs(i)} est=${est(i)} exact=$exact")
+    }
+    val audit = Sketches.quantileSketchAudit(dirty.toDF("v"), "v", 0.01, qs)
+      .collect().head
+    assert(audit.getLong(0) == finite.size.toLong,
+      "audit population must exclude non-finite values")
+    assert(audit.getBoolean(1))
+  }
+
+  test("quantile audit's exact side is distributed: no single-partition window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the sketch never sorts — the audit's truth computation must not
+    // reintroduce the global-window SinglePartition collapse the
+    // sketch exists to avoid (it was 19 s of the sf5 run; at 100 TB it
+    // does not finish)
+    // (i*37 mod 2000)+1 permutes 1..2000 — shuffled but known ranks
+    val df = (1 to 2000).map(i => ((i * 37) % 2000 + 1).toDouble).toDF("v")
+    val sel = Sketches.exactValuesAtRanks(df, "v", Seq(1L, 1000L, 2000L))
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "exact rank-select collapsed to one partition")
+    assert(!plan.contains("Window"),
+      "exact rank-select must not use a window at all")
+    val got = sel.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 1000L -> 1000.0, 2000L -> 2000.0), got.toString)
+  }
+
   test("HLL: merged slice sketches bit-equal the direct sketch; partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

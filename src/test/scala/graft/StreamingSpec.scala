@@ -442,10 +442,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(q.awaitTermination(120000), "stream did not finish")
     val sink = spark.table("funnel_bounded")
     // parity: final per-user levels equal the batch operator over the
-    // same events (sentinel excluded on both sides)
-    val levels = sink.where($"user_id" >= 0).groupBy($"user_id")
-      .agg(max(struct($"n_seen", $"level")).as("last"))
-      .select($"user_id", $"last.level".as("level"))
+    // same events (sentinel excluded on both sides), reduced with the
+    // operator's own restart-proof verdict selection
+    val levels = EventStreams.boundedVerdicts(sink.where($"user_id" >= 0))
       .as[(Long, Int)].collect().toMap
     assert(levels == Map(1L -> 3, 2L -> 2, 3L -> 1), levels.toString)
     val batchEvents = slices.flatten.filter(_._3 >= 0)
@@ -470,6 +469,14 @@ class StreamingSpec extends AnyFunSuite {
       .flatMap(_.toSeq).map(_.numRowsTotal).filter(_ > 0)
     assert(stateRows.nonEmpty && stateRows.forall(_ <= 4L),
       stateRows.mkString(","))
+    // state rows FALL once chains provably close: u1 (complete) and
+    // u2 (window passed) are REMOVED when the sentinel-advanced
+    // watermark passes their window ends — only u3's restarted chain
+    // and the sentinel user's open chain remain
+    assert(stateRows.last < stateRows.max,
+      s"closed chains were never evicted: ${stateRows.mkString(",")}")
+    assert(stateRows.last <= 2L,
+      s"expected only the open chains to survive: ${stateRows.mkString(",")}")
   }
 
   test("ST6: foreachBatch parquet sink") {
