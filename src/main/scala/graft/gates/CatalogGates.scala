@@ -388,6 +388,68 @@ private[graft] object CatalogGates {
         .orderBy(asc_nulls_first("k"), asc_nulls_first("valid_from"))
     }),
 
+    // X102 [governance, composed] the governed-dimension pipeline —
+    // the x25/x70/x82 composition analogue for the governance family:
+    // the x99 EXPECTATION gate quarantines bad delta rows (map-only
+    // annotate), the x100 SCD2 maintenance applies only the clean
+    // delta, and the x101 HLL roll-up summarizes the maintained
+    // table. Fixtures are x100's verbatim; the quarantine rule
+    // (bal ∈ [0, 1e9]) drops changed rows whose bumped balance is
+    // still negative (c_acctbal < −10 — acctbal carries 2 decimals,
+    // so the rounded compare has no boundary ambiguity), and those
+    // keys must KEEP their original open row — segment membership of
+    // the current slice is exactly what the oracle replays. Output:
+    // per-segment current counts, a per-segment HLL estimate within
+    // 5% of exact, and the merged roll-up bit-equal to the direct
+    // sketch over all current rows.
+    "x102_governed_dim" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val dim = c.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"))
+        .withColumn("valid_from", to_timestamp(lit("2024-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val changed = c.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(lit("SEG-"), (col("c_custkey") % 7).cast("string")).as("seg"),
+          round(col("c_acctbal") + 10, 2).as("bal"))
+      val same = c.where(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).as("bal"))
+      val maxK = c.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+      val fresh = c.where(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + lit(maxK)).as("k"),
+          lit("NEW").as("seg"), lit(0.0).as("bal"))
+      val updates = changed.unionAll(same).unionAll(fresh)
+      // stage 1 — expectation gate on the DELTA, not the dimension:
+      // reject before maintenance so bad rows never become versions
+      import graft.operators.Expectations.{InRange, NotNull}
+      val clean = graft.operators.Expectations.annotate(updates,
+          Seq(NotNull("k"), InRange("bal", 0.0, 1e9)))
+        .where(size(col("violations")) === 0).drop("violations")
+      // stage 2 — SCD2 with the gated delta
+      val cur = graft.operators.Scd.apply2(dim, clean, Seq("k"),
+          "2024-06-01 00:00:00")
+        .where(col("valid_to").isNull)
+      // stage 3 — per-segment HLL roll-up of the maintained table
+      val p = 12
+      val perSeg = cur.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_current"),
+          count_distinct(col("k")).as("__exact"),
+          graft.functions.Hll.sketch(col("k"), p).as("__sk"))
+        .localCheckpoint() // two consumers (rows + merge), one compute
+      val merged = perSeg
+        .agg(graft.functions.Hll.merge(col("__sk"), p).as("m"))
+        .head.getAs[Array[Byte]](0)
+      val direct = cur.agg(graft.functions.Hll.sketch(col("k"), p).as("dd"))
+        .head.getAs[Array[Byte]](0)
+      val rollup = java.util.Arrays.equals(merged, direct)
+      perSeg.select(col("seg"), col("n_current"),
+          (abs(graft.functions.Hll.cardinality(col("__sk")) - col("__exact"))
+            <= lit(0.05) * col("__exact")).as("within_tol"),
+          lit(rollup).as("rollup_exact"))
+        .orderBy(asc_nulls_first("seg"))
+    }),
+
     // X98 [A-family sketches] the mergeable QUANTILE sketch (the
     // log-bucket relative-error design): p50/p90/p99 estimates over
     // l_extendedprice must sit within the declared α = 1% of the
@@ -784,5 +846,24 @@ private[graft] object CatalogGates {
                   TIMESTAMP '2024-06-01 00:00:00', NULL
            FROM customer WHERE c_custkey % 11 = 0)
          ORDER BY k NULLS FIRST, valid_from NULLS FIRST""",
+    // the x100 replay restricted to CURRENT rows, with the x99 gate
+    // folded in: a changed key keeps its ORIGINAL segment when its
+    // update is quarantined (bal = round(acctbal+10, 2) < 0 ⇔
+    // acctbal < −10 — acctbal has 2 decimals, no rounding ambiguity);
+    // sketch verdicts are deterministic (fixed hash) and pinned true
+    "x102_governed_dim" ->
+      """WITH cur AS (
+           SELECT CASE WHEN c_custkey % 3 = 0 AND c_acctbal >= -10
+                       THEN 'SEG-' || CAST(c_custkey % 7 AS VARCHAR)
+                       ELSE c_mktsegment END AS seg,
+                  c_custkey AS k
+           FROM customer
+           UNION ALL
+           SELECT 'NEW', c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer)
+           FROM customer WHERE c_custkey % 11 = 0)
+         SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_current,
+                true AS within_tol, true AS rollup_exact
+         FROM cur GROUP BY seg
+         ORDER BY seg NULLS FIRST""",
   )
 }
