@@ -432,9 +432,11 @@ private[graft] object CatalogGates {
         .where(col("valid_to").isNull)
       // stage 3 — per-segment HLL roll-up of the maintained table
       val p = 12
+      // k is unique among current rows (Scd.apply2 enforces one open
+      // row per key), so n_current IS the exact distinct count — no
+      // separate distinct aggregation needed
       val perSeg = cur.groupBy(col("seg"))
         .agg(count(lit(1)).as("n_current"),
-          count_distinct(col("k")).as("__exact"),
           graft.functions.Hll.sketch(col("k"), p).as("__sk"))
         .localCheckpoint() // two consumers (rows + merge), one compute
       val merged = perSeg
@@ -444,8 +446,8 @@ private[graft] object CatalogGates {
         .head.getAs[Array[Byte]](0)
       val rollup = java.util.Arrays.equals(merged, direct)
       perSeg.select(col("seg"), col("n_current"),
-          (abs(graft.functions.Hll.cardinality(col("__sk")) - col("__exact"))
-            <= lit(0.05) * col("__exact")).as("within_tol"),
+          (abs(graft.functions.Hll.cardinality(col("__sk")) - col("n_current"))
+            <= lit(0.05) * col("n_current")).as("within_tol"),
           lit(rollup).as("rollup_exact"))
         .orderBy(asc_nulls_first("seg"))
     }),

@@ -323,12 +323,28 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState[FunnelChain, FunnelSnapshotB](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[FunnelChain]) =>
-          // a started chain is FINAL once the watermark passes its
-          // window end: any event the watermark still admits is
-          // out-of-window for every unfilled slot
-          def chainFinal(acc: Array[Long], wmMs: Long): Boolean =
-            winUs.exists(w => acc(0) != -1L && wmMs > 0L &&
-              wmMs * 1000L > acc(0) + w)
+          // a state row with an empty buffer is REMOVABLE when no
+          // admissible future event can change its chain:
+          // (a) the chain NEVER started (acc all -1) — the residue is
+          //     only the nPref count, and dropping it is verdict-sound:
+          //     pre-step-0 events can never fill a slot (greedy needs
+          //     t > acc(0)), and boundedVerdicts tolerates the n_seen
+          //     restart (never-started snapshots carry chain_start =
+          //     -1, level 0, and lose to any started chain) — without
+          //     this, users who emit step events but never step 0
+          //     would each leak a permanent row;
+          // (b) the chain is COMPLETE (no -1 slot) — nothing left to
+          //     fill, and any restart chain starts at ts ≥ watermark >
+          //     every frozen slot time, so it loses the min-chain_start
+          //     selection;
+          // (c) the chain started and the watermark passed its window
+          //     end — FINAL: anything the watermark still admits is
+          //     out-of-window for every unfilled slot.
+          // State rows therefore track OPEN chains, not the all-time
+          // user population.
+          def removable(acc: Array[Long], wmMs: Long): Boolean =
+            acc(0) == -1L || !acc.contains(-1L) ||
+              winUs.exists(w => wmMs > 0L && wmMs * 1000L > acc(0) + w)
           if (state.hasTimedOut) {
             // the watermark passed the timeout with no new data for
             // this user: every buffered event is final — fold the
@@ -339,17 +355,15 @@ object EventStreams extends Serializable {
             val acc = st.acc.toArray
             greedyInto(acc, winUs, st.tail)
             val wmMs = state.getCurrentWatermarkMs()
-            if (chainFinal(acc, wmMs)) {
-              // provably final: drop the row — state rows track OPEN
-              // chains, not the all-time user population
+            if (removable(acc, wmMs)) {
               state.remove()
             } else {
               state.update(
                 FunnelChain(acc.toSeq, st.nPref + st.tail.size, Vector.empty))
               // chain started but window still open: re-arm at the
               // window end so the row self-removes when it closes
-              // (timeout > watermark holds: not-final ⇒ wm ≤ t0+w)
-              if (winUs.isDefined && acc(0) != -1L)
+              // (timeout > watermark holds: not-removable ⇒ wm ≤ t0+w)
+              if (winUs.isDefined)
                 state.setTimeoutTimestamp(
                   Math.floorDiv(acc(0) + winUs.get, 1000L) + 1L)
             }
@@ -370,9 +384,9 @@ object EventStreams extends Serializable {
             greedyInto(acc, winUs, evict)
             val emitAcc = acc.clone()
             greedyInto(emitAcc, winUs, keep)
-            if (keep.isEmpty && chainFinal(acc, wmMs)) {
-              // nothing buffered and the window closed: final snapshot
-              // below, no row left behind
+            if (keep.isEmpty && removable(acc, wmMs)) {
+              // nothing buffered and nothing a future event could
+              // change: final snapshot below, no row left behind
               state.remove()
             } else {
               state.update(FunnelChain(acc.toSeq, st.nPref + evict.size, keep))
@@ -381,9 +395,11 @@ object EventStreams extends Serializable {
                 // and no new data arrives, finish the fold via timeout
                 state.setTimeoutTimestamp(
                   Math.floorDiv(keep.last._1, 1000L) + 1L)
-              else if (winUs.isDefined && acc(0) != -1L)
-                // empty buffer, open window: arm the window end so the
-                // row is reaped even if the user never returns
+              else if (winUs.isDefined)
+                // empty buffer, started chain, open window: arm the
+                // window end so the row is reaped even if the user
+                // never returns (keep.isEmpty && !removable ⇒ chain
+                // started, wm ≤ t0+w, so the timestamp is legal)
                 state.setTimeoutTimestamp(
                   Math.floorDiv(acc(0) + winUs.get, 1000L) + 1L)
             }

@@ -29,10 +29,27 @@ class CollectInventorySpec extends AnyFunSuite {
       .map { f =>
         val src = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // strip line comments and scaladoc bodies so prose mentioning
+        // .collect() neither counts as a site nor masks one
+        val code = src.linesIterator
+          .filterNot(_.trim.startsWith("*"))
+          .map(l => l.indexOf("//") match {
+            case -1 => l
+            case i  => l.take(i)
+          })
+          .mkString("\n")
+        // all driver-materializing spellings: .collect(), paren-less
+        // .collect (chained or line-final), .collectAsList() — but NOT
+        // Scala collections' partial-function collect/collectFirst
+        // (.collect { case … } / .collect(pf) / .collectFirst)
+        val pat = java.util.regex.Pattern.compile(
+          """\.collect(AsList)?(\(\))?(?!\w|\s*[({])""")
+        val m = pat.matcher(code)
+        var n = 0
+        while (m.find()) n += 1
         val rel = f.getPath.replace(java.io.File.separatorChar, '/')
           .replaceFirst("^.*?src/main/scala/graft/", "")
-        rel -> (src.split(
-          java.util.regex.Pattern.quote(".collect()"), -1).length - 1)
+        rel -> n
       }.filter(_._2 > 0).toMap
     // one entry per SCALE.md table row (counts per file); bounds are
     // documented there — update BOTH when adding a site

@@ -421,8 +421,9 @@ class StreamingSpec extends AnyFunSuite {
       // far-future sentinel: advances the watermark past everything,
       // so EventTimeTimeout fires and collapses the quiet users' state
       Seq((8L, day(100), -1L, "view")),
-      // post-collapse event: u3's frozen chain (click/purchase never
-      // chained — no view) must continue correctly from the residue
+      // post-collapse event: u3's never-started residue (click/
+      // purchase never chained — no view) is REAPED at timeout, so
+      // this late view must start a fresh, correctly-leveled chain
       Seq((9L, day(101), 3L, "view")))
     slices.foreach { rows =>
       val before = graft.gates.GateSupport.listParquet(dir)
@@ -459,11 +460,15 @@ class StreamingSpec extends AnyFunSuite {
     // the watermark has not yet passed (≤ 1 new + ≤ 1 straggler here)
     val maxBuf = sink.agg(max($"n_buffered")).head.getInt(0)
     assert(maxBuf <= 2, s"buffer grew past the lateness window: $maxBuf")
-    // u3's post-collapse snapshot: two folded events + the new one,
-    // with only the new one still buffered
-    val u3 = sink.where($"user_id" === 3L && $"n_seen" === 3L)
-      .select($"level", $"n_buffered").as[(Int, Int)].collect().toSeq
-    assert(u3 == Seq((1, 1)), u3.toString)
+    // u3's post-collapse snapshot: the never-started residue row was
+    // REAPED at timeout (clicks/purchases can never chain without a
+    // view), so the late view starts a FRESH chain — n_seen restarts
+    // at 1 with the new view buffered; boundedVerdicts still selects
+    // this started chain over the earlier level-0 snapshots
+    val u3 = sink.where($"user_id" === 3L && $"chain_start" =!= -1L)
+      .select($"n_seen", $"level", $"n_buffered")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(u3 == Seq((1L, 1, 1)), u3.toString)
     // state ROWS bounded by the key population in every batch
     val stateRows = q.recentProgress.flatMap(p => Option(p.stateOperators))
       .flatMap(_.toSeq).map(_.numRowsTotal).filter(_ > 0)
