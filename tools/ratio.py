@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Build or check the per-round DuckDB comparison artifact
+(DUCK_SF01_r<N>.json) with an explicit per-query `class` field, so the
+floor/real-work adjudication lives in the committed artifact instead
+of prose, and every headline aggregate is reproducible from the two
+committed JSONs alone.
+
+Classes (priority order, mechanical):
+  streaming — declared list: gates that run a Structured Streaming
+              query (state-store + micro-batch floors DuckDB never
+              pays);
+  rewrite   — declared list (the round-8 verdict convention:
+              x41/x41b/x51/x51b): physical file rewrite + atomic swap
+              on the Spark side vs a pure SELECT oracle;
+  floor     — DuckDB best < 120 ms: the Spark per-query scheduling
+              floor dominates, amortizes with rows (BASELINE.md);
+  real      — everything else: both engines do comparable work.
+
+Usage:
+  build: ratio.py --build BENCH.json duck_raw.json round > DUCK_SF01_rN.json
+         (duck_raw.json = tools/bench_duck.py output)
+  check: ratio.py --check BENCH.json DUCK_SF01_rN.json
+         (recomputes classes + aggregates; exit 1 on any mismatch)
+"""
+import json
+import sys
+
+STREAMING = ["x13_stream_hourly", "x18_stream_sessions", "x28_stream_dedup",
+             "x32_stream_enrich", "x42_stream_totals",
+             "x47_stream_interval_join", "x47b_stream_outer_join",
+             "x49b_kafka_stream", "x96_stream_funnel",
+             "x96b_stream_funnel_bounded"]
+REWRITE = ["x41_compaction", "x41b_compaction_partitioned",
+           "x51_merge_upsert", "x51b_merge_partitioned"]
+FLOOR_MS = 120
+
+# oracles that replay an operator quadratically (all-pairs JW / CTE
+# closure): their DuckDB denominators are physical nonsense at sf0.1
+EXCLUDED = ["x20_dedup_pipeline", "x25_training_pipeline",
+            "x50_incremental_dedup", "x56_stream_neardup",
+            "x88_entities", "x88b_entities_skewblock"]
+
+
+def classify(duck_queries):
+    out = {}
+    for q, sec in duck_queries.items():
+        if q in STREAMING:
+            out[q] = "streaming"
+        elif q in REWRITE:
+            out[q] = "rewrite"
+        elif sec * 1000 < FLOOR_MS:
+            out[q] = "floor"
+        else:
+            out[q] = "real"
+    return out
+
+
+def short(q):
+    """BENCH reports gate ids ('x96b'); oracles use full names
+    ('x96b_stream_funnel_bounded')."""
+    return q.split("_", 1)[0]
+
+
+def aggregates(bench_queries, duck_queries, classes):
+    def agg(pred):
+        qs = [q for q in duck_queries if pred(classes[q])]
+        s = sum(bench_queries[short(q)] for q in qs)
+        d = sum(duck_queries[q] for q in qs)
+        return {"queries": len(qs), "spark_total_sec": round(s, 2),
+                "duck_total_sec": round(d, 3),
+                "ratio": round(s / d, 3) if d else None}
+    return {
+        "all_comparable": agg(lambda c: True),
+        "nonstreaming": agg(lambda c: c != "streaming"),
+        "r8_convention_nonstreaming_excl_rewrite":
+            agg(lambda c: c not in ("streaming", "rewrite")),
+        "real_work_only": agg(lambda c: c == "real"),
+    }
+
+
+def build(bench_path, duck_raw_path, rnd):
+    bench = json.load(open(bench_path))["queries"]
+    duck = json.load(open(duck_raw_path))["queries"]
+    comparable = {q: t for q, t in duck.items()
+                  if short(q) in bench and q not in EXCLUDED}
+    classes = classify(comparable)
+    art = {
+        "round": int(rnd), "sf": 0.1, "host": "local[32] same-host best-of-2",
+        "excluded_declared_quadratic_oracles": EXCLUDED,
+        "class_rules": {
+            "streaming": "declared list (see classes)",
+            "rewrite": "declared list: round-8 convention x41/x41b/x51/x51b",
+            "floor": f"duck best < {FLOOR_MS} ms",
+            "real": "otherwise"},
+        "classes": {q: classes[q] for q in sorted(classes)},
+        "aggregates": aggregates(bench, comparable, classes),
+        "duck_queries": {q: comparable[q] for q in sorted(comparable)},
+    }
+    json.dump(art, sys.stdout, indent=1)
+    print()
+
+
+def check(bench_path, art_path):
+    bench = json.load(open(bench_path))["queries"]
+    art = json.load(open(art_path))
+    duck = art["duck_queries"]
+    classes = classify(duck)
+    ok = True
+    if classes != art["classes"]:
+        drift = {q: (art["classes"].get(q), classes.get(q))
+                 for q in set(classes) | set(art["classes"])
+                 if art["classes"].get(q) != classes.get(q)}
+        print(f"CLASS MISMATCH: {drift}")
+        ok = False
+    want = aggregates(bench, duck, classes)
+    if want != art["aggregates"]:
+        print(f"AGGREGATE MISMATCH:\n stored {art['aggregates']}\n"
+              f" recomputed {want}")
+        ok = False
+    print("OK: classes + aggregates reproduce from the two artifacts"
+          if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "--build":
+        build(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif sys.argv[1] == "--check":
+        check(sys.argv[2], sys.argv[3])
+    else:
+        sys.exit(__doc__)
