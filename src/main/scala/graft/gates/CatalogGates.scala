@@ -388,6 +388,42 @@ private[graft] object CatalogGates {
         .orderBy(asc_nulls_first("k"), asc_nulls_first("valid_from"))
     }),
 
+    // X103 [governance] CDC LOG APPLY (the Debezium/Delta-CDF apply
+    // shape): a change feed of (key, seq, op∈{I,U,D}, payload) rows
+    // materialized onto a base snapshot — per key the HIGHEST
+    // sequence wins, by SEQUENCE ORDER not op precedence. The fixture
+    // exercises exactly that: k%5=0 gets U then D (delete wins),
+    // k%5=1 gets D then U (the row RESURRECTS with the U payload —
+    // op-precedence implementations get this wrong), k%5=2 a plain
+    // update, k%7=0 inserts fresh keys, k%5∈{3,4} pass through
+    // untouched. One aggregation collapses the log (never a window),
+    // the collapsed delta broadcasts into the anti join.
+    "x103_cdc_apply" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("v"), round(col("c_acctbal"), 2).as("bal"))
+      val maxK = c.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+      def seg(p: String) =
+        concat(lit(p), (col("c_custkey") % 3).cast("string"))
+      def slice(m: Int) = c.where(col("c_custkey") % 5 === m)
+      val log = slice(0).select(col("c_custkey").as("k"),
+          lit(1L).as("seq"), lit("U").as("op"), seg("U1-").as("v"),
+          (round(col("c_acctbal"), 2) + 1).as("bal"))
+        .unionAll(slice(0).select(col("c_custkey"), lit(2L), lit("D"),
+          lit(null).cast("string"), lit(0.0)))
+        .unionAll(slice(1).select(col("c_custkey"), lit(1L), lit("D"),
+          lit(null).cast("string"), lit(0.0)))
+        .unionAll(slice(1).select(col("c_custkey"), lit(2L), lit("U"),
+          seg("U2-"), (round(col("c_acctbal"), 2) + 2)))
+        .unionAll(slice(2).select(col("c_custkey"), lit(1L), lit("U"),
+          seg("U3-"), (round(col("c_acctbal"), 2) + 3)))
+        .unionAll(c.where(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + lit(maxK)), lit(1L), lit("I"),
+            lit("NEW"), lit(1.0)))
+      graft.operators.Cdc.apply(base, log, Seq("k"))
+        .orderBy(asc_nulls_first("k"))
+    }),
+
     // X102 [governance, composed] the governed-dimension pipeline —
     // the x25/x70/x82 composition analogue for the governance family:
     // the x99 EXPECTATION gate quarantines bad delta rows (map-only
@@ -464,6 +500,20 @@ private[graft] object CatalogGates {
       graft.operators.Sketches.quantileSketchAudit(
         t(s, d, "lineitem"), "l_extendedprice",
         alpha = 0.01, qs = Seq(0.5, 0.9, 0.99))),
+
+    // X104 [A-family sketches] per-GROUP quantile sketches — the
+    // monitoring shape the mergeable sketch exists for (one sketch
+    // per segment/day, quantiles per slice): per l_returnflag,
+    // p50/p90/p99 over l_extendedprice each within the declared α=1%
+    // of the exact in-group rank-⌈q·n_g⌉ value. The exact side never
+    // sorts a whole group in one task (this gate's 3 huge groups
+    // would have): one global range-rank over (group, value), then
+    // in-group rank = global rank − the group's min global rank + 1.
+    "x104_quantile_by_group" -> ((s, d) =>
+      graft.operators.Sketches.quantileSketchAuditBy(
+        t(s, d, "lineitem"), "l_extendedprice", "l_returnflag",
+        alpha = 0.01, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy(asc_nulls_first("l_returnflag"))),
 
     // X41 small-file compaction: fragment a copy of documents into 40
     // files, compact to ~1 MB targets, and prove the data survived the
@@ -783,6 +833,12 @@ private[graft] object CatalogGates {
       """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
          true AS within_tol, true AS rollup_exact
          FROM events""",
+    "x104_quantile_by_group" ->
+      """SELECT l_returnflag,
+         CAST(COUNT(l_extendedprice) AS BIGINT) AS n_vals,
+         true AS within_alpha
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag NULLS FIRST""",
     // every expectation's violation count recomputed with the same
     // NULL semantics (value rules pass on NULL, predicate fails)
     "x99_expectations" ->
@@ -848,6 +904,26 @@ private[graft] object CatalogGates {
                   TIMESTAMP '2024-06-01 00:00:00', NULL
            FROM customer WHERE c_custkey % 11 = 0)
          ORDER BY k NULLS FIRST, valid_from NULLS FIRST""",
+    // the CDC winners replayed arithmetically: %5=0 deleted, %5=1
+    // resurrected by its later U, %5=2 updated, the rest pass
+    // through; fresh %7=0 keys insert past MAX(c_custkey)
+    "x103_cdc_apply" ->
+      """SELECT k, v, bal FROM (
+           SELECT c_custkey AS k,
+                  CASE WHEN c_custkey % 5 = 1
+                         THEN 'U2-' || CAST(c_custkey % 3 AS VARCHAR)
+                       WHEN c_custkey % 5 = 2
+                         THEN 'U3-' || CAST(c_custkey % 3 AS VARCHAR)
+                       ELSE c_mktsegment END AS v,
+                  CASE WHEN c_custkey % 5 = 1 THEN ROUND(c_acctbal, 2) + 2
+                       WHEN c_custkey % 5 = 2 THEN ROUND(c_acctbal, 2) + 3
+                       ELSE ROUND(c_acctbal, 2) END AS bal
+           FROM customer WHERE c_custkey % 5 <> 0
+           UNION ALL
+           SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+                  'NEW', 1.0
+           FROM customer WHERE c_custkey % 7 = 0)
+         ORDER BY k NULLS FIRST""",
     // the x100 replay restricted to CURRENT rows, with the x99 gate
     // folded in: a changed key keeps its ORIGINAL segment when its
     // update is quarantined (bal = round(acctbal+10, 2) < 0 ⇔

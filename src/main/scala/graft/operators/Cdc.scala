@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture log application — the warehouse pattern for
+  * materializing a Debezium/Delta-CDF-shaped change stream onto a
+  * base snapshot: the log carries `(key, sequence, op, payload)` rows
+  * with op ∈ {I, U, D}; per key the HIGHEST-sequence entry wins
+  * (sequence order, never op precedence — a delete followed by a
+  * later re-insert must resurrect the row), winners with op I/U
+  * upsert their payload, winners with op D remove the key.
+  *
+  * The [[Scd]] complement on the write side: SCD2 keeps history, CDC
+  * apply materializes "latest state" from an ordered change feed.
+  * Compose with [[graft.catalog.Catalog.merge]]'s swap or
+  * [[graft.catalog.Versioned]] commits for durability.
+  *
+  * Scale shape: the log collapses with ONE aggregation —
+  * `max(struct(seq, op, payload))` per key, which partial-aggregates
+  * map-side (struct ordering consults seq first; seq is unique per
+  * key, enforced) — never a window over the log. The collapsed frame
+  * is delta-sized; it applies as a null-safe anti join (drop
+  * overwritten/deleted base rows) plus a union of the surviving
+  * winners. `broadcastLog` (default) broadcasts the collapsed delta
+  * into the anti join so the base never shuffles — the SCD2
+  * precedent; set false for a base-sized backfill log.
+  */
+object Cdc {
+
+  /** Apply `log` to `base`. `log` must carry exactly
+    * `keyCols ++ (seqCol, opCol) ++ base's payload columns`; op values
+    * are I/U/D (case-insensitive). `(key, seq)` must be unique —
+    * an ambiguous feed is rejected, not silently resolved
+    * (`checkUnique = false` skips the scan for pre-validated feeds). */
+  def apply(base: DataFrame, log: DataFrame, keyCols: Seq[String],
+            seqCol: String = "seq", opCol: String = "op",
+            broadcastLog: Boolean = true,
+            checkUnique: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "cdc needs at least one key column")
+    val payload = base.columns.toSeq.filterNot(keyCols.contains)
+    require(log.columns.sorted.sameElements(
+      (keyCols ++ Seq(seqCol, opCol) ++ payload).sorted),
+      s"cdc: log must carry exactly key + ($seqCol, $opCol) + payload " +
+        s"(${(keyCols ++ Seq(seqCol, opCol) ++ payload).mkString(",")}); " +
+        s"got ${log.columns.mkString(",")}")
+    if (checkUnique) {
+      val dup = log.groupBy((keyCols :+ seqCol).map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
+      require(dup == 0L,
+        s"cdc: log has more than one row per (${keyCols.mkString(",")}, $seqCol)")
+      // an unordered or mis-tagged feed must fail loud, not resolve
+      // arbitrarily (NULL op counts as invalid — the when/otherwise
+      // routes NULL through otherwise)
+      val bad = log.agg(
+        sum(when(col(seqCol).isNull, 1L).otherwise(0L)).as("n0"),
+        sum(when(upper(col(opCol)).isin("I", "U", "D"), 0L)
+          .otherwise(1L)).as("n1")).head
+      require(bad.isNullAt(0) || bad.getLong(0) == 0L,
+        "cdc: NULL sequence values in log")
+      require(bad.isNullAt(1) || bad.getLong(1) == 0L,
+        s"cdc: $opCol values outside I/U/D in log")
+    }
+    // per-key winner in ONE partial-aggregating pass: struct ordering
+    // consults seq first and (key, seq) is unique, so op/payload are
+    // tie-breakers that never fire
+    val winner = log.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(
+        col(seqCol).as("__seq"),
+        upper(col(opCol)).as("__op"),
+        struct(payload.map(col): _*).as("__p"))).as("__w"))
+      .select(keyCols.map(col) ++ Seq(
+        col("__w.__op").as("__op"),
+        col("__w.__p").as("__p")): _*)
+    val keysOnly = winner.select(keyCols.map(col): _*)
+    // every keyed log entry displaces the base row (upsert or delete):
+    // base minus touched keys, plus the I/U winners' payloads
+    val untouched = base.join(
+      if (broadcastLog) broadcast(keysOnly) else keysOnly,
+      keyCols, "left_anti")
+    val applied = winner.where(col("__op") =!= "D")
+      .select(keyCols.map(col) ++
+        payload.map(p => col(s"__p.$p").as(p)): _*)
+    untouched.select(base.columns.map(col): _*)
+      .unionAll(applied.select(base.columns.map(col): _*))
+  }
+}

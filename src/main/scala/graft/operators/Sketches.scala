@@ -197,6 +197,59 @@ object Sketches {
     Seq((n, ok)).toDF("n_vals", "within_alpha")
   }
 
+  /** Per-GROUP quantile-sketch audit — the monitoring shape the
+    * mergeable sketch exists for (one sketch per day/segment/shard,
+    * quantiles per slice): for every group, each estimate must sit
+    * within α of the exact value at rank ⌈q·n_g⌉ INSIDE the group.
+    * Returns one row `(group, n_vals, within_alpha)` per group.
+    *
+    * The exact side avoids windows entirely — a window PARTITIONED by
+    * group is only scale-safe when groups are numerous and small;
+    * with a few huge groups (this gate: 3 returnflags) it degenerates
+    * to a few whole-group single-task sorts, the same hazard the
+    * global audit had. Instead: ONE [[Ranks.globalRowNumber]] over
+    * `(group, value)` (groups come out contiguous in the global
+    * numbering), then in-group rank = global rank − the group's min
+    * global rank + 1 — a per-group aggregate joined back. No task
+    * ever sorts more than its range slice, whatever the group shape.
+    * Both sides audit the FINITE population, like the global audit. */
+  def quantileSketchAuditBy(df: DataFrame, valueCol: String,
+                            groupCol: String, alpha: Double = 0.01,
+                            qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val nn = df.where(v.isNotNull && !isnan(v) &&
+        v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val sk = nn.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_vals"),
+        graft.functions.QuantileSketch.quantiles(col("__v"), alpha, qs)
+          .as("__est"))
+    // ⌈q·n_g⌉ per group, then the exact values at those in-group ranks
+    val wanted = sk.select(col("__g"), col("n_vals"),
+      array(qs.map(q =>
+        least(col("n_vals"),
+          greatest(lit(1L), ceil(lit(q) * col("n_vals")).cast("long")))): _*)
+        .as("__ranks"))
+    val ranked = Ranks.globalRowNumber(nn, Seq(col("__g"), col("__v")), "__grn")
+    val offs = ranked.groupBy(col("__g")).agg(min(col("__grn")).as("__off"))
+    val rn = ranked.join(offs, Seq("__g"))
+      .withColumn("__rn", col("__grn") - col("__off") + 1)
+    val exact = rn.join(wanted.select(col("__g"),
+          explode(col("__ranks")).as("__rn")).distinct(),
+        Seq("__g", "__rn"))
+      .groupBy(col("__g"))
+      .agg(map_from_arrays(collect_list(col("__rn")),
+        collect_list(col("__v"))).as("__exact"))
+    sk.join(exact, Seq("__g"))
+      .join(wanted.select(col("__g"), col("__ranks")), Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_vals"),
+        aggregate(
+          zip_with(col("__est"), col("__ranks"),
+            (e, r) => abs(e - element_at(col("__exact"), r)) <=
+              lit(alpha) * abs(element_at(col("__exact"), r)) + lit(1e-12)),
+          lit(true), (acc, x) => acc && x).as("within_alpha"))
+  }
+
   /** Exact `(rank, value)` pairs at the given ascending 1-based ranks,
     * computed distributed: [[Ranks.globalRowNumber]] range-partitions
     * and ranks in parallel, then the rank filter keeps ≤ `ranks.size`

@@ -58,6 +58,14 @@ object ScaleChecks {
         println(s"[x102] segments=${out.length} " +
           s"n_current_total=${out.map(_.getLong(1)).sum} all verdicts true")
       }
+      case "x104" => timed("x104") {
+        val out = graft.SparkEntry.queries("x104_quantile_by_group")(spark, dir)
+          .collect()
+        require(out.nonEmpty && out.forall(_.getBoolean(2)),
+          s"x104 grouped quantile audit failed at $dir")
+        println(s"[x104] groups=${out.length} " +
+          s"n_vals_total=${out.map(_.getLong(1)).sum} all within_alpha")
+      }
       case other => sys.error(s"unknown check: $other")
     }
     spark.stop()

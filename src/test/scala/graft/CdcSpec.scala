@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cdc
+import org.apache.spark.sql.functions._
+
+/** CDC log apply: sequence order (not op precedence) decides, deletes
+  * remove, inserts add, untouched rows pass through, ambiguous or
+  * malformed feeds are rejected. */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    .toDF("k", "v", "x")
+
+  test("sequence order wins: later op replaces earlier, whatever the ops are") {
+    // k=1: U@1 then D@2 → deleted; k=2: D@1 then U@2 → resurrected
+    // with the U payload (op precedence would get this wrong);
+    // k=5: I → new row; k=3/4 untouched
+    val log = Seq(
+      (1L, 1L, "U", "a2", 11.0), (1L, 2L, "D", null, 0.0),
+      (2L, 1L, "D", null, 0.0), (2L, 2L, "U", "b2", 22.0),
+      (5L, 1L, "I", "e", 50.0))
+      .toDF("k", "seq", "op", "v", "x")
+    val got = Cdc.apply(base, log, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((2L, "b2", 22.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)), got.toString)
+  }
+
+  test("ops are case-insensitive; broadcast and shuffle paths agree") {
+    val log = Seq((1L, 1L, "d", null.asInstanceOf[String], 0.0),
+        (5L, 7L, "i", "e", 50.0))
+      .toDF("k", "seq", "op", "v", "x")
+    val a = Cdc.apply(base, log, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val b = Cdc.apply(base, log, Seq("k"), broadcastLog = false)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.map(_._1) == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("a later re-insert resurrects a deleted key (pure seq order)") {
+    val log = Seq((3L, 1L, "D", null.asInstanceOf[String], 0.0),
+        (3L, 2L, "I", "c2", 33.0), (3L, 3L, "U", "c3", 34.0))
+      .toDF("k", "seq", "op", "v", "x")
+    val got = Cdc.apply(base, log, Seq("k"))
+      .where($"k" === 3L).as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((3L, "c3", 34.0)), got.toString)
+  }
+
+  test("malformed feeds are rejected: dup (key,seq), NULL seq, bad op, wrong columns") {
+    def lg(rows: Seq[(Long, java.lang.Long, String, String, Double)]) =
+      rows.toDF("k", "seq", "op", "v", "x")
+    intercept[IllegalArgumentException] {
+      Cdc.apply(base, lg(Seq((1L, 1L, "U", "a", 1.0), (1L, 1L, "D", null, 0.0))),
+        Seq("k")).count()
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.apply(base, lg(Seq((1L, null, "U", "a", 1.0))), Seq("k")).count()
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.apply(base, lg(Seq((1L, 1L, "UPSERT", "a", 1.0))), Seq("k")).count()
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.apply(base, Seq((1L, 1L, "U")).toDF("k", "seq", "op"), Seq("k"))
+    }
+  }
+
+  test("empty log is the identity") {
+    val log = Seq.empty[(Long, Long, String, String, Double)]
+      .toDF("k", "seq", "op", "v", "x")
+    val got = Cdc.apply(base, log, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == base.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("plan shape: no window over the log; broadcast anti join on the base") {
+    val log = Seq((1L, 1L, "U", "a2", 11.0)).toDF("k", "seq", "op", "v", "x")
+    val plan = Cdc.apply(base, log, Seq("k"), checkUnique = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "log collapse must be an aggregation")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "collapsed log should broadcast into the anti join")
+  }
+}

@@ -115,6 +115,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(audit.getBoolean(1))
   }
 
+  test("grouped quantile audit: per-group ranks, finite population, known exacts") {
+    import spark.implicits._
+    // two groups with different distributions + dirt: the in-group
+    // rank arithmetic must not leak across groups, and non-finite
+    // values must be excluded from both sides per group
+    val a = (1 to 1000).map(i => ("a", ((i * 37) % 1000 + 1).toDouble))
+    val b = (1 to 400).map(i => ("b", ((i * 13) % 400 + 1) * 10.0))
+    val dirty = a ++ b ++ Seq(("a", Double.NaN), ("b", Double.PositiveInfinity))
+    val got = Sketches.quantileSketchAuditBy(
+        dirty.toDF("g", "v"), "v", "g", alpha = 0.01,
+        qs = Seq(0.5, 0.99, 1.0))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map("a" -> ((1000L, true)), "b" -> ((400L, true))),
+      got.toString)
+    // the guarantee is parameter-uniform: a much tighter alpha still
+    // holds because sketch and audit share it by construction
+    val strict = Sketches.quantileSketchAuditBy(
+        a.toDF("g", "v"), "v", "g", alpha = 0.001, qs = Seq(0.5))
+    assert(strict.collect().forall(_.getBoolean(2)))
+    // and the exact side never windows: a few huge groups would turn
+    // a partitioned window into whole-group single-task sorts
+    val plan = strict.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "grouped audit must not use a window")
+    assert(!plan.contains("SinglePartition"),
+      "grouped audit collapsed to one partition")
+  }
+
   test("quantile audit's exact side is distributed: no single-partition window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

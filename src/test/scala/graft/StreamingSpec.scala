@@ -484,6 +484,73 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the open chains to survive: ${stateRows.mkString(",")}")
   }
 
+  test("ST5: bounded funnel restart after eviction — boundedVerdicts stays batch-exact") {
+    // The eviction hazard the chain_start field exists for: a user
+    // whose chain window closed (row REMOVED) returns with MORE
+    // events than the first chain saw. n_seen restarts, the second
+    // chain reaches a HIGHER level, and a bare argmax(n_seen) — or
+    // argmax(level) — would report it. The batch operator anchors at
+    // the FIRST step-0 event, so the correct verdict is chain 1's.
+    import EventStreams._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("events_funnel_restart").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 09:00:00")
+    def day(d: Double) = new java.sql.Timestamp(t0.getTime + (d * 86400000L).toLong)
+    val slices: Seq[Seq[(Long, java.sql.Timestamp, Long, String)]] = Seq(
+      Seq((1L, day(0), 1L, "view")),
+      Seq((2L, day(1), 1L, "click")),
+      // watermark sentinel past day 0+7d: u1's chain-1 window closes
+      Seq((3L, day(20), -9L, "view")),
+      // second sentinel so u1's timeout actually fires → row removed
+      Seq((4L, day(25), -8L, "view")),
+      // restart: 5 events (> chain 1's 2), completing a second chain
+      Seq((5L, day(26), 1L, "view"), (6L, day(26.5), 1L, "view"),
+          (7L, day(27), 1L, "click"), (8L, day(27.5), 1L, "purchase"),
+          (9L, day(28), 1L, "view")))
+    slices.foreach { rows =>
+      val before = graft.gates.GateSupport.listParquet(dir)
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      graft.gates.GateSupport.bumpMtime(dir, before)
+    }
+    val stream = spark.readStream.schema(EventStreams.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[Event]
+    val steps = Seq("view", "click", "purchase")
+    val q = funnelLevelsBounded(stream, steps,
+        windowSeconds = Some(7L * 86400), lateness = "30 minutes")
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("funnel_restart")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val sink = spark.table("funnel_restart").where($"user_id" === 1L)
+    // both chains really emitted: chain 2 restarted n_seen below
+    // chain 1's max AND reached a higher level — the corrupting shape
+    val c1 = sink.where($"chain_start" === day(0).getTime * 1000L)
+    val c2 = sink.where($"chain_start" === day(26).getTime * 1000L)
+    assert(c1.count() > 0 && c2.count() > 0, "expected two distinct chains")
+    assert(c2.agg(max($"level")).head.getInt(0) == 3)
+    assert(c2.agg(max($"n_seen")).head.getLong(0) >
+      c1.agg(max($"n_seen")).head.getLong(0),
+      "fixture must make the restart chain bigger than chain 1")
+    // the operator's reduction anchors at chain 1 — batch parity
+    val verdict = EventStreams.boundedVerdicts(sink)
+      .as[(Long, Int)].collect().toMap
+    val batchEvents = slices.flatten.filter(_._3 > 0)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val batch = graft.operators.Funnel.funnel(batchEvents, steps,
+        windowSeconds = Some(7L * 86400))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(verdict == Map(1L -> 2), verdict.toString)
+    assert(batch.map(_._3) == Seq(1L, 1L, 0L), batch.toString)
+    // and the naive reduction really would be wrong here (the
+    // regression this test pins): max n_seen belongs to chain 2
+    val naive = sink.groupBy($"user_id")
+      .agg(max(struct($"n_seen", $"level")).as("last"))
+      .select($"last.level").as[Int].head()
+    assert(naive == 3, "fixture no longer exercises the hazard")
+  }
+
   test("ST6: foreachBatch parquet sink") {
     val out = Files.createTempDirectory("sink_out").toString
     val ckpt = Files.createTempDirectory("sink_ckpt").toString
