@@ -45,21 +45,23 @@ object Cdc {
         s"(${(keyCols ++ Seq(seqCol, opCol) ++ payload).mkString(",")}); " +
         s"got ${log.columns.mkString(",")}")
     if (checkUnique) {
-      val dup = log.groupBy((keyCols :+ seqCol).map(col): _*)
-        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
-      require(dup == 0L,
-        s"cdc: log has more than one row per (${keyCols.mkString(",")}, $seqCol)")
-      // an unordered or mis-tagged feed must fail loud, not resolve
-      // arbitrarily (NULL op counts as invalid — the when/otherwise
-      // routes NULL through otherwise)
-      val bad = log.agg(
+      // all feed validation in ONE aggregation pass (a backfill log is
+      // base-sized — don't scan it twice): duplicates detected by
+      // count-vs-distinct on (key, seq); an unordered or mis-tagged
+      // feed fails loud, never resolves arbitrarily (NULL op counts
+      // as invalid — when/otherwise routes NULL through otherwise)
+      val chk = log.agg(
+        count(lit(1)).as("n"),
+        count_distinct(struct((keyCols :+ seqCol).map(col): _*)).as("nd"),
         sum(when(col(seqCol).isNull, 1L).otherwise(0L)).as("n0"),
         sum(when(upper(col(opCol)).isin("I", "U", "D"), 0L)
           .otherwise(1L)).as("n1")).head
-      require(bad.isNullAt(0) || bad.getLong(0) == 0L,
+      require(chk.isNullAt(2) || chk.getLong(2) == 0L,
         "cdc: NULL sequence values in log")
-      require(bad.isNullAt(1) || bad.getLong(1) == 0L,
+      require(chk.isNullAt(3) || chk.getLong(3) == 0L,
         s"cdc: $opCol values outside I/U/D in log")
+      require(chk.getLong(0) == chk.getLong(1),
+        s"cdc: log has more than one row per (${keyCols.mkString(",")}, $seqCol)")
     }
     // per-key winner in ONE partial-aggregating pass: struct ordering
     // consults seq first and (key, seq) is unique, so op/payload are
@@ -74,10 +76,13 @@ object Cdc {
         col("__w.__p").as("__p")): _*)
     val keysOnly = winner.select(keyCols.map(col): _*)
     // every keyed log entry displaces the base row (upsert or delete):
-    // base minus touched keys, plus the I/U winners' payloads
-    val untouched = base.join(
-      if (broadcastLog) broadcast(keysOnly) else keysOnly,
-      keyCols, "left_anti")
+    // base minus touched keys, plus the I/U winners' payloads. The
+    // anti join is NULL-SAFE (<=>): a NULL-key log entry must displace
+    // the NULL-key base row, not leave it behind (delete) or duplicate
+    // it (upsert) — plain equality never matches NULL
+    val antiRight = if (broadcastLog) broadcast(keysOnly) else keysOnly
+    val antiCond = keyCols.map(k => base(k) <=> antiRight(k)).reduce(_ && _)
+    val untouched = base.join(antiRight, antiCond, "left_anti")
     val applied = winner.where(col("__op") =!= "D")
       .select(keyCols.map(col) ++
         payload.map(p => col(s"__p.$p").as(p)): _*)

@@ -217,9 +217,14 @@ object Sketches {
                             groupCol: String, alpha: Double = 0.01,
                             qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     val v = col(valueCol).cast("double")
+    // the group key rides inside a STRUCT: joins/grouping on a bare
+    // nullable key silently drop the NULL group (equality never
+    // matches NULL = NULL), but a struct is itself never NULL and
+    // struct comparison treats NULL fields as equal — so the NULL
+    // segment is audited like any other instead of escaping
     val nn = df.where(v.isNotNull && !isnan(v) &&
         v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
-      .select(col(groupCol).as("__g"), v.as("__v"))
+      .select(struct(col(groupCol)).as("__g"), v.as("__v"))
     val sk = nn.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_vals"),
         graft.functions.QuantileSketch.quantiles(col("__v"), alpha, qs)
@@ -242,7 +247,7 @@ object Sketches {
         collect_list(col("__v"))).as("__exact"))
     sk.join(exact, Seq("__g"))
       .join(wanted.select(col("__g"), col("__ranks")), Seq("__g"))
-      .select(col("__g").as(groupCol), col("n_vals"),
+      .select(col("__g").getField(groupCol).as(groupCol), col("n_vals"),
         aggregate(
           zip_with(col("__est"), col("__ranks"),
             (e, r) => abs(e - element_at(col("__exact"), r)) <=

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 /** Scale-exactness checks for the gates whose DuckDB oracles are
   * unrunnable past gate scale (declared-quadratic or sketch-replay
   * class): `ScaleChecks <sfDir> [check ...]` with checks from
-  * {x98, x88b, x102}. Each check re-runs the REAL gate query at the
+  * {x98, x88b, x102, x104}. Each check re-runs the REAL gate query at the
   * given scale and asserts the gate's invariant structurally:
   *
   *  - x98: quantile audit — `within_alpha` must hold (the audit's
@@ -22,7 +22,7 @@ object ScaleChecks {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1")
     val checks = if (args.length > 1) args.drop(1).toSeq
-      else Seq("x98", "x88b", "x102")
+      else Seq("x98", "x88b", "x102", "x104")
     val spark = graft.Session.local("scale-checks")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -42,7 +42,10 @@ object ScaleChecks {
         println(s"[x98] n_vals=${row.getLong(0)} within_alpha=true")
       }
       case "x88b" => timed("x88b") {
+        // pin the resolution once — three separate actions would each
+        // re-run the whole blocked-JW + CC pipeline
         val out = graft.SparkEntry.queries("x88b_entities_skewblock")(spark, dir)
+          .localCheckpoint()
         val bad = out.where(col("entity_id") =!=
           lit(4L) * floor(col("doc_id") / 4)).count()
         val entities = out.select(col("entity_id")).distinct().count()

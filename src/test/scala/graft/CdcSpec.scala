@@ -70,6 +70,27 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL keys displace null-safely: delete removes, upsert replaces") {
+    // a plain-equality anti join never matches NULL = NULL — the
+    // deleted NULL-key row would survive, and an upsert would emit
+    // BOTH the old and new rows
+    val nbase = base.unionAll(
+      Seq((null.asInstanceOf[java.lang.Long], "n", 0.5))
+        .toDF("k", "v", "x"))
+    val del = Seq((null.asInstanceOf[java.lang.Long], 1L, "D",
+        null.asInstanceOf[String], 0.0))
+      .toDF("k", "seq", "op", "v", "x")
+    val afterDel = Cdc.apply(nbase, del, Seq("k"))
+      .select($"k").as[Option[Long]].collect().toSeq
+    assert(!afterDel.contains(None), s"NULL-key row survived its delete")
+    val up = Seq((null.asInstanceOf[java.lang.Long], 1L, "U", "n2", 0.7))
+      .toDF("k", "seq", "op", "v", "x")
+    val afterUp = Cdc.apply(nbase, up, Seq("k"))
+      .where($"k".isNull).as[(Option[Long], String, Double)].collect().toSeq
+    assert(afterUp == Seq((None, "n2", 0.7)),
+      s"NULL-key upsert must replace, not duplicate: $afterUp")
+  }
+
   test("empty log is the identity") {
     val log = Seq.empty[(Long, Long, String, String, Double)]
       .toDF("k", "seq", "op", "v", "x")

@@ -122,14 +122,19 @@ class SketchesSpec extends AnyFunSuite {
     // values must be excluded from both sides per group
     val a = (1 to 1000).map(i => ("a", ((i * 37) % 1000 + 1).toDouble))
     val b = (1 to 400).map(i => ("b", ((i * 13) % 400 + 1) * 10.0))
-    val dirty = a ++ b ++ Seq(("a", Double.NaN), ("b", Double.PositiveInfinity))
+    // a NULL group is a group: equality joins would silently drop it
+    // from the audit (the struct-wrapped key keeps it in)
+    val nul = (1 to 100).map(i =>
+      (null.asInstanceOf[String], ((i * 7) % 100 + 1) * 100.0))
+    val dirty = a ++ b ++ nul ++
+      Seq(("a", Double.NaN), ("b", Double.PositiveInfinity))
     val got = Sketches.quantileSketchAuditBy(
         dirty.toDF("g", "v"), "v", "g", alpha = 0.01,
         qs = Seq(0.5, 0.99, 1.0))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
       .toMap
-    assert(got == Map("a" -> ((1000L, true)), "b" -> ((400L, true))),
-      got.toString)
+    assert(got == Map("a" -> ((1000L, true)), "b" -> ((400L, true)),
+      (null: String) -> ((100L, true))), got.toString)
     // the guarantee is parameter-uniform: a much tighter alpha still
     // holds because sketch and audit share it by construction
     val strict = Sketches.quantileSketchAuditBy(

@@ -81,6 +81,11 @@ def aggregates(bench_queries, duck_queries, classes):
 def build(bench_path, duck_raw_path, rnd):
     bench = json.load(open(bench_path))["queries"]
     duck = json.load(open(duck_raw_path))["queries"]
+    dropped = sorted(q for q in duck
+                     if short(q) not in bench and q not in EXCLUDED)
+    if dropped:
+        print(f"WARNING: duck oracles absent from bench, dropped: {dropped}",
+              file=sys.stderr)
     comparable = {q: t for q, t in duck.items()
                   if short(q) in bench and q not in EXCLUDED}
     classes = classify(comparable)
@@ -104,6 +109,11 @@ def check(bench_path, art_path):
     bench = json.load(open(bench_path))["queries"]
     art = json.load(open(art_path))
     duck = art["duck_queries"]
+    missing = sorted(q for q in duck if short(q) not in bench)
+    if missing:
+        print(f"BENCH MISMATCH: artifact queries absent from this bench "
+              f"(wrong round's bench file?): {missing}")
+        sys.exit(1)
     classes = classify(duck)
     ok = True
     if classes != art["classes"]:
@@ -123,9 +133,9 @@ def check(bench_path, art_path):
 
 
 if __name__ == "__main__":
-    if sys.argv[1] == "--build":
+    if len(sys.argv) >= 5 and sys.argv[1] == "--build":
         build(sys.argv[2], sys.argv[3], sys.argv[4])
-    elif sys.argv[1] == "--check":
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--check":
         check(sys.argv[2], sys.argv[3])
     else:
         sys.exit(__doc__)
