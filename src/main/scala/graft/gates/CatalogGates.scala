@@ -424,6 +424,28 @@ private[graft] object CatalogGates {
         .orderBy(asc_nulls_first("k"))
     }),
 
+    // X105 [governance] CDC DIFF — the inverse of x103: derive the
+    // change log that turns snapshot A into snapshot B (backfill
+    // generation, table-sync audit, CDC bootstrap). One null-safe
+    // full-outer key join, delta-sized output: updates carry the new
+    // payload, deletes carry NULLs, unchanged keys are ABSENT. The
+    // round-trip law apply(from, diff(from, to)) == to is spec-pinned
+    // (CdcSpec); this gate pins the emitted log itself value-for-value.
+    "x105_cdc_diff" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("v"), round(col("c_acctbal"), 2).as("bal"))
+      val maxK = c.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+      val target = base.where(col("k") % 4 =!= 1)
+        .withColumn("bal",
+          when(col("k") % 4 === 0, col("bal") + 5).otherwise(col("bal")))
+        .unionAll(c.where(col("c_custkey") % 9 === 0)
+          .select((col("c_custkey") + lit(maxK)).as("k"),
+            lit("NEW").as("v"), lit(1.0).as("bal")))
+      graft.operators.Cdc.diff(base, target, Seq("k"))
+        .orderBy(asc_nulls_first("k"))
+    }),
+
     // X102 [governance, composed] the governed-dimension pipeline —
     // the x25/x70/x82 composition analogue for the governance family:
     // the x99 EXPECTATION gate quarantines bad delta rows (map-only
@@ -923,6 +945,22 @@ private[graft] object CatalogGates {
            SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
                   'NEW', 1.0
            FROM customer WHERE c_custkey % 7 = 0)
+         ORDER BY k NULLS FIRST""",
+    // the diff winners replayed arithmetically: %4=0 balance-bumped
+    // (U with the new payload), %4=1 dropped (D with NULL payload),
+    // %9=0 fresh keys inserted, the rest absent
+    "x105_cdc_diff" ->
+      """SELECT k, seq, op, v, bal FROM (
+           SELECT c_custkey AS k, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+                  c_mktsegment AS v, ROUND(c_acctbal, 2) + 5 AS bal
+           FROM customer WHERE c_custkey % 4 = 0
+           UNION ALL
+           SELECT c_custkey, 1, 'D', NULL, NULL
+           FROM customer WHERE c_custkey % 4 = 1
+           UNION ALL
+           SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+                  1, 'I', 'NEW', 1.0
+           FROM customer WHERE c_custkey % 9 = 0)
          ORDER BY k NULLS FIRST""",
     // the x100 replay restricted to CURRENT rows, with the x99 gate
     // folded in: a changed key keeps its ORIGINAL segment when its

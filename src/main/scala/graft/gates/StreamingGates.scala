@@ -353,6 +353,51 @@ private[graft] object StreamingGates {
           Seq("view", "click", "purchase"))
         .orderBy(asc_nulls_first("step"))
     }),
+
+    // X106 [ST2 + A-family sketches] STREAMING storable HLL: per-day
+    // user sketches built BY THE STREAM, compared bit-for-bit to the
+    // batch sketches over the same table (same commutative byte-max
+    // merge ⇒ identical blobs whatever the micro-batching), then
+    // union-merged and checked against the exact distinct count —
+    // the streaming half of x101's pre-aggregate-once/roll-up-forever
+    // contract. One row (n_windows, stream_batch_bitequal,
+    // merged_within_tol); the oracle recomputes the window count and
+    // pins the deterministic flags.
+    "x106_stream_hll" -> ((s, d) => {
+      import s.implicits._
+      val staged = stageEvents(s, d)
+      val p = 12
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
+        withCheckpoint { ckpt =>
+          val q = graft.streaming.EventStreams.distinctSketches(
+              s.readStream.schema(graft.streaming.EventStreams.schema)
+                .parquet(staged),
+              "ts", "1 day", "user_id", p)
+            .writeStream.outputMode("complete").format("memory")
+            .queryName("x106_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      val stream = s.table("x106_out")
+      val events = t(s, d, "events")
+      val batch = graft.streaming.EventStreams.distinctSketches(
+        events, "ts", "1 day", "user_id", p)
+        .withColumnRenamed("sketch", "bsketch")
+      val joined = stream.join(batch, Seq("window_start"), "full_outer")
+        .localCheckpoint()
+      val bitEqual = joined.where(col("sketch").isNull ||
+        col("bsketch").isNull || col("sketch") =!= col("bsketch"))
+        .count() == 0L
+      val merged = stream
+        .agg(graft.functions.Hll.merge(col("sketch"), p).as("m"))
+        .head.getAs[Array[Byte]](0)
+      val exact = events.agg(count_distinct(col("user_id"))).head.getLong(0)
+      val est = graft.functions.Hll.estimate(merged)
+      val within = math.abs(est - exact) <= 0.05 * exact
+      Seq((joined.count(), bitEqual, within))
+        .toDF("n_windows", "stream_batch_bitequal", "merged_within_tol")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -514,5 +559,12 @@ private[graft] object StreamingGates {
                 CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS v
          FROM s GROUP BY user_id, sid
          ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""",
+    // window count recomputed; the two sketch flags are deterministic
+    // (fixed hash, commutative merge) and pinned true
+    "x106_stream_hll" ->
+      """SELECT CAST(COUNT(DISTINCT DATE_TRUNC('DAY', ts)) AS BIGINT)
+                  AS n_windows,
+                true AS stream_batch_bitequal, true AS merged_within_tol
+         FROM events""",
   )
 }

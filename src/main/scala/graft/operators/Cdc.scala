@@ -89,4 +89,57 @@ object Cdc {
     untouched.select(base.columns.map(col): _*)
       .unionAll(applied.select(base.columns.map(col): _*))
   }
+
+  /** The inverse: derive the change log that turns `from` into `to` —
+    * backfill/repair generation, table-sync auditing, CDC bootstrap.
+    * Emits `(key, seq = seqValue, op, payload)` rows: keys only in
+    * `to` → I, keys only in `from` → D (payload NULLed), keys in both
+    * whose payload differs null-safely → U; unchanged keys are
+    * ABSENT (a diff of identical snapshots is empty). Round-trip law
+    * (spec-pinned): `apply(from, diff(from, to)) == to`.
+    *
+    * Scale shape: ONE null-safe full-outer key join (both sides
+    * key-shuffled once), change detection map-side in the join
+    * output; output is delta-sized. Both snapshots must be key-unique
+    * — the apply() side would reject an ambiguous feed anyway, so the
+    * diff fails loud at the source (`checkUnique = false` to skip). */
+  def diff(from: DataFrame, to: DataFrame, keyCols: Seq[String],
+           seqValue: Long = 1L, seqCol: String = "seq",
+           opCol: String = "op",
+           checkUnique: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "cdc diff needs at least one key column")
+    require(from.columns.sorted.sameElements(to.columns.sorted),
+      s"cdc diff: snapshots must share a schema; " +
+        s"${from.columns.mkString(",")} vs ${to.columns.mkString(",")}")
+    val payload = from.columns.toSeq.filterNot(keyCols.contains)
+    if (checkUnique) {
+      Seq(("from", from), ("to", to)).foreach { case (what, df) =>
+        val c = df.agg(count(lit(1)).as("n"),
+          count_distinct(struct(keyCols.map(col): _*)).as("nd")).head
+        require(c.getLong(0) == c.getLong(1),
+          s"cdc diff: $what snapshot has duplicate (${keyCols.mkString(",")}) keys")
+      }
+    }
+    // null-safe key equality via struct-wrapped keys: a NULL key is a
+    // key (the apply() side displaces it null-safely too)
+    def keyed(df: DataFrame, tag: String) = df.select(
+      struct(keyCols.map(col): _*).as(s"__k$tag"),
+      struct(df.columns.map(col): _*).as(s"__r$tag"))
+    val f = keyed(from, "f")
+    val t = keyed(to, "t")
+    val joined = f.join(t, f("__kf") <=> t("__kt"), "full_outer")
+    val changed = payload.map(p =>
+      !(col(s"__rf.$p") <=> col(s"__rt.$p"))).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val op = when(col("__kf").isNull, "I")
+      .when(col("__kt").isNull, "D")
+      .when(changed, "U")
+    // keys live in whichever side is present; payload comes from `to`
+    // for I/U and is NULLed for D (a delete carries no payload)
+    val side = coalesce(col("__kt"), col("__kf"))
+    joined.where(op.isNotNull)
+      .select(keyCols.map(k => side.getField(k).as(k)) ++
+        Seq(lit(seqValue).as(seqCol), op.as(opCol)) ++
+        payload.map(p => when(op =!= "D", col(s"__rt.$p")).as(p)): _*)
+  }
 }

@@ -409,6 +409,24 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** ST2 + storable sketches: per-window HyperLogLog blobs of a key
+    * column — the streaming half of the pre-aggregate-once /
+    * roll-up-forever pattern (x101): each window's blob lands in the
+    * sink, later batch jobs union-merge them (`Hll.merge`) across any
+    * slicing and the result is BIT-IDENTICAL to a direct sketch,
+    * because the stream and batch aggregations run the same
+    * commutative byte-max merge. With `append` output + the watermark
+    * the state store holds only open windows (one 2^p-byte buffer
+    * each); `complete` mode keeps all windows — replay/gate use.
+    * Works identically on batch frames (window() is mode-agnostic). */
+  def distinctSketches(events: DataFrame, timeCol: String,
+                       windowLen: String, keyCol: String, p: Int = 12,
+                       watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowLen).as("w"))
+      .agg(graft.functions.Hll.sketch(col(keyCol), p).as("sketch"))
+      .select(col("w.start").as("window_start"), col("sketch"))
+
   /** ST6: drive a streaming frame into a sink via foreachBatch
     * (overwrite ≙ the reference's WRITE_TRUNCATE; append for deltas). */
   def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String,

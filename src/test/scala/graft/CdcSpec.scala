@@ -99,6 +99,43 @@ class CdcSpec extends AnyFunSuite {
     assert(got == base.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("diff: round-trip law — apply(from, diff(from, to)) == to") {
+    // exercises every edge at once: NULL key (payload change), NULL
+    // payload transitions in both directions, delete, insert,
+    // unchanged rows (absent from the diff)
+    val from = Seq(
+      (Some(1L), "a", Option(10.0)), (Some(2L), "b", None),
+      (Some(3L), "c", Option(30.0)), (None, "n", Option(0.5)))
+      .toDF("k", "v", "x")
+    val to = Seq(
+      (Some(1L), "a", Option(10.0)),          // unchanged
+      (Some(2L), "b", Option(20.0)),          // NULL -> value
+      (Some(4L), "d", None),                  // insert with NULL payload
+      (None, "n2", Option(0.5)))              // NULL key changed
+      .toDF("k", "v", "x")                    // (3 deleted)
+    val log = Cdc.diff(from, to, Seq("k"))
+    val ops = log.select($"k", $"op").as[(Option[Long], String)]
+      .collect().toSet
+    assert(ops == Set((Some(2L), "U"), (Some(3L), "D"),
+      (Some(4L), "I"), (None, "U")), ops.toString)
+    val back = Cdc.apply(from, log, Seq("k"))
+      .as[(Option[Long], String, Option[Double])].collect()
+      .sortBy(_._1.getOrElse(Long.MinValue)).toSeq
+    val want = to.as[(Option[Long], String, Option[Double])].collect()
+      .sortBy(_._1.getOrElse(Long.MinValue)).toSeq
+    assert(back == want, s"round-trip diverged: $back vs $want")
+  }
+
+  test("diff of identical snapshots is empty; schema/dup rejections fail loud") {
+    assert(Cdc.diff(base, base, Seq("k")).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Cdc.diff(base, base.drop("x"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.diff(base.unionAll(base), base, Seq("k")).count()
+    }
+  }
+
   test("plan shape: no window over the log; broadcast anti join on the base") {
     val log = Seq((1L, 1L, "U", "a2", 11.0)).toDF("k", "seq", "op", "v", "x")
     val plan = Cdc.apply(base, log, Seq("k"), checkUnique = false)

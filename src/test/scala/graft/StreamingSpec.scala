@@ -551,6 +551,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(naive == 3, "fixture no longer exercises the hazard")
   }
 
+  test("ST2+: streaming per-window HLL blobs — append mode evicts, blobs equal batch") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("events_hll").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:30:00")
+    def ts(d: Int, u: Long) = (u, new java.sql.Timestamp(t0.getTime + d * 86400000L))
+    // 3 real days with overlapping users, then a far-future sentinel
+    // that closes every real window (append emits only closed windows)
+    val slices = Seq(
+      (1 to 40).map(i => ts(0, i % 7L)),
+      (1 to 40).map(i => ts(1, i % 11L)),
+      (1 to 40).map(i => ts(2, i % 5L)),
+      Seq(ts(100, -1L)))
+    slices.foreach { rows =>
+      val before = graft.gates.GateSupport.listParquet(dir)
+      rows.toDF("user_id", "ts")
+        .select(lit(0L).as("event_id"), $"ts", $"user_id",
+          lit("view").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      graft.gates.GateSupport.bumpMtime(dir, before)
+    }
+    val q = EventStreams.distinctSketches(
+        spark.readStream.schema(EventStreams.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir),
+        "ts", "1 day", "user_id", p = 10, watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hll_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val got = spark.table("hll_stream")
+      .collect().map(r => r.getTimestamp(0) -> r.getAs[Array[Byte]](1)).toMap
+    // only the 3 CLOSED windows emitted — the sentinel's stays open
+    assert(got.size == 3, s"expected the 3 closed windows, got ${got.keySet}")
+    // bit-identical to the batch sketches over the same rows
+    val batch = EventStreams.distinctSketches(
+        spark.read.parquet(dir).where($"user_id" >= 0),
+        "ts", "1 day", "user_id", p = 10)
+      .collect().map(r => r.getTimestamp(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(batch.keySet == got.keySet)
+    got.foreach { case (w, blob) =>
+      assert(java.util.Arrays.equals(blob, batch(w)), s"blob mismatch at $w")
+    }
+    // and the blobs are REAL sketches: exact small cardinalities
+    assert(graft.functions.Hll.estimate(got(new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime))) == 7L)
+  }
+
   test("ST6: foreachBatch parquet sink") {
     val out = Files.createTempDirectory("sink_out").toString
     val ckpt = Files.createTempDirectory("sink_ckpt").toString
