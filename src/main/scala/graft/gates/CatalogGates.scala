@@ -22,6 +22,32 @@ import graft.sources.Tables
 private[graft] object CatalogGates {
   import GateSupport._
 
+  /** The shared x103/x107 CDC feed over customer: %5=0 U@1 then D@2
+    * (delete wins), %5=1 D@1 then U@2 (resurrects with the U
+    * payload), %5=2 a plain U@1, %7=0 fresh-key I@1 past
+    * MAX(c_custkey). Both gates replay against the same oracle —
+    * x107 just delivers the two sequences in the WRONG batch order. */
+  private def x103Log(c: DataFrame): DataFrame = {
+    val maxK = c.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+    def seg(p: String) =
+      concat(lit(p), (col("c_custkey") % 3).cast("string"))
+    def slice(m: Int) = c.where(col("c_custkey") % 5 === m)
+    slice(0).select(col("c_custkey").as("k"),
+        lit(1L).as("seq"), lit("U").as("op"), seg("U1-").as("v"),
+        (round(col("c_acctbal"), 2) + 1).as("bal"))
+      .unionAll(slice(0).select(col("c_custkey"), lit(2L), lit("D"),
+        lit(null).cast("string"), lit(0.0)))
+      .unionAll(slice(1).select(col("c_custkey"), lit(1L), lit("D"),
+        lit(null).cast("string"), lit(0.0)))
+      .unionAll(slice(1).select(col("c_custkey"), lit(2L), lit("U"),
+        seg("U2-"), (round(col("c_acctbal"), 2) + 2)))
+      .unionAll(slice(2).select(col("c_custkey"), lit(1L), lit("U"),
+        seg("U3-"), (round(col("c_acctbal"), 2) + 3)))
+      .unionAll(c.where(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + lit(maxK)), lit(1L), lit("I"),
+          lit("NEW"), lit(1.0)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X49 Kafka-shaped transfer bus end-to-end: TransferRequests built
@@ -402,25 +428,29 @@ private[graft] object CatalogGates {
       val c = t(s, d, "customer")
       val base = c.select(col("c_custkey").as("k"),
         col("c_mktsegment").as("v"), round(col("c_acctbal"), 2).as("bal"))
-      val maxK = c.agg(max(col("c_custkey"))).head.getLong(0) + 1L
-      def seg(p: String) =
-        concat(lit(p), (col("c_custkey") % 3).cast("string"))
-      def slice(m: Int) = c.where(col("c_custkey") % 5 === m)
-      val log = slice(0).select(col("c_custkey").as("k"),
-          lit(1L).as("seq"), lit("U").as("op"), seg("U1-").as("v"),
-          (round(col("c_acctbal"), 2) + 1).as("bal"))
-        .unionAll(slice(0).select(col("c_custkey"), lit(2L), lit("D"),
-          lit(null).cast("string"), lit(0.0)))
-        .unionAll(slice(1).select(col("c_custkey"), lit(1L), lit("D"),
-          lit(null).cast("string"), lit(0.0)))
-        .unionAll(slice(1).select(col("c_custkey"), lit(2L), lit("U"),
-          seg("U2-"), (round(col("c_acctbal"), 2) + 2)))
-        .unionAll(slice(2).select(col("c_custkey"), lit(1L), lit("U"),
-          seg("U3-"), (round(col("c_acctbal"), 2) + 3)))
-        .unionAll(c.where(col("c_custkey") % 7 === 0)
-          .select((col("c_custkey") + lit(maxK)), lit(1L), lit("I"),
-            lit("NEW"), lit(1.0)))
-      graft.operators.Cdc.apply(base, log, Seq("k"))
+      graft.operators.Cdc.apply(base, x103Log(c), Seq("k"))
+        .orderBy(asc_nulls_first("k"))
+    }),
+
+    // X107 [governance] REORDER-TOLERANT incremental CDC — x103's
+    // exact feed split into TWO batches delivered in the WRONG order
+    // (every seq-2 entry before its seq-1 entry): applyOrdered's
+    // tombstone + sequence guard must converge to the identical final
+    // snapshot, so the gate reuses x103's oracle VERBATIM. Plain
+    // per-batch apply() would regress every %5=0 key (stale U
+    // resurrects the deleted row) and %5=1 key (stale D kills the
+    // newer update).
+    "x107_cdc_ordered" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("v"), round(col("c_acctbal"), 2).as("bal"))
+      val log = x103Log(c)
+      val batches = Seq(log.where(col("seq") === 2L),
+        log.where(col("seq") === 1L))
+      val end = batches.foldLeft(graft.operators.Cdc.initState(base)) {
+        (st, b) => graft.operators.Cdc.applyOrdered(st, b, Seq("k"))
+      }
+      graft.operators.Cdc.snapshot(end)
         .orderBy(asc_nulls_first("k"))
     }),
 
@@ -671,6 +701,28 @@ private[graft] object CatalogGates {
           asc_nulls_first("l_linenumber"))
     }),
   )
+
+  /** The CDC winners replayed arithmetically: %5=0 deleted, %5=1
+    * resurrected by its later U, %5=2 updated, the rest pass through;
+    * fresh %7=0 keys insert past MAX(c_custkey). Shared by x103 and
+    * x107 — reorder-tolerant application must CONVERGE to it. */
+  private val cdcApplyOracle: String =
+      """SELECT k, v, bal FROM (
+           SELECT c_custkey AS k,
+                  CASE WHEN c_custkey % 5 = 1
+                         THEN 'U2-' || CAST(c_custkey % 3 AS VARCHAR)
+                       WHEN c_custkey % 5 = 2
+                         THEN 'U3-' || CAST(c_custkey % 3 AS VARCHAR)
+                       ELSE c_mktsegment END AS v,
+                  CASE WHEN c_custkey % 5 = 1 THEN ROUND(c_acctbal, 2) + 2
+                       WHEN c_custkey % 5 = 2 THEN ROUND(c_acctbal, 2) + 3
+                       ELSE ROUND(c_acctbal, 2) END AS bal
+           FROM customer WHERE c_custkey % 5 <> 0
+           UNION ALL
+           SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+                  'NEW', 1.0
+           FROM customer WHERE c_custkey % 7 = 0)
+         ORDER BY k NULLS FIRST"""
 
   def oracleSql: Map[String, String] = Map(
     // the three version populations rebuilt by arithmetic
@@ -929,23 +981,10 @@ private[graft] object CatalogGates {
     // the CDC winners replayed arithmetically: %5=0 deleted, %5=1
     // resurrected by its later U, %5=2 updated, the rest pass
     // through; fresh %7=0 keys insert past MAX(c_custkey)
-    "x103_cdc_apply" ->
-      """SELECT k, v, bal FROM (
-           SELECT c_custkey AS k,
-                  CASE WHEN c_custkey % 5 = 1
-                         THEN 'U2-' || CAST(c_custkey % 3 AS VARCHAR)
-                       WHEN c_custkey % 5 = 2
-                         THEN 'U3-' || CAST(c_custkey % 3 AS VARCHAR)
-                       ELSE c_mktsegment END AS v,
-                  CASE WHEN c_custkey % 5 = 1 THEN ROUND(c_acctbal, 2) + 2
-                       WHEN c_custkey % 5 = 2 THEN ROUND(c_acctbal, 2) + 3
-                       ELSE ROUND(c_acctbal, 2) END AS bal
-           FROM customer WHERE c_custkey % 5 <> 0
-           UNION ALL
-           SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
-                  'NEW', 1.0
-           FROM customer WHERE c_custkey % 7 = 0)
-         ORDER BY k NULLS FIRST""",
+    "x103_cdc_apply" -> cdcApplyOracle,
+    // x107 applies the SAME feed in reversed batch order through the
+    // tombstone + sequence guard — convergence means the same oracle
+    "x107_cdc_ordered" -> cdcApplyOracle,
     // the diff winners replayed arithmetically: %4=0 balance-bumped
     // (U with the new payload), %4=1 dropped (D with NULL payload),
     // %9=0 fresh keys inserted, the rest absent

@@ -44,33 +44,8 @@ object Cdc {
       s"cdc: log must carry exactly key + ($seqCol, $opCol) + payload " +
         s"(${(keyCols ++ Seq(seqCol, opCol) ++ payload).mkString(",")}); " +
         s"got ${log.columns.mkString(",")}")
-    if (checkUnique) {
-      // all feed validation in ONE aggregation pass (a backfill log is
-      // base-sized — don't scan it twice): duplicates detected by
-      // count-vs-distinct on (key, seq); an unordered or mis-tagged
-      // feed fails loud, never resolves arbitrarily (NULL op counts
-      // as invalid — when/otherwise routes NULL through otherwise)
-      val chk = log.agg(
-        count(lit(1)).as("n"),
-        count_distinct(struct((keyCols :+ seqCol).map(col): _*)).as("nd"),
-        sum(when(col(seqCol).isNull, 1L).otherwise(0L)).as("n0"),
-        sum(when(upper(col(opCol)).isin("I", "U", "D"), 0L)
-          .otherwise(1L)).as("n1")).head
-      require(chk.isNullAt(2) || chk.getLong(2) == 0L,
-        "cdc: NULL sequence values in log")
-      require(chk.isNullAt(3) || chk.getLong(3) == 0L,
-        s"cdc: $opCol values outside I/U/D in log")
-      require(chk.getLong(0) == chk.getLong(1),
-        s"cdc: log has more than one row per (${keyCols.mkString(",")}, $seqCol)")
-    }
-    // per-key winner in ONE partial-aggregating pass: struct ordering
-    // consults seq first and (key, seq) is unique, so op/payload are
-    // tie-breakers that never fire
-    val winner = log.groupBy(keyCols.map(col): _*)
-      .agg(max(struct(
-        col(seqCol).as("__seq"),
-        upper(col(opCol)).as("__op"),
-        struct(payload.map(col): _*).as("__p"))).as("__w"))
+    if (checkUnique) validateLog(log, keyCols, seqCol, opCol)
+    val winner = collapse(log, keyCols, seqCol, opCol, payload)
       .select(keyCols.map(col) ++ Seq(
         col("__w.__op").as("__op"),
         col("__w.__p").as("__p")): _*)
@@ -89,6 +64,108 @@ object Cdc {
     untouched.select(base.columns.map(col): _*)
       .unionAll(applied.select(base.columns.map(col): _*))
   }
+
+  /** All feed validation in ONE aggregation pass (a backfill log is
+    * base-sized — don't scan it twice): duplicates detected by
+    * count-vs-distinct on (key, seq); an unordered or mis-tagged feed
+    * fails loud, never resolves arbitrarily (NULL op counts as
+    * invalid — when/otherwise routes NULL through otherwise). */
+  private def validateLog(log: DataFrame, keyCols: Seq[String],
+                          seqCol: String, opCol: String): Unit = {
+    val chk = log.agg(
+      count(lit(1)).as("n"),
+      count_distinct(struct((keyCols :+ seqCol).map(col): _*)).as("nd"),
+      sum(when(col(seqCol).isNull, 1L).otherwise(0L)).as("n0"),
+      sum(when(upper(col(opCol)).isin("I", "U", "D"), 0L)
+        .otherwise(1L)).as("n1")).head
+    require(chk.isNullAt(2) || chk.getLong(2) == 0L,
+      "cdc: NULL sequence values in log")
+    require(chk.isNullAt(3) || chk.getLong(3) == 0L,
+      s"cdc: $opCol values outside I/U/D in log")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"cdc: log has more than one row per (${keyCols.mkString(",")}, $seqCol)")
+  }
+
+  /** Per-key winner in ONE partial-aggregating pass: struct ordering
+    * consults seq first and (key, seq) is unique, so op/payload are
+    * tie-breakers that never fire. Output: keys + `__w(__seq, __op,
+    * __p)`. */
+  private def collapse(log: DataFrame, keyCols: Seq[String], seqCol: String,
+                       opCol: String, payload: Seq[String]): DataFrame =
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(
+        col(seqCol).as("__seq"),
+        upper(col(opCol)).as("__op"),
+        struct(payload.map(col): _*).as("__p"))).as("__w"))
+
+  /** Incremental, REORDER-TOLERANT apply — the production shape for
+    * applying a CDC feed in micro-batches, where batch boundaries
+    * need not respect per-key sequence order (a partitioned feed
+    * never guarantees it): the materialized STATE carries each key's
+    * last-applied sequence plus a tombstone flag, and an incoming
+    * winner is applied only when its sequence is HIGHER. Deletes
+    * leave a tombstone (key, seq, deleted = true) instead of removing
+    * the row — without it, a delete arriving before the insert it
+    * supersedes would be forgotten and the stale insert would
+    * resurrect the key (the Kafka-compaction semantics; compact
+    * tombstones out only once the feed's reordering horizon passed).
+    *
+    * Convergence law (spec-pinned): applying any partition of a log
+    * in any batch order yields the same state as one [[apply]] of the
+    * whole log, so `snapshot(applyOrdered*(initState(base), batches))
+    * == apply(base, log)`.
+    *
+    * Scale shape: same as [[apply]] — one log collapse, then a
+    * null-safe full-outer key join of delta-sized `winner` against
+    * the state (state side never shuffles more than the join needs). */
+  def applyOrdered(state: DataFrame, log: DataFrame, keyCols: Seq[String],
+                   seqCol: String = "seq", opCol: String = "op",
+                   checkUnique: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "cdc needs at least one key column")
+    val meta = Seq(seqCol, "__deleted")
+    meta.foreach(m => require(state.columns.contains(m),
+      s"cdc applyOrdered: state has no $m column — build it with initState"))
+    val payload = state.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || meta.contains(c))
+    require(log.columns.sorted.sameElements(
+      (keyCols ++ Seq(seqCol, opCol) ++ payload).sorted),
+      s"cdc: log must carry exactly key + ($seqCol, $opCol) + payload; " +
+        s"got ${log.columns.mkString(",")}")
+    if (checkUnique) validateLog(log, keyCols, seqCol, opCol)
+    val winner = collapse(log, keyCols, seqCol, opCol, payload)
+    def keyed(df: DataFrame, tag: String) = df.select(
+      struct(keyCols.map(col): _*).as(s"__k$tag"),
+      struct(df.columns.map(col): _*).as(s"__r$tag"))
+    val st = keyed(state, "s")
+    val wn = keyed(winner, "w")
+    val joined = st.join(wn, st("__ks") <=> wn("__kw"), "full_outer")
+    // the winner applies only when strictly newer than the state row
+    val applies = col("__kw").isNotNull && (col("__ks").isNull ||
+      col("__rw.__w.__seq") > col(s"__rs.$seqCol"))
+    val side = coalesce(col("__kw"), col("__ks"))
+    joined.select(
+      keyCols.map(k => side.getField(k).as(k)) ++
+        payload.map(p => when(applies,
+            when(col("__rw.__w.__op") =!= "D", col(s"__rw.__w.__p.$p")))
+          .otherwise(col(s"__rs.$p")).as(p)) ++
+        Seq(
+          when(applies, col("__rw.__w.__seq"))
+            .otherwise(col(s"__rs.$seqCol")).as(seqCol),
+          when(applies, col("__rw.__w.__op") === "D")
+            .otherwise(col("__rs.__deleted")).as("__deleted")): _*)
+  }
+
+  /** Wrap a plain snapshot as [[applyOrdered]] state: every row at
+    * `seqValue`, no tombstones. */
+  def initState(snapshot: DataFrame, seqValue: Long = 0L,
+                seqCol: String = "seq"): DataFrame =
+    snapshot.withColumn(seqCol, lit(seqValue))
+      .withColumn("__deleted", lit(false))
+
+  /** The user-facing view of [[applyOrdered]] state: live rows only,
+    * bookkeeping dropped. */
+  def snapshot(state: DataFrame, seqCol: String = "seq"): DataFrame =
+    state.where(!col("__deleted")).drop(seqCol, "__deleted")
 
   /** The inverse: derive the change log that turns `from` into `to` —
     * backfill/repair generation, table-sync auditing, CDC bootstrap.

@@ -99,6 +99,55 @@ class CdcSpec extends AnyFunSuite {
     assert(got == base.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("applyOrdered: out-of-order batches converge to the one-shot apply") {
+    // each key's LATER entry arrives in the EARLIER batch — the feed
+    // shape a partitioned CDC topic actually delivers. Plain apply()
+    // per batch would regress k=1 (stale U resurrects the deleted
+    // row) and k=6 (stale D kills the newer insert); the tombstone +
+    // sequence guard must hold both.
+    val full = Seq(
+      (1L, 1L, "U", "a2", 11.0), (1L, 2L, "D", null, 0.0),
+      (2L, 1L, "D", null, 0.0), (2L, 2L, "U", "b2", 22.0),
+      (5L, 1L, "I", "e", 50.0), (5L, 2L, "U", "e2", 55.0),
+      (6L, 2L, "I", "f", 60.0), (6L, 1L, "D", null, 0.0))
+    def df(rows: Seq[(Long, Long, String, String, Double)]) =
+      rows.toDF("k", "seq", "op", "v", "x")
+    val oneShot = Cdc.apply(base, df(full), Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    for (batches <- Seq(
+        Seq(full.filter(_._2 == 2L), full.filter(_._2 == 1L)),   // reversed
+        Seq(full.filter(_._2 == 1L), full.filter(_._2 == 2L)),   // in order
+        Seq(full))) {                                            // one batch
+      val end = batches.foldLeft(Cdc.initState(base)) { (st, b) =>
+        Cdc.applyOrdered(st, df(b), Seq("k"))
+      }
+      val got = Cdc.snapshot(end)
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(got == oneShot, s"diverged for split $batches: $got vs $oneShot")
+    }
+  }
+
+  test("applyOrdered: tombstones persist with the winning seq; stale ops ignored") {
+    val st1 = Cdc.applyOrdered(Cdc.initState(base),
+      Seq((1L, 9L, "D", null.asInstanceOf[String], 0.0))
+        .toDF("k", "seq", "op", "v", "x"), Seq("k"))
+    val t = st1.where($"k" === 1L)
+      .select($"seq", $"__deleted").as[(Long, Boolean)].collect().toSeq
+    assert(t == Seq((9L, true)), s"tombstone missing: $t")
+    // a stale re-insert (seq 3 < 9) must NOT resurrect
+    val st2 = Cdc.applyOrdered(st1,
+      Seq((1L, 3L, "I", "zombie", 1.0)).toDF("k", "seq", "op", "v", "x"),
+      Seq("k"))
+    assert(Cdc.snapshot(st2).where($"k" === 1L).count() == 0L)
+    // a NEWER re-insert (seq 10) must resurrect
+    val st3 = Cdc.applyOrdered(st2,
+      Seq((1L, 10L, "I", "alive", 2.0)).toDF("k", "seq", "op", "v", "x"),
+      Seq("k"))
+    val back = Cdc.snapshot(st3).where($"k" === 1L)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((1L, "alive", 2.0)), back.toString)
+  }
+
   test("diff: round-trip law — apply(from, diff(from, to)) == to") {
     // exercises every edge at once: NULL key (payload change), NULL
     // payload transitions in both directions, delete, insert,
