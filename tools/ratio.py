@@ -78,7 +78,7 @@ def aggregates(bench_queries, duck_queries, classes):
     }
 
 
-def build(bench_path, duck_raw_path, rnd):
+def build(bench_path, duck_raw_path, rnd, sf=0.1):
     bench = json.load(open(bench_path))["queries"]
     duck = json.load(open(duck_raw_path))["queries"]
     dropped = sorted(q for q in duck
@@ -90,7 +90,8 @@ def build(bench_path, duck_raw_path, rnd):
                   if short(q) in bench and q not in EXCLUDED}
     classes = classify(comparable)
     art = {
-        "round": int(rnd), "sf": 0.1, "host": "local[32] same-host best-of-2",
+        "round": int(rnd), "sf": float(sf),
+        "host": "local[32] same-host best-of-2",
         "excluded_declared_quadratic_oracles": EXCLUDED,
         "class_rules": {
             "streaming": "declared list (see classes)",
@@ -134,7 +135,8 @@ def check(bench_path, art_path):
 
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--build":
-        build(sys.argv[2], sys.argv[3], sys.argv[4])
+        build(sys.argv[2], sys.argv[3], sys.argv[4],
+              *sys.argv[5:6])
     elif len(sys.argv) >= 4 and sys.argv[1] == "--check":
         check(sys.argv[2], sys.argv[3])
     else:
