@@ -398,6 +398,55 @@ private[graft] object CoreGates {
         .orderBy(asc_nulls_first("c_nationkey"),
           asc_nulls_first("c_mktsegment"))),
 
+    // X110 l-diversity audit (Machanavajjhala 2007) — k-anonymity's
+    // companion (x94): a big-enough cohort still leaks if everyone in
+    // it shares the sensitive value. Sensitive attribute = the
+    // account-balance band floor(acctbal/1000); cohorts =
+    // (nation, segment); l = 4. Two stacked partial-aggregating
+    // groupBys — no distinct-agg buffer ever crosses the shuffle.
+    "x110_l_diversity" -> ((s, d) =>
+      graft.operators.Privacy.lDiversity(
+          t(s, d, "customer")
+            .withColumn("bal_band", floor(col("c_acctbal") / 1000)),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 4)
+        .orderBy(asc_nulls_first("c_nationkey"),
+          asc_nulls_first("c_mktsegment"))),
+
+    // X109 gaps-and-islands interval merge: per supplier, coalesce
+    // the shipment-coverage intervals [shipdate, shipdate+linenumber
+    // days] into maximal islands (running-max window, NOT lag(end) —
+    // contained intervals would break lag) and report island count /
+    // covered days / span. One shuffle on the key, two window passes
+    // over the same partitioning, one partial-agg collapse; the
+    // oracle replays the identical island construction.
+    "x109_interval_merge" -> ((s, d) =>
+      graft.operators.Intervals.coverageByKey(
+          t(s, d, "lineitem")
+            .withColumn("cov_start", to_date(col("l_shipdate")))
+            .withColumn("cov_end",
+              date_add(to_date(col("l_shipdate")), col("l_linenumber"))),
+          "l_suppkey", "cov_start", "cov_end",
+          tieCols = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_suppkey").cast(LongType).as("l_suppkey"),
+          col("n_islands"), col("covered_days"),
+          col("first_day"), col("last_day"))
+        .orderBy(col("l_suppkey"))),
+
+    // X111 robust outlier detection: per returnflag, median/MAD
+    // z-scores over extendedprice at k=3 "sigmas" (Hampel). Medians
+    // are DISCRETE (value at rank ⌈n/2⌉) so both engines select the
+    // same doubles bit-for-bit — interpolation formulas differ in
+    // the last ulp across engines, rank selection cannot. The 3
+    // groups are huge: the exact side runs through the two-level
+    // global range-rank, never a per-group single-task sort.
+    "x111_mad_outliers" -> ((s, d) =>
+      graft.operators.Outliers.madOutliers(
+          t(s, d, "lineitem"), "l_returnflag", "l_extendedprice", k = 3.0)
+        .select(col("l_returnflag"), col("n_vals"),
+          round(col("med"), 2).as("med"), round(col("mad"), 2).as("mad"),
+          col("n_outliers"))
+        .orderBy(asc_nulls_first("l_returnflag"))),
+
     // X83 PSI distribution-drift detection (the per-ingest monitor
     // that pairs with x76's profile: did this batch change shape?).
     // Reference = even orders' totalprice; current = odd orders with
@@ -665,6 +714,79 @@ private[graft] object CoreGates {
          GROUP BY c_nationkey, c_mktsegment
          HAVING COUNT(*) < 10
          ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "x110_l_diversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+                           FLOOR(c_acctbal / 1000) AS band
+                    FROM customer),
+         g AS (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n
+               FROM b GROUP BY 1, 2, 3)
+         SELECT c_nationkey, c_mktsegment,
+                CAST(SUM(n) AS BIGINT) AS n_rows,
+                CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+                COUNT(*) >= 4 AS meets_l
+         FROM g GROUP BY 1, 2
+         ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""",
+    // identical island construction: running MAX(end) over the
+    // 1-PRECEDING frame, island id = running SUM of the new-island
+    // flag over the same total order
+    "x109_interval_merge" ->
+      """WITH base AS (SELECT l_suppkey AS k,
+                  CAST(l_shipdate AS DATE) AS s,
+                  CAST(l_shipdate AS DATE)
+                    + CAST(l_linenumber AS INTEGER) AS e,
+                  l_orderkey, l_linenumber
+               FROM lineitem
+               WHERE l_shipdate IS NOT NULL),
+         f AS (SELECT k, s, e, l_orderkey, l_linenumber,
+                 CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                      THEN 1 ELSE 0 END AS nw
+               FROM base
+               WINDOW w AS (PARTITION BY k
+                 ORDER BY s, e, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         g AS (SELECT k, s, e, SUM(nw) OVER (PARTITION BY k
+                 ORDER BY s, e, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+               FROM f),
+         isl AS (SELECT k, island, MIN(s) AS st, MAX(e) AS en
+                 FROM g GROUP BY k, island)
+         SELECT CAST(k AS BIGINT) AS l_suppkey,
+                CAST(COUNT(*) AS BIGINT) AS n_islands,
+                CAST(SUM(date_diff('day', st, en) + 1) AS BIGINT)
+                  AS covered_days,
+                MIN(st) AS first_day, MAX(en) AS last_day
+         FROM isl GROUP BY k ORDER BY l_suppkey""",
+    // discrete medians by rank selection (never interpolation), the
+    // threshold spelled (3.0 * 1.4826) * mad so both engines fold
+    // and associate the doubles identically
+    "x111_mad_outliers" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+                  CAST(l_extendedprice AS DOUBLE) AS v
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+               FROM v),
+         med AS (SELECT g, v AS med, n FROM r
+                 WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+         d AS (SELECT v.g, abs(v.v - med.med) AS dev, med.med, med.n
+               FROM v JOIN med ON v.g = med.g),
+         r2 AS (SELECT g, dev,
+                 row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+                 n
+               FROM d),
+         mad AS (SELECT g, dev AS mad FROM r2
+                 WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+         SELECT d.g AS l_returnflag,
+                CAST(MAX(d.n) AS BIGINT) AS n_vals,
+                ROUND(MAX(d.med), 2) AS med,
+                ROUND(MAX(mad.mad), 2) AS mad,
+                CAST(COUNT(*) FILTER
+                  (WHERE d.dev > (3.0 * 1.4826) * mad.mad) AS BIGINT)
+                  AS n_outliers
+         FROM d JOIN mad ON d.g = mad.g
+         GROUP BY d.g ORDER BY l_returnflag NULLS FIRST""",
     // the same (user, ts) MAX-channel pre-collapse, DuckDB's own ASOF
     // LEFT JOIN (inclusive <=), the identical strict-< staleness
     // null-out, ROUND(SUM, 2)

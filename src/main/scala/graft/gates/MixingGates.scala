@@ -272,9 +272,62 @@ private[graft] object MixingGates {
           t(s, d, "documents").where(col("source") === "src0"),
           k = 120)
         .orderBy(asc_nulls_first("doc_id"))),
+
+    // X108 [sampling] exact-N stratified sampling: exactly 50
+    // customers per market segment, selected by deterministic
+    // md5-hash order — reproducible across runs/engines/partitionings
+    // (what rand()-based sample() can never give a corpus build).
+    // The oracle replays the identical hash arithmetic through a
+    // per-stratum row_number and must select the SAME rows with the
+    // SAME ranks. No per-stratum window sort on the Spark side (a
+    // hot stratum would collapse to one task): one global range-rank
+    // via Ranks.globalRowNumber, in-stratum rank by min-rank offset.
+    "x108_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedExact(
+          t(s, d, "customer"), "c_mktsegment", "c_custkey",
+          n = 50, salt = "s1")
+        .select(col("c_mktsegment"), col("c_custkey").cast("long"),
+          col("in_stratum_rank"))
+        .orderBy(asc_nulls_first("c_mktsegment"), col("in_stratum_rank"))),
+
+    // X108B [sampling] weighted sampling WITHOUT replacement
+    // (Efraimidis–Spirakis 2006): 150 parts drawn ∝ p_retailprice via
+    // the deterministic-uniform score ln(u)/w, global top-n — plans
+    // as TakeOrderedAndProject (per-partition heaps, no global
+    // sort). The score itself is never output (ln is the one op
+    // libm implementations may round differently); the oracle
+    // replays score + top-n and the SELECTED SET must match.
+    "x108b_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+          t(s, d, "part"), "p_partkey", "p_retailprice",
+          n = 150, salt = "w1")
+        .select(col("p_partkey").cast("long"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+        .orderBy(col("p_partkey"))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "x108_stratified_sample" -> {
+      val u = graft.operators.Sampling.uniformSql("c_custkey", "s1")
+      s"""SELECT c_mktsegment, CAST(c_custkey AS BIGINT) AS c_custkey,
+                 CAST(rn AS BIGINT) AS in_stratum_rank
+          FROM (SELECT c_mktsegment, c_custkey,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY $u, c_custkey) AS rn
+                FROM customer)
+          WHERE rn <= 50
+          ORDER BY c_mktsegment NULLS FIRST, in_stratum_rank"""
+    },
+    "x108b_weighted_sample" -> {
+      val score = graft.operators.Sampling.weightedScoreSql(
+        "p_partkey", "p_retailprice", "w1")
+      s"""SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                 ROUND(p_retailprice, 2) AS p_retailprice
+          FROM (SELECT p_partkey, p_retailprice FROM part
+                WHERE $score IS NOT NULL
+                ORDER BY $score DESC, p_partkey LIMIT 150)
+          ORDER BY p_partkey"""
+    },
     "x24_hash_split" -> {
       val splitExpr = graft.operators.Splits.splitSql(
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")

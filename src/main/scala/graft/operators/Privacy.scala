@@ -37,6 +37,32 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("k_satisfied"))
 
+  /** l-diversity audit (Machanavajjhala 2007, public): k-anonymity's
+    * companion — a cohort of k rows still leaks the sensitive value
+    * if all k SHARE it. A table is l-diverse when every
+    * quasi-identifier cohort contains at least l DISTINCT sensitive
+    * values. One row per cohort: `(quasiCols..., n_rows,
+    * distinct_sensitive, meets_l)`.
+    *
+    * Shape: countDistinct would carry an expanding distinct-agg
+    * buffer through the merge; two stacked partial-aggregating
+    * groupBys (quasi+sensitive → quasi) keep every buffer a counter.
+    * NULL sensitive values count as ONE value (a cohort of all-NULL
+    * sensitive is 1-diverse — NULL is exactly as disclosive as any
+    * shared constant). */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "l-diversity needs quasi-identifier columns")
+    require(l >= 2, s"l must be at least 2, got $l")
+    val qs = quasiCols.map(col)
+    df.groupBy((qs :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(qs: _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("distinct_sensitive"))
+      .withColumn("meets_l", col("distinct_sensitive") >= l)
+  }
+
   /** Suppression enforcement: drop every row of every violating
     * cohort, so the survivor table IS k-anonymous over `quasiCols`
     * (the baseline release action; generalization hierarchies that

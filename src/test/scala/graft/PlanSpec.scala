@@ -219,6 +219,60 @@ class PlanSpec extends AnyFunSuite {
       s"epoch repetition must not shuffle:\n${executedPlan(rep)}")
   }
 
+  test("stratifiedExact: ranks via range-rank, never a window (hot-stratum safe)") {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val plan = executedPlan(graft.operators.Sampling.stratifiedExact(
+      cust, "c_mktsegment", "c_custkey", n = 5, salt = "p"))
+    assert(!plan.contains("Window"),
+      s"stratified selection must not per-stratum window-sort:\n$plan")
+    // the range-rank exchange itself is hidden behind globalRowNumber's
+    // localCheckpoint (Scan ExistingRDD) — RanksSpec pins that shape
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-task collapse:\n$plan")
+  }
+
+  test("Sampling.weightedSample: global top-n plans as TakeOrderedAndProject") {
+    val part = Tables.load(spark, sfDir, "part")
+    val plan = executedPlan(graft.operators.Sampling.weightedSample(
+      part, "p_partkey", "p_retailprice", n = 20, salt = "p"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n fell back to a global sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in a LIMIT plan:\n$plan")
+  }
+
+  test("madOutliers: no window, no single-partition collapse (x111 shape)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // Spark's injected runtime bloom-filter subquery builds its (tiny)
+    // filter with a global agg — a SinglePartition exchange that is
+    // NOT a data-path collapse; disable it so the assert sees only
+    // the operator's own exchanges
+    val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = executedPlan(graft.operators.Outliers.madOutliers(
+        li, "l_returnflag", "l_extendedprice"))
+      assert(!plan.contains("Window"),
+        s"median selection must use the range-rank path, not a window:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"single-task collapse:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("interval merge: both window passes + the island agg share ONE key exchange") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("s", to_date($"l_shipdate"))
+      .withColumn("e", date_add(to_date($"l_shipdate"), $"l_linenumber"))
+    val plan = executedPlan(graft.operators.Intervals.coverageByKey(
+      li, "l_suppkey", "s", "e", Seq("l_orderkey", "l_linenumber")))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one shuffle on the key: the windows reuse it, and hash(key)
+    // already satisfies the (key, island) and (key) groupings
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("capPerDomain: partial top-k before the shuffle, broadcast semi join back") {
     val docs = Tables.load(spark, sfDir, "documents")
     val capped = graft.operators.Mixing.capPerDomain(docs, "source", "doc_id", 5)

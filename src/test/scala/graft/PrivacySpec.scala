@@ -35,6 +35,27 @@ class PrivacySpec extends AnyFunSuite {
       .as[Long].head() == 1L) // the 50/NULL row is its own age cohort
   }
 
+  test("lDiversity counts distinct sensitive values per cohort; NULL sensitive is ONE value") {
+    val t = Seq(
+      // cohort (30,m): 3 rows, 3 distinct diagnoses → diverse at l=3
+      (30, "m", "flu"), (30, "m", "cold"), (30, "m", "cough"),
+      // cohort (40,m): 3 rows, all the same → 1-diverse (the leak)
+      (40, "m", "flu"), (40, "m", "flu"), (40, "m", "flu"),
+      // cohort (50,f): NULL + NULL + flu → 2 distinct (NULL is a value)
+      (50, "f", null.asInstanceOf[String]),
+      (50, "f", null.asInstanceOf[String]), (50, "f", "flu"))
+      .toDF("age", "sex", "dx")
+    val out = graft.operators.Privacy.lDiversity(t, Seq("age", "sex"), "dx", l = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("distinct_sensitive"),
+          r.getAs[Boolean]("meets_l")))).toMap
+    assert(out == Map(
+      (30, "m") -> ((3L, 3L, true)),
+      (40, "m") -> ((3L, 1L, false)),
+      (50, "f") -> ((3L, 2L, true))))
+  }
+
   test("suppressToK leaves a table that satisfies k; NULL cohorts suppress too") {
     val out = Privacy.suppressToK(people, Seq("age", "sex"), k = 3)
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
