@@ -52,7 +52,11 @@ object Sampling {
     * md5-hash order (tie-broken by the key itself, so the rank order
     * is total). Adds `in_stratum_rank` (1-based). NULL strata are
     * sampled like any other (the stratum rides in a struct — bare
-    * NULL keys would fall out of the groupBy/join).
+    * NULL keys would fall out of the groupBy/join). The sample KEY
+    * must be non-NULL: a NULL key hashes to a NULL uniform, and
+    * engines disagree on where NULLs sort (Spark ASC = first, DuckDB
+    * = last) — a row without identity has no deterministic sample
+    * membership.
     *
     * The selection is stable under corpus growth ONLY in hash order:
     * adding documents can displace previously selected rows past
@@ -65,8 +69,11 @@ object Sampling {
     val ranked = Ranks.globalRowNumber(
       tagged.withColumn("__g", struct(col(stratumCol))),
       Seq(col("__g"), col("__h"), col(keyCol)), "__grn")
+    // offsets are strata-sized — no broadcast hint (AQE broadcasts
+    // when small; a million-strata frame should shuffle-join instead
+    // of being forced through the driver)
     val offs = ranked.groupBy(col("__g")).agg(min(col("__grn")).as("__off"))
-    ranked.join(broadcast(offs), Seq("__g"))
+    ranked.join(offs, Seq("__g"))
       .withColumn("in_stratum_rank", col("__grn") - col("__off") + 1)
       .where(col("in_stratum_rank") <= n)
       .drop("__g", "__h", "__grn", "__off")
