@@ -454,6 +454,52 @@ private[graft] object CatalogGates {
         .orderBy(asc_nulls_first("k"))
     }),
 
+    // X112 [governance, ST+] STREAMING CDC materialization — x107's
+    // convergence law driven through a real FileStreamSource: the
+    // x103 feed staged as two files with every seq-2 entry mtime-
+    // ordered STRICTLY BEFORE its seq-1 entry, replayed one file per
+    // micro-batch through foreachBatch + applyOrdered with the state
+    // carried across batches. The final snapshot must hash-match
+    // x103's oracle VERBATIM — a per-batch plain apply() would
+    // resurrect every %5=0 key and kill every %5=1 key. The gate
+    // asserts BOTH micro-batches actually ran (one file each), so the
+    // reordering is genuinely exercised, not collapsed into one batch.
+    "x112_cdc_stream" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("v"), round(col("c_acctbal"), 2).as("bal"))
+      val log = x103Log(c)
+      val p = sessionTempDir("graft_cdc_stream")
+      log.where(col("seq") === 2L).coalesce(1)
+        .write.mode("append").parquet(p)
+      val before = listParquet(p)
+      log.where(col("seq") === 1L).coalesce(1)
+        .write.mode("append").parquet(p)
+      bumpMtime(p, before)
+      var state = graft.operators.Cdc.initState(base).localCheckpoint()
+      var batches = 0
+      withStreamPartitions(s, streamPartitionsFor(p)) {
+        val stream = s.readStream.schema(log.schema)
+          .option("maxFilesPerTrigger", 1).parquet(p)
+        withCheckpoint { ckpt =>
+          val q = stream.writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              state = graft.operators.Cdc
+                .applyOrdered(state, batch, Seq("k"))
+                .localCheckpoint()
+              batches += 1
+            }.start()
+          awaitGate(q)
+        }
+      }
+      require(batches >= 2,
+        s"x112 expected >=2 micro-batches (reordered delivery), got $batches")
+      graft.operators.Cdc.snapshot(state)
+        .orderBy(asc_nulls_first("k"))
+    }),
+
     // X105 [governance] CDC DIFF — the inverse of x103: derive the
     // change log that turns snapshot A into snapshot B (backfill
     // generation, table-sync audit, CDC bootstrap). One null-safe
@@ -985,6 +1031,10 @@ private[graft] object CatalogGates {
     // x107 applies the SAME feed in reversed batch order through the
     // tombstone + sequence guard — convergence means the same oracle
     "x107_cdc_ordered" -> cdcApplyOracle,
+    // x112 streams the SAME feed through foreachBatch micro-batches in
+    // reversed order — the materialized state must converge to the
+    // identical snapshot
+    "x112_cdc_stream" -> cdcApplyOracle,
     // the diff winners replayed arithmetically: %4=0 balance-bumped
     // (U with the new payload), %4=1 dropped (D with NULL payload),
     // %9=0 fresh keys inserted, the rest absent

@@ -447,6 +447,27 @@ private[graft] object CoreGates {
           col("n_outliers"))
         .orderBy(asc_nulls_first("l_returnflag"))),
 
+    // X113 exact global NTILE / equi-depth binning: 10 equal-
+    // frequency buckets over extendedprice with SQL NTILE semantics
+    // (first n mod k buckets one row larger). The naive
+    // `ntile(10) OVER (ORDER BY …)` collapses the table into ONE
+    // task; this runs as distributed range-rank + bucket arithmetic
+    // + a 1-row count broadcast, and must reproduce DuckDB's own
+    // ntile() bucket-for-bucket over the identical total order.
+    "x113_ntile" -> ((s, d) =>
+      graft.operators.Ranks.ntileExact(
+          t(s, d, "lineitem")
+            .select(col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber")),
+          k = 10,
+          order = Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("min_v"),
+          round(max(col("l_extendedprice")), 2).as("max_v"))
+        .orderBy(col("bin"))),
+
     // X83 PSI distribution-drift detection (the per-ingest monitor
     // that pairs with x76's profile: did this batch change shape?).
     // Reference = even orders' totalprice; current = odd orders with
@@ -787,6 +808,15 @@ private[graft] object CoreGates {
                   AS n_outliers
          FROM d JOIN mad ON d.g = mad.g
          GROUP BY d.g ORDER BY l_returnflag NULLS FIRST""",
+    "x113_ntile" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+                  ntile(10) OVER (ORDER BY l_extendedprice,
+                    l_orderkey, l_linenumber) AS bin
+               FROM lineitem)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(MIN(v), 2) AS min_v, ROUND(MAX(v), 2) AS max_v
+         FROM r GROUP BY bin ORDER BY bin""",
     // the same (user, ts) MAX-channel pre-collapse, DuckDB's own ASOF
     // LEFT JOIN (inclusive <=), the identical strict-< staleness
     // null-out, ROUND(SUM, 2)

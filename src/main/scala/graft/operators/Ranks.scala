@@ -56,4 +56,36 @@ object Ranks {
         col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
       .drop("__mid", "__pid", "__off")
   }
+
+  /** Exact global NTILE(k) — SQL semantics (the first n mod k buckets
+    * get ⌈n/k⌉ rows, the rest ⌊n/k⌋) WITHOUT the single-task window:
+    * `ntile(k) OVER (ORDER BY …)` has no PARTITION BY, so Spark
+    * collapses the whole table into one task — the same scale killer
+    * [[globalRowNumber]] exists for. Here the bucket is plain
+    * arithmetic over the distributed global rank plus a 1-row
+    * broadcast of the total count. Equi-depth binning /
+    * quantile-bucket feature transforms at corpus scale.
+    *
+    * `order` must be a total order (unique tiebreak) for
+    * engine-exact bucket assignment; all longs stay < 2^53 so the
+    * double intermediates are exact. */
+  def ntileExact(df: DataFrame, k: Int, order: Seq[Column],
+                 outCol: String = "bin"): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val ranked = globalRowNumber(df, order, "__ntile_rn")
+    // ranked is localCheckpoint-backed, so this count is a cheap
+    // second read, not a recompute of the range shuffle
+    val nFrame = ranked.agg(count(lit(1)).as("__ntile_total"))
+    val n = col("__ntile_total"); val rn = col("__ntile_rn")
+    val q = ((n - pmod(n, lit(k))) / k).cast("long") // n div k, exact
+    val r = pmod(n, lit(k))
+    val cut = r * (q + 1)
+    ranked.crossJoin(broadcast(nFrame))
+      .withColumn(outCol,
+        when(rn <= cut, ceil(rn / (q + 1)))
+          // never selected when q = 0 (then cut = n ≥ rn) — CASE
+          // branches are lazy, so the q division cannot hit zero
+          .otherwise(r + ceil((rn - cut) / q)))
+      .drop("__ntile_rn", "__ntile_total")
+  }
 }

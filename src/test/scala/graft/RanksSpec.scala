@@ -62,4 +62,36 @@ class RanksSpec extends AnyFunSuite {
     // forces one task regardless of data volume.
     assert(ours.count() == 500)
   }
+
+  test("ntileExact equals the window ntile for every k incl. k > n") {
+    val order = Seq(col("v").asc, col("id").asc)
+    for (k <- Seq(1, 3, 7, 10, 499, 500, 501, 1000)) {
+      val want = df.withColumn("bin",
+        ntile(k).over(Window.orderBy(order: _*)))
+        .select("id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val got = Ranks.ntileExact(df, k, order)
+        .select("id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("ntileExact: SQL bucket sizes (first n mod k buckets one larger), partitioning-invariant") {
+    val order = Seq(col("v").asc, col("id").asc)
+    val sizes = Ranks.ntileExact(df.repartition(13), 7, order)
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 500 = 7*71 + 3 → buckets 1-3 have 72 rows, 4-7 have 71
+    assert(sizes == Map(1L -> 72L, 2L -> 72L, 3L -> 72L,
+      4L -> 71L, 5L -> 71L, 6L -> 71L, 7L -> 71L))
+    // the one SinglePartition in this plan is the 1-row global COUNT
+    // aggregate (map-side partials, one tiny final row) — inherent to
+    // any global scalar. What must never appear is a window (the
+    // ntile-over-everything single-task sort).
+    val plan = Ranks.ntileExact(df, 7, order)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"ntileExact must not plan a window:\n$plan")
+  }
 }
