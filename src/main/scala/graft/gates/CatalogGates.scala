@@ -500,6 +500,43 @@ private[graft] object CatalogGates {
         .orderBy(asc_nulls_first("k"))
     }),
 
+    // X114 [maintenance] incremental aggregate maintenance — the
+    // materialized-view update pattern: per-customer order rollup
+    // built from the even orders, then two odd-order delta batches
+    // folded in with work proportional to |state| + |delta| (never a
+    // base rescan). The folded state must equal the direct aggregate
+    // over ALL orders — the mergeability law merge(build(A),
+    // build(B)) == build(A ∪ B), exercised across three batches and
+    // checked value-for-value incl. the derived (never stored) avg.
+    "x114_incremental_agg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ia = graft.operators.IncrementalAgg
+      val state0 = ia.build(o.where(col("o_orderkey") % 2 === 0),
+        Seq("o_custkey"), Seq("o_totalprice"))
+      val state1 = ia.update(state0, o.where(col("o_orderkey") % 4 === 1),
+        Seq("o_custkey"), Seq("o_totalprice"))
+      val state2 = ia.update(state1, o.where(col("o_orderkey") % 4 === 3),
+        Seq("o_custkey"), Seq("o_totalprice"))
+      // avg derives from the ROUNDED sum: the raw sums differ across
+      // engines in the last ulp (addition order), and a raw-sum
+      // division lands on half-cent ROUND boundaries ~2% of the time;
+      // dividing the already-rounded (and gate-matched) sum by the
+      // exact count is IEEE-exact on identical inputs on both sides.
+      // The final cent quantization uses the explicit half-up formula
+      // (x23 convention) — the engines' round() builtins disagree on
+      // exact .005 quotients (BigDecimal HALF_UP vs *100-and-round)
+      ia.withAverages(state2, Seq("o_totalprice"))
+        .select(col("o_custkey").cast("long").as("o_custkey"),
+          col("n_rows"), col("o_totalprice_cnt"),
+          round(col("o_totalprice_sum"), 2).as("sum_price"),
+          round(col("o_totalprice_min"), 2).as("min_price"),
+          round(col("o_totalprice_max"), 2).as("max_price"),
+          (floor(round(col("o_totalprice_sum"), 2) /
+            col("o_totalprice_cnt") * 100 + lit(0.5)) / 100)
+            .as("avg_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // X105 [governance] CDC DIFF — the inverse of x103: derive the
     // change log that turns snapshot A into snapshot B (backfill
     // generation, table-sync audit, CDC bootstrap). One null-safe
@@ -1035,6 +1072,18 @@ private[graft] object CatalogGates {
     // reversed order — the materialized state must converge to the
     // identical snapshot
     "x112_cdc_stream" -> cdcApplyOracle,
+    // the three-batch folded state must equal the direct aggregate
+    // over ALL orders; avg = sum / non-null count (exact SQL AVG)
+    "x114_incremental_agg" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(o_totalprice) AS BIGINT) AS o_totalprice_cnt,
+                ROUND(SUM(o_totalprice), 2) AS sum_price,
+                ROUND(MIN(o_totalprice), 2) AS min_price,
+                ROUND(MAX(o_totalprice), 2) AS max_price,
+                FLOOR(ROUND(SUM(o_totalprice), 2)
+                  / COUNT(o_totalprice) * 100 + 0.5) / 100 AS avg_price
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     // the diff winners replayed arithmetically: %4=0 balance-bumped
     // (U with the new payload), %4=1 dropped (D with NULL payload),
     // %9=0 fresh keys inserted, the rest absent

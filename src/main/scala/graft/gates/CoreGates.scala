@@ -468,6 +468,26 @@ private[graft] object CoreGates {
           round(max(col("l_extendedprice")), 2).as("max_v"))
         .orderBy(col("bin"))),
 
+    // X115 per-GROUP exact NTILE — grouped equi-depth binning (the
+    // per-segment feature-transform shape): ntile(4) within each
+    // returnflag over the same total order, WITHOUT the per-group
+    // single-task sort (3 huge groups = 3 tasks in the window form).
+    // In-group ranks from ONE global range-rank minus group offsets,
+    // bucket-for-bucket vs DuckDB's partitioned ntile().
+    "x115_ntile_by_group" -> ((s, d) =>
+      graft.operators.Ranks.ntileExactBy(
+          t(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice"),
+              col("l_orderkey"), col("l_linenumber")),
+          k = 4, groupCol = "l_returnflag",
+          order = Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("min_v"),
+          round(max(col("l_extendedprice")), 2).as("max_v"))
+        .orderBy(asc_nulls_first("l_returnflag"), col("bin"))),
+
     // X83 PSI distribution-drift detection (the per-ingest monitor
     // that pairs with x76's profile: did this batch change shape?).
     // Reference = even orders' totalprice; current = odd orders with
@@ -817,6 +837,17 @@ private[graft] object CoreGates {
                 CAST(COUNT(*) AS BIGINT) AS n,
                 ROUND(MIN(v), 2) AS min_v, ROUND(MAX(v), 2) AS max_v
          FROM r GROUP BY bin ORDER BY bin""",
+    "x115_ntile_by_group" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+                  ntile(4) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey,
+                      l_linenumber) AS bin
+               FROM lineitem)
+         SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(MIN(v), 2) AS min_v, ROUND(MAX(v), 2) AS max_v
+         FROM r GROUP BY l_returnflag, bin
+         ORDER BY l_returnflag NULLS FIRST, bin""",
     // the same (user, ts) MAX-channel pre-collapse, DuckDB's own ASOF
     // LEFT JOIN (inclusive <=), the identical strict-< staleness
     // null-out, ROUND(SUM, 2)

@@ -88,4 +88,31 @@ object Ranks {
           .otherwise(r + ceil((rn - cut) / q)))
       .drop("__ntile_rn", "__ntile_total")
   }
+
+  /** Per-group exact NTILE(k) — `ntile(k) OVER (PARTITION BY g ORDER
+    * BY …)` semantics without the per-group single-task sort (the
+    * x104 trap: few huge groups = few huge tasks). In-group ranks
+    * come from ONE [[globalRowNumber]] over (group, order…) minus the
+    * group's min global rank; group sizes ride the same groups-sized
+    * join. NULL groups bin like any other (struct-wrapped key). */
+  def ntileExactBy(df: DataFrame, k: Int, groupCol: String,
+                   order: Seq[Column], outCol: String = "bin"): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val g = struct(col(groupCol)).as("__ntile_g")
+    val ranked = globalRowNumber(df.withColumn("__ntile_g", g),
+      col("__ntile_g") +: order, "__ntile_grn")
+    val stats = ranked.groupBy(col("__ntile_g"))
+      .agg(min(col("__ntile_grn")).as("__ntile_off"),
+        count(lit(1)).as("__ntile_n"))
+    val n = col("__ntile_n")
+    val rn = col("__ntile_grn") - col("__ntile_off") + 1
+    val q = ((n - pmod(n, lit(k))) / k).cast("long")
+    val r = pmod(n, lit(k))
+    val cut = r * (q + 1)
+    ranked.join(stats, Seq("__ntile_g"))
+      .withColumn(outCol,
+        when(rn <= cut, ceil(rn / (q + 1)))
+          .otherwise(r + ceil((rn - cut) / q)))
+      .drop("__ntile_g", "__ntile_grn", "__ntile_off", "__ntile_n")
+  }
 }

@@ -94,4 +94,25 @@ class RanksSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"ntileExact must not plan a window:\n$plan")
   }
+
+  test("ntileExactBy equals the partitioned window ntile, NULL group included") {
+    val gdf = df.withColumn("g",
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), col("id") % 3)))
+    val order = Seq(col("v").asc, col("id").asc)
+    for (k <- Seq(1, 4, 9, 200)) {
+      val want = gdf.withColumn("bin", ntile(k).over(
+        Window.partitionBy(col("g")).orderBy(order: _*)))
+        .select("id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val got = Ranks.ntileExactBy(gdf, k, "g", order)
+        .select("id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"k=$k")
+    }
+    val plan = Ranks.ntileExactBy(gdf, 4, "g", order)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"ntileExactBy must not plan a window:\n$plan")
+  }
 }

@@ -29,7 +29,8 @@ STREAMING = ["x13_stream_hourly", "x18_stream_sessions", "x28_stream_dedup",
              "x32_stream_enrich", "x42_stream_totals",
              "x47_stream_interval_join", "x47b_stream_outer_join",
              "x49b_kafka_stream", "x96_stream_funnel",
-             "x96b_stream_funnel_bounded", "x106_stream_hll"]
+             "x96b_stream_funnel_bounded", "x106_stream_hll",
+             "x112_cdc_stream"]
 REWRITE = ["x41_compaction", "x41b_compaction_partitioned",
            "x51_merge_upsert", "x51b_merge_partitioned"]
 FLOOR_MS = 120
