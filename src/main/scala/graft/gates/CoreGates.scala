@@ -488,6 +488,48 @@ private[graft] object CoreGates {
           round(max(col("l_extendedprice")), 2).as("max_v"))
         .orderBy(asc_nulls_first("l_returnflag"), col("bin"))),
 
+    // X116 join-explosion diagnostics: the pre-flight report before a
+    // big equi join — exact would-be output size Σ cnt_l(k)·cnt_r(k),
+    // matched-key count, worst key product, NULL-key drop counts, and
+    // the top-5 skew offenders, all from two keys-sized aggregates
+    // (the join itself never runs). Views × clicks per user — the
+    // diagnostic for x47's interval join.
+    "x116_join_explosion" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val views = e.where(col("event_type") === "view")
+      val clicks = e.where(col("event_type") === "click")
+      val jd = graft.operators.JoinDiag
+      jd.explosionTopKeys(views, "user_id", clicks, "user_id", topK = 5)
+        .crossJoin(jd.explosionTotals(views, "user_id", clicks, "user_id"))
+        .select(col("key").cast(LongType).as("key"),
+          col("n_left"), col("n_right"), col("est_rows"),
+          col("est_join_rows"), col("n_matched_keys"),
+          col("max_key_product"), col("null_key_rows_left"),
+          col("null_key_rows_right"))
+        .orderBy(col("est_rows").desc, col("key"))
+    }),
+
+    // X117 deterministic experiment readout: md5-hash 50/50 variant
+    // assignment over users (a unit's arm never changes as others
+    // enroll — rand() assignment can never give that), per-arm
+    // conversion to 'purchase', and the pooled two-proportion
+    // z-score. Every statistic derives from integer counts through
+    // IEEE-exact ops (divide/sqrt are correctly rounded) + the
+    // explicit half-up quantization, so the oracle replays the
+    // arithmetic bit-for-bit — z and the significance verdict must
+    // MATCH, not approximately agree.
+    "x117_experiment" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val units = e.groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) > 0).as("converted"))
+      val variants = Seq("control" -> 0.5, "treatment" -> 0.5)
+      graft.operators.Experiment.zTest(
+        graft.operators.Experiment.readout(units, "user_id",
+          variants, salt = "exp1", convertedCol = "converted"),
+        "control", "treatment")
+    }),
+
     // X83 PSI distribution-drift detection (the per-ingest monitor
     // that pairs with x76's profile: did this batch change shape?).
     // Reference = even orders' totalprice; current = odd orders with
@@ -848,6 +890,75 @@ private[graft] object CoreGates {
                 ROUND(MIN(v), 2) AS min_v, ROUND(MAX(v), 2) AS max_v
          FROM r GROUP BY l_returnflag, bin
          ORDER BY l_returnflag NULLS FIRST, bin""",
+    "x116_join_explosion" ->
+      """WITH la AS (SELECT user_id AS key, COUNT(*) AS n_left
+                     FROM events WHERE event_type = 'view'
+                       AND user_id IS NOT NULL GROUP BY 1),
+         ra AS (SELECT user_id AS key, COUNT(*) AS n_right
+                FROM events WHERE event_type = 'click'
+                  AND user_id IS NOT NULL GROUP BY 1),
+         m AS (SELECT la.key, n_left, n_right,
+                 n_left * n_right AS est_rows
+               FROM la JOIN ra USING (key)),
+         tot AS (SELECT CAST(COALESCE(SUM(est_rows), 0) AS BIGINT)
+                   AS est_join_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+                 CAST(COALESCE(MAX(est_rows), 0) AS BIGINT)
+                   AS max_key_product
+                 FROM m),
+         nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS null_key_rows_left
+                FROM events WHERE event_type = 'view'
+                  AND user_id IS NULL),
+         nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS null_key_rows_right
+                FROM events WHERE event_type = 'click'
+                  AND user_id IS NULL),
+         top AS (SELECT * FROM m ORDER BY est_rows DESC, key LIMIT 5)
+         SELECT CAST(key AS BIGINT) AS key,
+                CAST(n_left AS BIGINT) AS n_left,
+                CAST(n_right AS BIGINT) AS n_right,
+                CAST(est_rows AS BIGINT) AS est_rows,
+                est_join_rows, n_matched_keys, max_key_product,
+                null_key_rows_left, null_key_rows_right
+         FROM top, tot, nl, nr
+         ORDER BY est_rows DESC, key""",
+    // the identical integer-derived arithmetic: division and sqrt are
+    // IEEE-correctly-rounded, quantization is the explicit half-up
+    // formula — z must match bit-for-bit, not approximately
+    "x117_experiment" -> {
+      val splitExpr = graft.operators.Splits.splitSql(
+        "user_id", Seq("control" -> 0.5, "treatment" -> 0.5), "exp1")
+      s"""WITH u AS (SELECT user_id,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) > 0 AS conv
+               FROM events GROUP BY user_id),
+         v AS (SELECT $splitExpr AS variant, conv FROM u),
+         r AS (SELECT variant, COUNT(*) AS n,
+                 SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS c
+               FROM v GROUP BY variant),
+         a AS (SELECT n AS n_a, c AS c_a FROM r
+               WHERE variant = 'control'),
+         b AS (SELECT n AS n_b, c AS c_b FROM r
+               WHERE variant = 'treatment'),
+         s AS (SELECT n_a, c_a, n_b, c_b,
+                 CAST(c_a AS DOUBLE) / n_a AS pa,
+                 CAST(c_b AS DOUBLE) / n_b AS pb,
+                 CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pool
+               FROM a, b),
+         zc AS (SELECT *,
+                 sqrt(pool * (1.0 - pool)
+                   * (1.0 / n_a + 1.0 / n_b)) AS se
+                FROM s)
+         SELECT 'control' AS variant_a, 'treatment' AS variant_b,
+                CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+                CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+                FLOOR(pa * 10000 + 0.5) / 10000 AS rate_a,
+                FLOOR(pb * 10000 + 0.5) / 10000 AS rate_b,
+                FLOOR((CASE WHEN se > 0 THEN (pa - pb) / se
+                       ELSE 0.0 END) * 10000 + 0.5) / 10000 AS z,
+                abs(CASE WHEN se > 0 THEN (pa - pb) / se
+                    ELSE 0.0 END) > 1.96 AS significant_95
+         FROM zc"""
+    },
     // the same (user, ts) MAX-channel pre-collapse, DuckDB's own ASOF
     // LEFT JOIN (inclusive <=), the identical strict-< staleness
     // null-out, ROUND(SUM, 2)

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pre-flight join diagnostics: the report you run BEFORE a 100 TB
+  * join, not the post-mortem after it OOMs. For an equi join, the
+  * output row count is exactly Σ_k cnt_left(k) · cnt_right(k) — two
+  * keys-sized aggregates predict it without executing the join, and
+  * the per-key products name the skew offenders that need salting /
+  * AQE skew handling.
+  *
+  * Scale shape: two map-side-combined groupBys (keys-sized outputs),
+  * one equi join of those key frames, a global top-k
+  * (TakeOrderedAndProject) for the offender list, one 1-row
+  * aggregate for the totals. Nothing data-sized ever shuffles.
+  *
+  * NULL keys: SQL inner-join semantics — NULL never matches, so NULL
+  * rows contribute 0 output rows and are excluded (their counts ARE
+  * reported by the totals frame, because dropping a billion NULL-key
+  * rows silently is itself a finding). */
+object JoinDiag {
+
+  /** Per-key counts for both sides, matched keys only:
+    * `(key, n_left, n_right, est_rows)` — the top `topK` by estimated
+    * output, tie-broken by key. */
+  def explosionTopKeys(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String,
+                       topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val la = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val ra = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    la.join(ra, Seq("key"))
+      .withColumn("est_rows", col("n_left") * col("n_right"))
+      .orderBy(col("est_rows").desc, col("key").asc)
+      .limit(topK)
+  }
+
+  /** One-row summary: exact output size of the would-be inner join,
+    * matched-key count, the single worst key product, and the
+    * NULL-key row counts each side would silently drop. */
+  def explosionTotals(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String): DataFrame = {
+    val la = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val ra = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    val matched = la.where(col("key").isNotNull)
+      .join(ra.where(col("key").isNotNull), Seq("key"))
+      .agg(coalesce(sum(col("n_left") * col("n_right")), lit(0L))
+          .as("est_join_rows"),
+        count(lit(1)).as("n_matched_keys"),
+        coalesce(max(col("n_left") * col("n_right")), lit(0L))
+          .as("max_key_product"))
+    val nullLeft = left.where(col(leftKey).isNull)
+      .agg(count(lit(1)).as("null_key_rows_left"))
+    val nullRight = right.where(col(rightKey).isNull)
+      .agg(count(lit(1)).as("null_key_rows_right"))
+    matched.crossJoin(nullLeft).crossJoin(nullRight)
+  }
+}
