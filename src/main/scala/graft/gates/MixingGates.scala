@@ -304,6 +304,25 @@ private[graft] object MixingGates {
         .select(col("p_partkey").cast("long"),
           round(col("p_retailprice"), 2).as("p_retailprice"))
         .orderBy(col("p_partkey"))),
+
+    // X118 [sampling] stratified EXACT-FRACTION split: 80/10/10
+    // within every market segment by hash-rank against ⌈c_i·n⌉
+    // boundaries — each stratum within one row of its exact
+    // proportions (x24's global hashSplit only converges in
+    // expectation per stratum). Membership pinned by per-cell count
+    // AND key checksum; the oracle replays the rank construction and
+    // the IDENTICAL cumulative-weight doubles (0.8+0.1 is
+    // 0.9000000000000001 — a 0.9 literal would ceil differently).
+    "x118_stratified_split" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSplit(
+          t(s, d, "customer"), "c_mktsegment", "c_custkey",
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "sp1")
+        .groupBy(col("c_mktsegment"), col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).cast("long").as("key_sum"))
+        .orderBy(asc_nulls_first("c_mktsegment"),
+          asc_nulls_first("split"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -327,6 +346,23 @@ private[graft] object MixingGates {
                 WHERE $score IS NOT NULL
                 ORDER BY $score DESC, p_partkey LIMIT 150)
           ORDER BY p_partkey"""
+    },
+    "x118_stratified_split" -> {
+      val u = graft.operators.Sampling.uniformSql("c_custkey", "sp1")
+      val caseExpr = graft.operators.Sampling.stratifiedSplitCaseSql(
+        "rn", "n", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH r AS (SELECT c_mktsegment, c_custkey,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY $u, c_custkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+               FROM customer),
+         s AS (SELECT c_mktsegment, c_custkey,
+                 $caseExpr AS split
+               FROM r)
+         SELECT c_mktsegment, split, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+         FROM s GROUP BY 1, 2
+         ORDER BY c_mktsegment NULLS FIRST, split NULLS FIRST"""
     },
     "x24_hash_split" -> {
       val splitExpr = graft.operators.Splits.splitSql(

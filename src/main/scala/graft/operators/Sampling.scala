@@ -65,17 +65,69 @@ object Sampling {
   def stratifiedExact(df: DataFrame, stratumCol: String, keyCol: String,
                       n: Int, salt: String = ""): DataFrame = {
     require(n > 0, s"sample size $n must be positive")
+    stratifiedRanks(df, stratumCol, keyCol, salt)
+      .where(col("in_stratum_rank") <= n)
+      .drop("__n")
+  }
+
+  /** Stratified EXACT-FRACTION split: within every stratum, assign
+    * splits by md5-hash rank against the cumulative-weight
+    * boundaries ⌈c_i · n_stratum⌉ — each stratum lands within one
+    * row of its exact proportions (the balanced-eval-set guarantee
+    * [[Splits.hashSplit]]'s global-hash form cannot give on small or
+    * skewed strata: its per-stratum fractions only converge in
+    * expectation). Same determinism contract as [[stratifiedExact]]
+    * (pure function of (salt, key), non-NULL keys), same scale shape
+    * (one global range-rank, no per-stratum window); like exact-N
+    * selection, exact fractions are NOT insertion-stable — corpus
+    * growth moves boundaries. */
+  def stratifiedSplit(df: DataFrame, stratumCol: String, keyCol: String,
+                      splits: Seq[(String, Double)],
+                      salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "split weights must be positive")
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val ranked = stratifiedRanks(df, stratumCol, keyCol, salt)
+    val rank = col("in_stratum_rank")
+    val n = col("__n")
+    val splitCol = cum.init.zip(splits.map(_._1).init)
+      .foldRight(lit(splits.last._1): Column) { case ((c, name), rest) =>
+        when(rank <= ceil(lit(c) * n), lit(name)).otherwise(rest)
+      }
+    ranked.withColumn("split", splitCol).drop("__n")
+  }
+
+  /** The DuckDB CASE replaying [[stratifiedSplit]]'s boundary
+    * arithmetic over `(rnExpr, nExpr)`: the cumulative weights are
+    * printed with round-trip precision from the SAME Scala doubles
+    * the Column form folds in — 0.8 + 0.1 is 0.9000000000000001 in
+    * IEEE, and an oracle writing the literal 0.9 would ceil() one row
+    * differently whenever c·n lands integral. */
+  def stratifiedSplitCaseSql(rnExpr: String, nExpr: String,
+                             splits: Seq[(String, Double)]): String = {
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val whens = cum.init.zip(splits.map(_._1).init).map { case (c, name) =>
+      s"WHEN $rnExpr <= CEIL(${java.lang.Double.toString(c)} * $nExpr) " +
+        s"THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${splits.last._1}' END"
+  }
+
+  /** Shared rank machinery: `in_stratum_rank` (1-based md5-hash
+    * order) and the stratum size `__n`, via one global range-rank —
+    * never a per-stratum window. */
+  private def stratifiedRanks(df: DataFrame, stratumCol: String,
+                              keyCol: String, salt: String): DataFrame = {
     val tagged = df.withColumn("__h", uniform(col(keyCol), salt))
     val ranked = Ranks.globalRowNumber(
       tagged.withColumn("__g", struct(col(stratumCol))),
       Seq(col("__g"), col("__h"), col(keyCol)), "__grn")
-    // offsets are strata-sized — no broadcast hint (AQE broadcasts
-    // when small; a million-strata frame should shuffle-join instead
-    // of being forced through the driver)
-    val offs = ranked.groupBy(col("__g")).agg(min(col("__grn")).as("__off"))
+    val offs = ranked.groupBy(col("__g"))
+      .agg(min(col("__grn")).as("__off"), count(lit(1)).as("__n"))
     ranked.join(offs, Seq("__g"))
       .withColumn("in_stratum_rank", col("__grn") - col("__off") + 1)
-      .where(col("in_stratum_rank") <= n)
       .drop("__g", "__h", "__grn", "__off")
   }
 

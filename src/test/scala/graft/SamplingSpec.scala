@@ -64,6 +64,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("stratifiedSplit: per-stratum proportions exact to the ceil boundary, exhaustive, deterministic") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.stratifiedSplit(docs, "stratum", "id", splits, "sp")
+    // every stratum has exactly 100 rows → boundaries at 80 / 90
+    val cells = out.groupBy("stratum", "split").count().collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2))
+      .toMap
+    for (s <- Seq(Some("s0"), Some("s1"), Some("s2"), None)) {
+      assert(cells((s, "train")) == 80L, s"stratum $s")
+      assert(cells((s, "val")) == 10L && cells((s, "test")) == 10L)
+    }
+    assert(out.count() == 400) // exhaustive: every row got a split
+    // deterministic under repartitioning
+    val again = Sampling.stratifiedSplit(docs.repartition(11, col("id")),
+      "stratum", "id", splits, "sp")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+    // a 1-row stratum lands wholly in the FIRST split (ceil(0.8·1)=1)
+    val tiny = Seq((1L, "only")).toDF("id", "stratum")
+    assert(Sampling.stratifiedSplit(tiny, "stratum", "id", splits, "sp")
+      .select("split").as[String].head() == "train")
+  }
+
   test("weightedSample: no replacement, n rows, positive-weight filter, determinism") {
     val parts = (1L to 300L).map(i =>
       (i, if (i % 50 == 0) -1.0 else if (i % 51 == 0) 0.0 else i.toDouble))
