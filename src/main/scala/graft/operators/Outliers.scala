@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust per-group outlier detection: median / MAD (median absolute
@@ -18,13 +19,18 @@ import org.apache.spark.sql.functions._
   * sorting the same doubles — interpolation formulas differ across
   * engines in the last ulp; rank selection cannot.
   *
-  * Scale shape: NO per-group window sort (a hot group would collapse
-  * to one task — the x104 trap). Each of the two medians (values,
-  * then deviations) is one global range-rank via
-  * [[Ranks.globalRowNumber]] with in-group ranks recovered by
-  * subtracting the group's min global rank; everything else is
-  * map-side-combined aggregation and joins on the group key (groups
-  * × 1 rows — AQE broadcasts when small).
+  * Scale shape — TWO-PASS FILTER-BY-VALUE selection (the x98-audit
+  * recipe), not a rank of the whole table: each median costs one
+  * bucket-histogram aggregate (values bucketed by sampled global
+  * boundaries, map-only arithmetic) plus a sort of ONLY the target
+  * bucket (≈ n_group / nBuckets rows — one task per group sized by
+  * the bucket, not the group). The first shipped form ranked the
+  * full table twice through data-sized localCheckpoints; counting
+  * selection removed both materializations (measured: 25.0 s →
+  * rank-free at sf1). Exactness does not depend on the sampled
+  * boundary quality — boundaries only size the buckets; the selected
+  * value is exact for ANY bucketing because equal values share a
+  * bucket and ranks are recovered from exact bucket counts.
   *
   * Known degeneracy (inherent to MAD, documented not hidden): a
   * group where more than half the values are identical has MAD = 0,
@@ -37,48 +43,34 @@ object Outliers {
     * n_outliers)`. NULL/NaN/±Inf values are excluded from ranks AND
     * from the outlier count (they are data-quality findings, not
     * distributional outliers — x99's expectation rules own them).
-    * NULL groups audit like any other (struct-wrapped key). */
+    * NULL groups audit like any other (struct-wrapped key).
+    *
+    * @param nBuckets histogram resolution for the two-pass selection:
+    *   the per-group sort task handles ≈ n_group / nBuckets rows —
+    *   size it so that fits one task at your scale. */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
-                  k: Double = 3.0): DataFrame = {
+                  k: Double = 3.0, nBuckets: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val thrFactor = k * 1.4826
     val v = col(valCol).cast("double")
     val nn = df.where(v.isNotNull && !isnan(v) &&
         v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
       .select(struct(col(groupCol)).as("__g"), v.as("__v"))
 
-    // value at in-group rank ⌈n/2⌉ = the lower median, per group.
-    // Returns (ranked-input-with-checkpoint, medians): downstream
-    // reuses the RANKED frame — it is localCheckpoint-backed inside
-    // globalRowNumber, so every later pass reads the materialized
-    // copy instead of re-running the scan + joins that produced the
-    // input (the first cut recomputed the deviation frame three
-    // times: rank2's range sampler, rank2's shuffle, the final
-    // aggregate — measured 3× the wall-clock at sf1)
-    def discreteMedian(vals: DataFrame,
-                       outCol: String): (DataFrame, DataFrame) = {
-      val ranked = Ranks.globalRowNumber(vals, Seq(col("__g"), col("__v")),
-        "__grn")
-      val stats = ranked.groupBy(col("__g"))
-        .agg(min(col("__grn")).as("__off"), count(lit(1)).as("__n"))
-      val medians = ranked.join(stats, Seq("__g"))
-        .where(col("__grn") - col("__off") + 1 ===
-          ceil(col("__n") / lit(2.0)).cast("long"))
-        .select(col("__g"), col("__v").as(outCol))
-      (ranked.drop("__grn"), medians)
-    }
-
-    val (vals, med) = discreteMedian(nn, "med")
-    // pinned once: the deviation frame feeds the second rank pass
-    // (range sampler + shuffle = two evaluations) AND the final
-    // aggregate — same data-sized-checkpoint class as the rank
-    // materialization itself
-    val devs = vals.join(med, Seq("__g"))
+    // med/mad are one row per group — broadcast them EXPLICITLY: the
+    // alternative is a sort-merge join that shuffles and sorts the
+    // full data side once per evaluation (measured as the dominant
+    // cost at sf1). devs is pinned once: it feeds the mad selection
+    // (boundary sample + histogram + target-bucket pass) and the
+    // final aggregate.
+    val med = discreteMedian(nn, "med", nBuckets)
+    val devs = nn.join(broadcast(med), Seq("__g"))
       .withColumn("__dev", abs(col("__v") - col("med")))
       .localCheckpoint()
-    val (_, mad) = discreteMedian(
-      devs.select(col("__g"), col("__dev").as("__v")), "mad")
-    devs.join(mad, Seq("__g"))
+    val mad = discreteMedian(
+      devs.select(col("__g"), col("__dev").as("__v")), "mad", nBuckets)
+    devs.join(broadcast(mad), Seq("__g"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n_vals"),
         max(col("med")).as("med"),
@@ -87,5 +79,51 @@ object Outliers {
           .otherwise(0L)).as("n_outliers"))
       .select(col("__g").getField(groupCol).as(groupCol),
         col("n_vals"), col("med"), col("mad"), col("n_outliers"))
+  }
+
+  /** Value at in-group rank ⌈n/2⌉ (the lower median) per group over
+    * a `(__g, __v)` frame, by counting selection:
+    *
+    *  1. bucket every value by sampled global boundaries (map-only);
+    *  2. exact (group, bucket) counts → per group, the bucket
+    *     containing rank ⌈n_g/2⌉ and the count of rows before it
+    *     (a groups × buckets frame — never data-sized);
+    *  3. keep only each group's target bucket and take the row at
+    *     local rank (target − preceding), via a window whose
+    *     partition holds one BUCKET of one group.
+    *
+    * Sampled boundaries size the buckets but cannot affect the
+    * result: equal values always share a bucket, and the rank
+    * arithmetic uses exact counts. */
+  private def discreteMedian(vals: DataFrame, outCol: String,
+                             nBuckets: Int): DataFrame = {
+    val bounds = vals.stat
+      .approxQuantile("__v", (1 until nBuckets)
+        .map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+    val boundsCol = array(bounds.map(lit(_)): _*)
+    val bucketed = vals.withColumn("__b",
+      if (bounds.isEmpty) lit(0)
+      else size(filter(boundsCol, b => b <= col("__v"))))
+    val wG = Window.partitionBy(col("__g")).orderBy(col("__b"))
+    val targets = bucketed.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__before", coalesce(
+        sum(col("__c")).over(wG.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__g"))))
+      .withColumn("__target", ceil(col("__n") / lit(2.0)).cast("long"))
+      .where(col("__target") > col("__before") &&
+        col("__target") <= col("__before") + col("__c"))
+      .select(col("__g"), col("__b"), (col("__target") - col("__before"))
+        .as("__lrank"))
+    // targets is ≤ one row per group — broadcast keeps the data side
+    // map-only (a shuffle join here would sort the whole table to
+    // discard all but one bucket per group)
+    bucketed.join(broadcast(targets), Seq("__g", "__b"))
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))))
+      .where(col("__lrn") === col("__lrank"))
+      .select(col("__g"), col("__v").as(outCol))
   }
 }

@@ -1,21 +1,18 @@
 package graft.tools
 
-/** Warm per-gate timing: `TimeGate <sfDir> <gate> [gate ...]` — one
-  * warm-up table scan, then 3 noop-sink passes per named gate. */
+/** Ad-hoc gate timer: runs a named gate N times in one session and
+  * prints each wall time (first = cold, rest = warm). */
 object TimeGate {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/sf1")
-    val gates = args.drop(1)
-    require(gates.nonEmpty, "usage: TimeGate <sfDir> <gate> [gate ...]")
+    val dir = args(0); val name = args(1)
+    val n = if (args.length > 2) args(2).toInt else 3
     val spark = graft.Session.local("time-gate")
     spark.sparkContext.setLogLevel("ERROR")
-    gates.foreach { g =>
-      (1 to 3).foreach { i =>
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(g)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        println(f"[$g] pass $i ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[$name run $i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

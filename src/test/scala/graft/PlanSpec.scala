@@ -253,10 +253,13 @@ class PlanSpec extends AnyFunSuite {
     try {
       val plan = executedPlan(graft.operators.Outliers.madOutliers(
         li, "l_returnflag", "l_extendedprice"))
-      assert(!plan.contains("Window"),
-        s"median selection must use the range-rank path, not a window:\n$plan")
+      // the selection windows are keyed by (group[, bucket]) and see
+      // only histogram rows / one bucket of one group — what must
+      // never appear is a single-partition collapse or a global sort
       assert(!plan.contains("Exchange SinglePartition"),
         s"single-task collapse:\n$plan")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"global sort in the selection path:\n$plan")
     } finally spark.conf.set(key, prev)
   }
 
