@@ -147,19 +147,33 @@ object Bench {
     def shortKey(n: String): String =
       prefix.findFirstMatchIn(n).map(_.group(1)).getOrElse(n)
     val useShort = results.map(r => shortKey(r._1)).distinct.size == results.size
-    val qs = results.map { case (k, v) =>
+    def queryJson(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
       "\"" + (if (useShort) shortKey(k) else k) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
+    def lineWith(qs: String, extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""passes":3,"spread_p50":${fmt(quantile(0.5))},""" +
-        s""""spread_p90":${fmt(quantile(0.9))},"sf":"$sfDir"}"""
-    // second channel for the harness: the same line in a known file,
-    // immune to whatever interleaves with or truncates the stream
+        s""""spread_p90":${fmt(quantile(0.9))},$extra"sf":"$sfDir"}"""
+    // full per-query map — only ever in the FILE channel: at 179
+    // queries the map alone is ~2200 chars and the harness retains
+    // only the LAST ~2000 chars of stdout (BENCH_r12 captured a
+    // decapitated line → parsed:null), so the full line can never be
+    // the stdout line again
+    val fullLine = lineWith(queryJson(results), "")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () }
+    // stdout gets a line that FITS the tail: headline q* map (~45
+    // entries ≈ 650 chars) + the x-family total + a pointer to the
+    // full map; "value" stays the FULL-suite total so round-over-round
+    // totals remain comparable
+    val headline = results.filter(_._1.startsWith("q"))
+    val xTotal = results.filterNot(_._1.startsWith("q"))
+      .map(_._2).filter(_ >= 0).sum
+    val line = lineWith(queryJson(headline),
+      s""""x_total":${fmt(xTotal)},"n_queries":${results.size},""" +
+        """"full_map":"BENCH_LAST.json",""")
     // Startup-vs-per-row split for the streaming gates: a Structured
     // Streaming gate pays a near-constant startup (state-store init,
     // micro-batch planning, source listing) that dominates at fixture

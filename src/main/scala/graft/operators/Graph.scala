@@ -53,19 +53,31 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1000000L))
     var i = 0
     while (i < iters) {
-      // per-source emitted contribution (node-sized, not edge-sized)
-      val perSrc = ranks.join(outdeg, col("node") === col("src"))
-        .selectExpr("src", "(rank * 17 div 20) div outdeg AS c")
-      val inflow = e.join(perSrc, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum("c").as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      ranks = step(e, nodes, outdeg, ranks).localCheckpoint()
       i += 1
     }
     ranks
+  }
+
+  /** One PageRank round (exposed so GraphSpec can plan-assert the
+    * bucketed-edge layout — the checkpoint in [[pageRank]]'s loop
+    * erases iteration plans). With `e` read from a table bucketed by
+    * `src` ([[graft.catalog.Catalog.writeBucketed]]), the edge side
+    * of the join carries NO exchange: only the node-sized contribution
+    * frame shuffles to meet the buckets — the 100 TB layout where
+    * edges (the data-sized side of every web graph) never move across
+    * iterations. */
+  private[graft] def step(e: DataFrame, nodes: DataFrame,
+                          outdeg: DataFrame, ranks: DataFrame): DataFrame = {
+    // per-source emitted contribution (node-sized, not edge-sized)
+    val perSrc = ranks.join(outdeg, col("node") === col("src"))
+      .selectExpr("src", "(rank * 17 div 20) div outdeg AS c")
+    val inflow = e.join(perSrc, "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum("c").as("inflow"))
+    nodes.join(inflow, Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("rank"))
   }
 
   /** The x69 oracle's SQL replay of [[pageRank]]: the same integer

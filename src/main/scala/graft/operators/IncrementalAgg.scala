@@ -59,6 +59,16 @@ object IncrementalAgg {
       require(df.columns.sorted.sameElements(expect),
         s"incremental agg: expected state schema ${expect.mkString(",")}, " +
           s"got ${df.columns.sorted.mkString(",")}"))
+    // names alone don't catch a DRIFTED state (a LongType v_sum merged
+    // with a DoubleType delta would unionByName-coerce and silently
+    // degrade values); types must match field-for-field, fail fast
+    val stateTypes = state.schema.map(f => f.name -> f.dataType).toMap
+    val deltaTypes = deltaState.schema.map(f => f.name -> f.dataType).toMap
+    val drifted = expect.filter(c => stateTypes(c) != deltaTypes(c))
+    require(drifted.isEmpty,
+      "incremental agg: state/delta type drift on " + drifted.map(c =>
+        s"$c(${stateTypes(c).simpleString} vs ${deltaTypes(c).simpleString})")
+        .mkString(", "))
     val aggs = sum(col("n_rows")).as("n_rows") +: metricCols.flatMap { m =>
       Seq(sum(col(s"${m}_cnt")).as(s"${m}_cnt"),
         sum(col(s"${m}_sum")).as(s"${m}_sum"),

@@ -18,8 +18,21 @@ import org.apache.spark.sql.functions._
   * NULL keys: SQL inner-join semantics — NULL never matches, so NULL
   * rows contribute 0 output rows and are excluded (their counts ARE
   * reported by the totals frame, because dropping a billion NULL-key
-  * rows silently is itself a finding). */
+  * rows silently is itself a finding).
+  *
+  * Overflow: estimates SATURATE at Long.MaxValue instead of wrapping —
+  * the products and their sum are computed in DECIMAL(38,0) and
+  * clamped, so a key with ~3e9 rows on each side (exactly the hot key
+  * this report exists to flag) reads as "at least 2^63−1", never as a
+  * wrapped negative. */
 object JoinDiag {
+
+  /** `a · b` in DECIMAL(38,0), clamped to Long.MaxValue, returned as
+    * BIGINT — positive saturation, never a wrapped product. */
+  private def satProduct(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column) =
+    least(lit(Long.MaxValue).cast("decimal(38,0)"),
+      a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("long")
 
   /** Per-key counts for both sides, matched keys only:
     * `(key, n_left, n_right, est_rows)` — the top `topK` by estimated
@@ -33,7 +46,7 @@ object JoinDiag {
     val ra = right.where(col(rightKey).isNotNull)
       .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
     la.join(ra, Seq("key"))
-      .withColumn("est_rows", col("n_left") * col("n_right"))
+      .withColumn("est_rows", satProduct(col("n_left"), col("n_right")))
       .orderBy(col("est_rows").desc, col("key").asc)
       .limit(topK)
   }
@@ -45,13 +58,16 @@ object JoinDiag {
                       right: DataFrame, rightKey: String): DataFrame = {
     val la = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
     val ra = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    val product = col("n_left").cast("decimal(19,0)") *
+      col("n_right").cast("decimal(19,0)")
+    val satMax = lit(Long.MaxValue).cast("decimal(38,0)")
     val matched = la.where(col("key").isNotNull)
       .join(ra.where(col("key").isNotNull), Seq("key"))
-      .agg(coalesce(sum(col("n_left") * col("n_right")), lit(0L))
-          .as("est_join_rows"),
+      .agg(least(satMax, coalesce(sum(product), lit(0).cast("decimal(38,0)")))
+          .cast("long").as("est_join_rows"),
         count(lit(1)).as("n_matched_keys"),
-        coalesce(max(col("n_left") * col("n_right")), lit(0L))
-          .as("max_key_product"))
+        least(satMax, coalesce(max(product), lit(0).cast("decimal(38,0)")))
+          .cast("long").as("max_key_product"))
     val nullLeft = left.where(col(leftKey).isNull)
       .agg(count(lit(1)).as("null_key_rows_left"))
     val nullRight = right.where(col(rightKey).isNull)

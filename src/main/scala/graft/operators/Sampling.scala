@@ -32,7 +32,15 @@ object Sampling {
     * md5(salt || key) read as a 32-bit integer u32, mapped to
     * (u32 + 1) / 2^32. Spark side uses `conv(hex,16,10)`; the SQL
     * form (DuckDB has no conv) spells the same integer with nibble
-    * arithmetic — verified byte-identical (same md5, same grid). */
+    * arithmetic — verified byte-identical (same md5, same grid).
+    *
+    * Granularity: u has 2^32 distinct values (the [[Splits]] grid is
+    * coarser still at 1/65536). At billion-row strata, birthday
+    * collisions on u are routine and ordering falls to the raw-key
+    * tiebreak — deterministically favoring low key values AMONG THE
+    * COLLIDING ROWS. The bias is bounded by the collision mass
+    * (≈ n²/2^33 rows) and keeps every replay property; callers needing
+    * collision-free order at that scale can salt per epoch. */
   def uniform(key: Column, salt: String): Column =
     (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
       16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)

@@ -203,16 +203,20 @@ object Sketches {
     * within α of the exact value at rank ⌈q·n_g⌉ INSIDE the group.
     * Returns one row `(group, n_vals, within_alpha)` per group.
     *
-    * The exact side avoids windows entirely — a window PARTITIONED by
-    * group is only scale-safe when groups are numerous and small;
-    * with a few huge groups (this gate: 3 returnflags) it degenerates
-    * to a few whole-group single-task sorts, the same hazard the
-    * global audit had. Instead: ONE [[Ranks.globalRowNumber]] over
-    * `(group, value)` (groups come out contiguous in the global
-    * numbering), then in-group rank = global rank − the group's min
-    * global rank + 1 — a per-group aggregate joined back. No task
-    * ever sorts more than its range slice, whatever the group shape.
-    * Both sides audit the FINITE population, like the global audit. */
+    * The exact side avoids windows OVER DATA entirely — a window
+    * PARTITIONED by group is only scale-safe when groups are numerous
+    * and small; with a few huge groups (this gate: 3 returnflags) it
+    * degenerates to a few whole-group single-task sorts, the same
+    * hazard the global audit had. The first shipped form range-ranked
+    * the whole table ([[Ranks.globalRowNumber]]: a full shuffle +
+    * sort + data-sized localCheckpoint — 99 s cold at sf5); this is
+    * the x98/x111 COUNTING-SELECTION recipe ported to the grouped
+    * multi-rank case ([[valuesAtGroupRanks]]): bucket by sampled
+    * boundaries (map-only), exact (group, bucket) histogram, then
+    * sort ONLY each group's target buckets (≈ n_g/nBuckets rows per
+    * task). Exactness is boundary-independent — equal values share a
+    * bucket and ranks are recovered from exact counts. Both sides
+    * audit the FINITE population, like the global audit. */
   def quantileSketchAuditBy(df: DataFrame, valueCol: String,
                             groupCol: String, alpha: Double = 0.01,
                             qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
@@ -235,16 +239,8 @@ object Sketches {
         least(col("n_vals"),
           greatest(lit(1L), ceil(lit(q) * col("n_vals")).cast("long")))): _*)
         .as("__ranks"))
-    val ranked = Ranks.globalRowNumber(nn, Seq(col("__g"), col("__v")), "__grn")
-    val offs = ranked.groupBy(col("__g")).agg(min(col("__grn")).as("__off"))
-    val rn = ranked.join(offs, Seq("__g"))
-      .withColumn("__rn", col("__grn") - col("__off") + 1)
-    val exact = rn.join(wanted.select(col("__g"),
-          explode(col("__ranks")).as("__rn")).distinct(),
-        Seq("__g", "__rn"))
-      .groupBy(col("__g"))
-      .agg(map_from_arrays(collect_list(col("__rn")),
-        collect_list(col("__v"))).as("__exact"))
+    val exact = valuesAtGroupRanks(nn,
+      wanted.select(col("__g"), col("__ranks")))
     sk.join(exact, Seq("__g"))
       .join(wanted.select(col("__g"), col("__ranks")), Seq("__g"))
       .select(col("__g").getField(groupCol).as(groupCol), col("n_vals"),
@@ -253,6 +249,67 @@ object Sketches {
             (e, r) => abs(e - element_at(col("__exact"), r)) <=
               lit(alpha) * abs(element_at(col("__exact"), r)) + lit(1e-12)),
           lit(true), (acc, x) => acc && x).as("within_alpha"))
+  }
+
+  /** Exact values at multiple in-group 1-based ranks per group, by
+    * COUNTING SELECTION (the x98-audit / x111-medians recipe,
+    * generalized to grouped multi-rank):
+    *
+    *  1. bucket every value by sampled GLOBAL boundaries (map-only —
+    *     boundaries only size buckets, they cannot affect the result:
+    *     equal values always share a bucket and ranks are recovered
+    *     from exact counts);
+    *  2. exact (group, bucket) histogram → running counts place each
+    *     wanted rank in its bucket with a local rank (a groups ×
+    *     buckets frame — never data-sized);
+    *  3. broadcast-join the target buckets back and row_number ONLY
+    *     inside them — each window partition holds ≈ n_g/nBuckets
+    *     rows of one bucket of one group, whatever the group shape.
+    *
+    * Input: `vals(__g, __v)` and `wanted(__g, __ranks array<long>)`;
+    * output: `(__g, __exact map<rank,value>)`. Ties in `__v` need no
+    * tiebreak — any numbering consistent with the sort yields the
+    * same VALUE at a given rank. */
+  private[operators] def valuesAtGroupRanks(vals: DataFrame,
+      wanted: DataFrame, nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = vals.stat
+      .approxQuantile("__v", (1 until nBuckets)
+        .map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+    val boundsCol = array(bounds.map(lit(_)): _*)
+    val bucketed = vals.withColumn("__b",
+      if (bounds.isEmpty) lit(0)
+      else size(filter(boundsCol, b => b <= col("__v"))))
+    val wG = Window.partitionBy(col("__g")).orderBy(col("__b"))
+    val hist = bucketed.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__before", coalesce(
+        sum(col("__c")).over(wG.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val ranks = wanted.select(col("__g"), explode(col("__ranks")).as("__rn"))
+      .distinct()
+    // per (group, bucket): the wanted (local rank, global-in-group
+    // rank) pairs that land inside it — ≤ |qs| rows per group
+    val perBucket = hist.join(ranks, Seq("__g"))
+      .where(col("__rn") > col("__before") &&
+        col("__rn") <= col("__before") + col("__c"))
+      .select(col("__g"), col("__b"),
+        struct((col("__rn") - col("__before")).as("__lrank"),
+          col("__rn")).as("__t"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(collect_list(col("__t")).as("__ts"))
+    bucketed.join(broadcast(perBucket), Seq("__g", "__b"))
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))))
+      .select(col("__g"), col("__v"),
+        filter(col("__ts"), t => t.getField("__lrank") === col("__lrn"))
+          .as("__hit"))
+      .where(size(col("__hit")) > 0)
+      .select(col("__g"), explode(col("__hit")).as("__t"), col("__v"))
+      .groupBy(col("__g"))
+      .agg(map_from_arrays(collect_list(col("__t.__rn")),
+        collect_list(col("__v"))).as("__exact"))
   }
 
   /** Exact `(rank, value)` pairs at the given ascending 1-based ranks,

@@ -4,6 +4,7 @@ package graft.tools
   * prints each wall time (first = cold, rest = warm). */
 object TimeGate {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TimeGate <sfDir> <gate> [n]")
     val dir = args(0); val name = args(1)
     val n = if (args.length > 2) args(2).toInt else 3
     val spark = graft.Session.local("time-gate")

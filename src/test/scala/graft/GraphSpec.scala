@@ -57,4 +57,49 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(ranks(edges, 5) == spec(5))
   }
+
+  test("bucketed edges: every iteration's join is exchange-free on the edge side") {
+    // the 100 TB layout SCALE.md claims: bucket edges by src ONCE, and
+    // no iteration ever shuffles the data-sized edge table — only the
+    // node-sized contribution frame moves
+    val edges = (0L until 5000L).map(i => (i % 400, (i * 7 + 13) % 400))
+      .toDF("src", "dst")
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed_spec")
+    graft.catalog.Catalog.writeBucketed(edges, "edges_bucketed_spec", "src", 8)
+    val be = spark.table("edges_bucketed_spec")
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thr)
+    try {
+      // broadcast off: at fixture scale AQE would broadcast everything
+      // and the exchange question would be vacuous
+      spark.conf.set(thr, "-1")
+      def iterPlan(e: org.apache.spark.sql.DataFrame): String = {
+        val nodes = e.select($"src".as("node"))
+          .union(e.select($"dst".as("node"))).distinct()
+        val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val r0 = nodes.withColumn("rank", lit(1000000L))
+        val step = Graph.step(e, nodes, outdeg, r0)
+        step.write.format("noop").mode("overwrite").save()
+        step.queryExecution.executedPlan.toString
+      }
+      val bucketed = iterPlan(be)
+      val plain = iterPlan(edges)
+      assert(bucketed.contains("Bucketed: true"),
+        s"bucketed scan not engaged:\n$bucketed")
+      def exchanges(p: String): Int =
+        "Exchange hashpartitioning".r.findAllIn(p).length
+      // identical shape except the edge-side exchange disappears
+      assert(exchanges(bucketed) < exchanges(plain),
+        s"bucketing saved no exchange: bucketed=${exchanges(bucketed)} " +
+          s"plain=${exchanges(plain)}\n$bucketed")
+    } finally spark.conf.set(thr, prev)
+
+    // and the ranks are EXACT over the bucketed layout (x69's integer
+    // determinism is partitioning-independent)
+    val viaBucketed = Graph.pageRank(be, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val viaPlain = Graph.pageRank(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaBucketed == viaPlain)
+  }
 }

@@ -59,4 +59,57 @@ class IntervalsSpec extends AnyFunSuite {
       "k", "s", "e", Seq("uid"))
     assert(a.collect().toSet == b.collect().toSet)
   }
+
+  test("inverted intervals (e < s) are dropped, not merged") {
+    val bad = Seq(
+      ("A", 1L, 5L, 1), ("A", 4L, 8L, 2),
+      // inverted: would sort at start 9 and break the [1,8] island
+      // into phantom pieces if admitted
+      ("A", 9L, 2L, 3)).toDF("k", "s", "e", "uid")
+    val out = Intervals.mergeIslands(bad, "k", "s", "e", Seq("uid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("A", 1L, 8L, 2L)))
+  }
+
+  test("hot key spanning many range partitions: chains fold exactly") {
+    // ONE key, 200k intervals — the shape that single-tasks a
+    // PARTITION BY key window. Ranges engineered so ground truth is
+    // closed-form: interval i = [2i, 2i+2] (each touches the next →
+    // one island per parity-free run) except every 1000th starts a gap.
+    val n = 200000
+    val rows = spark.range(n.toLong).selectExpr(
+      "'hot' AS k",
+      "CAST(id * 2 + (id DIV 1000) * 10 AS LONG) AS s",
+      "CAST(id * 2 + (id DIV 1000) * 10 + 2 AS LONG) AS e",
+      "id AS uid")
+    val out = Intervals.mergeIslands(rows, "k", "s", "e", Seq("uid"))
+      .collect()
+    // gaps open exactly at every id multiple of 1000 (shift jumps by
+    // 10 > island reach 2): 200 islands of 1000 intervals each
+    assert(out.length == n / 1000, s"got ${out.length} islands")
+    assert(out.forall(_.getLong(3) == 1000L))
+    val spans = out.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spans.zipWithIndex.foreach { case ((s0, e0), i) =>
+      val base = i.toLong * 2000 + i.toLong * 10
+      assert(s0 == base && e0 == base + 2 * 999 + 2, s"island $i: ($s0,$e0)")
+    }
+  }
+
+  test("one interval's end spanning several later partitions still absorbs them") {
+    // first interval covers everything; 100k later short intervals
+    // land in other range partitions but must all fold into ONE island
+    // (the cross-partition prefix-max carry, not just adjacent-pair
+    // stitching)
+    val rows = spark.range(100000).selectExpr(
+      "'k' AS k",
+      "CAST(id + 1 AS LONG) AS s",
+      "CAST(id + 2 AS LONG) AS e",
+      "id AS uid")
+      .union(Seq(("k", 0L, 1000000L, -1L)).toDF("k", "s", "e", "uid"))
+    val out = Intervals.mergeIslands(rows, "k", "s", "e", Seq("uid")).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3)) ==
+      (0L, 1000000L, 100001L))
+  }
 }

@@ -263,15 +263,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
-  test("interval merge: both window passes + the island agg share ONE key exchange") {
+  test("interval merge: no Window, no key shuffle — range scan + coverage agg only") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .withColumn("s", to_date($"l_shipdate"))
       .withColumn("e", date_add(to_date($"l_shipdate"), $"l_linenumber"))
+    // the island pass itself must be window-free and hash-shuffle-free:
+    // its one exchange is the RANGE partition pinned inside the
+    // localCheckpoint (a hot key spreads across partitions there), and
+    // the boundary fix-up joins back via broadcast
+    val islands = graft.operators.Intervals.mergeIslands(
+      li, "l_suppkey", "s", "e", Seq("l_orderkey", "l_linenumber"))
+    val iPlan = executedPlan(islands)
+    assert(!iPlan.contains("Window"), s"island pass must not window:\n$iPlan")
+    assert(!iPlan.contains("Exchange hashpartitioning"),
+      s"island pass must not key-shuffle:\n$iPlan")
+    assert(!iPlan.contains("Exchange SinglePartition"), iPlan)
+    // coverage adds exactly the one islands-sized key aggregation
     val plan = executedPlan(graft.operators.Intervals.coverageByKey(
       li, "l_suppkey", "s", "e", Seq("l_orderkey", "l_linenumber")))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    // one shuffle on the key: the windows reuse it, and hash(key)
-    // already satisfies the (key, island) and (key) groupings
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }

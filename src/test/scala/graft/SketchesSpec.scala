@@ -140,12 +140,16 @@ class SketchesSpec extends AnyFunSuite {
     val strict = Sketches.quantileSketchAuditBy(
         a.toDF("g", "v"), "v", "g", alpha = 0.001, qs = Seq(0.5))
     assert(strict.collect().forall(_.getBoolean(2)))
-    // and the exact side never windows: a few huge groups would turn
-    // a partitioned window into whole-group single-task sorts
+    // and the exact side never sorts data at scale: the counting
+    // selection's windows are keyed by (group[, bucket]) and see only
+    // histogram rows / one bucket of one group (the x111 shape) —
+    // what must never appear is a single-partition collapse or a
+    // global range sort (the old rank-based design's shuffle)
     val plan = strict.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), "grouped audit must not use a window")
     assert(!plan.contains("SinglePartition"),
       "grouped audit collapsed to one partition")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "grouped audit must not globally sort the data side")
   }
 
   test("quantile audit's exact side is distributed: no single-partition window") {

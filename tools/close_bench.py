@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Interleaved per-(query,engine) close protocol (the round-12 verdict
+task 4): for every round, each query runs Spark-then-DuckDB
+BACK-TO-BACK, so a host-load window inflates both engines of a pair
+together and the per-pair minima stay comparable. Emits:
+
+  <out_prefix>_bench.json  — Bench-format artifact (spark minima,
+                             short keys) + protocol/spread metadata,
+                             consumable by ratio.py --build
+  <out_prefix>_duck.json   — bench_duck-format DuckDB minima (full
+                             names) + per-query spread
+
+Usage:
+  close_bench.py <sfDir> <oracle_sql.json> <out_prefix> [rounds=3]
+
+The Spark side is a long-lived graft.tools.BenchServe JVM driven over
+stdin (java -cp target/...:/opt/spark/jars/*); DuckDB runs in-process
+between Spark observations. Streaming/rewrite gates run like any
+other (classification happens later in ratio.py).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def start_server(sf_dir):
+    cp = os.path.join(REPO, "target", "scala-2.13", "classes") + \
+        ":/opt/spark/jars/*"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # the full Spark JavaModuleOptions set — Kryo (sketch states) needs
+    # java.nio/sun.nio open, not just exported
+    opens = [f"--add-opens=java.base/{m}=ALL-UNNAMED" for m in
+             ["java.lang", "java.lang.invoke", "java.lang.reflect",
+              "java.io", "java.net", "java.nio", "java.util",
+              "java.util.concurrent", "java.util.concurrent.atomic",
+              "jdk.internal.ref", "sun.nio.ch", "sun.nio.cs",
+              "sun.security.action", "sun.util.calendar"]]
+    proc = subprocess.Popen(
+        ["java", "-Xmx96g", "-XX:+IgnoreUnrecognizedVMOptions",
+         "--enable-native-access=ALL-UNNAMED"] + opens +
+        ["-cp", cp, "graft.tools.BenchServe"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, env=env, text=True, bufsize=1)
+    return proc
+
+
+def ask(proc, cmd, until):
+    proc.stdin.write(cmd + "\n")
+    proc.stdin.flush()
+    lines = []
+    while True:
+        line = proc.stdout.readline()
+        if not line:
+            raise RuntimeError(f"server died during {cmd!r}")
+        line = line.strip()
+        lines.append(line)
+        if line.startswith(until):
+            return lines
+
+
+def spark_time(proc, name):
+    for line in ask(proc, name, "TIME "):
+        if line.startswith("TIME "):
+            _, n, sec = line.split()
+            assert n == name
+            return float(sec)
+
+
+def main():
+    sf_dir, oracle_path, out_prefix = sys.argv[1], sys.argv[2], sys.argv[3]
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    oracle = json.load(open(oracle_path))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    proc = start_server(sf_dir)
+    names = [ln.split(" ", 1)[1] for ln in ask(proc, "LIST", "DONE")
+             if ln.startswith("QUERY ")]
+    subset = os.environ.get("CLOSE_QUERIES")
+    if subset:
+        wanted = {w.strip() for w in subset.split(",") if w.strip()}
+        names = [n for n in names if any(w in n for w in wanted)]
+    print(f"[close] {len(names)} spark gates, "
+          f"{len(oracle)} oracles, {rounds} rounds at {sf_dir}",
+          file=sys.stderr)
+
+    obs_s = {n: [] for n in names}
+    obs_d = {n: [] for n in names if n in oracle}
+
+    def duck_time(name):
+        t0 = time.time()
+        con.execute(oracle[name]).fetchall()
+        return time.time() - t0
+
+    # warm-up pass (JIT/codegen/page-cache): observations discarded
+    for n in names:
+        spark_time(proc, n)
+        if n in oracle:
+            duck_time(n)
+    print("[close] warm-up done", file=sys.stderr)
+
+    for r in range(rounds):
+        for n in names:
+            ask(proc, "GC", "OK")
+            s = spark_time(proc, n)
+            if s >= 0:
+                obs_s[n].append(s)
+            if n in oracle:
+                obs_d[n].append(duck_time(n))
+        print(f"[close] round {r + 1}/{rounds} done", file=sys.stderr)
+
+    ask(proc, "EXIT", "BYE")
+    proc.wait(timeout=120)
+
+    def spread(vals):
+        ok = [v for v in vals if v > 0]
+        return round(max(ok) / min(ok), 3) if len(ok) >= 2 else 1.0
+
+    def quant(sorted_vals, q):
+        if not sorted_vals:
+            return 1.0
+        return sorted_vals[min(len(sorted_vals) - 1,
+                               int(q * len(sorted_vals)))]
+
+    prefix_ok = len({n.split("_", 1)[0] for n in names}) == len(names)
+
+    def short(n):
+        return n.split("_", 1)[0] if prefix_ok else n
+
+    s_min = {n: (round(min(v), 4) if v else -1.0) for n, v in obs_s.items()}
+    spreads = sorted(spread(v) for v in obs_s.values() if len(v) >= 2)
+    total = round(sum(v for v in s_min.values() if v > 0), 3)
+    bench = {
+        "metric": "total", "value": total, "unit": "sec",
+        "queries": {short(n): s_min[n] for n in names},
+        "protocol": f"interleaved per-(query,engine) minima, "
+                    f"{rounds} rounds + warm-up, spark/duck adjacent "
+                    f"per pair (tools/close_bench.py)",
+        "rounds": rounds,
+        "spread_p50": quant(spreads, 0.5),
+        "spread_p90": quant(spreads, 0.9),
+        "sf": sf_dir,
+    }
+    with open(f"{out_prefix}_bench.json", "w") as f:
+        json.dump(bench, f, indent=1)
+
+    d_min = {n: round(min(v), 4) for n, v in obs_d.items() if v}
+    d_spreads = sorted(spread(v) for v in obs_d.values() if len(v) >= 2)
+    duck = {
+        "total": round(sum(d_min.values()), 3),
+        "queries": d_min,
+        "protocol": bench["protocol"],
+        "spread_p50": quant(d_spreads, 0.5),
+        "spread_p90": quant(d_spreads, 0.9),
+    }
+    with open(f"{out_prefix}_duck.json", "w") as f:
+        json.dump(duck, f, indent=1)
+    print(f"[close] spark total {total}s  duck total {duck['total']}s  "
+          f"spark spread p90 {bench['spread_p90']}  "
+          f"duck spread p90 {duck['spread_p90']}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
