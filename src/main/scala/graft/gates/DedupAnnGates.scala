@@ -84,6 +84,36 @@ private[graft] object DedupAnnGates {
           Text.simhash64(col("text")).as("simhash"))
         .orderBy(asc_nulls_first("doc_id"))),
 
+    // X10B fingerprint/simhash FULL-VALUE audit (the x04 trick for
+    // hashes SQL cannot recompute): pin the engine-derivable
+    // properties instead of the hash values — over a corpus where
+    // every text appears twice (the union forces duplicates, so
+    // "functional" has teeth), equal texts must hash equal
+    // (functional, both hashes) and distinct texts must get distinct
+    // fingerprints (injective at corpus scale = the dedup-key
+    // contract x02 rides on). The oracle recomputes every count and
+    // pins all three booleans.
+    "x10b_fingerprint_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val dup = docs.select(col("text"))
+        .unionByName(docs.select(col("text")))
+      val sigs = dup.select(col("text"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.simhash64(col("text")).as("sh"))
+      val perText = sigs.groupBy(col("text"))
+        .agg(countDistinct(col("fp")).as("nfp"),
+          countDistinct(col("sh")).as("nsh"))
+      val stats = sigs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_texts"),
+        countDistinct(col("fp")).as("n_fps"))
+      val func = perText.agg(max(col("nfp")).as("max_fp"),
+        max(col("nsh")).as("max_sh"))
+      stats.crossJoin(func).select(col("n_docs"), col("n_texts"),
+        (col("max_fp") === 1).as("fp_functional"),
+        (col("n_fps") === col("n_texts")).as("fp_injective"),
+        (col("max_sh") === 1).as("sim_functional"))
+    }),
+
     // X20 end-to-end near-dup dedup: LSH pairs → connected components
     // → one representative per cluster (rows-only; semantics pinned
     // by DedupSimSpec chain/cluster tests)
@@ -579,6 +609,15 @@ private[graft] object DedupAnnGates {
          SELECT n.doc_id, COALESCE(comp.c, n.doc_id) AS entity_id
          FROM names n LEFT JOIN comp ON comp.id = n.doc_id
          ORDER BY doc_id NULLS FIRST""",
+    // every count recomputed; the booleans are pinned TRUE — any
+    // functional/injective violation in the engine hashes flips one
+    "x10b_fingerprint_audit" ->
+      """WITH d AS (SELECT text FROM documents WHERE text IS NOT NULL)
+         SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts,
+                true AS fp_functional, true AS fp_injective,
+                true AS sim_functional
+         FROM d""",
     "x16_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id AS id,

@@ -354,6 +354,43 @@ private[graft] object StreamingGates {
         .orderBy(asc_nulls_first("step"))
     }),
 
+    // X119 [ST5] bounded-state STREAMING last-touch attribution — the
+    // x92 backward as-of as a keyed state machine: per-user state is
+    // one (ts, channel) pair + the lateness-window buffer, conversions
+    // finalize when the watermark passes them, and rows for users
+    // whose last touch aged past the lookback are REMOVED. Verdicts
+    // reduce per conversion (newest upd_seq) and roll up to the same
+    // (channel, n, revenue) table the batch operator produces; the
+    // oracle replays the identical as-of in SQL.
+    "x119_stream_attribution" -> ((s, d) => {
+      import s.implicits._
+      val staged = stageEventsTimeOrdered(s, d)
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.lastTouchBounded(events,
+              Seq("click", "view"), "purchase",
+              lookbackSeconds = 7L * 86400, lateness = "30 minutes")
+            .toDF().writeStream.outputMode("update").format("memory")
+            .queryName("x119_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      val sink = s.table("x119_out")
+      // boundedness evidence: conversions really left the buffer
+      require(sink.where(col("is_final")).count() > 0,
+        "bounded attribution never finalized any conversion")
+      graft.streaming.EventStreams.attributionVerdicts(sink)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum(col("value")), 2).as("revenue"))
+        .orderBy(asc_nulls_first("channel"))
+    }),
+
     // X106 [ST2 + A-family sketches] STREAMING storable HLL: per-day
     // user sketches built BY THE STREAM, compared bit-for-bit to the
     // batch sketches over the same table (same commutative byte-max
@@ -514,6 +551,25 @@ private[graft] object StreamingGates {
            SELECT CAST(3 AS INT), 'purchase',
                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
          ORDER BY step NULLS FIRST""",
+    // the x92 as-of replay over watermark-eligible (non-NULL ts)
+    // conversions: same (user, ts) MAX-channel pre-collapse, inclusive
+    // ASOF, 7-day staleness null-out
+    "x119_stream_attribution" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase' AND ts IS NOT NULL),
+         tch AS (SELECT user_id, ts, MAX(event_type) AS channel
+                 FROM events WHERE event_type IN ('click', 'view')
+                   AND ts IS NOT NULL
+                 GROUP BY user_id, ts),
+         j AS (SELECT p.value,
+                      CASE WHEN tch.ts < p.ts - INTERVAL 7 DAY THEN NULL
+                           ELSE tch.channel END AS channel
+               FROM p ASOF LEFT JOIN tch
+                 ON p.user_id = tch.user_id AND tch.ts <= p.ts)
+         SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                ROUND(SUM(value), 2) AS revenue
+         FROM j GROUP BY channel
+         ORDER BY channel NULLS FIRST""",
     // batch replay of the stream-stream interval join: inner joins
     // emit exactly the matching pairs, independent of batching
     "x47_stream_interval_join" ->

@@ -409,6 +409,143 @@ object EventStreams extends Serializable {
       }
   }
 
+  // (ts micros, kind 0=touch 1=conversion, channel ("" on
+  // conversions — tuple sort must not see null), value, event_id)
+  private type AttribEv = (Long, Int, String, Double, Long)
+  case class AttribState(lastTs: Long, lastCh: String,
+                         tail: Seq[AttribEv], seq: Long)
+  case class AttribSnapshot(user_id: Long, event_id: Long, ts: Long,
+                            value: Double, channel: String,
+                            upd_seq: Long, n_buffered: Int,
+                            is_final: Boolean)
+
+  /** ST5 bounded-state streaming LAST-TOUCH ATTRIBUTION — the x92
+    * batch operator (backward as-of within a lookback) as a keyed
+    * state machine. Per-user state is ONE (ts, channel) pair — the
+    * latest finalized touch — plus only the events inside the current
+    * lateness window; once the watermark passes an event its as-of
+    * outcome is FINAL (no admissible future touch can sort before
+    * it), so it folds into the pair and leaves the buffer.
+    *
+    * State ROWS are bounded too: a user whose buffer is empty and
+    * whose last touch has aged past the lookback relative to the
+    * watermark is REMOVED (any future conversion the watermark admits
+    * has ts ≥ watermark, and crediting needs touch ≥ ts − lookback >
+    * lastTs — impossible), and `EventTimeTimeout` reaps users who go
+    * quiet. Snapshots for still-buffered conversions are PROVISIONAL
+    * (a later in-window touch can still win); `upd_seq` grows per
+    * invocation so [[attributionVerdicts]]' argmax keeps each
+    * conversion's newest verdict. Equals the batch operator exactly
+    * whenever every event arrives within `lateness` of the running
+    * max event time (the x96b contract).
+    *
+    * Tie rules replicate x92/[[graft.operators.Attribution]]: touches
+    * at the conversion's own timestamp count (inclusive as-of);
+    * same-timestamp touches collapse to the MAX channel string;
+    * conversions with no in-lookback touch get channel NULL. */
+  def lastTouchBounded(events: Dataset[Event], touchTypes: Seq[String],
+                       conversionType: String, lookbackSeconds: Long,
+                       lateness: String = "1 hour"): Dataset[AttribSnapshot] = {
+    import events.sparkSession.implicits._
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touch types must be non-empty and distinct from the conversion type")
+    val touchSet = touchTypes.toSet
+    val lookUs = lookbackSeconds * 1000000L
+    val ord = Ordering.Tuple3[Long, Int, String]
+    events
+      .filter(e => e.ts != null && e.event_type != null &&
+        (touchSet.contains(e.event_type) || e.event_type == conversionType))
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttribSnapshot](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[AttribState]) =>
+          // fold ONE final event into the committed last-touch pair,
+          // returning the conversion verdict for kind-1 events
+          def foldEv(lastTs: Long, lastCh: String, e: AttribEv)
+              : (Long, String, Option[AttribSnapshot]) = e match {
+            case (t, 0, ch, _, _) =>
+              if (t > lastTs || (t == lastTs && (lastCh == null || ch > lastCh)))
+                (t, ch, None)
+              else (lastTs, lastCh, None)
+            case (t, _, _, v, id) =>
+              val credited =
+                if (lastTs != Long.MinValue && lastTs >= t - lookUs) lastCh
+                else null
+              (lastTs, lastCh,
+                Some(AttribSnapshot(uid, id, t, v, credited, 0L, 0, false)))
+          }
+          def foldAll(ts0: Long, ch0: String, evs: Iterable[AttribEv])
+              : (Long, String, Seq[AttribSnapshot]) =
+            evs.foldLeft((ts0, ch0, Seq.empty[AttribSnapshot])) {
+              case ((lt, lc, acc), e) =>
+                val (nt, nc, out) = foldEv(lt, lc, e)
+                (nt, nc, acc ++ out)
+            }
+          def removable(lastTs: Long, wmMs: Long): Boolean =
+            lastTs == Long.MinValue || (wmMs > 0L && wmMs * 1000L - lastTs > lookUs)
+          val st = state.getOption.getOrElse(
+            AttribState(Long.MinValue, null, Vector.empty, 0L))
+          val seq = st.seq + 1
+          if (state.hasTimedOut) {
+            // watermark passed the timeout with no new data: the whole
+            // buffer is final
+            val (lt, lc, finals) = foldAll(st.lastTs, st.lastCh, st.tail)
+            val wmMs = state.getCurrentWatermarkMs()
+            if (removable(lt, wmMs)) state.remove()
+            else {
+              state.update(AttribState(lt, lc, Vector.empty, seq))
+              // touch residue still creditable: reap at its expiry
+              // (> watermark holds: not-removable ⇒ wm*1000 ≤ lt+look)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(lt + lookUs, 1000L) + 1L)
+            }
+            finals.map(s => s.copy(upd_seq = seq, is_final = true)).iterator
+          } else {
+            val add = batch.map { e =>
+              val t = eventMicros(e.ts)
+              if (touchSet.contains(e.event_type))
+                (t, 0, e.event_type, 0.0, e.event_id)
+              else (t, 1, "", e.value, e.event_id)
+            }.toVector
+            val all = (st.tail ++ add)
+              .sortBy(e => (e._1, e._2, e._3))(ord)
+            val wmMs = state.getCurrentWatermarkMs()
+            val cutoff = if (wmMs > 0L) wmMs * 1000L else Long.MinValue
+            val (evict, keep) = all.span(_._1 < cutoff)
+            val (lt, lc, finals) = foldAll(st.lastTs, st.lastCh, evict)
+            // provisional pass over the buffer (not committed)
+            val (_, _, provisionals) = foldAll(lt, lc, keep)
+            if (keep.isEmpty && removable(lt, wmMs)) state.remove()
+            else {
+              state.update(AttribState(lt, lc, keep, seq))
+              if (keep.nonEmpty)
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(keep.last._1, 1000L) + 1L)
+              else
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(lt + lookUs, 1000L) + 1L)
+            }
+            (finals.map(s =>
+                s.copy(upd_seq = seq, n_buffered = keep.size, is_final = true)) ++
+              provisionals.map(s =>
+                s.copy(upd_seq = seq, n_buffered = keep.size))).iterator
+          }
+      }
+  }
+
+  /** Per-conversion verdict reduction over a [[lastTouchBounded]]
+    * snapshot sink: each conversion keeps its NEWEST snapshot
+    * (`upd_seq` grows per state invocation; the final one, when
+    * emitted, always supersedes provisionals) →
+    * `(user_id, ts, value, channel)`. */
+  def attributionVerdicts(snapshots: DataFrame): DataFrame =
+    snapshots.groupBy(col("event_id"))
+      .agg(max(struct(col("upd_seq"), col("user_id"), col("ts"),
+        col("value"), col("channel"))).as("last"))
+      .select(col("last.user_id").as("user_id"), col("last.ts").as("ts"),
+        col("last.value").as("value"), col("last.channel").as("channel"))
+
   /** ST2 + storable sketches: per-window HyperLogLog blobs of a key
     * column — the streaming half of the pre-aggregate-once /
     * roll-up-forever pattern (x101): each window's blob lands in the

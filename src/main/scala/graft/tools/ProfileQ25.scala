@@ -86,6 +86,22 @@ object ProfileQ25 {
     println("=== broadcast-filtered plan ===")
     spark.sql(broadcastFiltered).explain("formatted")
     time("broadcast-filtered semi")(broadcastFiltered)
+
+    // floor decomposition: the three irreducible pieces of the query,
+    // each alone (scalar agg job; filtered scan + global sort; the
+    // decorrelated semi join) — if their floors sum past the 2× bar,
+    // the gap is scheduling constant, not plan
+    time("component: avg scalar agg")(
+      "SELECT AVG(o_totalprice) * 1.8 AS t FROM orders")
+    time("component: filter+sort only")(
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders
+         WHERE o_totalprice > 80000 ORDER BY o_orderkey NULLS FIRST""")
+    time("component: semi join only")(
+      """SELECT o_orderkey FROM orders o
+         WHERE EXISTS (SELECT /*+ SHUFFLE_HASH(l) */ 1
+                       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""")
+    time("component: noop floor")(
+      "SELECT 1 AS one")
     spark.stop()
   }
 }

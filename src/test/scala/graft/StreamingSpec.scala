@@ -551,6 +551,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(naive == 3, "fixture no longer exercises the hazard")
   }
 
+  test("ST5: bounded streaming attribution equals the batch as-of; state rows fall") {
+    import EventStreams._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("events_attrib").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 09:00:00")
+    def day(d: Double) = new java.sql.Timestamp(t0.getTime + (d * 86400000L).toLong)
+    // u1: same-ts channel tie (view vs click → MAX = view), purchase
+    // in window; u2: touch 8.5 days stale → NULL; sentinels advance
+    // the watermark so conversions finalize, touches expire, and
+    // state rows are REMOVED
+    val slices: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double)]] = Seq(
+      Seq((1L, day(0), 1L, "view", 0.0), (2L, day(0), 1L, "click", 0.0)),
+      Seq((3L, day(1), 1L, "purchase", 10.0), (4L, day(0.5), 2L, "click", 0.0)),
+      Seq((5L, day(9), 2L, "purchase", 5.0)),
+      Seq((6L, day(30), -9L, "view", 0.0)),
+      Seq((7L, day(40), -8L, "view", 0.0)))
+    slices.foreach { rows =>
+      val before = graft.gates.GateSupport.listParquet(dir)
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      graft.gates.GateSupport.bumpMtime(dir, before)
+    }
+    val stream = spark.readStream.schema(EventStreams.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[Event]
+    val q = lastTouchBounded(stream, Seq("click", "view"), "purchase",
+        lookbackSeconds = 7L * 86400, lateness = "30 minutes")
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("attrib_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val sink = spark.table("attrib_spec")
+    // per-conversion verdicts: tie resolved to MAX channel; stale
+    // touch → NULL
+    val got = EventStreams.attributionVerdicts(sink)
+      .where($"user_id" > 0)
+      .select($"user_id", $"value", $"channel")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got == Set((1L, 10.0, "view"), (2L, 5.0, null)), got.toString)
+    // batch parity: same rollup as the x92 operator over the same rows
+    val batchEvents = slices.flatten.filter(_._3 > 0)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = graft.operators.Attribution.lastTouch(
+        batchEvents.where($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"value"),
+        batchEvents.where($"event_type".isin("click", "view"))
+          .select($"user_id", $"ts", $"event_type".as("channel")),
+        lookback = "7 days")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val rollup = EventStreams.attributionVerdicts(sink)
+      .where($"user_id" > 0)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n"), sum($"value").as("rev"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rollup == batch, s"stream $rollup vs batch $batch")
+    // conversions really finalized (left the buffer)
+    assert(sink.where($"is_final").count() >= 2)
+    // state ROWS fall: u1/u2 removed once their last touch ages past
+    // the lookback — only the sentinel users' rows can remain
+    val stateRows = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatMap(_.toSeq).map(_.numRowsTotal).filter(_ > 0)
+    assert(stateRows.nonEmpty && stateRows.last < stateRows.max,
+      s"expired touch state never removed: ${stateRows.mkString(",")}")
+    assert(stateRows.last <= 2L,
+      s"expected only sentinel rows to survive: ${stateRows.mkString(",")}")
+  }
+
   test("ST2+: streaming per-window HLL blobs — append mode evicts, blobs equal batch") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("events_hll").toString
