@@ -30,6 +30,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# declared-quadratic oracles (ratio.py EXCLUDED): their DuckDB side is
+# an all-pairs/recursive-CTE replay that takes minutes at sf0.1 and is
+# excluded from every aggregate — never time them in a close run
+SKIP_DUCK = {"x20_dedup_pipeline", "x25_training_pipeline",
+             "x50_incremental_dedup", "x56_stream_neardup",
+             "x88_entities", "x88b_entities_skewblock"}
+
 
 def start_server(sf_dir):
     cp = os.path.join(REPO, "target", "scala-2.13", "classes") + \
@@ -78,7 +85,8 @@ def main():
     sf_dir, oracle_path, out_prefix = sys.argv[1], sys.argv[2], sys.argv[3]
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
-    oracle = json.load(open(oracle_path))
+    oracle = {n: q for n, q in json.load(open(oracle_path)).items()
+              if n not in SKIP_DUCK}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
