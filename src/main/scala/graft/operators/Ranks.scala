@@ -30,17 +30,22 @@ object Ranks {
                       outCol: String = "rn"): DataFrame = {
     require(order.nonEmpty, "globalRowNumber needs at least one order column")
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    // localCheckpoint PINS the partitioning: the counts collect below
-    // and the caller's consumption of the result are separate Spark
-    // jobs, and RangePartitioner's boundary sampling is seeded per
-    // physical RDD — re-executing the range shuffle in each job could
-    // place boundaries differently, pairing offsets from one
-    // partitioning with local indexes from another (wrong ranks once
-    // partitions outgrow the boundary sample — exactly the at-scale
-    // regime). One materialization, both jobs read it.
+    // persist PINS the partitioning: the counts collect below and the
+    // caller's consumption of the result are separate Spark jobs, and
+    // RangePartitioner's boundary sampling is seeded per physical
+    // RDD — re-executing the range shuffle in each job could place
+    // boundaries differently, pairing offsets from one partitioning
+    // with local indexes from another (wrong ranks once partitions
+    // outgrow the boundary sample — exactly the at-scale regime).
+    // persist, not localCheckpoint (the round-13 Intervals move): the
+    // counts collect both populates the cache AND reads the stats in
+    // ONE job, where the eager checkpoint spent a separate data-sized
+    // materialization pass first; a cache miss recomputes from the
+    // already-written shuffle blocks — same boundaries, same order,
+    // same local ids.
     val mid = sorted.withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one bounded collect: a count per non-empty partition
     val counts = mid.groupBy(col("__pid"))
       .agg(count(lit(1)).as("n")).collect()
@@ -73,8 +78,8 @@ object Ranks {
                  outCol: String = "bin"): DataFrame = {
     require(k >= 1, s"ntile k must be >= 1, got $k")
     val ranked = globalRowNumber(df, order, "__ntile_rn")
-    // ranked is localCheckpoint-backed, so this count is a cheap
-    // second read, not a recompute of the range shuffle
+    // ranked is cache-backed, so this count is a cheap second read,
+    // not a recompute of the range shuffle
     val nFrame = ranked.agg(count(lit(1)).as("__ntile_total"))
     val n = col("__ntile_total"); val rn = col("__ntile_rn")
     val q = ((n - pmod(n, lit(k))) / k).cast("long") // n div k, exact
