@@ -65,9 +65,14 @@ object Outliers {
     // (boundary sample + histogram + target-bucket pass) and the
     // final aggregate.
     val med = discreteMedian(nn, "med", nBuckets)
+    // persist, not an eager checkpoint (the round-13 globalRowNumber
+    // move): the mad selection's first pass both populates the cache
+    // and does its work in one job, instead of a separate data-sized
+    // materialization; recompute on a cache miss is deterministic
+    // (med is an aggregate of fixed input)
     val devs = nn.join(broadcast(med), Seq("__g"))
       .withColumn("__dev", abs(col("__v") - col("med")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = discreteMedian(
       devs.select(col("__g"), col("__dev").as("__v")), "mad", nBuckets)
     devs.join(broadcast(mad), Seq("__g"))
