@@ -57,7 +57,33 @@ object Intervals {
       a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
   private def maxOf(a: Any, b: Any): Any = if (ext.compare(a, b) >= 0) a else b
-  private def same(a: Any, b: Any): Boolean = java.util.Objects.equals(a, b)
+
+  /** Key equality over external values. BinaryType keys surface as
+    * `Array[Byte]`, whose `equals` is reference identity — value
+    * compare those explicitly (equal binary keys must land in the same
+    * island chain; `Objects.equals` would silently never merge them). */
+  private def same(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => java.util.Objects.equals(a, b)
+  }
+
+  /** Endpoint types whose external values are `Comparable` against
+    * themselves (what [[ext]] relies on). Anything else — binary,
+    * array, struct — must fail HERE, not as a mid-job
+    * ClassCastException after the shuffle. */
+  private def comparableEndpoint(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType | StringType => true
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Key types [[same]] compares by value. */
+  private def supportedKey(dt: DataType): Boolean = dt match {
+    case BinaryType | BooleanType | DateType | TimestampType |
+         TimestampNTZType | StringType => true
+    case _: NumericType => true
+    case _ => false
+  }
 
   /** Endpoint codec: temporal endpoints ride the heavy passes as
     * plain integers (the external java.sql.Date/Timestamp conversion
@@ -86,6 +112,15 @@ object Intervals {
     import spark.implicits._
     val k = col(keyCol); val s = col(startCol); val e = col(endCol)
     val keyType = df.schema(keyCol).dataType
+    require(supportedKey(keyType),
+      s"mergeIslands key '$keyCol' has type ${keyType.simpleString}; " +
+        "supported: numeric, string, boolean, date, timestamp, binary")
+    Seq(startCol, endCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(comparableEndpoint(dt),
+        s"mergeIslands endpoint '$c' has type ${dt.simpleString}; " +
+          "supported: numeric, string, date, timestamp")
+    }
     val (encS, decS) = codecFor(df.schema(startCol).dataType)
     val (encE, decE) = codecFor(df.schema(endCol).dataType)
 

@@ -54,20 +54,40 @@ object JoinDiag {
   /** One-row summary: exact output size of the would-be inner join,
     * matched-key count, the single worst key product, and the
     * NULL-key row counts each side would silently drop. */
+  /** Totals over a matched per-key counts frame `(key, n_left,
+    * n_right)`. Split out so the saturation arithmetic is testable
+    * with synthetic counts no real test corpus can produce.
+    *
+    * Overflow discipline: each per-key product is clamped to
+    * Long.MaxValue BEFORE the sum. A sum of decimal(38,0) that
+    * overflows 38 digits either throws (ANSI — Spark 4's default,
+    * killing the diagnostics job on exactly the join it exists to
+    * flag) or returns NULL (non-ANSI — which an earlier coalesce
+    * mapped to 0, the OPPOSITE of saturation). With pre-clamped terms
+    * neither can happen: terms are ≤ 2^63−1 < 1e19 and there are at
+    * most 2^63−1 keys (count is a long), so the sum is < 8.6e37 —
+    * provably within decimal(38,0). Exact below the clamp; any
+    * clamped term already forces the final saturation. */
+  private[graft] def summarizeMatched(matchedCounts: DataFrame): DataFrame = {
+    val satMax = lit(Long.MaxValue).cast("decimal(38,0)")
+    val clamped = least(satMax, col("n_left").cast("decimal(19,0)") *
+      col("n_right").cast("decimal(19,0)"))
+    matchedCounts.agg(
+      least(satMax, coalesce(sum(clamped), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("est_join_rows"),
+      count(lit(1)).as("n_matched_keys"),
+      // coalesce INSIDE the least: Spark's least SKIPS nulls, so
+      // least(satMax, NULL-from-empty-max) would read Long.MaxValue
+      least(satMax, coalesce(max(clamped), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("max_key_product"))
+  }
+
   def explosionTotals(left: DataFrame, leftKey: String,
                       right: DataFrame, rightKey: String): DataFrame = {
     val la = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
     val ra = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
-    val product = col("n_left").cast("decimal(19,0)") *
-      col("n_right").cast("decimal(19,0)")
-    val satMax = lit(Long.MaxValue).cast("decimal(38,0)")
-    val matched = la.where(col("key").isNotNull)
-      .join(ra.where(col("key").isNotNull), Seq("key"))
-      .agg(least(satMax, coalesce(sum(product), lit(0).cast("decimal(38,0)")))
-          .cast("long").as("est_join_rows"),
-        count(lit(1)).as("n_matched_keys"),
-        least(satMax, coalesce(max(product), lit(0).cast("decimal(38,0)")))
-          .cast("long").as("max_key_product"))
+    val matched = summarizeMatched(la.where(col("key").isNotNull)
+      .join(ra.where(col("key").isNotNull), Seq("key")))
     val nullLeft = left.where(col(leftKey).isNull)
       .agg(count(lit(1)).as("null_key_rows_left"))
     val nullRight = right.where(col(rightKey).isNull)

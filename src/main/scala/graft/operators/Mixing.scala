@@ -43,14 +43,41 @@ object Mixing {
       when(col(domainCol) === lit(dom), lit(v)).otherwise(rest)
     }
 
+  /** Above this many distinct rates the when-chain compiles to a
+    * codegen-hostile expression (deep nesting falls out of whole-stage
+    * codegen and eventually breaks janino); switch to a broadcast
+    * rate-table join instead. */
+  private[graft] val WhenChainMaxRates = 128
+
   /** Keep each row with its domain's rate. Unlisted domains get
-    * `defaultRate`. */
+    * `defaultRate`; duplicate domain entries keep the FIRST rate (the
+    * when-chain's historical semantics, preserved on both paths).
+    *
+    * Two physical forms, same semantics: ≤ [[WhenChainMaxRates]]
+    * distinct domains compile to a literal when-chain (zero joins,
+    * map-only — the mT5/LLaMA mixture-config shape); larger rate lists
+    * (e.g. per-registrable-web-domain rates, millions of entries)
+    * become a broadcast left join against the rate table, so the
+    * predicate stays map-side and no expression grows with the list.
+    * NULL domains match nothing on either path and get `defaultRate`. */
   def weightedSample(df: DataFrame, domainCol: String, keyCol: String,
                      rates: Seq[(String, Double)], defaultRate: Double = 0.0,
                      salt: String = "mix"): DataFrame = {
-    val cut = perDomainLit(domainCol,
-      rates.map { case (d, r) => d -> rateCut(r) }, rateCut(defaultRate))
-    df.where(hash8(col(keyCol), salt) < cut)
+    val uniq = rates.distinctBy(_._1)
+    if (uniq.size <= WhenChainMaxRates) {
+      val cut = perDomainLit(domainCol,
+        uniq.map { case (d, r) => d -> rateCut(r) }, rateCut(defaultRate))
+      df.where(hash8(col(keyCol), salt) < cut)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cuts = uniq.map { case (d, r) => (d, rateCut(r)) }
+        .toDF("__mix_dom", "__mix_cut")
+      df.join(broadcast(cuts), df(domainCol) === col("__mix_dom"), "left")
+        .where(hash8(col(keyCol), salt) <
+          coalesce(col("__mix_cut"), lit(rateCut(defaultRate))))
+        .drop("__mix_dom", "__mix_cut")
+    }
   }
 
   /** The equivalent SQL predicate (same cuts, same md5 prefix) — the
@@ -58,6 +85,10 @@ object Mixing {
   def sampleSql(domainExpr: String, keyExpr: String,
                 rates: Seq[(String, Double)], defaultRate: Double = 0.0,
                 salt: String = "mix"): String = {
+    require(rates.size <= 1000,
+      s"sampleSql builds a literal CASE chain (${rates.size} rates > " +
+        "1000); audit large mixtures against weightedSample's broadcast " +
+        "rate-table join with a SQL-side join on the same rate table")
     val cutExpr = rates.foldRight(s"'${rateCut(defaultRate)}'") {
       case ((dom, r), rest) =>
         s"CASE WHEN $domainExpr = '$dom' THEN '${rateCut(r)}' ELSE $rest END"
@@ -76,14 +107,27 @@ object Mixing {
     * [[weightedSample]], so the whole mixture stays a deterministic
     * map-only predicate. */
   def temperatureRates(df: DataFrame, domainCol: String, alpha: Double,
-                       maxRate: Double = 1.0): Seq[(String, Double)] = {
+                       maxRate: Double = 1.0,
+                       maxDomains: Int = 100000): Seq[(String, Double)] = {
+    require(maxDomains >= 1, s"maxDomains must be >= 1, got $maxDomains")
     // NULL domains get no rate row: weightedSample's when-chain sends
     // them to the default rate (0.0 → dropped) — the same fate a NULL
-    // domain meets in every sampler here, never an NPE in the sort
+    // domain meets in every sampler here, never an NPE in the sort.
+    // The collect is bounded BY CONSTRUCTION at maxDomains + 1 rows
+    // (limit before collect): a caller keying on registrable web
+    // domains (millions) fails loudly here instead of sizing the
+    // driver to the domain cardinality.
     val sizes = df.where(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("__d"))
       .agg(count(lit(1)).as("n"))
+      .limit(maxDomains + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(sizes.length <= maxDomains,
+      s"temperatureRates: more than $maxDomains distinct domains — a " +
+        "rate PER domain at this cardinality should be computed " +
+        "distributedly (join df to its own domain-size aggregate and " +
+        "derive the cut column in-plan) rather than collected; raise " +
+        "maxDomains only if the driver is sized for it")
     require(sizes.nonEmpty,
       "temperatureRates: no rows with a non-NULL domain " +
         "(empty input, or the domain column is entirely NULL)")

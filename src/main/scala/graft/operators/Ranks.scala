@@ -26,6 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** CONTRACT (load-bearing since the persist move): either `order`
+    * is a total order, or the caller is tie-insensitive. persist pins
+    * the partitioning but — unlike the old localCheckpoint — not the
+    * bytes: on cache eviction a recompute replays the same shuffle
+    * blocks with the same boundaries, yet `monotonically_increasing_id`
+    * may renumber rows that compare EQUAL under `order` (the sort is
+    * not stable across replays). With a total order the replay is
+    * bit-identical; without one, two downstream actions could see tied
+    * rows swap ranks. Every in-repo caller passes a unique tiebreak or
+    * consumes ranks tie-insensitively (Outliers' deviation persist has
+    * the same contract).
+    *
+    * Lifecycle: the cached frame backs the RETURNED plan, so it cannot
+    * be unpersisted here; long-lived sessions (BenchServe) release
+    * accumulated caches via `spark.sqlContext.clearCache()` between
+    * measurements. */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
                       outCol: String = "rn"): DataFrame = {
     require(order.nonEmpty, "globalRowNumber needs at least one order column")

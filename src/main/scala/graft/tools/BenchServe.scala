@@ -48,7 +48,7 @@ object BenchServe {
       val t0 = System.nanoTime()
       try graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case scala.util.control.NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val in = new java.io.BufferedReader(
@@ -61,7 +61,12 @@ object BenchServe {
           graft.SparkEntry.queries.keys.toSeq.sorted
             .foreach(n => out.println(s"QUERY $n"))
           out.println("DONE")
-        case "GC" => System.gc(); out.println("OK")
+        case "GC" =>
+          // operator-internal persists (Ranks, Intervals, Outliers) are
+          // per-call and never reused across runs — clear them so a
+          // long close session doesn't accumulate dead cached RDDs
+          spark.sqlContext.clearCache()
+          System.gc(); out.println("OK")
         case name =>
           if (!graft.SparkEntry.queries.contains(name))
             out.println(s"TIME $name -1")

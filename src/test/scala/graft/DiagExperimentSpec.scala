@@ -37,6 +37,28 @@ class DiagExperimentSpec extends AnyFunSuite {
     assert(tot.getAs[Long]("max_key_product") == 0L)
   }
 
+  test("explosion totals saturate (never report 0) when the decimal(38,0) sum overflows") {
+    // two keys whose products each fit 38 digits but whose SUM does
+    // not: sum(decimal(38,0)) returns NULL under non-ANSI overflow,
+    // which must read as Long.MaxValue, not as the old coalesce-to-0
+    val big = 9000000000000000000L // 9e18; product 8.1e37 < 1e38
+    val counts = Seq((1L, big, big), (2L, big, big))
+      .toDF("key", "n_left", "n_right")
+    val tot = JoinDiag.summarizeMatched(counts).collect().head
+    assert(tot.getAs[Long]("est_join_rows") == Long.MaxValue)
+    assert(tot.getAs[Long]("n_matched_keys") == 2L)
+    assert(tot.getAs[Long]("max_key_product") == Long.MaxValue)
+    // single giant key: sum fits 38 digits, least() clamps to Long.Max
+    val one = Seq((1L, big, big)).toDF("key", "n_left", "n_right")
+    val t1 = JoinDiag.summarizeMatched(one).collect().head
+    assert(t1.getAs[Long]("est_join_rows") == Long.MaxValue)
+    // and the genuinely-empty frame still reads 0
+    val none = counts.where($"key" < 0)
+    val t0 = JoinDiag.summarizeMatched(none).collect().head
+    assert(t0.getAs[Long]("est_join_rows") == 0L)
+    assert(t0.getAs[Long]("max_key_product") == 0L)
+  }
+
   test("experiment: assignment is stable under enrollment growth; z degenerates to 0 on zero variance") {
     val variants = Seq("control" -> 0.5, "treatment" -> 0.5)
     def arms(n: Long) = (1L to n).toDF("u")

@@ -60,6 +60,37 @@ class IntervalsSpec extends AnyFunSuite {
     assert(a.collect().toSet == b.collect().toSet)
   }
 
+  test("binary keys merge by VALUE (Array[Byte] equality is referential by default)") {
+    // two distinct Array[Byte] instances with equal bytes: islands of
+    // the same binary key must merge across rows/partitions
+    val rows = Seq(
+      (Array[Byte](1, 2), 1L, 5L),
+      (Array[Byte](1, 2), 4L, 9L), // overlaps → one island
+      (Array[Byte](3), 1L, 2L))
+      .toDF("k", "s", "e")
+    val out = Intervals.mergeIslands(rows.repartition(3), "k", "s", "e", Nil)
+      .collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (Seq[Byte](1, 2), 1L, 9L, 2L),
+      (Seq[Byte](3), 1L, 2L, 1L)))
+  }
+
+  test("unsupported key/endpoint types fail loudly up front, not mid-job") {
+    val arrKey = Seq((Seq(1, 2), 1L, 2L)).toDF("k", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      Intervals.mergeIslands(arrKey, "k", "s", "e", Nil)
+    }
+    assert(e1.getMessage.contains("key"))
+    val binEndpoint = Seq(("a", Array[Byte](1), Array[Byte](2)))
+      .toDF("k", "s", "e")
+    val e2 = intercept[IllegalArgumentException] {
+      Intervals.mergeIslands(binEndpoint, "k", "s", "e", Nil)
+    }
+    assert(e2.getMessage.contains("endpoint"))
+  }
+
   test("inverted intervals (e < s) are dropped, not merged") {
     val bad = Seq(
       ("A", 1L, 5L, 1), ("A", 4L, 8L, 2),

@@ -38,6 +38,40 @@ class MixingSpec extends AnyFunSuite {
     assert(again == ids)
   }
 
+  test("broadcast-join rate path (>WhenChainMaxRates) equals the when-chain path") {
+    val df = corpus(4000)
+    val real = Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0)
+    // pad with unused domains to force the join path; the real
+    // domains' semantics must not change
+    val padded = real ++ (0 until (Mixing.WhenChainMaxRates + 10))
+      .map(i => s"unused$i" -> 0.7)
+    assert(padded.size > Mixing.WhenChainMaxRates)
+    def ids(rates: Seq[(String, Double)], d: org.apache.spark.sql.DataFrame) =
+      Mixing.weightedSample(d, "dom", "id", rates, defaultRate = 0.1,
+        salt = "jp").select("id").as[Long].collect().toSet
+    val viaChain = ids(real, df)
+    val viaJoin = ids(padded, df)
+    assert(viaJoin == viaChain)
+    // partitioning-invariant on the join path too
+    assert(ids(padded, df.repartition(13)) == viaChain)
+    // duplicate domain entries: FIRST wins on both paths
+    val dup = Seq("src0" -> 1.0, "src0" -> 0.0)
+    val dupPadded = dup ++ padded.drop(1)
+    val chainDup = ids(dup, df).count(_ % 4 == 0)
+    val joinDup = ids(dupPadded, df).count(_ % 4 == 0)
+    assert(chainDup == 1000 && joinDup == 1000,
+      s"first-wins broke: chain=$chainDup join=$joinDup")
+    // NULL domains fall to defaultRate on the join path
+    val withNull = (0L until 400L)
+      .map(i => (i, null.asInstanceOf[String])).toDF("id", "dom")
+    val keptNull = Mixing.weightedSample(withNull, "dom", "id", padded,
+      defaultRate = 1.0, salt = "jp").count()
+    assert(keptNull == 400L)
+    // output schema unchanged (helper columns dropped)
+    assert(Mixing.weightedSample(df, "dom", "id", padded, 0.1, "jp")
+      .columns.toSeq == df.columns.toSeq)
+  }
+
   test("sampleSql evaluates to the identical keep-set in Spark SQL") {
     corpus(1000).createOrReplaceTempView("mix_corpus")
     // sampleSql targets DuckDB (bare VARCHAR, like Splits.splitSql);
@@ -51,6 +85,17 @@ class MixingSpec extends AnyFunSuite {
       Seq("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1, salt = "t")
       .select("id").as[Long].collect().toSet
     assert(viaSql == viaOp)
+  }
+
+  test("temperatureRates refuses cardinalities beyond maxDomains instead of sizing the driver to them") {
+    val many = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("id", "dom")
+    val e = intercept[IllegalArgumentException] {
+      Mixing.temperatureRates(many, "dom", alpha = 0.5, maxDomains = 10)
+    }
+    assert(e.getMessage.contains("distinct domains"))
+    // at or under the bound: all domains get a rate as before
+    val ok = Mixing.temperatureRates(many, "dom", alpha = 0.5, maxDomains = 50)
+    assert(ok.size == 50)
   }
 
   test("capPerDomain keeps at most k per domain, matching the window form") {

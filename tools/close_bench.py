@@ -30,6 +30,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Host calibration (round-13 verdict task 4): q01 scans the 5-row
+# region table at EVERY sf, so its close-run minimum is a pure
+# Spark-scheduling probe. host_factor = q01_min / Q01_REF_SEC scales
+# the 120 ms duck floor threshold with host weather (the fixed floor
+# misclassified 15 sf1 queries during the r13 2x degradation).
+# Reference: quiet-host long-run minimum, BENCH_SF1_r09d q01 = 0.083s.
+Q01_REF_SEC = 0.085
+CALIB_QUERY = "q01_scan_sort"
+FLOOR_MS_BASE = 120
+
 # declared-quadratic oracles (ratio.py EXCLUDED): their DuckDB side is
 # an all-pairs/recursive-CTE replay that takes minutes at sf0.1 and is
 # excluded from every aggregate — never time them in a close run
@@ -163,6 +173,11 @@ def main():
     with open(f"{out_prefix}_bench.json", "w") as f:
         json.dump(bench, f, indent=1)
 
+    # host-calibrated floor: never below 1.0 (a faster-than-reference
+    # host still pays at least the quiet-host scheduling floor)
+    calib = s_min.get(CALIB_QUERY, -1.0)
+    host_factor = round(max(1.0, calib / Q01_REF_SEC), 3) \
+        if calib > 0 else 1.0
     d_min = {n: round(min(v), 4) for n, v in obs_d.items() if v}
     d_spreads = sorted(spread(v) for v in obs_d.values() if len(v) >= 2)
     duck = {
@@ -171,6 +186,10 @@ def main():
         "protocol": bench["protocol"],
         "spread_p50": quant(d_spreads, 0.5),
         "spread_p90": quant(d_spreads, 0.9),
+        "host_factor": host_factor,
+        "host_factor_calibration": f"{CALIB_QUERY} min {calib}s / "
+                                   f"pinned quiet-host ref {Q01_REF_SEC}s",
+        "floor_ms": round(FLOOR_MS_BASE * host_factor, 1),
     }
     with open(f"{out_prefix}_duck.json", "w") as f:
         json.dump(duck, f, indent=1)
