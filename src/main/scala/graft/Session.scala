@@ -26,6 +26,12 @@ object Session {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // 10MB (the default) forces sort-merge for dimension sides of
+      // ~1M keys (e.g. the x99 ref anti join probes orders' 1.5M-key
+      // side at sf1, 12MB estimated). With 8GB+ executor memory a
+      // 64MB hashed relation is cheap, and AQE still demotes a
+      // broadcast whose RUNTIME size disagrees with the estimate.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

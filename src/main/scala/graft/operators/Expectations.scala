@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *  - ALL row rules evaluate in ONE map-side aggregation pass —
   *    k rules = k conditional-sum columns over one scan, no per-rule
   *    jobs;
-  *  - uniqueness is pure aggregate arithmetic per key set —
-  *    COUNT(*) − COUNT(DISTINCT key-struct) — partial-aggregated,
-  *    never a groupBy-then-refilter pass;
+  *  - uniqueness is one groupBy branch per key set over the PRUNED
+  *    key columns (violations = Σ(group count − 1) ≡ COUNT(*) −
+  *    COUNT(DISTINCT key-struct)) — map-side partial counts, narrow
+  *    shuffle rows, and NO Expand (multi-count_distinct in a shared
+  *    Aggregate multiplies the full scan k× before shuffling);
   *  - referential rules are LEFT ANTI joins (AQE broadcasts small
   *    reference sides);
   *  - [[annotate]] is map-only: each row gains the array of rule
@@ -86,35 +88,78 @@ object Expectations {
     // COUNT(*) − COUNT(DISTINCT key-struct) — so each key set is one
     // aggregate branch, no groupBy + refilter pass.
     val branches = Seq.newBuilder[DataFrame]
-    if (rowRules.nonEmpty || uniqueKeys.nonEmpty) {
-      // row rules AND uniqueness share ONE aggregate scan: the
-      // conditional sums are map-side, the distinct counts plan
-      // through one Expand (k distinct aggs = k lightweight struct
-      // streams of the same scan, never k separate table reads). The
-      // key struct is never NULL, so COUNT(DISTINCT struct) counts
-      // NULL-keyed groups exactly like GROUP BY does.
+    if (rowRules.nonEmpty) {
+      // ALL row rules evaluate in ONE map-side aggregation pass: k
+      // rules = k conditional sums over one scan, zero shuffle beyond
+      // the 1-row agg.
       val aggs = rowRules.zipWithIndex.map { case (r, i) =>
         sum(when(!r.passes, 1L).otherwise(0L)).as(s"__v$i")
-      } ++ uniqueKeys.zipWithIndex.map { case (ks, i) =>
-        (count(lit(1)) - count_distinct(struct(ks.map(col): _*)))
-          .as(s"__u$i")
       }
       val entries = rowRules.zipWithIndex.map { case (r, i) =>
         struct(lit(r.name).as("rule"),
           coalesce(col(s"__v$i"), lit(0L)).as("violations"))
-      } ++ uniqueKeys.zipWithIndex.map { case (ks, i) =>
-        struct(lit(s"unique(${ks.mkString(",")})").as("rule"),
-          col(s"__u$i").as("violations"))
       }
       branches += df.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(entries: _*)).as("kv"))
         .select(col("kv.rule").as("rule"),
           col("kv.violations").as("violations"))
     }
+    // Uniqueness and referential rules share per-key-set GROUPED
+    // COUNTS `(keys…, __c)` instead of each walking the full table:
+    //  - NOT count_distinct aggregates in the row-rule scan: k
+    //    distinct aggs in one Aggregate plan through Expand — a k×
+    //    row multiplication of the full table before the shuffle
+    //    (measured 5× DuckDB at sf1). A plain groupBy over the PRUNED
+    //    key columns shuffles narrow rows once, with map-side partial
+    //    counts (clustered keys — the lineitem orderkey layout —
+    //    shrink by their duplication factor);
+    //  - a key set that is a SUBSET of another derives its counts
+    //    from the superset's grouped frame (groupBy + sum), so
+    //    unique(k1,k2) + unique(k1) cost one full-data shuffle, not
+    //    two — the second hop aggregates groups, not rows;
+    //  - a referential rule anti-joins its fk's GROUPED keys (one row
+    //    per distinct key, weighted by __c) instead of every data
+    //    row, shrinking the probe side by the duplication factor;
+    //    identical grouped subplans across branches collapse to one
+    //    physical shuffle via exchange reuse.
+    // GROUP BY groups NULL keys together, exactly like the
+    // COUNT(DISTINCT struct) it replaces (struct keys are never
+    // NULL); violations = Σ(group count − 1) over duplicated groups
+    // ≡ COUNT(*) − COUNT(DISTINCT key-struct).
+    val neededKeySets: Seq[Seq[String]] =
+      (uniqueKeys ++ refs.map { case (fk, _, _) => Seq(fk) })
+        .map(_.distinct).distinct
+    val groupedCache =
+      scala.collection.mutable.Map[Seq[String], DataFrame]()
+    def grouped(ks0: Seq[String]): DataFrame = {
+      val ks = ks0.distinct
+      groupedCache.getOrElseUpdate(ks.sorted, {
+        val sup = neededKeySets
+          .filter(o => o.toSet != ks.toSet && ks.forall(o.contains))
+          .sortBy(_.size).headOption
+        sup match {
+          case Some(o) => grouped(o).groupBy(ks.map(col): _*)
+            .agg(sum(col("__c")).as("__c"))
+          case None => df.select(ks.map(col): _*)
+            .groupBy(ks.map(col): _*).agg(count(lit(1)).as("__c"))
+        }
+      })
+    }
+    uniqueKeys.foreach { ks =>
+      branches += grouped(ks)
+        .where(col("__c") > 1L)
+        .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"))
+        .select(lit(s"unique(${ks.mkString(",")})").as("rule"),
+          col("violations"))
+    }
     refs.foreach { case (fk, ref, rc) =>
-      branches += df.where(col(fk).isNotNull).select(col(fk))
-        .join(ref.select(col(rc).as(fk)).distinct(), Seq(fk), "left_anti")
-        .agg(count(lit(1)).as("violations"))
+      // no distinct() on the reference side: LEFT ANTI only tests
+      // existence, the join's own hashed relation dedupes — a
+      // distinct would be one extra shuffle+agg of the whole
+      // reference column for nothing
+      branches += grouped(Seq(fk)).where(col(fk).isNotNull)
+        .join(ref.select(col(rc).as(fk)), Seq(fk), "left_anti")
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("violations"))
         .select(lit(s"ref($fk->$rc)").as("rule"), col("violations"))
     }
     branches.result().reduce(_.unionByName(_))
