@@ -341,6 +341,9 @@ private[graft] object TextGates {
     // subquery) without ever seeing the archive bytes.
     "x71_warc_ingest" -> ((s, d) => {
       val p = stageWarc(s, d)
+      // persist before the global sort (same reason as x72): the
+      // range partitioner's sampling job would otherwise replay the
+      // full archive parse + extraction a second time
       graft.sources.Warc.readResponses(s, p)
         .select(
           regexp_extract(col("target_uri"), "item([0-9]+)$", 1)
@@ -349,6 +352,7 @@ private[graft] object TextGates {
           col("warc_date").cast(LongType).as("fetch_epoch"),
           col("http_status"),
           Text.htmlExtract(decode(col("body"), "UTF-8")).as("extracted"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
@@ -467,6 +471,11 @@ private[graft] object TextGates {
         .withColumn("doc_id",
           regexp_extract(col("target_uri"), "item([0-9]+)$", 1).cast(LongType))
         .where(col("doc_id") % 3 === 0)
+      // persist before the global sort: ORDER BY's range partitioner
+      // runs a SAMPLING job over its child first, and an unpinned
+      // child would re-run the whole archive walk + seek-read lineage
+      // for it — the sampling pass now fills the cache, the sort
+      // reads it (one physical fetch instead of two)
       graft.sources.Warc.fetchAt(s, wanted)
         .select(
           regexp_extract(col("target_uri"), "item([0-9]+)$", 1)
@@ -475,6 +484,7 @@ private[graft] object TextGates {
           col("warc_date").cast(LongType).as("fetch_epoch"),
           col("http_status"),
           Text.htmlExtract(decode(col("body"), "UTF-8")).as("extracted"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .orderBy(asc_nulls_first("doc_id"))
     }),
 
@@ -612,7 +622,13 @@ private[graft] object TextGates {
       val p = sessionTempDir("graft_warc_stage")
       t(s, d, "documents")
         .select(col("doc_id"), htmlFixture(col("doc_id"), col("text")).as("html"))
-        .repartition(8)
+        // 32 archives, not 8: buildIndex is one task per file
+        // (members are only discoverable sequentially), so the
+        // fixture must carry at least a core's worth of files for
+        // the x71/x72 measurements to exercise the intended
+        // file-parallel layout (a real crawl dump is thousands of
+        // archives); gate outputs are file-layout invariant
+        .repartition(32)
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           import graft.sources.Warc
           val tc = org.apache.spark.TaskContext.get()

@@ -623,15 +623,26 @@ object Warc {
   def fetchAt(spark: SparkSession, index: DataFrame,
               maxPayloadBytes: Int = 1 << 20,
               maxMemberBytes: Long = 1L << 26): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, floor, lit}
     val sc = spark.sparkContext
     val confKv: Array[(String, String)] =
       sc.hadoopConfiguration.iterator().asScala
         .map(e => (e.getKey, e.getValue)).toArray
     val cap = maxPayloadBytes
     val memberCap = maxMemberBytes
+    // Partition on (file, 64 MiB offset chunk), not hash on file
+    // alone: hashing by file caps parallelism at the archive count
+    // (8 staged files = 8 busy cores of 32, and hash collisions make
+    // it worse); chunking the offset spreads a big archive's fetches
+    // over many tasks (concurrent readers at different offsets are
+    // free). Deliberately NOT repartitionByRange: RangePartitioner
+    // SAMPLES its input first, which re-executes the index lineage —
+    // when the caller composes buildIndex→fetchAt directly, that is
+    // a second full archive walk. The hash bucketing is a pure
+    // function of each row. sortWithinPartitions keeps file-major
+    // offset order for the open-once stream reuse below.
     val rows = index.select(col("file"), col("offset"), col("length"))
-      .repartition(col("file"))
+      .repartition(col("file"), floor(col("offset") / lit(64L << 20)))
       .sortWithinPartitions(col("file"), col("offset"))
       .rdd
     val out = rows.mapPartitions { it =>
