@@ -190,7 +190,17 @@ object Intervals {
       }(Encoders.row(preSchema))
 
     val ord: Seq[Column] = Seq(col("__k"), col("__s"), col("__e")).map(_.asc)
-    val sorted = pre
+    // pin the PRE-MERGED frame through the range shuffle:
+    // repartitionByRange SAMPLES its input for boundaries before the
+    // shuffle map stage runs, and an unpinned `pre` would execute the
+    // in-task sort + merge TWICE (once to be sampled, once to
+    // shuffle). The sampling job fills this cache; the shuffle map
+    // stage reads it; it is released right after the stats job below,
+    // when the range shuffle's blocks (and the `sorted` cache) carry
+    // every later recompute.
+    val prePinned = pre
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = prePinned
       .repartitionByRange(ord: _*)
       .sortWithinPartitions(ord: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -219,6 +229,9 @@ object Intervals {
         Iterator(Row(pid, firstKey, curKey, maxE))
       }
     }(Encoders.row(statsSchema)).collect().sortBy(_.getInt(0))
+    // the stats job materialized `sorted`; recomputes now ride the
+    // written shuffle blocks, so the pre-merge cache is dead weight
+    prePinned.unpersist()
 
     // driver carry walk: incoming(p) = (key, prefix max e over all
     // prior partitions' rows of that key), defined only when the
