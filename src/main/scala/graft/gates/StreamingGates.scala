@@ -391,6 +391,42 @@ private[graft] object StreamingGates {
         .orderBy(asc_nulls_first("channel"))
     }),
 
+    // X120 [ST5] bounded-state STREAMING retention cohorts — the x86
+    // batch rollup as a keyed state machine: per-user state is the
+    // first-seen timestamp plus only the not-yet-final activity weeks
+    // (≤ ⌈lateness/1 week⌉ + 1 entries); a user's cohort finalizes
+    // when the watermark passes their first event, the pending weeks
+    // flush once, and the row is reaped when the watermark clears the
+    // reporting horizon. Verdicts reduce per (user, week) by newest
+    // upd_seq and roll up to the same (cohort_week, week_no, users)
+    // curve the batch operator produces; the oracle replays x86's SQL
+    // (the fixture spans ~5 weeks, far inside the 52-week horizon).
+    "x120_stream_retention" -> ((s, d) => {
+      import s.implicits._
+      val staged = stageEventsTimeOrdered(s, d)
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.retentionBounded(events,
+              horizonWeeks = 52, lateness = "30 minutes")
+            .toDF().writeStream.outputMode("update").format("memory")
+            .queryName("x120_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      val sink = s.table("x120_out")
+      // boundedness evidence: cohorts really finalized (pending
+      // buffers flushed) and the provisional path was exercised
+      require(sink.where(col("is_final")).count() > 0,
+        "bounded retention never finalized any cohort week")
+      graft.streaming.EventStreams.retentionVerdicts(sink)
+        .orderBy(asc_nulls_first("cohort_week"), asc_nulls_first("week_no"))
+    }),
+
     // X106 [ST2 + A-family sketches] STREAMING storable HLL: per-day
     // user sketches built BY THE STREAM, compared bit-for-bit to the
     // batch sketches over the same table (same commutative byte-max
@@ -570,6 +606,22 @@ private[graft] object StreamingGates {
                 ROUND(SUM(value), 2) AS revenue
          FROM j GROUP BY channel
          ORDER BY channel NULLS FIRST""",
+    // x86's batch retention replay over watermark-eligible (non-NULL
+    // ts) events; the 52-week gate horizon exceeds the fixture span,
+    // so no week_no filter is needed
+    "x120_stream_retention" ->
+      """WITH f AS (SELECT user_id,
+                           CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+                    FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS week
+               FROM events WHERE ts IS NOT NULL)
+         SELECT f.cohort_week,
+                CAST((a.week - f.cohort_week) // 7 AS INT) AS week_no,
+                CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY 1, 2
+         ORDER BY cohort_week NULLS FIRST, week_no NULLS FIRST""",
     // batch replay of the stream-stream interval join: inner joins
     // emit exactly the matching pairs, independent of batching
     "x47_stream_interval_join" ->

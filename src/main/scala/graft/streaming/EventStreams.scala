@@ -546,6 +546,134 @@ object EventStreams extends Serializable {
       .select(col("last.user_id").as("user_id"), col("last.ts").as("ts"),
         col("last.value").as("value"), col("last.channel").as("channel"))
 
+  case class RetentionState(firstUs: Long, pendingWeeks: Seq[Int], seq: Long)
+  case class RetentionSnapshot(user_id: Long, week_day: Int,
+                               cohort_day: Int, week_no: Int,
+                               upd_seq: Long, is_final: Boolean)
+
+  private val DayUs = 86400000000L
+  /** Monday-start week truncation over epoch days (1970-01-01 is a
+    * Thursday, whose Monday is day −3) — the same convention as
+    * `date_trunc('week', …)` in Spark and DuckDB. */
+  private def weekStartDay(us: Long): Int = {
+    val d = Math.floorDiv(us, DayUs)
+    (d - Math.floorMod(d + 3, 7)).toInt
+  }
+
+  /** ST5 bounded-state STREAMING RETENTION COHORTS — the x86 batch
+    * operator ([[graft.operators.Funnel.retention]]) as a keyed state
+    * machine: per-user state is the first-seen timestamp plus the
+    * activity weeks whose cohort assignment is not yet final.
+    *
+    * Finality: a user's cohort week is min-over-events, so it is
+    * FINAL once the watermark passes the first-seen timestamp (every
+    * later admissible event has ts ≥ watermark ≥ first-seen and
+    * cannot lower the min). Until then, activity weeks are emitted as
+    * PROVISIONAL snapshots and buffered in `pendingWeeks`; the buffer
+    * is bounded by construction at ⌈lateness/1 week⌉ + 1 entries
+    * (pre-finality events all sit within the lateness window of the
+    * first). After finality the buffer flushes once (via
+    * EventTimeTimeout if no event triggers it) and stays empty — the
+    * state row is one long from then on.
+    *
+    * State ROWS are bounded by `horizonWeeks`: the report covers
+    * week_no 0..horizonWeeks (the standard retention-curve cutoff),
+    * so once the watermark passes the horizon's end every reportable
+    * week is final and the row is REMOVED. Batch-equality contract
+    * (the x96b shape): equals [[graft.operators.Funnel.retention]]
+    * restricted to week_no ≤ horizonWeeks whenever (a) every event
+    * arrives within `lateness` of the running max event time and
+    * (b) no user re-appears after being horizon-reaped (such a
+    * return would register as a fresh cohort — out of contract,
+    * exactly as beyond-lateness events are out of x96b's).
+    *
+    * Snapshots reduce via [[retentionVerdicts]]: newest `upd_seq` per
+    * (user, week) — a final snapshot always supersedes provisionals,
+    * including ones whose provisional cohort shifted. */
+  def retentionBounded(events: Dataset[Event], horizonWeeks: Int = 52,
+                       lateness: String = "1 hour")
+      : Dataset[RetentionSnapshot] = {
+    import events.sparkSession.implicits._
+    require(horizonWeeks >= 0, s"horizonWeeks must be >= 0, got $horizonWeeks")
+    events
+      .filter(e => e.ts != null)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionSnapshot](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[RetentionState]) =>
+          def snap(cohortDay: Int, w: Int, seq: Long, fin: Boolean) =
+            RetentionSnapshot(uid, w, cohortDay, (w - cohortDay) / 7, seq, fin)
+          def horizonEndUs(cohortDay: Int): Long =
+            (cohortDay + 7L * (horizonWeeks + 1)) * DayUs
+          def inHorizon(cohortDay: Int)(w: Int): Boolean =
+            (w - cohortDay) / 7 <= horizonWeeks
+          val st = state.getOption.getOrElse(
+            RetentionState(Long.MaxValue, Vector.empty, 0L))
+          val seq = st.seq + 1
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = if (wmMs > 0L) wmMs * 1000L else Long.MinValue
+          if (state.hasTimedOut) {
+            // watermark passed first-seen (flush finals) and/or the
+            // horizon end (remove)
+            val cohortDay = weekStartDay(st.firstUs)
+            val out = st.pendingWeeks.filter(inHorizon(cohortDay))
+              .map(w => snap(cohortDay, w, seq, fin = true))
+            if (wmUs >= horizonEndUs(cohortDay)) state.remove()
+            else {
+              state.update(RetentionState(st.firstUs, Vector.empty, seq))
+              state.setTimeoutTimestamp(
+                Math.floorDiv(horizonEndUs(cohortDay), 1000L) + 1L)
+            }
+            out.iterator
+          } else {
+            val ts = batch.map(e => eventMicros(e.ts)).toVector
+            if (ts.isEmpty) Iterator.empty
+            else {
+              val newFirst = math.min(st.firstUs, ts.min)
+              val cohortDay = weekStartDay(newFirst)
+              val weeks = ts.map(weekStartDay).distinct
+              if (wmUs >= newFirst) {
+                // cohort final: everything emits final, nothing buffers
+                val out = (st.pendingWeeks ++ weeks).distinct
+                  .filter(inHorizon(cohortDay))
+                  .map(w => snap(cohortDay, w, seq, fin = true))
+                if (wmUs >= horizonEndUs(cohortDay)) state.remove()
+                else {
+                  state.update(RetentionState(newFirst, Vector.empty, seq))
+                  state.setTimeoutTimestamp(
+                    Math.floorDiv(horizonEndUs(cohortDay), 1000L) + 1L)
+                }
+                out.iterator
+              } else {
+                // provisional: buffer, re-emit under the current
+                // cohort, and arm the flush at first-seen (legal:
+                // newFirst > wmUs here)
+                val allW = (st.pendingWeeks ++ weeks).distinct
+                state.update(RetentionState(newFirst, allW, seq))
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(newFirst, 1000L) + 1L)
+                allW.filter(inHorizon(cohortDay))
+                  .map(w => snap(cohortDay, w, seq, fin = false)).iterator
+              }
+            }
+          }
+      }
+  }
+
+  /** Reduction over a [[retentionBounded]] snapshot sink: newest
+    * snapshot per (user, activity week) — the absolute week is stable
+    * even when a provisional cohort shifted — then the cohort-curve
+    * rollup `(cohort_week, week_no, users)`, matching
+    * [[graft.operators.Funnel.retention]]'s output shape. */
+  def retentionVerdicts(snapshots: DataFrame): DataFrame =
+    snapshots.groupBy(col("user_id"), col("week_day"))
+      .agg(max(struct(col("upd_seq"), col("cohort_day"), col("week_no")))
+        .as("last"))
+      .groupBy(date_from_unix_date(col("last.cohort_day")).as("cohort_week"),
+        col("last.week_no").as("week_no"))
+      .agg(count_distinct(col("user_id")).as("users"))
+
   /** ST2 + storable sketches: per-window HyperLogLog blobs of a key
     * column — the streaming half of the pre-aggregate-once /
     * roll-up-forever pattern (x101): each window's blob lands in the

@@ -620,6 +620,64 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only sentinel rows to survive: ${stateRows.mkString(",")}")
   }
 
+  test("ST5: bounded streaming retention equals batch cohorts; state rows fall") {
+    import EventStreams._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("events_retention").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-04 10:00:00") // a Monday
+    def day(d: Double) = new java.sql.Timestamp(t0.getTime + (d * 86400000L).toLong)
+    // u1: cohort week0, active weeks {0,1,3}; u2: cohort week1,
+    // active {1,2}. The first slice lands before any watermark, so
+    // u1's week-0 snapshot is PROVISIONAL; later slices advance the
+    // watermark past first-seen (finals flush) and the sentinels
+    // advance it past the 4-week horizon (rows REMOVED).
+    val slices: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double)]] = Seq(
+      Seq((1L, day(0), 1L, "view", 0.0), (2L, day(0.2), 1L, "click", 0.0)),
+      Seq((3L, day(7), 1L, "view", 0.0), (4L, day(8), 2L, "view", 0.0)),
+      Seq((5L, day(15), 2L, "click", 0.0), (6L, day(21), 1L, "purchase", 3.0)),
+      Seq((7L, day(300), -9L, "view", 0.0)),
+      Seq((8L, day(301), -8L, "view", 0.0)))
+    slices.foreach { rows =>
+      val before = graft.gates.GateSupport.listParquet(dir)
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      graft.gates.GateSupport.bumpMtime(dir, before)
+    }
+    val stream = spark.readStream.schema(EventStreams.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[Event]
+    val q = retentionBounded(stream, horizonWeeks = 4,
+        lateness = "30 minutes")
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("retention_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val sink = spark.table("retention_spec")
+    // both snapshot kinds exercised
+    assert(sink.where(!$"is_final").count() > 0, "no provisional snapshots")
+    assert(sink.where($"is_final").count() > 0, "no final snapshots")
+    // batch parity on the real users
+    val got = EventStreams.retentionVerdicts(sink.where($"user_id" > 0))
+      .select($"cohort_week".cast("string"), $"week_no", $"users")
+      .as[(String, Int, Long)].collect().toSet
+    val batchEvents = slices.flatten.filter(_._3 > 0)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = graft.operators.Funnel.retention(batchEvents)
+      .select($"cohort_week".cast("string"), $"week_no", $"users")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got == Set(("2024-03-04", 0, 1L), ("2024-03-04", 1, 1L),
+      ("2024-03-04", 3, 1L), ("2024-03-11", 0, 1L), ("2024-03-11", 1, 1L)))
+    // state ROWS fall: u1/u2 reaped once the watermark cleared their
+    // 4-week horizon — only the sentinel users' rows can remain
+    val stateRows = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatMap(_.toSeq).map(_.numRowsTotal).filter(_ > 0)
+    assert(stateRows.nonEmpty && stateRows.last < stateRows.max,
+      s"horizon-expired retention state never removed: ${stateRows.mkString(",")}")
+    assert(stateRows.last <= 2L,
+      s"expected only sentinel rows to survive: ${stateRows.mkString(",")}")
+  }
+
   test("ST2+: streaming per-window HLL blobs — append mode evicts, blobs equal batch") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("events_hll").toString
