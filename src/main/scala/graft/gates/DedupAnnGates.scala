@@ -42,6 +42,61 @@ private[graft] object DedupAnnGates {
         cacheKey = Some(s"docs:$d"))
         .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))),
 
+    // X3B MinHash-LSH TWIN VALUE AUDIT (the x10b move for the banding
+    // path): over a corpus where every doc appears twice under ids
+    // (i, i + 10^9), equal texts have identical shingle sets, hence
+    // identical MinHash signatures, hence equal buckets in EVERY
+    // band — so each eligible doc's twin pair MUST surface as a
+    // candidate and verify at estimator Jaccard exactly 1.0. Any
+    // banding slip (wrong slice bounds, bucket hash divergence,
+    // dropped band) or estimator bias breaks a pinned boolean. The
+    // oracle derives eligibility (length ≥ shingleSize) and the
+    // expected twin count arithmetically; recall vs NEAR (not equal)
+    // pairs stays x26's job.
+    "x03b_minhash_twin_audit" -> ((s, d) => {
+      val off = 1000000000L // far above any fixture doc_id
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val dup = docs.unionByName(
+        docs.select((col("doc_id") + off).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashLsh(dup, threshold = 0.4)
+      val eligible = docs.where(length(col("text")) >= 5)
+        .agg(count(lit(1)).as("n_eligible"))
+      val twins = pairs.where(col("id_b") === col("id_a") + off)
+        .agg(count(lit(1)).as("n_twin_pairs"),
+          min(col("jaccard")).as("min_j"))
+      eligible.crossJoin(twins).select(col("n_eligible"),
+        col("n_twin_pairs"),
+        (col("n_twin_pairs") === col("n_eligible")).as("all_twins_paired"),
+        (col("min_j") === 1.0).as("twin_jaccard_exact_one"))
+    }),
+
+    // X6B SRP-LSH TWIN VALUE AUDIT (same construction over vectors):
+    // identical vectors have identical hyperplane signs, hence equal
+    // buckets in every band, and exact cosine 1.0 (± an ulp, rounded
+    // to 4 dp) — each eligible vector's twin pair must surface and
+    // verify. Eligibility = non-NULL, nonzero-norm vectors (a zero
+    // vector has no cosine with itself).
+    "x06b_srp_twin_audit" -> ((s, d) => {
+      val off = 1000000000L
+      val emb = t(s, d, "embeddings")
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val dup = emb.unionByName(
+        emb.select((col("vec_id") + off).as("vec_id"), col("embedding")))
+      val pairs = Sim.nearDupPairs(dup, threshold = 0.4)
+      val eligible = emb.where(aggregate(col("embedding"),
+          lit(0.0), (acc, x) => acc + x * x) > 0.0)
+        .agg(count(lit(1)).as("n_eligible"))
+      val twins = pairs.where(col("id_b") === col("id_a") + off)
+        .agg(count(lit(1)).as("n_twin_pairs"),
+          min(col("sim")).as("min_sim"))
+      eligible.crossJoin(twins).select(col("n_eligible"),
+        col("n_twin_pairs"),
+        (col("n_twin_pairs") === col("n_eligible")).as("all_twins_paired"),
+        (col("min_sim") === 1.0).as("twin_cosine_exact_one"))
+    }),
+
     // X4 SimHash pigeonhole pairing, full hash-match oracle: the real
     // banding+verify operator (Dedup.hammingPairs — the exact code
     // path simhashPairs rides) runs over engine-replayable synthetic
@@ -618,6 +673,24 @@ private[graft] object DedupAnnGates {
                 true AS fp_functional, true AS fp_injective,
                 true AS sim_functional
          FROM d""",
+    // twin audit: every shingle-eligible doc's duplicate must band
+    // together and verify at estimator Jaccard exactly 1
+    "x03b_minhash_twin_audit" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible,
+                CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
+                true AS all_twins_paired,
+                true AS twin_jaccard_exact_one
+         FROM documents WHERE text IS NOT NULL AND length(text) >= 5""",
+    // twin audit over vectors: every nonzero vector's duplicate must
+    // band together and verify at cosine exactly 1
+    "x06b_srp_twin_audit" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible,
+                CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
+                true AS all_twins_paired,
+                true AS twin_cosine_exact_one
+         FROM embeddings
+         WHERE embedding IS NOT NULL
+           AND list_sum(list_transform(embedding, x -> x * x)) > 0""",
     "x16_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id AS id,
