@@ -26,12 +26,13 @@ object Session {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // 10MB (the default) forces sort-merge for dimension sides of
-      // ~1M keys (e.g. the x99 ref anti join probes orders' 1.5M-key
-      // side at sf1, 12MB estimated). With 8GB+ executor memory a
-      // 64MB hashed relation is cheap, and AQE still demotes a
-      // broadcast whose RUNTIME size disagrees with the estimate.
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // autoBroadcastJoinThreshold stays at Spark's 10MB default: the
+      // round-14 64MB raise (motivated by ONE consumer — the x99 ref
+      // anti join's 12MB orders side) re-priced every join in the
+      // engine and made the semi/anti gates pay a driver-side
+      // 1.5M-key hash build (+81%/+158% at sf1, round-14 verdict).
+      // The one consumer that wanted it now scopes its own strategy:
+      // Expectations.audit hints SHUFFLE_HASH on its reference side.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -427,6 +427,53 @@ private[graft] object StreamingGates {
         .orderBy(asc_nulls_first("cohort_week"), asc_nulls_first("week_no"))
     }),
 
+    // X121 [ST5] bounded-state STREAMING conversion-lag percentiles —
+    // x91's streaming twin and the last batch-analytics family member
+    // to get a bounded-state mirror: the x96b greedy-chain state
+    // machine (shared core — same eviction, reap, and exactness
+    // region) snapshots the chain's SLOT TIMESTAMPS instead of their
+    // count; verdicts reduce per user to the earliest chain's final
+    // slots, adjacent-slot lags become the per-user time-to-convert,
+    // and the same exact sort-based percentile operator produces the
+    // p50/p90 table the batch gate ships. The oracle replays x91's
+    // SQL verbatim — batch equality across micro-batch boundaries.
+    "x121_stream_conversion_lag" -> ((s, d) => {
+      import s.implicits._
+      val staged = stageEventsTimeOrdered(s, d)
+      withStreamPartitions(s, streamPartitionsFor(staged)) {
+        withCheckpoint { ckpt =>
+          val events = s.readStream
+            .schema(graft.streaming.EventStreams.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.stepTimesBounded(events,
+              Seq("view", "click", "purchase"),
+              windowSeconds = Some(7L * 86400), lateness = "30 minutes")
+            .toDF().writeStream.outputMode("update").format("memory")
+            .queryName("x121_out").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          awaitGate(q)
+        }
+      }
+      val sink = s.table("x121_out")
+      // boundedness evidence: buffers really folded into chain slots
+      require(sink.where(col("n_buffered") < col("n_seen")).count() > 0,
+        "bounded step-times never evicted any buffer")
+      val slots = graft.streaming.EventStreams.stepTimesVerdicts(sink)
+      val lags = Seq((0, "view->click"), (1, "click->purchase")).map {
+        case (i, nm) =>
+          slots.where(col("slots").getItem(i + 1) =!= -1L)
+            .select(lit(nm).as("step_pair"),
+              ((col("slots").getItem(i + 1) - col("slots").getItem(i))
+                / 1000000.0).as("lag_s"))
+      }.reduce(_ unionAll _)
+      graft.operators.Percentiles.exact(lags, "step_pair", "lag_s",
+          Seq("p50r" -> 0.5, "p90r" -> 0.9))
+        .select(col("step_pair"), round(col("p50r"), 2).as("p50"),
+          round(col("p90r"), 2).as("p90"), col("n_vals").as("n"))
+        .orderBy(asc_nulls_first("step_pair"))
+    }),
+
     // X106 [ST2 + A-family sketches] STREAMING storable HLL: per-day
     // user sketches built BY THE STREAM, compared bit-for-bit to the
     // batch sketches over the same table (same commutative byte-max
@@ -622,6 +669,37 @@ private[graft] object StreamingGates {
          FROM a JOIN f ON a.user_id = f.user_id
          GROUP BY 1, 2
          ORDER BY cohort_week NULLS FIRST, week_no NULLS FIRST""",
+    // x91's batch SQL verbatim (the greedy chain + quantile_cont):
+    // the streaming twin must land on the identical percentile table
+    "x121_stream_conversion_lag" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'view' AND ts IS NOT NULL
+                     GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                              JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                GROUP BY e.user_id),
+         lags AS (
+           SELECT 'view->click' AS step_pair,
+                  (epoch_us(s2.t2) - epoch_us(s1.t1)) / 1000000.0 AS lag_s
+           FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+           UNION ALL
+           SELECT 'click->purchase',
+                  (epoch_us(s3.t3) - epoch_us(s2.t2)) / 1000000.0
+           FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+         SELECT step_pair,
+                ROUND(quantile_cont(lag_s, 0.5), 2) AS p50,
+                ROUND(quantile_cont(lag_s, 0.9), 2) AS p90,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lags GROUP BY step_pair
+         ORDER BY step_pair NULLS FIRST""",
     // batch replay of the stream-stream interval join: inner joins
     // emit exactly the matching pairs, independent of batching
     "x47_stream_interval_join" ->

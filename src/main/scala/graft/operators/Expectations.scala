@@ -18,13 +18,31 @@ import org.apache.spark.sql.functions._
   *  - ALL row rules evaluate in ONE map-side aggregation pass —
   *    k rules = k conditional-sum columns over one scan, no per-rule
   *    jobs;
-  *  - uniqueness is one groupBy branch per key set over the PRUNED
-  *    key columns (violations = Σ(group count − 1) ≡ COUNT(*) −
-  *    COUNT(DISTINCT key-struct)) — map-side partial counts, narrow
+  *  - a FUSED key-set chain (a base key set with exactly one needed
+  *    strict superset — the `unique(pk) + unique(pk, seq)` shape)
+  *    pays ONE full-data exchange total: the data repartitions on the
+  *    base key, and the one-distinct aggregate
+  *    `count(*) + count_distinct(extra-cols-struct)` runs entirely
+  *    exchange-free on top (HashPartitioning(base) satisfies every
+  *    phase's ClusteredDistribution, base ⊆ base∪extras), yielding
+  *    both key sets' violation counts AND the grouped probe frame the
+  *    referential rules want. The unfused direction shuffled the full
+  *    data TWICE (raw→fine groups, fine→coarse regroup);
+  *  - unfused uniqueness stays one groupBy per key set over the
+  *    PRUNED key columns (violations = Σ(group count − 1) ≡ COUNT(*)
+  *    − COUNT(DISTINCT key-struct)) — map-side partial counts, narrow
   *    shuffle rows, and NO Expand (multi-count_distinct in a shared
   *    Aggregate multiplies the full scan k× before shuffling);
-  *  - referential rules are LEFT ANTI joins (AQE broadcasts small
-  *    reference sides);
+  *  - referential rules are LEFT ANTI joins probing GROUPED keys. The
+  *    reference side carries a SHUFFLE_HASH hint: the probe side is
+  *    already hash-partitioned on the key (its grouping/repartition
+  *    exchange is reused), so only the keys-sized reference column
+  *    shuffles and neither side sorts — where the unhinted plan
+  *    either sort-merges both sides (reference above the session's
+  *    10 MB broadcast estimate) or hands the driver a data-sized
+  *    broadcast build. Per-partition hash builds of a key column stay
+  *    bounded at any scale; a broadcast of a 100 TB table's PK does
+  *    not;
   *  - [[annotate]] is map-only: each row gains the array of rule
   *    names it violates, so quarantine is a filter, not a re-scan
   *    per rule.
@@ -109,33 +127,84 @@ object Expectations {
     //  - NOT count_distinct aggregates in the row-rule scan: k
     //    distinct aggs in one Aggregate plan through Expand — a k×
     //    row multiplication of the full table before the shuffle
-    //    (measured 5× DuckDB at sf1). A plain groupBy over the PRUNED
-    //    key columns shuffles narrow rows once, with map-side partial
-    //    counts (clustered keys — the lineitem orderkey layout —
-    //    shrink by their duplication factor);
-    //  - a key set that is a SUBSET of another derives its counts
-    //    from the superset's grouped frame (groupBy + sum), so
-    //    unique(k1,k2) + unique(k1) cost one full-data shuffle, not
-    //    two — the second hop aggregates groups, not rows;
+    //    (measured 5× DuckDB at sf1);
+    //  - a base key set with EXACTLY ONE needed strict superset (and
+    //    the superset relating to no other set) fuses: repartition on
+    //    the base key, then `count(*) + count_distinct(struct(extra
+    //    cols))` per base group — a single distinct aggregate, so no
+    //    Expand, and zero further exchanges (HashPartitioning(base)
+    //    already clusters every phase). Superset violations =
+    //    Σ(__c − __d) ≡ COUNT(*) − COUNT(DISTINCT superset-struct);
+    //    base violations = Σ(__c − 1 | __c > 1). Repartitioning on
+    //    the base key is safe BY CONSTRUCTION: a key audited for
+    //    uniqueness (or probing a reference PK) is near-unique in
+    //    intent — violations are the exception — so it spreads, and
+    //    a pathologically broken dataset degrades to slow, never to
+    //    wrong. The keys-sized grouped frame persists (the Ranks/
+    //    Intervals precedent) so every consuming branch (uniques,
+    //    refs) reads ONE InMemoryRelation — column pruning would
+    //    otherwise specialize each consumer's copy of the subplan
+    //    (the ref branch needs no __d) and re-shuffle the full data
+    //    per branch. The cache backs the RETURNED lazy plan, so it
+    //    cannot be unpersisted here; long-lived sessions release it
+    //    via spark.sqlContext.clearCache() between measurements;
+    //  - unfused key sets keep the plain groupBy over the PRUNED key
+    //    columns (map-side partial counts — clustered keys shrink by
+    //    their duplication factor), and a subset still derives from
+    //    an unfused superset's grouped frame;
     //  - a referential rule anti-joins its fk's GROUPED keys (one row
     //    per distinct key, weighted by __c) instead of every data
-    //    row, shrinking the probe side by the duplication factor;
-    //    identical grouped subplans across branches collapse to one
-    //    physical shuffle via exchange reuse.
+    //    row; identical grouped subplans across branches collapse to
+    //    one physical shuffle via exchange reuse.
     // GROUP BY groups NULL keys together, exactly like the
     // COUNT(DISTINCT struct) it replaces (struct keys are never
-    // NULL); violations = Σ(group count − 1) over duplicated groups
-    // ≡ COUNT(*) − COUNT(DISTINCT key-struct).
+    // NULL); fused __d counts distinct extra-col structs within each
+    // base group, which sum to exactly COUNT(DISTINCT superset-
+    // struct) — same NULL grouping, struct inputs never NULL.
     val neededKeySets: Seq[Seq[String]] =
       (uniqueKeys ++ refs.map { case (fk, _, _) => Seq(fk) })
         .map(_.distinct).distinct
+    def subsetOf(a: Seq[String], b: Seq[String]): Boolean =
+      a.toSet != b.toSet && a.toSet.subsetOf(b.toSet)
+    // sorted base key cols -> (base key set, its single superset)
+    val fused: Map[Seq[String], (Seq[String], Seq[String])] =
+      neededKeySets.flatMap { b =>
+        val sups = neededKeySets.filter(o => subsetOf(b, o))
+        val subs = neededKeySets.filter(o => subsetOf(o, b))
+        sups match {
+          case Seq(s) if subs.isEmpty &&
+              neededKeySets.filter(o => subsetOf(o, s))
+                .forall(_.toSet == b.toSet) =>
+            Some(b.sorted -> (b, s))
+          case _ => None
+        }
+      }.toMap
+    val fusedFrames: Map[Seq[String], DataFrame] =
+      fused.map { case (bKey, (b, s)) =>
+        val extras = s.filterNot(b.contains)
+        // explicit partition count: an N-less repartition plans as
+        // REPARTITION_BY_COL, whose AQE advisory re-optimization was
+        // measured 2.0x slower on this exchange at sf1 (0.70 s vs
+        // 1.38 s calm minima) — the partition count is the session's
+        // shuffle parallelism either way
+        bKey -> df.select((b ++ extras).map(col): _*)
+          .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+            b.map(col): _*)
+          .groupBy(b.map(col): _*)
+          .agg(count(lit(1)).as("__c"),
+            count_distinct(struct(extras.map(col): _*)).as("__d"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    val fusedSetKeys: Set[Set[String]] =
+      fused.values.flatMap { case (b, s) => Seq(b.toSet, s.toSet) }.toSet
     val groupedCache =
       scala.collection.mutable.Map[Seq[String], DataFrame]()
     def grouped(ks0: Seq[String]): DataFrame = {
       val ks = ks0.distinct
       groupedCache.getOrElseUpdate(ks.sorted, {
         val sup = neededKeySets
-          .filter(o => o.toSet != ks.toSet && ks.forall(o.contains))
+          .filter(o => o.toSet != ks.toSet && ks.forall(o.contains) &&
+            !fusedSetKeys.contains(o.toSet))
           .sortBy(_.size).headOption
         sup match {
           case Some(o) => grouped(o).groupBy(ks.map(col): _*)
@@ -145,20 +214,46 @@ object Expectations {
         }
       })
     }
-    uniqueKeys.foreach { ks =>
+    def uniqueName(ks: Seq[String]) = s"unique(${ks.mkString(",")})"
+    // one branch per fused chain, emitting BOTH key sets' rules from
+    // one global aggregate over the shared grouped frame
+    fused.foreach { case (bKey, (b, s)) =>
+      val names = uniqueKeys.map(_.distinct)
+      val bName = names.find(_.toSet == b.toSet).map(uniqueName)
+      val sName = names.find(_.toSet == s.toSet).map(uniqueName)
+      val entries =
+        bName.map(n => struct(lit(n).as("rule"),
+          col("__vb").as("violations"))).toSeq ++
+        sName.map(n => struct(lit(n).as("rule"),
+          col("__vs").as("violations")))
+      if (entries.nonEmpty)
+        branches += fusedFrames(bKey).agg(
+            coalesce(sum(when(col("__c") > 1L, col("__c") - 1L)), lit(0L))
+              .as("__vb"),
+            coalesce(sum(col("__c") - col("__d")), lit(0L)).as("__vs"))
+          .select(explode(array(entries: _*)).as("kv"))
+          .select(col("kv.rule").as("rule"),
+            col("kv.violations").as("violations"))
+    }
+    uniqueKeys.map(_.distinct)
+      .filterNot(ks => fusedSetKeys.contains(ks.toSet)).foreach { ks =>
       branches += grouped(ks)
         .where(col("__c") > 1L)
         .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"))
-        .select(lit(s"unique(${ks.mkString(",")})").as("rule"),
-          col("violations"))
+        .select(lit(uniqueName(ks)).as("rule"), col("violations"))
     }
     refs.foreach { case (fk, ref, rc) =>
       // no distinct() on the reference side: LEFT ANTI only tests
       // existence, the join's own hashed relation dedupes — a
       // distinct would be one extra shuffle+agg of the whole
-      // reference column for nothing
-      branches += grouped(Seq(fk)).where(col(fk).isNotNull)
-        .join(ref.select(col(rc).as(fk)), Seq(fk), "left_anti")
+      // reference column for nothing. SHUFFLE_HASH (not broadcast):
+      // the probe side's exchange is reused, the reference side is a
+      // keys-sized column that hash-builds per partition at any
+      // scale, and neither side sorts (scaladoc, scale shape).
+      val probe = fusedFrames.getOrElse(Seq(fk), grouped(Seq(fk)))
+      branches += probe.where(col(fk).isNotNull)
+        .join(ref.select(col(rc).as(fk)).hint("shuffle_hash"),
+          Seq(fk), "left_anti")
         .agg(coalesce(sum(col("__c")), lit(0L)).as("violations"))
         .select(lit(s"ref($fk->$rc)").as("rule"), col("violations"))
     }

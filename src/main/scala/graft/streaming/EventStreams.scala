@@ -308,7 +308,20 @@ object EventStreams extends Serializable {
     * them exactly). */
   def funnelLevelsBounded(events: Dataset[Event], steps: Seq[String],
                           windowSeconds: Option[Long] = None,
-                          lateness: String = "1 hour"): Dataset[FunnelSnapshotB] = {
+                          lateness: String = "1 hour"): Dataset[FunnelSnapshotB] =
+    chainCoreBounded(events, steps, windowSeconds, lateness)(
+      (uid, nSeen, emitAcc, nBuf) => FunnelSnapshotB(uid, nSeen,
+        emitAcc.count(_ != -1L), nBuf, emitAcc(0)))(
+      org.apache.spark.sql.Encoders.product[FunnelSnapshotB])
+
+  /** The shared bounded greedy-chain state machine behind
+    * [[funnelLevelsBounded]] and [[stepTimesBounded]]: identical
+    * state/eviction/reap semantics, parameterized only by what each
+    * data-driven snapshot projects out of the greedy slot array. */
+  private def chainCoreBounded[Out](events: Dataset[Event],
+      steps: Seq[String], windowSeconds: Option[Long], lateness: String)(
+      emit: (Long, Long, Array[Long], Int) => Out)(
+      implicit outEnc: org.apache.spark.sql.Encoder[Out]): Dataset[Out] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "funnel steps must be non-empty and distinct")
@@ -320,7 +333,7 @@ object EventStreams extends Serializable {
         stepIdx.contains(e.event_type))
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelChain, FunnelSnapshotB](
+      .flatMapGroupsWithState[FunnelChain, Out](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[FunnelChain]) =>
           // a state row with an empty buffer is REMOVABLE when no
@@ -403,10 +416,44 @@ object EventStreams extends Serializable {
                 state.setTimeoutTimestamp(
                   Math.floorDiv(acc(0) + winUs.get, 1000L) + 1L)
             }
-            Iterator(FunnelSnapshotB(uid, st.nPref + all.size,
-              emitAcc.count(_ != -1L), keep.size, emitAcc(0)))
+            Iterator(emit(uid, st.nPref + all.size, emitAcc, keep.size))
           }
       }
+  }
+
+  case class StepTimesSnapshot(user_id: Long, slots: Seq[Long],
+                               n_seen: Long, n_buffered: Int,
+                               chain_start: Long)
+
+  /** [[graft.operators.Funnel.stepTimes]] as a bounded-state stream —
+    * the state machine is [[funnelLevelsBounded]]'s (same eviction,
+    * same reaping, same exactness region: every event within
+    * `lateness` of the running max event time); each snapshot carries
+    * the greedy chain's SLOT TIMESTAMPS (epoch micros, −1 = unfilled)
+    * instead of just their count, which is what conversion-lag
+    * analysis needs (x91's streaming twin): the lag between adjacent
+    * filled slots is the user's time-to-convert for that step pair.
+    * Reduce a snapshot sink with [[stepTimesVerdicts]] before
+    * consuming. */
+  def stepTimesBounded(events: Dataset[Event], steps: Seq[String],
+                       windowSeconds: Option[Long] = None,
+                       lateness: String = "1 hour"): Dataset[StepTimesSnapshot] =
+    chainCoreBounded(events, steps, windowSeconds, lateness)(
+      (uid, nSeen, emitAcc, nBuf) => StepTimesSnapshot(uid, emitAcc.toSeq,
+        nSeen, nBuf, emitAcc(0)))(
+      org.apache.spark.sql.Encoders.product[StepTimesSnapshot])
+
+  /** Per-user verdict reduction over a [[stepTimesBounded]] snapshot
+    * sink → `(user_id, slots)`: same selection as [[boundedVerdicts]]
+    * (earliest started chain — the one the batch operator computes —
+    * then highest n_seen, strictly growing within a chain). */
+  def stepTimesVerdicts(snapshots: DataFrame): DataFrame = {
+    val key = when(col("chain_start") === -1L, Long.MaxValue)
+      .otherwise(col("chain_start"))
+    snapshots.groupBy(col("user_id"))
+      .agg(max(struct((-key).as("nk"), col("n_seen"), col("slots")))
+        .as("last"))
+      .select(col("user_id"), col("last.slots").as("slots"))
   }
 
   // (ts micros, kind 0=touch 1=conversion, channel ("" on

@@ -42,6 +42,40 @@ class ExpectationsScdSpec extends AnyFunSuite {
     assert(got("ref(k->rk)") == (1L, false))
   }
 
+  test("expectations: fused base+superset chain counts both key sets and feeds refs") {
+    // the unique(pk) + unique(pk, seq) + ref(pk) shape that fuses to
+    // ONE full-data exchange — values must match the unfused math
+    val df = Seq[(Option[Long], Int)](
+      (Some(1L), 1), (Some(1L), 2), (Some(1L), 2),
+      (Some(2L), 1), (None, 1), (None, 1))
+      .toDF("k", "seq")
+    val ref = Seq(1L).toDF("rk")
+    val got = Expectations.audit(df,
+      rowRules = Seq(NotNull("k")),
+      uniqueKeys = Seq(Seq("k", "seq"), Seq("k")),
+      refs = Seq(("k", ref, "rk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // groups by k: 1->{(1),(2),(2)} c=3 d=2; 2-> c=1 d=1; null-> c=2 d=1
+    assert(got("unique(k)") == 3L)       // (3-1) + (2-1) over dup groups
+    assert(got("unique(k,seq)") == 2L)   // (1,2) twice + (null,1) twice
+    assert(got("ref(k->rk)") == 1L)      // k=2 absent, weighted by count
+    assert(got("not_null(k)") == 2L)
+  }
+
+  test("expectations: a 3-chain of key sets stays on the generic path with right values") {
+    // {a} has TWO needed supersets -> fusion declines, the derive-
+    // from-superset machinery must still produce exact counts
+    val df = Seq((1, 1, 1), (1, 1, 1), (1, 2, 1), (2, 1, 1))
+      .toDF("a", "b", "c")
+    val got = Expectations.audit(df,
+      rowRules = Seq(NotNull("a")),
+      uniqueKeys = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("unique(a)") == 2L)
+    assert(got("unique(a,b)") == 1L)
+    assert(got("unique(a,b,c)") == 1L)
+  }
+
   test("expectations: clean table passes; annotate splits quarantine map-only") {
     val df = Seq((1L, 2.0, "A"), (2L, 3.0, "B")).toDF("k", "v", "flag")
     val audit = Expectations.audit(df,

@@ -634,6 +634,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
 
+  test("expectations: fused chain never shuffles on the superset key; ref anti join is shuffled-hash") {
+    import graft.operators.Expectations._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val audit = graft.operators.Expectations.audit(li,
+      rowRules = Seq(NotNull("l_orderkey")),
+      uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber"), Seq("l_orderkey")),
+      refs = Seq(("l_orderkey", Tables.load(spark, sfDir, "orders"),
+        "o_orderkey")))
+    val plan = executedPlan(audit)
+    // the x99 shape: unique(pk,seq) must NOT group the raw data on
+    // the fine key — its distinct count rides the base-key exchange
+    assert(!plan.matches("(?s).*hashpartitioning\\(l_orderkey#\\d+L?, l_linenumber.*"),
+      s"fused audit shuffled on the superset key:\n$plan")
+    // single distinct aggregate — never the multi-distinct Expand
+    assert(!plan.contains("Expand"), s"Expand reappeared:\n$plan")
+    // the reference side is hinted SHUFFLE_HASH: per-partition hash
+    // build of a keys-sized column (no sorts, no driver-sized
+    // broadcast of a PK column at scale)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"ref anti join must be shuffled-hash:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ref anti join fell back to SMJ:\n$plan")
+    // the grouped base frame materializes ONCE: both the uniques and
+    // ref branches read the same persisted InMemoryRelation (column
+    // pruning would otherwise specialize each branch's subplan and
+    // re-shuffle the full data per branch)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cacheReads >= 2,
+      s"expected the uniques + ref branches to read the shared cache:\n$plan")
+  }
+
   test("scd2: one key join, history passthrough, never a cartesian") {
     val c = Tables.load(spark, sfDir, "customer")
     val dim = c.select($"c_custkey".as("k"), $"c_mktsegment".as("seg"))

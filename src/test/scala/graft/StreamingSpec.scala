@@ -484,6 +484,64 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the open chains to survive: ${stateRows.mkString(",")}")
   }
 
+  test("ST5: bounded step times equal the batch greedy chain; state rows fall") {
+    import EventStreams._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("events_steptimes_b").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 09:00:00")
+    def day(d: Int) = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+    // same slice discipline as the bounded-funnel test: one file per
+    // micro-batch, watermark advancing between them
+    val slices: Seq[Seq[(Long, java.sql.Timestamp, Long, String)]] = Seq(
+      Seq((1L, day(0), 1L, "view"), (2L, day(0), 3L, "click")),
+      Seq((3L, day(1), 2L, "view"), (4L, day(1), 3L, "purchase")),
+      Seq((5L, day(2), 1L, "click")),
+      Seq((6L, day(3), 2L, "click")),
+      Seq((7L, day(5), 1L, "purchase")),
+      Seq((8L, day(100), -1L, "view")))
+    slices.foreach { rows =>
+      val before = graft.gates.GateSupport.listParquet(dir)
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      graft.gates.GateSupport.bumpMtime(dir, before)
+    }
+    val stream = spark.readStream.schema(EventStreams.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[Event]
+    val steps = Seq("view", "click", "purchase")
+    val q = stepTimesBounded(stream, steps,
+        windowSeconds = Some(7L * 86400), lateness = "30 minutes")
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("steptimes_bounded")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val sink = spark.table("steptimes_bounded")
+    // parity: final per-user slot times equal the batch operator over
+    // the same events (sentinel excluded on both sides)
+    val got = EventStreams.stepTimesVerdicts(sink.where($"user_id" >= 0))
+      .select($"user_id", $"slots")
+      .as[(Long, Seq[Long])].collect().toMap
+    val batchEvents = slices.flatten.filter(_._3 >= 0)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val want = graft.operators.Funnel.stepTimes(batchEvents, steps,
+        windowSeconds = Some(7L * 86400))
+      .select($"user_id",
+        coalesce($"t1", lit(-1L)), coalesce($"t2", lit(-1L)),
+        coalesce($"t3", lit(-1L)))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    assert(got == want, s"stream $got vs batch $want")
+    // buffers stay inside the lateness window, state rows fall once
+    // chains provably close (the bounded-funnel contract — shared
+    // state machine, re-asserted on this projection)
+    val maxBuf = sink.agg(max($"n_buffered")).head.getInt(0)
+    assert(maxBuf <= 2, s"buffer grew past the lateness window: $maxBuf")
+    val stateRows = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatMap(_.toSeq).map(_.numRowsTotal).filter(_ > 0)
+    assert(stateRows.nonEmpty && stateRows.last < stateRows.max,
+      s"closed chains were never evicted: ${stateRows.mkString(",")}")
+  }
+
   test("ST5: bounded funnel restart after eviction — boundedVerdicts stays batch-exact") {
     // The eviction hazard the chain_start field exists for: a user
     // whose chain window closed (row REMOVED) returns with MORE

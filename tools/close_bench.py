@@ -1,17 +1,33 @@
 #!/usr/bin/env python3
 """Interleaved per-(query,engine) close protocol (the round-12 verdict
-task 4): for every round, each query runs Spark-then-DuckDB
-BACK-TO-BACK, so a host-load window inflates both engines of a pair
-together and the per-pair minima stay comparable. Emits:
+task 4), storm-resilient since round 15 (round-14 verdict task 1): for
+every round, each query runs Spark-then-DuckDB BACK-TO-BACK, so a
+host-load window inflates both engines of a pair together and the
+per-pair minima stay comparable. Additionally, /proc/loadavg (load1)
+is sampled before and after EVERY observation, and the reported
+minimum for a (query, engine) pair is taken over CALM observations
+only — those whose surrounding load1 stayed under the load gate. After
+the base rounds, queries that still lack >= 2 calm observations on
+either engine get targeted extra passes until satisfied or the pass
+cap is hit; rows that never satisfy the gate are listed in-artifact as
+`storm` (ratio.py classifies them mechanically — they stay out of the
+real-work aggregate and the weak list).
 
-  <out_prefix>_bench.json  — Bench-format artifact (spark minima,
-                             short keys) + protocol/spread metadata,
-                             consumable by ratio.py --build
-  <out_prefix>_duck.json   — bench_duck-format DuckDB minima (full
-                             names) + per-query spread
+Emits:
+  <out_prefix>_bench.json — Bench-format artifact (spark CALM minima,
+                            short keys) + protocol/spread/storm
+                            metadata, consumable by ratio.py --build
+  <out_prefix>_duck.json  — bench_duck-format DuckDB minima (full
+                            names) + spread + host factor + storm list
+  <out_prefix>_obs.json   — every observation as [sec, load1_max] per
+                            (query, engine): the calm minima and the
+                            storm list recompute from this file alone
 
 Usage:
   close_bench.py <sfDir> <oracle_sql.json> <out_prefix> [rounds=3]
+
+Env knobs: CLOSE_QUERIES=substr,substr (subset), CLOSE_LOAD_GATE
+(default 8.0), CLOSE_MAX_PASSES (default rounds+6).
 
 The Spark side is a long-lived graft.tools.BenchServe JVM driven over
 stdin (java -cp target/...:/opt/spark/jars/*); DuckDB runs in-process
@@ -40,12 +56,24 @@ Q01_REF_SEC = 0.085
 CALIB_QUERY = "q01_scan_sort"
 FLOOR_MS_BASE = 120
 
+# Storm gate (round-14 verdict task 1): an observation is CALM when
+# load1 sampled immediately before AND after it stays under the gate.
+# 8.0 sits between the close run's own contribution (a 32-thread
+# local-mode burst at the observed ~30-40% duty cycle keeps load1
+# around 3-6) and the documented load-12-20 external storms.
+LOAD_GATE = float(os.environ.get("CLOSE_LOAD_GATE", "8.0"))
+MIN_CALM = 2
+
 # declared-quadratic oracles (ratio.py EXCLUDED): their DuckDB side is
 # an all-pairs/recursive-CTE replay that takes minutes at sf0.1 and is
 # excluded from every aggregate — never time them in a close run
 SKIP_DUCK = {"x20_dedup_pipeline", "x25_training_pipeline",
              "x50_incremental_dedup", "x56_stream_neardup",
              "x88_entities", "x88b_entities_skewblock"}
+
+
+def load1():
+    return float(open("/proc/loadavg").read().split()[0])
 
 
 def start_server(sf_dir):
@@ -94,6 +122,7 @@ def spark_time(proc, name):
 def main():
     sf_dir, oracle_path, out_prefix = sys.argv[1], sys.argv[2], sys.argv[3]
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    max_passes = int(os.environ.get("CLOSE_MAX_PASSES", str(rounds + 6)))
 
     oracle = {n: q for n, q in json.load(open(oracle_path)).items()
               if n not in SKIP_DUCK}
@@ -110,39 +139,78 @@ def main():
         wanted = {w.strip() for w in subset.split(",") if w.strip()}
         names = [n for n in names if any(w in n for w in wanted)]
     print(f"[close] {len(names)} spark gates, "
-          f"{len(oracle)} oracles, {rounds} rounds at {sf_dir}",
-          file=sys.stderr)
+          f"{len(oracle)} oracles, {rounds} rounds at {sf_dir}, "
+          f"load gate {LOAD_GATE}", file=sys.stderr)
 
+    # every observation is [sec, max(load1 before, load1 after)]
     obs_s = {n: [] for n in names}
     obs_d = {n: [] for n in names if n in oracle}
 
-    def duck_time(name):
-        t0 = time.time()
-        con.execute(oracle[name]).fetchall()
-        return time.time() - t0
+    def observe(n):
+        ask(proc, "GC", "OK")
+        l0 = load1()
+        s = spark_time(proc, n)
+        l1 = load1()
+        if s >= 0:
+            obs_s[n].append([s, max(l0, l1)])
+        if n in oracle:
+            l0 = load1()
+            t0 = time.time()
+            con.execute(oracle[n]).fetchall()
+            t = time.time() - t0
+            obs_d[n].append([t, max(l0, load1())])
+
+    def calm(pairs):
+        return [s for s, ld in pairs if ld < LOAD_GATE]
+
+    def satisfied(n):
+        if len(calm(obs_s[n])) < MIN_CALM:
+            return False
+        return n not in oracle or len(calm(obs_d[n])) >= MIN_CALM
 
     # warm-up pass (JIT/codegen/page-cache): observations discarded
     for n in names:
         spark_time(proc, n)
         if n in oracle:
-            duck_time(n)
+            con.execute(oracle[n]).fetchall()
     print("[close] warm-up done", file=sys.stderr)
 
     for r in range(rounds):
         for n in names:
-            ask(proc, "GC", "OK")
-            s = spark_time(proc, n)
-            if s >= 0:
-                obs_s[n].append(s)
-            if n in oracle:
-                obs_d[n].append(duck_time(n))
-        print(f"[close] round {r + 1}/{rounds} done", file=sys.stderr)
+            observe(n)
+        print(f"[close] round {r + 1}/{rounds} done  load1 {load1()}",
+              file=sys.stderr)
+
+    # storm extension: targeted passes over queries still lacking
+    # MIN_CALM calm observations on either engine
+    passes = rounds
+    while passes < max_passes:
+        needy = [n for n in names if not satisfied(n)]
+        if not needy:
+            break
+        passes += 1
+        print(f"[close] storm pass {passes}/{max_passes}: "
+              f"{len(needy)} queries below {MIN_CALM} calm obs "
+              f"(load1 {load1()})", file=sys.stderr)
+        for n in needy:
+            observe(n)
+    storm = sorted(n for n in names if not satisfied(n))
+    if storm:
+        print(f"[close] STORM rows (never satisfied the load gate): "
+              f"{storm}", file=sys.stderr)
 
     ask(proc, "EXIT", "BYE")
     proc.wait(timeout=120)
 
-    def spread(vals):
-        ok = [v for v in vals if v > 0]
+    def best(pairs, n):
+        """Calm minimum when the gate was satisfied; otherwise the
+        all-observations minimum (the row is storm-listed)."""
+        c = calm(pairs)
+        vals = c if len(c) >= MIN_CALM else [s for s, _ in pairs]
+        return round(min(vals), 4) if vals else -1.0
+
+    def spread(pairs):
+        ok = [s for s, _ in pairs if s > 0]
         return round(max(ok) / min(ok), 3) if len(ok) >= 2 else 1.0
 
     def quant(sorted_vals, q):
@@ -156,16 +224,23 @@ def main():
     def short(n):
         return n.split("_", 1)[0] if prefix_ok else n
 
-    s_min = {n: (round(min(v), 4) if v else -1.0) for n, v in obs_s.items()}
+    s_min = {n: best(v, n) if v else -1.0 for n, v in obs_s.items()}
     spreads = sorted(spread(v) for v in obs_s.values() if len(v) >= 2)
     total = round(sum(v for v in s_min.values() if v > 0), 3)
+    protocol = (f"interleaved per-(query,engine) CALM minima "
+                f"(load1 < {LOAD_GATE} before+after, >= {MIN_CALM} calm "
+                f"obs else storm-listed), {rounds} base rounds + "
+                f"warm-up + targeted storm passes (cap {max_passes}), "
+                f"spark/duck adjacent per pair (tools/close_bench.py)")
     bench = {
         "metric": "total", "value": total, "unit": "sec",
         "queries": {short(n): s_min[n] for n in names},
-        "protocol": f"interleaved per-(query,engine) minima, "
-                    f"{rounds} rounds + warm-up, spark/duck adjacent "
-                    f"per pair (tools/close_bench.py)",
+        "protocol": protocol,
         "rounds": rounds,
+        "passes": passes,
+        "load_gate": LOAD_GATE,
+        "storm": [short(n) for n in storm],
+        "calm_obs": {short(n): len(calm(obs_s[n])) for n in names},
         "spread_p50": quant(spreads, 0.5),
         "spread_p90": quant(spreads, 0.9),
         "sf": sf_dir,
@@ -178,24 +253,32 @@ def main():
     calib = s_min.get(CALIB_QUERY, -1.0)
     host_factor = round(max(1.0, calib / Q01_REF_SEC), 3) \
         if calib > 0 else 1.0
-    d_min = {n: round(min(v), 4) for n, v in obs_d.items() if v}
+    d_min = {n: best(v, n) for n, v in obs_d.items() if v}
     d_spreads = sorted(spread(v) for v in obs_d.values() if len(v) >= 2)
     duck = {
         "total": round(sum(d_min.values()), 3),
         "queries": d_min,
-        "protocol": bench["protocol"],
+        "protocol": protocol,
+        "load_gate": LOAD_GATE,
+        "storm": storm,
+        "calm_obs": {n: [len(calm(obs_s[n])), len(calm(obs_d[n]))]
+                     for n in obs_d},
         "spread_p50": quant(d_spreads, 0.5),
         "spread_p90": quant(d_spreads, 0.9),
         "host_factor": host_factor,
-        "host_factor_calibration": f"{CALIB_QUERY} min {calib}s / "
+        "host_factor_calibration": f"{CALIB_QUERY} calm min {calib}s / "
                                    f"pinned quiet-host ref {Q01_REF_SEC}s",
         "floor_ms": round(FLOOR_MS_BASE * host_factor, 1),
     }
     with open(f"{out_prefix}_duck.json", "w") as f:
         json.dump(duck, f, indent=1)
+    with open(f"{out_prefix}_obs.json", "w") as f:
+        json.dump({"load_gate": LOAD_GATE, "min_calm": MIN_CALM,
+                   "spark": obs_s, "duck": obs_d}, f)
     print(f"[close] spark total {total}s  duck total {duck['total']}s  "
           f"spark spread p90 {bench['spread_p90']}  "
-          f"duck spread p90 {duck['spread_p90']}", file=sys.stderr)
+          f"duck spread p90 {duck['spread_p90']}  "
+          f"storm rows {len(storm)}", file=sys.stderr)
 
 
 if __name__ == "__main__":

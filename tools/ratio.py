@@ -12,6 +12,12 @@ Classes (priority order, mechanical):
   rewrite   — declared list (the round-8 verdict convention:
               x41/x41b/x51/x51b): physical file rewrite + atomic swap
               on the Spark side vs a pure SELECT oracle;
+  storm     — the close run's in-artifact storm list (round-14 verdict
+              task 1): rows whose load gate (load1 < gate before and
+              after, >= 2 calm observations per engine) was never
+              satisfied — their minima come from storm-inflated
+              observations and are reported but NOT trusted: excluded
+              from the real-work aggregate and the weak list;
   floor     — DuckDB best < floor_ms: the Spark per-query scheduling
               floor dominates, amortizes with rows (BASELINE.md).
               floor_ms = 120 × host_factor, where host_factor is the
@@ -38,7 +44,7 @@ STREAMING = ["x13_stream_hourly", "x18_stream_sessions", "x28_stream_dedup",
              "x49b_kafka_stream", "x96_stream_funnel",
              "x96b_stream_funnel_bounded", "x106_stream_hll",
              "x112_cdc_stream", "x119_stream_attribution",
-             "x120_stream_retention"]
+             "x120_stream_retention", "x121_stream_conversion_lag"]
 REWRITE = ["x41_compaction", "x41b_compaction_partitioned",
            "x51_merge_upsert", "x51b_merge_partitioned"]
 FLOOR_MS = 120
@@ -50,13 +56,15 @@ EXCLUDED = ["x20_dedup_pipeline", "x25_training_pipeline",
             "x88_entities", "x88b_entities_skewblock"]
 
 
-def classify(duck_queries, floor_ms=FLOOR_MS):
+def classify(duck_queries, floor_ms=FLOOR_MS, storm=()):
     out = {}
     for q, sec in duck_queries.items():
         if q in STREAMING:
             out[q] = "streaming"
         elif q in REWRITE:
             out[q] = "rewrite"
+        elif q in storm:
+            out[q] = "storm"
         elif sec * 1000 < floor_ms:
             out[q] = "floor"
         else:
@@ -83,6 +91,8 @@ def aggregates(bench_queries, duck_queries, classes):
         "nonstreaming": agg(lambda c: c != "streaming"),
         "r8_convention_nonstreaming_excl_rewrite":
             agg(lambda c: c not in ("streaming", "rewrite")),
+        "r8_convention_calm_rows_only":
+            agg(lambda c: c not in ("streaming", "rewrite", "storm")),
         "real_work_only": agg(lambda c: c == "real"),
     }
 
@@ -100,16 +110,22 @@ def build(bench_path, duck_raw_path, rnd, sf=0.1):
               file=sys.stderr)
     comparable = {q: t for q, t in duck.items()
                   if short(q) in bench and q not in EXCLUDED}
-    classes = classify(comparable, floor_ms)
+    storm = sorted(q for q in duck_raw.get("storm", []) if q in comparable)
+    classes = classify(comparable, floor_ms, storm)
     art = {
         "round": int(rnd), "sf": float(sf),
         "host": "local[32] same-host best-of-2",
         "host_factor": host_factor,
         "floor_ms": floor_ms,
+        "load_gate": duck_raw.get("load_gate"),
+        "storm": storm,
         "excluded_declared_quadratic_oracles": EXCLUDED,
         "class_rules": {
             "streaming": "declared list (see classes)",
             "rewrite": "declared list: round-8 convention x41/x41b/x51/x51b",
+            "storm": "close run's in-artifact storm list: the load gate "
+                     "(>= 2 calm obs per engine) was never satisfied; "
+                     "minima reported but untrusted, out of real-work",
             "floor": f"duck best < floor_ms = {FLOOR_MS} ms x host_factor "
                      f"(q01 spark minimum / pinned quiet-host reference, "
                      f"measured by close_bench.py)",
@@ -131,7 +147,8 @@ def check(bench_path, art_path):
         print(f"BENCH MISMATCH: artifact queries absent from this bench "
               f"(wrong round's bench file?): {missing}")
         sys.exit(1)
-    classes = classify(duck, art.get("floor_ms", FLOOR_MS))
+    classes = classify(duck, art.get("floor_ms", FLOOR_MS),
+                       art.get("storm", ()))
     ok = True
     if classes != art["classes"]:
         drift = {q: (art["classes"].get(q), classes.get(q))
@@ -139,7 +156,10 @@ def check(bench_path, art_path):
                  if art["classes"].get(q) != classes.get(q)}
         print(f"CLASS MISMATCH: {drift}")
         ok = False
-    want = aggregates(bench, duck, classes)
+    # compare only aggregates the artifact carries: older rounds
+    # predate the calm-rows aggregate and must stay checkable
+    want = {k: v for k, v in aggregates(bench, duck, classes).items()
+            if k in art["aggregates"]}
     if want != art["aggregates"]:
         print(f"AGGREGATE MISMATCH:\n stored {art['aggregates']}\n"
               f" recomputed {want}")
