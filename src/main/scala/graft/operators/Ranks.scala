@@ -82,58 +82,184 @@ object Ranks {
     * get ⌈n/k⌉ rows, the rest ⌊n/k⌋) WITHOUT the single-task window:
     * `ntile(k) OVER (ORDER BY …)` has no PARTITION BY, so Spark
     * collapses the whole table into one task — the same scale killer
-    * [[globalRowNumber]] exists for. Here the bucket is plain
-    * arithmetic over the distributed global rank plus a 1-row
-    * broadcast of the total count. Equi-depth binning /
+    * [[globalRowNumber]] exists for. Equi-depth binning /
     * quantile-bucket feature transforms at corpus scale.
     *
-    * `order` must be a total order (unique tiebreak) for
-    * engine-exact bucket assignment; all longs stay < 2^53 so the
-    * double intermediates are exact. */
+    * Plan shape: COUNTING SELECTION (the x98/x104 recipe, promoted
+    * from audits to the operator itself in round 15) whenever the
+    * leading order column has a monotone numeric proxy and every
+    * order column is plain ascending-nulls-first — the data is never
+    * globally sorted, shuffled, or ranked: one map-only bucketing by
+    * sampled boundaries, one exact (bucket) histogram, a row_number
+    * over ONLY the ≤ k−1 boundary buckets (≈ n/nBuckets rows per
+    * task — `nBuckets` is the scale knob, size it so that fits one
+    * task), and a map-only broadcast bin assignment comparing each
+    * row's order tuple against the k−1 boundary tuples. Exactness is
+    * boundary-independent: equal leading values share a bucket and
+    * every rank is recovered from exact counts. Orders the proxy
+    * can't serve (descending, nulls-last, non-numeric head) fall back
+    * to the [[globalRowNumber]] formulation.
+    *
+    * `order` must be a TOTAL order (unique tiebreak): SQL ntile bin
+    * SIZES are only well-defined up to tie placement, and the
+    * boundary path raises a clear error if duplicate order tuples
+    * land exactly on a bin boundary instead of silently mis-sizing
+    * bins. All longs stay < 2^53 so double intermediates are exact. */
   def ntileExact(df: DataFrame, k: Int, order: Seq[Column],
-                 outCol: String = "bin"): DataFrame = {
+                 outCol: String = "bin", nBuckets: Int = 64): DataFrame = {
     require(k >= 1, s"ntile k must be >= 1, got $k")
-    val ranked = globalRowNumber(df, order, "__ntile_rn")
-    // ranked is cache-backed, so this count is a cheap second read,
-    // not a recompute of the range shuffle
-    val nFrame = ranked.agg(count(lit(1)).as("__ntile_total"))
-    val n = col("__ntile_total"); val rn = col("__ntile_rn")
-    val q = ((n - pmod(n, lit(k))) / k).cast("long") // n div k, exact
-    val r = pmod(n, lit(k))
-    val cut = r * (q + 1)
-    ranked.crossJoin(broadcast(nFrame))
-      .withColumn(outCol,
-        when(rn <= cut, ceil(rn / (q + 1)))
-          // never selected when q = 0 (then cut = n ≥ rn) — CASE
-          // branches are lazy, so the q division cannot hit zero
-          .otherwise(r + ceil((rn - cut) / q)))
-      .drop("__ntile_rn", "__ntile_total")
+    boundaryNtile(df, k, lit(0L), order, outCol, nBuckets)
+      .getOrElse {
+        val ranked = globalRowNumber(df, order, "__ntile_rn")
+        // ranked is cache-backed, so this count is a cheap second
+        // read, not a recompute of the range shuffle
+        val nFrame = ranked.agg(count(lit(1)).as("__ntile_total"))
+        val n = col("__ntile_total"); val rn = col("__ntile_rn")
+        val q = ((n - pmod(n, lit(k))) / k).cast("long") // n div k
+        val r = pmod(n, lit(k))
+        val cut = r * (q + 1)
+        ranked.crossJoin(broadcast(nFrame))
+          .withColumn(outCol,
+            when(rn <= cut, ceil(rn / (q + 1)))
+              // never selected when q = 0 (then cut = n ≥ rn) — CASE
+              // branches are lazy, so the division cannot hit zero
+              .otherwise(r + ceil((rn - cut) / q)))
+          .drop("__ntile_rn", "__ntile_total")
+      }
   }
 
   /** Per-group exact NTILE(k) — `ntile(k) OVER (PARTITION BY g ORDER
     * BY …)` semantics without the per-group single-task sort (the
-    * x104 trap: few huge groups = few huge tasks). In-group ranks
-    * come from ONE [[globalRowNumber]] over (group, order…) minus the
-    * group's min global rank; group sizes ride the same groups-sized
-    * join. NULL groups bin like any other (struct-wrapped key). */
+    * x104 trap: few huge groups = few huge tasks). Same counting-
+    * selection plan shape as [[ntileExact]] (see its scaladoc),
+    * grouped: the histogram and boundary frames are groups × buckets
+    * and groups × (k−1) sized — the boundary table must broadcast,
+    * the x104 convention. NULL groups bin like any other
+    * (struct-wrapped key). Falls back to the [[globalRowNumber]]
+    * formulation for orders the boundary path can't serve. */
   def ntileExactBy(df: DataFrame, k: Int, groupCol: String,
-                   order: Seq[Column], outCol: String = "bin"): DataFrame = {
+                   order: Seq[Column], outCol: String = "bin",
+                   nBuckets: Int = 64): DataFrame = {
     require(k >= 1, s"ntile k must be >= 1, got $k")
-    val g = struct(col(groupCol)).as("__ntile_g")
-    val ranked = globalRowNumber(df.withColumn("__ntile_g", g),
-      col("__ntile_g") +: order, "__ntile_grn")
-    val stats = ranked.groupBy(col("__ntile_g"))
-      .agg(min(col("__ntile_grn")).as("__ntile_off"),
-        count(lit(1)).as("__ntile_n"))
-    val n = col("__ntile_n")
-    val rn = col("__ntile_grn") - col("__ntile_off") + 1
-    val q = ((n - pmod(n, lit(k))) / k).cast("long")
-    val r = pmod(n, lit(k))
-    val cut = r * (q + 1)
-    ranked.join(stats, Seq("__ntile_g"))
-      .withColumn(outCol,
-        when(rn <= cut, ceil(rn / (q + 1)))
-          .otherwise(r + ceil((rn - cut) / q)))
-      .drop("__ntile_g", "__ntile_grn", "__ntile_off", "__ntile_n")
+    boundaryNtile(df, k, struct(col(groupCol)), order, outCol, nBuckets)
+      .getOrElse {
+        val g = struct(col(groupCol)).as("__ntile_g")
+        val ranked = globalRowNumber(df.withColumn("__ntile_g", g),
+          col("__ntile_g") +: order, "__ntile_grn")
+        val stats = ranked.groupBy(col("__ntile_g"))
+          .agg(min(col("__ntile_grn")).as("__ntile_off"),
+            count(lit(1)).as("__ntile_n"))
+        val n = col("__ntile_n")
+        val rn = col("__ntile_grn") - col("__ntile_off") + 1
+        val q = ((n - pmod(n, lit(k))) / k).cast("long")
+        val r = pmod(n, lit(k))
+        val cut = r * (q + 1)
+        ranked.join(stats, Seq("__ntile_g"))
+          .withColumn(outCol,
+            when(rn <= cut, ceil(rn / (q + 1)))
+              .otherwise(r + ceil((rn - cut) / q)))
+          .drop("__ntile_g", "__ntile_grn", "__ntile_off", "__ntile_n")
+      }
+  }
+
+  /** The counting-selection ntile core shared by [[ntileExact]] (one
+    * constant group) and [[ntileExactBy]]. None = this order can't
+    * ride the boundary path (descending / nulls-last direction, or a
+    * leading column with no monotone numeric proxy) — callers fall
+    * back to the rank formulation. */
+  private def boundaryNtile(df: DataFrame, k: Int, gExpr: Column,
+      order: Seq[Column], outCol: String,
+      nBuckets: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types._
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    // plain ascending-nulls-first value columns, or bail
+    val plainOpt: Seq[Option[Column]] =
+      order.map(ColumnBridge.ascNullsFirstValue)
+    if (plainOpt.exists(_.isEmpty)) return None
+    val plain = plainOpt.map(_.get)
+    // monotone non-decreasing DOUBLE proxy of the leading order
+    // column: boundaries only SIZE buckets (equal heads must share a
+    // bucket; a lossy-but-monotone cast is fine), so long → double
+    // rounding cannot affect exactness
+    val headType = df.select(plain.head).schema.head.dataType
+    val proxyOf: Column => Column = headType match {
+      case _: NumericType => _.cast("double")
+      case DateType => unix_date(_).cast("double")
+      case TimestampType => unix_micros(_).cast("double")
+      case _ => return None
+    }
+    if (k == 1) return Some(df.withColumn(outCol, lit(1L)))
+
+    val pv = proxyOf(plain.head)
+    // sampled GLOBAL boundaries (nulls/NaN excluded — they get their
+    // own buckets below, matching Spark's nulls-first / NaN-greatest
+    // double ordering)
+    val bounds = df.where(plain.head.isNotNull && !isnan(pv))
+      .select(pv.as("__p")).stat
+      .approxQuantile("__p",
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+    val boundsCol = array(bounds.map(lit(_)): _*)
+    val bCol = when(plain.head.isNull, lit(-1))
+      .when(isnan(pv), lit(Int.MaxValue))
+      .otherwise(if (bounds.isEmpty) lit(0)
+        else size(filter(boundsCol, b => b <= pv)))
+    val bucketed = df.withColumn("__ntb_g", gExpr).withColumn("__ntb_b", bCol)
+
+    // exact (group, bucket) histogram + per-group running offsets —
+    // a groups × buckets frame, never data-sized
+    val hist = bucketed.groupBy(col("__ntb_g"), col("__ntb_b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__before", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col("__ntb_g"))
+          .orderBy(col("__ntb_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // the k−1 boundary ranks per group: end-of-bin ranks under SQL
+    // ntile sizing (first n mod k bins one row larger); duplicates
+    // (q = 0 ⇒ empty trailing bins share rank n) collapse safely —
+    // no row sorts after the last tuple
+    val nC = col("__ntb_n")
+    val qC = ((nC - pmod(nC, lit(k))) / k).cast("long")
+    val rC = pmod(nC, lit(k))
+    val wanted = hist.groupBy(col("__ntb_g"))
+      .agg(sum(col("__c")).as("__ntb_n"))
+      .select(col("__ntb_g"), explode(array_distinct(
+        transform(sequence(lit(1), lit(k - 1)),
+          i => when(i <= rC, i * (qC + 1))
+            .otherwise(rC * (qC + 1) + (i - rC) * qC)))).as("__rn"))
+    // locate each boundary rank's bucket and local rank; ≤ k−1 rows
+    // per group
+    val targets = hist.join(wanted, Seq("__ntb_g"))
+      .where(col("__rn") > col("__before") &&
+        col("__rn") <= col("__before") + col("__c"))
+      .groupBy(col("__ntb_g"), col("__ntb_b"))
+      .agg(collect_list(col("__rn") - col("__before")).as("__lranks"))
+    // row_number ONLY inside boundary buckets (≈ n_g/nBuckets rows
+    // per window task), then the boundary ORDER TUPLES per group
+    val tup = struct(plain: _*)
+    val boundaries = bucketed
+      .join(broadcast(targets), Seq("__ntb_g", "__ntb_b"))
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__ntb_g"), col("__ntb_b"))
+          .orderBy(plain: _*)).cast("long"))
+      .where(array_contains(col("__lranks"), col("__lrn")))
+      .select(col("__ntb_g"), tup.as("__bt"))
+      .groupBy(col("__ntb_g"))
+      .agg(sort_array(collect_list(col("__bt"))).as("__bs"))
+    // map-only assignment: bin = 1 + #boundary tuples strictly below
+    // this row's tuple. Duplicate boundary TUPLES at distinct ranks
+    // mean ties sit exactly on a bin boundary — bin sizes would be
+    // silently wrong, so fail loudly instead (add a tiebreak).
+    val bin = when(
+      size(array_distinct(col("__bs"))) =!= size(col("__bs")),
+      raise_error(concat(lit("ntile order is not total: duplicate "),
+        lit("order tuples land on a bin boundary — add a unique "),
+        lit("tiebreak column"))).cast("long"))
+      .otherwise((size(filter(col("__bs"), b => b < tup)) + 1).cast("long"))
+    Some(bucketed.join(broadcast(boundaries), Seq("__ntb_g"))
+      .withColumn(outCol, bin)
+      .drop("__ntb_g", "__ntb_b", "__bs"))
   }
 }

@@ -85,14 +85,21 @@ class RanksSpec extends AnyFunSuite {
     // 500 = 7*71 + 3 → buckets 1-3 have 72 rows, 4-7 have 71
     assert(sizes == Map(1L -> 72L, 2L -> 72L, 3L -> 72L,
       4L -> 71L, 5L -> 71L, 6L -> 71L, 7L -> 71L))
-    // the one SinglePartition in this plan is the 1-row global COUNT
-    // aggregate (map-side partials, one tiny final row) — inherent to
-    // any global scalar. What must never appear is a window (the
-    // ntile-over-everything single-task sort).
+    // counting-selection shape: what must never appear is an
+    // UNPARTITIONED window (the ntile-over-everything single-task
+    // sort). The only windows allowed are the boundary-extraction
+    // ones, partitioned by (group, bucket) — each task holds
+    // ≈ n/nBuckets rows of one boundary bucket.
     val plan = Ranks.ntileExact(df, 7, order)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"ntileExact must not plan a window:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("__ntb_")),
+      s"ntileExact planned a window outside the bucket-pruned " +
+        s"boundary extraction:\n$plan")
+    // and the bin assignment itself is map-only over a broadcast of
+    // the k-1 boundary tuples — the data never shuffles or sorts
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boundary table must broadcast:\n$plan")
   }
 
   test("ntileExactBy equals the partitioned window ntile, NULL group included") {
@@ -112,7 +119,39 @@ class RanksSpec extends AnyFunSuite {
     }
     val plan = Ranks.ntileExactBy(gdf, 4, "g", order)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"ntileExactBy must not plan a window:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("__ntb_")),
+      s"ntileExactBy planned a window outside the bucket-pruned " +
+        s"boundary extraction:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boundary table must broadcast:\n$plan")
+  }
+
+  test("ntile boundary ties on a non-total order fail loudly, not silently mis-sized") {
+    // 100 identical tuples, k=4: every boundary tuple collides — the
+    // boundary path must raise its tiebreak error instead of putting
+    // all rows in bin 1 (the window form would emit 25/25/25/25;
+    // sizes under ties are undefined without a total order, so the
+    // operator refuses rather than guessing)
+    val flat = spark.range(100).select(lit(1.0).as("v"))
+    val ex = intercept[Exception] {
+      Ranks.ntileExact(flat, 4, Seq(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("tiebreak")),
+      s"expected the tiebreak error, got: $ex")
+  }
+
+  test("ntileExact falls back to the rank path for descending orders (values still exact)") {
+    val order = Seq(col("v").desc, col("id").desc)
+    val want = df.withColumn("bin",
+      ntile(5).over(Window.orderBy(order: _*)))
+      .select("id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = Ranks.ntileExact(df, 5, order)
+      .select("id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
   }
 }

@@ -3,15 +3,25 @@
 task 4), storm-resilient since round 15 (round-14 verdict task 1): for
 every round, each query runs Spark-then-DuckDB BACK-TO-BACK, so a
 host-load window inflates both engines of a pair together and the
-per-pair minima stay comparable. Additionally, /proc/loadavg (load1)
-is sampled before and after EVERY observation, and the reported
-minimum for a (query, engine) pair is taken over CALM observations
-only — those whose surrounding load1 stayed under the load gate. After
-the base rounds, queries that still lack >= 2 calm observations on
-either engine get targeted extra passes until satisfied or the pass
-cap is hit; rows that never satisfy the gate are listed in-artifact as
-`storm` (ratio.py classifies them mechanically — they stay out of the
-real-work aggregate and the weak list).
+per-pair minima stay comparable.
+
+Storm detection — WHY a probe, not raw loadavg: the close run itself
+keeps load1 at 10-25 (the 32-thread Spark side alternating with
+DuckDB's own multi-threaded oracles), so a fixed load1 gate can never
+be satisfied mid-run. Instead every (query, engine) pair is BRACKETED
+by q01 calibration probes: q01 scans the 5-row region table, so its
+runtime is a pure Spark-scheduling measurement, and since the close is
+sequential nothing of ours runs during the probe — only EXTERNAL
+contention can inflate it. An observation is CALM when both its
+bracketing probes stay under CLOSE_CALM_FACTOR x the run's best probe.
+/proc/loadavg (load1) is still sampled and recorded per observation as
+corroborating telemetry.
+
+A reported minimum requires >= 2 calm observations per engine; queries
+short of that after the base rounds get targeted extra passes until
+satisfied or the pass cap hits; rows that never satisfy the gate ship
+in-artifact as `storm` (ratio.py classes them mechanically — reported,
+untrusted, out of the real-work aggregate and the weak list).
 
 Emits:
   <out_prefix>_bench.json — Bench-format artifact (spark CALM minima,
@@ -19,15 +29,17 @@ Emits:
                             metadata, consumable by ratio.py --build
   <out_prefix>_duck.json  — bench_duck-format DuckDB minima (full
                             names) + spread + host factor + storm list
-  <out_prefix>_obs.json   — every observation as [sec, load1_max] per
-                            (query, engine): the calm minima and the
-                            storm list recompute from this file alone
+  <out_prefix>_obs.json   — every observation as [sec, load1_max,
+                            probe_before, probe_after] per (query,
+                            engine) + the full probe series: calm
+                            minima and the storm list recompute from
+                            this file alone
 
 Usage:
   close_bench.py <sfDir> <oracle_sql.json> <out_prefix> [rounds=3]
 
-Env knobs: CLOSE_QUERIES=substr,substr (subset), CLOSE_LOAD_GATE
-(default 8.0), CLOSE_MAX_PASSES (default rounds+6).
+Env knobs: CLOSE_QUERIES=substr,substr (subset), CLOSE_CALM_FACTOR
+(default 2.0), CLOSE_MAX_PASSES (default rounds+6).
 
 The Spark side is a long-lived graft.tools.BenchServe JVM driven over
 stdin (java -cp target/...:/opt/spark/jars/*); DuckDB runs in-process
@@ -56,12 +68,7 @@ Q01_REF_SEC = 0.085
 CALIB_QUERY = "q01_scan_sort"
 FLOOR_MS_BASE = 120
 
-# Storm gate (round-14 verdict task 1): an observation is CALM when
-# load1 sampled immediately before AND after it stays under the gate.
-# 8.0 sits between the close run's own contribution (a 32-thread
-# local-mode burst at the observed ~30-40% duty cycle keeps load1
-# around 3-6) and the documented load-12-20 external storms.
-LOAD_GATE = float(os.environ.get("CLOSE_LOAD_GATE", "8.0"))
+CALM_FACTOR = float(os.environ.get("CLOSE_CALM_FACTOR", "2.0"))
 MIN_CALM = 2
 
 # declared-quadratic oracles (ratio.py EXCLUDED): their DuckDB side is
@@ -140,28 +147,54 @@ def main():
         names = [n for n in names if any(w in n for w in wanted)]
     print(f"[close] {len(names)} spark gates, "
           f"{len(oracle)} oracles, {rounds} rounds at {sf_dir}, "
-          f"load gate {LOAD_GATE}", file=sys.stderr)
+          f"calm factor {CALM_FACTOR}", file=sys.stderr)
 
-    # every observation is [sec, max(load1 before, load1 after)]
+    # observation: [sec, load1_max, probe_before, probe_after];
+    # probe_after is patched in by the NEXT bracketing probe
     obs_s = {n: [] for n in names}
     obs_d = {n: [] for n in names if n in oracle}
+    probes = []
+    pending = []  # observations awaiting their closing probe
+
+    def bracket_probe():
+        p = spark_time(proc, CALIB_QUERY)
+        probes.append(p)
+        for o in pending:
+            o[3] = p
+        pending.clear()
+        return p
 
     def observe(n):
         ask(proc, "GC", "OK")
+        pb = bracket_probe()
         l0 = load1()
         s = spark_time(proc, n)
         l1 = load1()
         if s >= 0:
-            obs_s[n].append([s, max(l0, l1)])
+            o = [s, max(l0, l1), pb, None]
+            obs_s[n].append(o)
+            pending.append(o)
         if n in oracle:
             l0 = load1()
             t0 = time.time()
             con.execute(oracle[n]).fetchall()
             t = time.time() - t0
-            obs_d[n].append([t, max(l0, load1())])
+            o = [t, max(l0, load1()), pb, None]
+            obs_d[n].append(o)
+            pending.append(o)
 
-    def calm(pairs):
-        return [s for s, ld in pairs if ld < LOAD_GATE]
+    def probe_ref():
+        return min(probes) if probes else Q01_REF_SEC
+
+    def calm(entries):
+        ref = probe_ref()
+        gate = CALM_FACTOR * ref
+        out = []
+        for s, ld, pb, pa in entries:
+            if pb is not None and pb < gate and \
+                    pa is not None and pa < gate:
+                out.append(s)
+        return out
 
     def satisfied(n):
         if len(calm(obs_s[n])) < MIN_CALM:
@@ -178,8 +211,9 @@ def main():
     for r in range(rounds):
         for n in names:
             observe(n)
-        print(f"[close] round {r + 1}/{rounds} done  load1 {load1()}",
-              file=sys.stderr)
+        bracket_probe()
+        print(f"[close] round {r + 1}/{rounds} done  load1 {load1()}  "
+              f"probe ref {probe_ref():.3f}", file=sys.stderr)
 
     # storm extension: targeted passes over queries still lacking
     # MIN_CALM calm observations on either engine
@@ -191,26 +225,28 @@ def main():
         passes += 1
         print(f"[close] storm pass {passes}/{max_passes}: "
               f"{len(needy)} queries below {MIN_CALM} calm obs "
-              f"(load1 {load1()})", file=sys.stderr)
+              f"(load1 {load1()}, probe ref {probe_ref():.3f})",
+              file=sys.stderr)
         for n in needy:
             observe(n)
+        bracket_probe()
     storm = sorted(n for n in names if not satisfied(n))
     if storm:
-        print(f"[close] STORM rows (never satisfied the load gate): "
-              f"{storm}", file=sys.stderr)
+        print(f"[close] STORM rows (calm gate never satisfied): {storm}",
+              file=sys.stderr)
 
     ask(proc, "EXIT", "BYE")
     proc.wait(timeout=120)
 
-    def best(pairs, n):
+    def best(entries):
         """Calm minimum when the gate was satisfied; otherwise the
         all-observations minimum (the row is storm-listed)."""
-        c = calm(pairs)
-        vals = c if len(c) >= MIN_CALM else [s for s, _ in pairs]
+        c = calm(entries)
+        vals = c if len(c) >= MIN_CALM else [e[0] for e in entries]
         return round(min(vals), 4) if vals else -1.0
 
-    def spread(pairs):
-        ok = [s for s, _ in pairs if s > 0]
+    def spread(entries):
+        ok = [e[0] for e in entries if e[0] > 0]
         return round(max(ok) / min(ok), 3) if len(ok) >= 2 else 1.0
 
     def quant(sorted_vals, q):
@@ -224,12 +260,19 @@ def main():
     def short(n):
         return n.split("_", 1)[0] if prefix_ok else n
 
-    s_min = {n: best(v, n) if v else -1.0 for n, v in obs_s.items()}
+    s_min = {n: best(v) if v else -1.0 for n, v in obs_s.items()}
+    # q01's own minimum additionally sees every probe (same query,
+    # same engine — the probes ARE calm-or-not q01 observations)
+    if CALIB_QUERY in s_min and probes:
+        cal = min(probe_ref(),
+                  s_min[CALIB_QUERY] if s_min[CALIB_QUERY] > 0 else 1e9)
+        s_min[CALIB_QUERY] = round(cal, 4)
     spreads = sorted(spread(v) for v in obs_s.values() if len(v) >= 2)
     total = round(sum(v for v in s_min.values() if v > 0), 3)
-    protocol = (f"interleaved per-(query,engine) CALM minima "
-                f"(load1 < {LOAD_GATE} before+after, >= {MIN_CALM} calm "
-                f"obs else storm-listed), {rounds} base rounds + "
+    protocol = (f"interleaved per-(query,engine) CALM minima: each pair "
+                f"bracketed by q01 scheduling probes, calm = both "
+                f"probes < {CALM_FACTOR} x best probe, >= {MIN_CALM} "
+                f"calm obs else storm-listed; {rounds} base rounds + "
                 f"warm-up + targeted storm passes (cap {max_passes}), "
                 f"spark/duck adjacent per pair (tools/close_bench.py)")
     bench = {
@@ -238,7 +281,8 @@ def main():
         "protocol": protocol,
         "rounds": rounds,
         "passes": passes,
-        "load_gate": LOAD_GATE,
+        "calm_factor": CALM_FACTOR,
+        "probe_ref_sec": round(probe_ref(), 4),
         "storm": [short(n) for n in storm],
         "calm_obs": {short(n): len(calm(obs_s[n])) for n in names},
         "spread_p50": quant(spreads, 0.5),
@@ -250,16 +294,17 @@ def main():
 
     # host-calibrated floor: never below 1.0 (a faster-than-reference
     # host still pays at least the quiet-host scheduling floor)
-    calib = s_min.get(CALIB_QUERY, -1.0)
+    calib = s_min.get(CALIB_QUERY, round(probe_ref(), 4))
     host_factor = round(max(1.0, calib / Q01_REF_SEC), 3) \
         if calib > 0 else 1.0
-    d_min = {n: best(v, n) for n, v in obs_d.items() if v}
+    d_min = {n: best(v) for n, v in obs_d.items() if v}
     d_spreads = sorted(spread(v) for v in obs_d.values() if len(v) >= 2)
     duck = {
         "total": round(sum(d_min.values()), 3),
         "queries": d_min,
         "protocol": protocol,
-        "load_gate": LOAD_GATE,
+        "calm_factor": CALM_FACTOR,
+        "probe_ref_sec": round(probe_ref(), 4),
         "storm": storm,
         "calm_obs": {n: [len(calm(obs_s[n])), len(calm(obs_d[n]))]
                      for n in obs_d},
@@ -273,8 +318,9 @@ def main():
     with open(f"{out_prefix}_duck.json", "w") as f:
         json.dump(duck, f, indent=1)
     with open(f"{out_prefix}_obs.json", "w") as f:
-        json.dump({"load_gate": LOAD_GATE, "min_calm": MIN_CALM,
-                   "spark": obs_s, "duck": obs_d}, f)
+        json.dump({"calm_factor": CALM_FACTOR, "min_calm": MIN_CALM,
+                   "probes": probes, "spark": obs_s, "duck": obs_d},
+                  f)
     print(f"[close] spark total {total}s  duck total {duck['total']}s  "
           f"spark spread p90 {bench['spread_p90']}  "
           f"duck spread p90 {duck['spread_p90']}  "

@@ -13,8 +13,9 @@ Classes (priority order, mechanical):
               x41/x41b/x51/x51b): physical file rewrite + atomic swap
               on the Spark side vs a pure SELECT oracle;
   storm     — the close run's in-artifact storm list (round-14 verdict
-              task 1): rows whose load gate (load1 < gate before and
-              after, >= 2 calm observations per engine) was never
+              task 1): rows whose calm gate (both bracketing q01
+              scheduling probes under calm_factor x the run's best
+              probe, >= 2 calm observations per engine) was never
               satisfied — their minima come from storm-inflated
               observations and are reported but NOT trusted: excluded
               from the real-work aggregate and the weak list;
@@ -117,15 +118,17 @@ def build(bench_path, duck_raw_path, rnd, sf=0.1):
         "host": "local[32] same-host best-of-2",
         "host_factor": host_factor,
         "floor_ms": floor_ms,
-        "load_gate": duck_raw.get("load_gate"),
+        "calm_factor": duck_raw.get("calm_factor"),
+        "probe_ref_sec": duck_raw.get("probe_ref_sec"),
         "storm": storm,
         "excluded_declared_quadratic_oracles": EXCLUDED,
         "class_rules": {
             "streaming": "declared list (see classes)",
             "rewrite": "declared list: round-8 convention x41/x41b/x51/x51b",
-            "storm": "close run's in-artifact storm list: the load gate "
-                     "(>= 2 calm obs per engine) was never satisfied; "
-                     "minima reported but untrusted, out of real-work",
+            "storm": "close run's in-artifact storm list: the calm gate "
+                     "(bracketing q01 probes, >= 2 calm obs per engine) "
+                     "was never satisfied; minima reported but "
+                     "untrusted, out of real-work",
             "floor": f"duck best < floor_ms = {FLOOR_MS} ms x host_factor "
                      f"(q01 spark minimum / pinned quiet-host reference, "
                      f"measured by close_bench.py)",
