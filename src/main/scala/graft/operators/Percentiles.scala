@@ -77,9 +77,9 @@ object Percentiles {
       // the single-window form
       return exact(df, groupCol, valCol, ps)
     }
-    val boundsCol = array(bounds.map(lit(_)): _*)
+    // native binary-search sharding (NativeSelect scaladoc)
     val sharded = nonNull.withColumn("__shard",
-      size(filter(boundsCol, b => b <= col("__v"))))
+      graft.expressions.NativeSelect.searchSorted(col("__v"), bounds))
     val localRanked = sharded.withColumn("__lrn",
       row_number().over(
         Window.partitionBy(col("__g"), col("__shard")).orderBy(col("__v"))))

@@ -85,26 +85,26 @@ object Ranks {
     * [[globalRowNumber]] exists for. Equi-depth binning /
     * quantile-bucket feature transforms at corpus scale.
     *
-    * Plan shape: COUNTING SELECTION (the x98/x104 recipe, promoted
-    * from audits to the operator itself in round 15) whenever the
-    * leading order column has a monotone numeric proxy and every
-    * order column is plain ascending-nulls-first — the data is never
-    * globally sorted, shuffled, or ranked: one map-only bucketing by
-    * sampled boundaries, one exact (bucket) histogram, a row_number
-    * over ONLY the ≤ k−1 boundary buckets (≈ n/nBuckets rows per
-    * task — `nBuckets` is the scale knob, size it so that fits one
-    * task), and a map-only broadcast bin assignment comparing each
-    * row's order tuple against the k−1 boundary tuples. Exactness is
-    * boundary-independent: equal leading values share a bucket and
-    * every rank is recovered from exact counts. Orders the proxy
-    * can't serve (descending, nulls-last, non-numeric head) fall back
-    * to the [[globalRowNumber]] formulation.
-    *
-    * `order` must be a TOTAL order (unique tiebreak): SQL ntile bin
-    * SIZES are only well-defined up to tie placement, and the
-    * boundary path raises a clear error if duplicate order tuples
-    * land exactly on a bin boundary instead of silently mis-sizing
-    * bins. All longs stay < 2^53 so double intermediates are exact. */
+    * Plan shape: BUCKETED TWO-LEVEL RANKS (the Percentiles
+    * .exactSharded recipe, promoted to the operator in round 15)
+    * whenever the leading order column has a monotone numeric proxy
+    * and every order column is plain ascending-nulls-first — the
+    * data is never globally sorted or ranked: one map-only bucketing
+    * by SAMPLE-quantile boundaries, one exact (bucket) histogram
+    * (broadcast, ≤ nBuckets+2 rows), then ONE full-data exchange on
+    * the bucket where each task sorts ≈ n/nBuckets rows of one
+    * bucket (`nBuckets` is the scale knob — size it so a bucket fits
+    * one task); in-group rank = broadcast bucket offset + local
+    * row_number, and the bin is plain SQL-ntile arithmetic over
+    * (rank, n). Exactness is boundary-independent: equal leading
+    * values share a bucket and ranks are recovered from exact
+    * counts. Equal order tuples get an arbitrary-but-consistent
+    * local numbering, so bins are always exactly SQL-sized and tie
+    * PLACEMENT is the only freedom — the window ntile's own
+    * contract. Orders the proxy can't serve (descending, nulls-last,
+    * non-numeric head) fall back to the [[globalRowNumber]]
+    * formulation. All longs stay < 2^53 so double intermediates are
+    * exact. */
   def ntileExact(df: DataFrame, k: Int, order: Seq[Column],
                  outCol: String = "bin", nBuckets: Int = 64): DataFrame = {
     require(k >= 1, s"ntile k must be >= 1, got $k")
@@ -130,13 +130,14 @@ object Ranks {
 
   /** Per-group exact NTILE(k) — `ntile(k) OVER (PARTITION BY g ORDER
     * BY …)` semantics without the per-group single-task sort (the
-    * x104 trap: few huge groups = few huge tasks). Same counting-
-    * selection plan shape as [[ntileExact]] (see its scaladoc),
-    * grouped: the histogram and boundary frames are groups × buckets
-    * and groups × (k−1) sized — the boundary table must broadcast,
-    * the x104 convention. NULL groups bin like any other
-    * (struct-wrapped key). Falls back to the [[globalRowNumber]]
-    * formulation for orders the boundary path can't serve. */
+    * x104 trap: few huge groups = few huge tasks). Same bucketed
+    * two-level plan shape as [[ntileExact]] (see its scaladoc),
+    * grouped: sort tasks hold ≈ n_g/nBuckets rows of one (group,
+    * bucket), and the histogram offset frame is groups × buckets
+    * sized — it must broadcast, the x104 convention. NULL groups bin
+    * like any other (struct-wrapped key). Falls back to the
+    * [[globalRowNumber]] formulation for orders the bucket path
+    * can't serve. */
   def ntileExactBy(df: DataFrame, k: Int, groupCol: String,
                    order: Seq[Column], outCol: String = "bin",
                    nBuckets: Int = 64): DataFrame = {
@@ -162,9 +163,9 @@ object Ranks {
       }
   }
 
-  /** The counting-selection ntile core shared by [[ntileExact]] (one
+  /** The bucketed two-level ntile core shared by [[ntileExact]] (one
     * constant group) and [[ntileExactBy]]. None = this order can't
-    * ride the boundary path (descending / nulls-last direction, or a
+    * ride the bucket path (descending / nulls-last direction, or a
     * leading column with no monotone numeric proxy) — callers fall
     * back to the rank formulation. */
   private def boundaryNtile(df: DataFrame, k: Int, gExpr: Column,
@@ -195,71 +196,71 @@ object Ranks {
     val pv = proxyOf(plain.head)
     // sampled GLOBAL boundaries (nulls/NaN excluded — they get their
     // own buckets below, matching Spark's nulls-first / NaN-greatest
-    // double ordering)
+    // double ordering). Boundaries only SIZE buckets — exactness is
+    // boundary-independent — so they come from a cheap 2% SAMPLE
+    // (fixed seed: plan-stable across reruns), not a full-accuracy
+    // scan; a sample too small to yield bounds degrades to fewer
+    // (worst case one) buckets, never to wrong bins
     val bounds = df.where(plain.head.isNotNull && !isnan(pv))
-      .select(pv.as("__p")).stat
-      .approxQuantile("__p",
-        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .select(pv.as("__p")).sample(withReplacement = false, 0.02, 42L)
+      .stat.approxQuantile("__p",
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
       .distinct.sorted
-    val boundsCol = array(bounds.map(lit(_)): _*)
+    // native binary-search bucketing (NativeSelect scaladoc): the
+    // HOF filter-count ran interpreted on every pass over the data
     val bCol = when(plain.head.isNull, lit(-1))
       .when(isnan(pv), lit(Int.MaxValue))
       .otherwise(if (bounds.isEmpty) lit(0)
-        else size(filter(boundsCol, b => b <= pv)))
-    val bucketed = df.withColumn("__ntb_g", gExpr).withColumn("__ntb_b", bCol)
+        else graft.expressions.NativeSelect.searchSorted(pv, bounds))
+    // ONE scan and ONE full-data exchange total: the histogram
+    // aggregates over the SAME hash(g, bucket) exchange the local
+    // ranking sorts on — both subtrees share the repartition's
+    // canonical plan, so ReuseExchange computes the shuffle once and
+    // the hash(g, b) distribution satisfies the groupBy, the window,
+    // and the broadcast join's streamed side alike (explicit
+    // partition count: the N-less form's AQE advisory pass measured
+    // 2x slower on the Expectations fused exchange)
+    val exch = df.withColumn("__ntb_g", gExpr).withColumn("__ntb_b", bCol)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__ntb_g"), col("__ntb_b"))
 
-    // exact (group, bucket) histogram + per-group running offsets —
-    // a groups × buckets frame, never data-sized
-    val hist = bucketed.groupBy(col("__ntb_g"), col("__ntb_b"))
+    // exact (group, bucket) histogram → per-group running offsets and
+    // totals — a groups × buckets frame
+    val wG = Window.partitionBy(col("__ntb_g")).orderBy(col("__ntb_b"))
+    val hist = exch.groupBy(col("__ntb_g"), col("__ntb_b"))
       .agg(count(lit(1)).as("__c"))
-      .withColumn("__before", coalesce(
-        sum(col("__c")).over(Window.partitionBy(col("__ntb_g"))
-          .orderBy(col("__ntb_b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // the k−1 boundary ranks per group: end-of-bin ranks under SQL
-    // ntile sizing (first n mod k bins one row larger); duplicates
-    // (q = 0 ⇒ empty trailing bins share rank n) collapse safely —
-    // no row sorts after the last tuple
-    val nC = col("__ntb_n")
-    val qC = ((nC - pmod(nC, lit(k))) / k).cast("long")
-    val rC = pmod(nC, lit(k))
-    val wanted = hist.groupBy(col("__ntb_g"))
-      .agg(sum(col("__c")).as("__ntb_n"))
-      .select(col("__ntb_g"), explode(array_distinct(
-        transform(sequence(lit(1), lit(k - 1)),
-          i => when(i <= rC, i * (qC + 1))
-            .otherwise(rC * (qC + 1) + (i - rC) * qC)))).as("__rn"))
-    // locate each boundary rank's bucket and local rank; ≤ k−1 rows
-    // per group
-    val targets = hist.join(wanted, Seq("__ntb_g"))
-      .where(col("__rn") > col("__before") &&
-        col("__rn") <= col("__before") + col("__c"))
-      .groupBy(col("__ntb_g"), col("__ntb_b"))
-      .agg(collect_list(col("__rn") - col("__before")).as("__lranks"))
-    // row_number ONLY inside boundary buckets (≈ n_g/nBuckets rows
-    // per window task), then the boundary ORDER TUPLES per group
-    val tup = struct(plain: _*)
-    val boundaries = bucketed
-      .join(broadcast(targets), Seq("__ntb_g", "__ntb_b"))
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col("__ntb_g"), col("__ntb_b"))
-          .orderBy(plain: _*)).cast("long"))
-      .where(array_contains(col("__lranks"), col("__lrn")))
-      .select(col("__ntb_g"), tup.as("__bt"))
-      .groupBy(col("__ntb_g"))
-      .agg(sort_array(collect_list(col("__bt"))).as("__bs"))
-    // map-only assignment: bin = 1 + #boundary tuples strictly below
-    // this row's tuple. Duplicate boundary TUPLES at distinct ranks
-    // mean ties sit exactly on a bin boundary — bin sizes would be
-    // silently wrong, so fail loudly instead (add a tiebreak).
-    val bin = when(
-      size(array_distinct(col("__bs"))) =!= size(col("__bs")),
-      raise_error(concat(lit("ntile order is not total: duplicate "),
-        lit("order tuples land on a bin boundary — add a unique "),
-        lit("tiebreak column"))).cast("long"))
-      .otherwise((size(filter(col("__bs"), b => b < tup)) + 1).cast("long"))
-    Some(bucketed.join(broadcast(boundaries), Seq("__ntb_g"))
-      .withColumn(outCol, bin)
-      .drop("__ntb_g", "__ntb_b", "__bs"))
+      .withColumn("__ntb_off", coalesce(
+        sum(col("__c")).over(wG.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__ntb_n", sum(col("__c")).over(
+        Window.partitionBy(col("__ntb_g"))))
+      .select(col("__ntb_g"), col("__ntb_b"),
+        col("__ntb_off"), col("__ntb_n"))
+
+    // in-group rank = bucket offset (broadcast, groups × buckets
+    // rows) + local rank within the (group, bucket): each sort task
+    // holds ≈ n_g/nBuckets rows of one bucket, whatever the group
+    // shape (the Percentiles.exactSharded recipe). Equal order
+    // tuples get an arbitrary-but-consistent local numbering, so
+    // bins are exactly SQL-sized and tie placement is the only
+    // degree of freedom — the same contract as the window ntile
+    // itself.
+    val rnk = col("__ntb_off") +
+      row_number().over(Window.partitionBy(col("__ntb_g"), col("__ntb_b"))
+        .orderBy(plain: _*)).cast("long")
+    // SQL ntile arithmetic over (in-group rank, group size)
+    val n = col("__ntb_n")
+    val q = ((n - pmod(n, lit(k))) / k).cast("long")
+    val r = pmod(n, lit(k))
+    val cut = r * (q + 1)
+    Some(exch
+      .join(broadcast(hist), Seq("__ntb_g", "__ntb_b"))
+      .withColumn("__ntb_rnk", rnk)
+      .withColumn(outCol,
+        when(col("__ntb_rnk") <= cut, ceil(col("__ntb_rnk") / (q + 1)))
+          // never selected when q = 0 (then cut = n ≥ rnk) — CASE
+          // branches are lazy, so the division cannot hit zero
+          .otherwise(r + ceil((col("__ntb_rnk") - cut) / q)))
+      .drop("__ntb_g", "__ntb_b", "__ntb_off", "__ntb_n", "__ntb_rnk"))
   }
 }

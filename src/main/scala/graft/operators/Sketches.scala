@@ -277,10 +277,10 @@ object Sketches {
       .approxQuantile("__v", (1 until nBuckets)
         .map(_.toDouble / nBuckets).toArray, 0.001)
       .distinct.sorted
-    val boundsCol = array(bounds.map(lit(_)): _*)
+    // native binary-search bucketing (NativeSelect scaladoc)
     val bucketed = vals.withColumn("__b",
       if (bounds.isEmpty) lit(0)
-      else size(filter(boundsCol, b => b <= col("__v"))))
+      else graft.expressions.NativeSelect.searchSorted(col("__v"), bounds))
     val wG = Window.partitionBy(col("__g")).orderBy(col("__b"))
     val hist = bucketed.groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("__c"))

@@ -333,6 +333,26 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     assert(df.where($"native" =!= $"builtin").count() == 0)
   }
 
+  test("searchSorted equals the HOF filter-count bucketing, boundary values included") {
+    // the counting-selection family's bucketing: #bounds <= v, with
+    // values drawn to hit exact boundary equality, between-bounds,
+    // below-all and above-all cases; NULL stays NULL on both sides
+    val bounds = (1 to 63).map(i => i * 0.5 - 16.0).toArray
+    val boundsCol = array(bounds.map(lit(_)): _*)
+    val vals: Seq[Option[Double]] =
+      (0 until 500).map(_ => Some(rnd.nextGaussian() * 12)) ++
+        bounds.map(Some(_)) ++
+        Seq(Some(-1e9), Some(1e9), Some(-0.0), Some(0.0), None)
+    val df = vals.toDF("v")
+      .select(
+        graft.expressions.NativeSelect.searchSorted($"v", bounds)
+          .as("native"),
+        when($"v".isNull, lit(null))
+          .otherwise(size(filter(boundsCol, b => b <= $"v")))
+          .as("builtin"))
+    assert(df.where(!($"native" <=> $"builtin")).count() == 0)
+  }
+
   test("quantize/dequantize: reconstruction error bounded by scale/2 on random vectors") {
     import graft.functions.Sim
     val rows = (0 until 200).map { _ =>

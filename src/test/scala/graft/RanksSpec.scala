@@ -127,20 +127,17 @@ class RanksSpec extends AnyFunSuite {
       s"boundary table must broadcast:\n$plan")
   }
 
-  test("ntile boundary ties on a non-total order fail loudly, not silently mis-sized") {
-    // 100 identical tuples, k=4: every boundary tuple collides — the
-    // boundary path must raise its tiebreak error instead of putting
-    // all rows in bin 1 (the window form would emit 25/25/25/25;
-    // sizes under ties are undefined without a total order, so the
-    // operator refuses rather than guessing)
+  test("ntile under a fully-tied order still emits exactly SQL-sized bins") {
+    // 100 identical tuples, k=4: tie PLACEMENT is arbitrary (the
+    // window ntile's own contract) but bin SIZES must be exactly
+    // 25/25/25/25 — the two-level rank path numbers ties
+    // consistently inside their bucket, so sizes cannot drift
     val flat = spark.range(100).select(lit(1.0).as("v"))
-    val ex = intercept[Exception] {
-      Ranks.ntileExact(flat, 4, Seq(col("v"))).collect()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
-    assert(msgs(ex).exists(m => m != null && m.contains("tiebreak")),
-      s"expected the tiebreak error, got: $ex")
+    val sizes = Ranks.ntileExact(flat, 4, Seq(col("v")))
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 25L, 2L -> 25L, 3L -> 25L, 4L -> 25L),
+      sizes.toString)
   }
 
   test("ntileExact falls back to the rank path for descending orders (values still exact)") {
