@@ -59,7 +59,7 @@ private[graft] object CatalogGates {
     // and duplicate-free to hash-match.
     "x49_kafka_transfer" -> ((s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_kafka")
+      val root = java.nio.file.Paths.get(scratchDir("graft_kafka"))
       try {
         val rootS = root.toString
         graft.pipeline.KafkaLog.createTopic(rootS, "transfers", 4)
@@ -104,7 +104,7 @@ private[graft] object CatalogGates {
     // watermark over the whole log). Same oracle replay as x49.
     "x49b_kafka_stream" -> ((s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_kafka_s")
+      val root = java.nio.file.Paths.get(scratchDir("graft_kafka_s"))
       try {
         val rootS = root.toString
         graft.pipeline.KafkaLog.createTopic(rootS, "transfers", 4)
@@ -170,7 +170,7 @@ private[graft] object CatalogGates {
     // JOIN, update-row-wins), so every row of the rewritten table is
     // value-checked.
     "x51_merge_upsert" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_merge")
+      val root = java.nio.file.Paths.get(scratchDir("graft_merge"))
       try {
         val tgt = root.toString + "/cust"
         t(s, d, "customer")
@@ -207,7 +207,7 @@ private[graft] object CatalogGates {
     // oracle replays the same relational merge with the partition
     // column in the join identity.
     "x51b_merge_partitioned" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_merge_part")
+      val root = java.nio.file.Paths.get(scratchDir("graft_merge_part"))
       try {
         val tgt = root.toString + "/cust"
         t(s, d, "customer")
@@ -243,7 +243,7 @@ private[graft] object CatalogGates {
     // files surface the new column as NULL, never an error or a
     // silent drop. Oracle derives the same union shape relationally.
     "x95_schema_evolution" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_evolve")
+      val root = java.nio.file.Paths.get(scratchDir("graft_evolve"))
       try {
         val tgt = root.toString + "/docs"
         val docs = t(s, d, "documents")
@@ -269,7 +269,7 @@ private[graft] object CatalogGates {
     // Oracle is the relational anti-join the physical erasure must
     // equal.
     "x93_delete_keys" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_del_part")
+      val root = java.nio.file.Paths.get(scratchDir("graft_del_part"))
       try {
         val tgt = root.toString + "/cust"
         t(s, d, "customer")
@@ -469,7 +469,7 @@ private[graft] object CatalogGates {
       val base = c.select(col("c_custkey").as("k"),
         col("c_mktsegment").as("v"), round(col("c_acctbal"), 2).as("bal"))
       val log = x103Log(c)
-      val p = sessionTempDir("graft_cdc_stream")
+      val p = scratchDir("graft_cdc_stream")
       log.where(col("seq") === 2L).coalesce(1)
         .write.mode("append").parquet(p)
       val before = listParquet(p)
@@ -597,10 +597,14 @@ private[graft] object CatalogGates {
       val clean = graft.operators.Expectations.annotate(updates,
           Seq(NotNull("k"), InRange("bal", 0.0, 1e9)))
         .where(size(col("violations")) === 0).drop("violations")
-      // stage 2 — SCD2 with the gated delta
+      // stage 2 — SCD2 with the gated delta, pinned ONCE: both the
+      // per-segment roll-up and the direct whole-table sketch read it
+      // (recomputing the SCD2 pipeline for the second consumer was
+      // measured as x102's dominant redundant job)
       val cur = graft.operators.Scd.apply2(dim, clean, Seq("k"),
           "2024-06-01 00:00:00")
         .where(col("valid_to").isNull)
+        .localCheckpoint()
       // stage 3 — per-segment HLL roll-up of the maintained table
       val p = 12
       // k is unique among current rows (Scd.apply2 enforces one open
@@ -610,12 +614,13 @@ private[graft] object CatalogGates {
         .agg(count(lit(1)).as("n_current"),
           graft.functions.Hll.sketch(col("k"), p).as("__sk"))
         .localCheckpoint() // two consumers (rows + merge), one compute
-      val merged = perSeg
+      // merged and direct in ONE action (crossJoin of two 1-row aggs)
+      val both = perSeg
         .agg(graft.functions.Hll.merge(col("__sk"), p).as("m"))
-        .head.getAs[Array[Byte]](0)
-      val direct = cur.agg(graft.functions.Hll.sketch(col("k"), p).as("dd"))
-        .head.getAs[Array[Byte]](0)
-      val rollup = java.util.Arrays.equals(merged, direct)
+        .crossJoin(cur.agg(graft.functions.Hll.sketch(col("k"), p).as("dd")))
+        .head
+      val rollup = java.util.Arrays.equals(
+        both.getAs[Array[Byte]](0), both.getAs[Array[Byte]](1))
       perSeg.select(col("seg"), col("n_current"),
           (abs(graft.functions.Hll.cardinality(col("__sk")) - col("n_current"))
             <= lit(0.05) * col("n_current")).as("within_tol"),
@@ -657,7 +662,7 @@ private[graft] object CatalogGates {
     // actually reduced the file count, not just rewrote.
     "x41_compaction" -> ((s, d) => {
       import s.implicits._
-      val fragRoot = java.nio.file.Files.createTempDirectory("graft_frag")
+      val fragRoot = java.nio.file.Paths.get(scratchDir("graft_frag"))
       try {
         val frag = fragRoot.toString + "/docs"
         // fragment ONLY the audited columns: compaction mechanics
@@ -699,7 +704,7 @@ private[graft] object CatalogGates {
     // and the file-count shrink.
     "x41b_compaction_partitioned" -> ((s, d) => {
       import s.implicits._
-      val fragRoot = java.nio.file.Files.createTempDirectory("graft_fragp")
+      val fragRoot = java.nio.file.Paths.get(scratchDir("graft_fragp"))
       try {
         val frag = fragRoot.toString + "/docs"
         // audited columns only (see x41): the per-leaf swap/audit
@@ -744,7 +749,7 @@ private[graft] object CatalogGates {
     "x78_versioned" -> ((s, d) => {
       import s.implicits._
       import graft.catalog.Versioned
-      val root = java.nio.file.Files.createTempDirectory("graft_vers")
+      val root = java.nio.file.Paths.get(scratchDir("graft_vers"))
       try {
         Versioned.put(s,
           t(s, d, "documents").where(col("doc_id") % 2 === 0)

@@ -40,11 +40,23 @@ private[graft] object GateSupport {
     * in event-time order. With `maxFilesPerTrigger=1` the watermark
     * advances between micro-batches and watermark-driven state
     * EVICTION actually fires — the arrival pattern of a production
-    * stream, which is what the bounded-state operators exist for. */
+    * stream, which is what the bounded-state operators exist for.
+    *
+    * Default 4 files (round 15): the bounded-state gates' result is
+    * batch-cadence-invariant by contract (the oracle replays one batch
+    * SQL statement), and every additional micro-batch costs the full
+    * per-trigger constant (~0.35 s measured: addBatch + state commit +
+    * offset/commit-log writes — ProfileStream on x119) while
+    * demonstrating nothing the previous batches didn't. 4 data files
+    * = 3 in-stream watermark advances + the trailing no-data batch:
+    * still a multi-batch replay that fires eviction/finalization on
+    * every path (gate `require`s + StreamingSpec state-bound asserts
+    * stay the evidence), no longer 7 triggers of which 3 are
+    * redundant. */
   val stagedEventsTimeOrderedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def stageEventsTimeOrdered(s: SparkSession, d: String,
-                             nFiles: Int = 6): String =
+                             nFiles: Int = 4): String =
     // keyed on (dataset, nFiles): callers wanting a different file
     // count expect a different micro-batch/watermark cadence, not a
     // silent reuse of the first caller's staging

@@ -58,23 +58,34 @@ object Outliers {
         v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
       .select(struct(col(groupCol)).as("__g"), v.as("__v"))
 
-    // med/mad are one row per group — broadcast them EXPLICITLY: the
-    // alternative is a sort-merge join that shuffles and sorts the
-    // full data side once per evaluation (measured as the dominant
-    // cost at sf1). devs is pinned once: it feeds the mad selection
-    // (boundary sample + histogram + target-bucket pass) and the
-    // final aggregate.
-    val med = discreteMedian(nn, "med", nBuckets)
-    // persist, not an eager checkpoint (the round-13 globalRowNumber
-    // move): the mad selection's first pass both populates the cache
-    // and does its work in one job, instead of a separate data-sized
-    // materialization; recompute on a cache miss is deterministic
-    // (med is an aggregate of fixed input)
-    val devs = nn.join(broadcast(med), Seq("__g"))
+    // ONE boundary sample serves both selections (round 15): the MAD
+    // pass's boundaries are derived driver-side by folding the value
+    // boundaries around each group's median (|b − med_g| is exactly
+    // the image of the value grid under the deviation transform), so
+    // the second approxQuantile pass — measured 1.27 s warm at sf0.1,
+    // the operator's single largest job because it also re-executed
+    // the lazy median subtree to fill a data-sized persist — is gone,
+    // and with it the persist: devs is map-only (scan + one broadcast
+    // join + abs) and cheaper to recompute per pass than to cache.
+    // Boundary quality still cannot affect the result (equal values
+    // share a bucket; ranks come from exact counts).
+    val bounds = sampleBounds(nn, nBuckets)
+    val med = selectAtTargetRank(nn, "med", bounds)
+    // med is one row per group — the SAME executor-memory bound the
+    // broadcast join below already imposes; collecting it makes it a
+    // LocalRelation so the three downstream passes (dev histogram,
+    // MAD selection, final aggregate) reuse the values instead of
+    // re-executing the median's histogram+selection subtree each.
+    val spark = df.sparkSession
+    val medRows = med.collect()
+    val medDf = spark.createDataFrame(
+      java.util.Arrays.asList(medRows: _*), med.schema)
+    val meds = medRows.map(_.getDouble(1))
+    val devBounds = foldBounds(bounds, meds, nBuckets)
+    val devs = nn.join(broadcast(medDf), Seq("__g"))
       .withColumn("__dev", abs(col("__v") - col("med")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mad = discreteMedian(
-      devs.select(col("__g"), col("__dev").as("__v")), "mad", nBuckets)
+    val mad = selectAtTargetRank(
+      devs.select(col("__g"), col("__dev").as("__v")), "mad", devBounds)
     devs.join(broadcast(mad), Seq("__g"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n_vals"),
@@ -86,10 +97,47 @@ object Outliers {
         col("n_vals"), col("med"), col("mad"), col("n_outliers"))
   }
 
+  /** Sampled global bucket boundaries for counting selection — one
+    * approxQuantile pass, deduped and sorted. */
+  private def sampleBounds(vals: DataFrame, nBuckets: Int): Array[Double] =
+    vals.stat.approxQuantile("__v", (1 until nBuckets)
+      .map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+
+  /** Deviation-pass boundaries derived WITHOUT a second data pass:
+    * fold the value grid around every group median (each |b − m| is a
+    * real deviation-space landmark), dedup, sort, and thin to
+    * ≤ nBuckets−1 evenly-strided entries so the literal stays small
+    * whatever the group count. Boundaries only size buckets — any
+    * grid is exact — so thinning trades per-task bucket size, never
+    * correctness. */
+  private def foldBounds(bounds: Array[Double], meds: Array[Double],
+                         nBuckets: Int): Array[Double] = {
+    // cap the driver-side cross product for very many groups: a
+    // deterministic stride over the sorted medians keeps landmarks
+    // spread across the median range
+    val medsCapped =
+      if (meds.length <= 1024) meds.sorted
+      else {
+        val s = meds.sorted
+        val stride = s.length / 1024
+        (0 until 1024).map(i => s(i * stride)).toArray
+      }
+    val folded = (for (m <- medsCapped; b <- bounds) yield math.abs(b - m))
+      .distinct.sorted
+    if (folded.length <= nBuckets - 1) folded
+    else {
+      val stride = folded.length.toDouble / (nBuckets - 1)
+      (0 until nBuckets - 1).map(i => folded((i * stride).toInt))
+        .toArray.distinct.sorted
+    }
+  }
+
   /** Value at in-group rank ⌈n/2⌉ (the lower median) per group over
     * a `(__g, __v)` frame, by counting selection:
     *
-    *  1. bucket every value by sampled global boundaries (map-only);
+    *  1. bucket every value by the caller's global boundaries
+    *     (map-only; callers pass a sampled or derived grid);
     *  2. exact (group, bucket) counts → per group, the bucket
     *     containing rank ⌈n_g/2⌉ and the count of rows before it
     *     (a groups × buckets frame — never data-sized);
@@ -100,12 +148,8 @@ object Outliers {
     * Sampled boundaries size the buckets but cannot affect the
     * result: equal values always share a bucket, and the rank
     * arithmetic uses exact counts. */
-  private def discreteMedian(vals: DataFrame, outCol: String,
-                             nBuckets: Int): DataFrame = {
-    val bounds = vals.stat
-      .approxQuantile("__v", (1 until nBuckets)
-        .map(_.toDouble / nBuckets).toArray, 0.001)
-      .distinct.sorted
+  private def selectAtTargetRank(vals: DataFrame, outCol: String,
+                                 bounds: Array[Double]): DataFrame = {
     // native binary-search bucketing (NativeSelect scaladoc): the
     // HOF filter-count was interpreted per element per row
     val bucketed = vals.withColumn("__b",

@@ -73,14 +73,19 @@ object Scd {
     val hist = current.where(col("valid_to").isNotNull)
     val cur = current.where(col("valid_to").isNull)
     if (checkUnique) {
-      def dupKeys(df: DataFrame, what: String): Unit = {
-        val d = df.groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
-        require(d == 0L,
-          s"scd: $what contain more than one row per (${keyCols.mkString(",")}) key")
-      }
-      dupKeys(updates, "updates")
-      dupKeys(cur, "current OPEN rows")
+      // both uniqueness probes in ONE job (they were two eager
+      // count() actions — pure scheduling overhead on the no-dup
+      // happy path); the side tag keeps the error message exact
+      def dupSide(df: DataFrame, what: String): DataFrame =
+        df.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+          .limit(1).select(lit(what).as("__what"))
+      val bad = dupSide(updates, "updates")
+        .unionAll(dupSide(cur, "current OPEN rows"))
+        .take(1)
+      require(bad.isEmpty,
+        s"scd: ${bad.headOption.map(_.getString(0)).getOrElse("")} contain " +
+          s"more than one row per (${keyCols.mkString(",")}) key")
     }
     val u0 = updates.withColumn("__upd", lit(true))
     val u = if (broadcastUpdates) broadcast(u0) else u0

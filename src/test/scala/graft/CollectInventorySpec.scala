@@ -59,6 +59,7 @@ class CollectInventorySpec extends AnyFunSuite {
       "operators/Boilerplate.scala" -> 1,
       "operators/Dedup.scala" -> 2,
       "operators/Sketches.scala" -> 1,
+      "operators/Outliers.scala" -> 1,
       "operators/Intervals.scala" -> 1,
       "operators/Ranks.scala" -> 1,
       "operators/Mixing.scala" -> 1,
