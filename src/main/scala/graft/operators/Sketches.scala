@@ -220,6 +220,7 @@ object Sketches {
   def quantileSketchAuditBy(df: DataFrame, valueCol: String,
                             groupCol: String, alpha: Double = 0.01,
                             qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val spark = df.sparkSession
     val v = col(valueCol).cast("double")
     // the group key rides inside a STRUCT: joins/grouping on a bare
     // nullable key silently drop the NULL group (equality never
@@ -229,20 +230,52 @@ object Sketches {
     val nn = df.where(v.isNotNull && !isnan(v) &&
         v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
       .select(struct(col(groupCol)).as("__g"), v.as("__v"))
-    val sk = nn.groupBy(col("__g"))
+    // ONE sketch pass serves the audit AND the selection boundaries
+    // (round 15): the same built sketch answers a 63-point quantile
+    // grid for free, so the separate approxQuantile boundary pass is
+    // gone, and collecting the groups-sized result (the SAME
+    // executor-memory bound the perBucket broadcast below already
+    // imposes) lets the rank arithmetic run driver-side and feeds the
+    // downstream joins LocalRelations instead of re-executing the
+    // sketch aggregate subtree per consumer.
+    val gridQs = (1 until 64).map(_.toDouble / 64)
+    val skRows = nn.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_vals"),
-        graft.functions.QuantileSketch.quantiles(col("__v"), alpha, qs)
-          .as("__est"))
-    // ⌈q·n_g⌉ per group, then the exact values at those in-group ranks
-    val wanted = sk.select(col("__g"), col("n_vals"),
-      array(qs.map(q =>
-        least(col("n_vals"),
-          greatest(lit(1L), ceil(lit(q) * col("n_vals")).cast("long")))): _*)
-        .as("__ranks"))
-    val exact = valuesAtGroupRanks(nn,
-      wanted.select(col("__g"), col("__ranks")))
-    sk.join(exact, Seq("__g"))
-      .join(wanted.select(col("__g"), col("__ranks")), Seq("__g"))
+        graft.functions.QuantileSketch
+          .quantiles(col("__v"), alpha, qs ++ gridQs).as("__all"))
+      .collect()
+    val gType = nn.schema("__g").dataType
+    import org.apache.spark.sql.types.{StructType, StructField, LongType => LT,
+      ArrayType, DoubleType}
+    val skSchema = StructType(Seq(StructField("__g", gType),
+      StructField("n_vals", LT, nullable = false),
+      StructField("__est", ArrayType(DoubleType))))
+    val wantedSchema = StructType(Seq(StructField("__g", gType),
+      StructField("__ranks", ArrayType(LT))))
+    def ranksFor(n: Long): Seq[Long] =
+      qs.map(q => math.min(n, math.max(1L, math.ceil(q * n).toLong)))
+    val skLocal = spark.createDataFrame(
+      java.util.Arrays.asList(skRows.map(r => org.apache.spark.sql.Row(
+        r.get(0), r.getLong(1), r.getSeq[Double](2).take(qs.size))): _*),
+      skSchema)
+    val wantedLocal = spark.createDataFrame(
+      java.util.Arrays.asList(skRows.map(r => org.apache.spark.sql.Row(
+        r.get(0), ranksFor(r.getLong(1)))): _*), wantedSchema)
+    // boundaries from the sketches' merged grids — estimates are real
+    // landmarks of each group's distribution, and boundary quality
+    // only sizes buckets, never the result (equal values share a
+    // bucket; ranks come from exact counts)
+    val grid = skRows.flatMap(_.getSeq[Double](2).drop(qs.size))
+      .filter(d => !d.isNaN && !d.isInfinite).distinct.sorted
+    val bounds =
+      if (grid.length <= 63) grid
+      else {
+        val stride = grid.length.toDouble / 63
+        (0 until 63).map(i => grid((i * stride).toInt)).toArray.distinct.sorted
+      }
+    val exact = valuesAtGroupRanks(nn, wantedLocal, boundsOpt = Some(bounds))
+    skLocal.join(exact, Seq("__g"))
+      .join(wantedLocal, Seq("__g"))
       .select(col("__g").getField(groupCol).as(groupCol), col("n_vals"),
         aggregate(
           zip_with(col("__est"), col("__ranks"),
@@ -271,11 +304,12 @@ object Sketches {
     * tiebreak — any numbering consistent with the sort yields the
     * same VALUE at a given rank. */
   private[operators] def valuesAtGroupRanks(vals: DataFrame,
-      wanted: DataFrame, nBuckets: Int = 64): DataFrame = {
+      wanted: DataFrame, nBuckets: Int = 64,
+      boundsOpt: Option[Array[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bounds = vals.stat
+    val bounds = boundsOpt.getOrElse(vals.stat
       .approxQuantile("__v", (1 until nBuckets)
-        .map(_.toDouble / nBuckets).toArray, 0.001)
+        .map(_.toDouble / nBuckets).toArray, 0.001))
       .distinct.sorted
     // native binary-search bucketing (NativeSelect scaladoc)
     val bucketed = vals.withColumn("__b",

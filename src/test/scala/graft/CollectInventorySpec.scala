@@ -58,7 +58,7 @@ class CollectInventorySpec extends AnyFunSuite {
       "operators/EntityResolution.scala" -> 1,
       "operators/Boilerplate.scala" -> 1,
       "operators/Dedup.scala" -> 2,
-      "operators/Sketches.scala" -> 1,
+      "operators/Sketches.scala" -> 2,
       "operators/Outliers.scala" -> 1,
       "operators/Intervals.scala" -> 1,
       "operators/Ranks.scala" -> 1,
