@@ -509,10 +509,14 @@ private[graft] object StreamingGates {
       val bitEqual = joined.where(col("sketch").isNull ||
         col("bsketch").isNull || col("sketch") =!= col("bsketch"))
         .count() == 0L
-      val merged = stream
+      // merged sketch + exact distinct in ONE action (two aggregate
+      // subtrees crossJoined — one job constant instead of two)
+      val mx = stream
         .agg(graft.functions.Hll.merge(col("sketch"), p).as("m"))
-        .head.getAs[Array[Byte]](0)
-      val exact = events.agg(count_distinct(col("user_id"))).head.getLong(0)
+        .crossJoin(events.agg(count_distinct(col("user_id")).as("x")))
+        .head
+      val merged = mx.getAs[Array[Byte]](0)
+      val exact = mx.getLong(1)
       val est = graft.functions.Hll.estimate(merged)
       val within = math.abs(est - exact) <= 0.05 * exact
       Seq((joined.count(), bitEqual, within))
